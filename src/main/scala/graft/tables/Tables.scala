@@ -1,0 +1,46 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the harness test tables (TESTDATA.md).
+  *
+  * One parquet file per table under the scale-factor directory. Reads are
+  * plain `spark.read.parquet` so Catalyst owns column pruning and filter
+  * pushdown — callers `select`/`filter` and the scan narrows itself.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
+    * read as a timestamp. Read it as raw nanos (legacy long mode) and
+    * rebuild a micros-precision TimestampType column via integer division
+    * (plain `/` would go through double and lose precision on int64 nanos).
+    * DuckDB keeps nanos; both engines floor-truncate identically, so any
+    * output derived at ms/us granularity hash-matches the oracle.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns DIV 1000)"))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` queries resolve —
+    * mirrors how the DuckDB oracle sees them. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
