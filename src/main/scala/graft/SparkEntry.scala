@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
     CoreQueries.q03RevenueByCustomer(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ PipelineQueries.queries
 
-  def oracleSql: Map[String, String] = CoreQueries.oracles
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.load.InitialLoad
+import graft.streaming.CdcStream
+import graft.sync.TableStore
+
+/** End-to-end orchestration — the Spark equivalent of the reference's
+  * script sequence setup → export → initial load → incremental sync → query
+  * (ref scripts/setup_redshift.sh, initial_load_from_export.sh,
+  * test_sync_time.sh; SURVEY.md §2.7 C5).
+  */
+final class Pipeline(spark: SparkSession, storeRoot: String,
+    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+
+  val store = new TableStore(spark, storeRoot)
+
+  /** Stage 1 — batch initial load from a DynamoDB export directory
+    * (creates the three target tables; must run before incremental sync,
+    * whose guard aborts on an empty target). */
+  def initialLoad(exportPath: String): Unit = {
+    val loadTime = now()
+    InitialLoad.loadAll(spark, exportPath, loadTime)
+      .foreach { case (name, df) => store.write(name, df) }
+  }
+
+  /** Stage 2 — drain all pending CDC files and apply the merges. */
+  def syncAvailable(cdcDir: String, checkpointDir: String): Unit = {
+    val q = new CdcStream(spark, store, now).start(cdcDir, checkpointDir)
+    q.awaitTermination()
+  }
+
+  def table(name: String): DataFrame =
+    store.read(name).getOrElse(
+      throw new IllegalStateException(s"table $name not initialized — run initialLoad first"))
+
+  def member: DataFrame = table("member")
+  def quest: DataFrame = table("quest")
+  def memberQuest: DataFrame = table("member_quest")
+}

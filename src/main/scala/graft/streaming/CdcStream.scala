@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.storage.StorageLevel
+
+import graft.ingest.Extraction
+import graft.model.CdcSchemas
+import graft.sync.{Merge, TableStore}
+
+/** Structured-Streaming wrapper around the incremental merge — the
+  * continuous form of the reference's REFRESH-then-CALL loop
+  * (ref scripts/test_sync_time.sh:69-106; SURVEY.md §2.6 ST7).
+  *
+  * `readStream` over envelope JSON files stands in for the Kinesis source
+  * (same schema; a Kinesis connector drops in without touching the merge).
+  * Each micro-batch runs the extraction projection (≈ one MV refresh) and
+  * the three entity merges (≈ the three CALLs) inside `foreachBatch`.
+  *
+  * The staged batch is persisted before the merges: it is reused by the
+  * dedup window, the anti-join delete, and the insert, and a streaming
+  * source batch cannot be recomputed arbitrarily (SURVEY.md §4, mandatory).
+  *
+  * Watermark semantics: the merge re-reads `MAX(approximateUpdateTimestamp)`
+  * from the *target* per batch, exactly like the reference — so replayed
+  * or late change records older than the target watermark are silently
+  * dropped (§2.8c), which makes reprocessing a batch idempotent even
+  * though file-stream offsets already prevent re-reads in normal runs.
+  */
+final class CdcStream(spark: SparkSession, store: TableStore,
+    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+
+  /** Run all entity merges against one extracted (batch) DataFrame. */
+  def syncAll(extracted: DataFrame): Unit = {
+    val cached = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val syncTime = now()
+      Merge.entities.foreach { conf =>
+        store.read(conf.name).foreach { target =>
+          Merge.syncEntity(target, cached, conf, syncTime)
+            .foreach(merged => store.write(conf.name, merged))
+        }
+      }
+    } finally cached.unpersist()
+  }
+
+  /** Start the stream over a directory of envelope JSON files.
+    * `Trigger.AvailableNow` ≈ drain-everything-then-stop (one refresh+call
+    * sweep); pass `ProcessingTime` for a scheduled loop. */
+  def start(inputDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()) = {
+    val envelopes = spark.readStream
+      .schema(CdcSchemas.envelope)
+      .json(inputDir)
+    val extracted = Extraction.extract(envelopes)
+    extracted.writeStream
+      .queryName("cdc-sync")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) => syncAll(batch) }
+      .start()
+  }
+}

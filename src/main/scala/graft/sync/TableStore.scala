@@ -1,0 +1,59 @@
+package graft.sync
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Mutable-table semantics on immutable storage (SURVEY.md §7.4 risk 1).
+  *
+  * Spark tables are immutable and no transactional table format ships in
+  * this environment, so the merge's delete-then-insert becomes
+  * write-new-version-then-swap-pointer:
+  *
+  *   root/<table>/v<N>/   — complete parquet snapshots
+  *   root/<table>/_CURRENT — tiny file holding the live version number,
+  *                           rewritten via atomic move
+  *
+  * Readers resolve `_CURRENT` at read time; a crash mid-write leaves the
+  * pointer on the old version (the half-written v<N+1> dir is garbage, never
+  * referenced). This is the same pointer-swap idea transactional formats
+  * use, minus concurrent writers — the reference's sync is single-writer
+  * too (stored procedures called sequentially).
+  *
+  * Scale note: a version is written with the caller-chosen partitioning; a
+  * 100 TB target table would write `partitionBy(bucket-ish key)` snapshots
+  * and only rewrite partitions touched by the merge (the anti-join keys
+  * identify them). Snapshot-level swap is kept here for simplicity;
+  * partition-level swap is the same protocol one directory deeper.
+  */
+final class TableStore(spark: SparkSession, root: String) {
+
+  private def tableDir(name: String): Path = Paths.get(root, name)
+  private def currentFile(name: String): Path = tableDir(name).resolve("_CURRENT")
+
+  def currentVersion(name: String): Option[Int] = {
+    val f = currentFile(name)
+    if (Files.exists(f)) Some(new String(Files.readAllBytes(f)).trim.toInt) else None
+  }
+
+  def read(name: String): Option[DataFrame] =
+    currentVersion(name).map { v =>
+      spark.read.parquet(tableDir(name).resolve(s"v$v").toString)
+    }
+
+  /** Materialize `df` as the next version, then atomically flip _CURRENT.
+    * The write fully materializes the plan before the old version is
+    * unreferenced, so a merge reading v<N> can safely produce v<N+1>. */
+  def write(name: String, df: DataFrame): Unit = {
+    val next = currentVersion(name).getOrElse(-1) + 1
+    val dest = tableDir(name).resolve(s"v$next")
+    df.write.mode("overwrite").parquet(dest.toString)
+    val tmp = tableDir(name).resolve(s"_CURRENT.tmp$next")
+    Files.write(tmp, next.toString.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, currentFile(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // Old versions are kept for time-travel/debug; a retention sweep would
+    // delete v<k> for k < current-1 in production.
+  }
+}

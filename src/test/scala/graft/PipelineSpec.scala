@@ -1,0 +1,208 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Analytics
+import graft.gen.CdcGen
+import graft.ingest.Extraction
+import graft.load.InitialLoad
+import graft.model.CdcSchemas
+import graft.pipeline.Pipeline
+import graft.sync.Merge
+
+/** End-to-end pipeline tests mirroring the reference's manual E2E script
+  * (ref scripts/test_sync_time.sh): initial load → CDC batches with
+  * INSERT/MODIFY/REMOVE → target-state and syncLag assertions.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeLines(dir: String, name: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes)
+  }
+
+  private val t0 = 1660000000000L // base epoch ms
+
+  test("extraction view projects the envelope like the reference MV") {
+    val gen = new CdcGen.Gen(1)
+    val m = gen.member()
+    val line = gen.envelope("INSERT", m, t0)
+    val raw = spark.read.schema(CdcSchemas.envelope)
+      .json(Seq(line).toDS)
+    val out = Extraction.extract(raw)
+    assert(out.columns.toSeq == CdcSchemas.extractColumns)
+    val row = out.first()
+    assert(row.getAs[String]("pk") == m.pk)
+    assert(row.getAs[String]("sk") == m.sk)
+    assert(row.getAs[String]("eventName") == "INSERT")
+    assert(row.getAs[String]("eventSource") == "aws:dynamodb")
+    // epoch-ms truncation to whole seconds (ref incremental_sync_members.sql:28)
+    val evTime = Extraction.extract(raw).select(Extraction.eventTime.as("t"))
+      .first().getTimestamp(0)
+    assert(evTime.getTime == (t0 / 1000) * 1000)
+  }
+
+  test("initial load routes by pk prefix and strips prefixes strictly") {
+    val gen = new CdcGen.Gen(2)
+    val m = gen.member(); val mUp = gen.member(upper = true)
+    val q = gen.quest()
+    val mq = gen.memberQuest("some-member-id", "some-quest-id")
+    val export = Seq(m, mUp, q, mq).map(gen.exportLine)
+    val dir = tmpDir("export")
+    writeLines(dir, "data.json", export)
+    val loadTime = new Timestamp(t0)
+    val dump = InitialLoad.readExport(spark, dir)
+    val members = InitialLoad.members(dump, loadTime)
+    val quests = InitialLoad.quests(dump, loadTime)
+    val mqs = InitialLoad.memberQuests(dump, loadTime)
+    assert(members.count() == 2 && quests.count() == 1 && mqs.count() == 1)
+    val ids = members.select("memberId").as[String].collect().toSet
+    assert(ids == Set(m.pk.stripPrefix("M_"), mUp.pk.stripPrefix("M_")),
+      "uppercase-uuid ids must survive the strict prefix strip (SURVEY §2.8a)")
+    val mqRow = mqs.first()
+    assert(mqRow.getAs[String]("memberId") == "some-member-id")
+    assert(mqRow.getAs[String]("questId") == "some-quest-id")
+    assert(mqRow.getAs[Double]("dollarsEarned") > 0)
+    // every row stamped with load time (§2.8g)
+    assert(members.select("approximateUpdateTimestamp").distinct().first()
+      .getTimestamp(0) == loadTime)
+  }
+
+  test("charset ltrim parity mode reproduces the reference bug") {
+    // An uppercase-uuid member id starting with 'A' is safe, but one
+    // starting with 'M' loses characters under charset LTRIM.
+    val df = Seq("M_MDEADBEEF", "M_abc").toDF("pk")
+    val strict = df.select(Merge.stripPrefix($"pk", "M_").as("id"))
+      .as[String].collect().toSet
+    val parity = df.select(Merge.ltrimParity($"pk", "M_").as("id"))
+      .as[String].collect().toSet
+    assert(strict == Set("MDEADBEEF", "abc"))
+    assert(parity == Set("DEADBEEF", "abc"), "LTRIM eats the leading M of the id")
+  }
+
+  test("full pipeline: initial load, insert, modify, remove, analytics") {
+    val gen = new CdcGen.Gen(3)
+    val exportDir = tmpDir("export")
+    val cdcDir = tmpDir("cdc")
+    val ckptDir = tmpDir("ckpt")
+    val storeRoot = tmpDir("store")
+
+    // -- initial state: one member/quest/member_quest in the export
+    val m0 = gen.member(); val q0 = gen.quest()
+    val mq0 = gen.memberQuest(m0.pk.stripPrefix("M_"), q0.pk.stripPrefix("Q_"))
+    writeLines(exportDir, "data.json", Seq(m0, q0, mq0).map(gen.exportLine))
+
+    var clock = t0
+    val pipeline = new Pipeline(spark, storeRoot, () => new Timestamp(clock))
+    pipeline.initialLoad(exportDir)
+    assert(pipeline.member.count() == 1)
+    assert(pipeline.quest.count() == 1)
+    assert(pipeline.memberQuest.count() == 1)
+
+    // -- batch 1: new member + quest + memberQuest, all INSERTs after t0
+    val m1 = gen.member(); val q1 = gen.quest()
+    val m1id = m1.pk.stripPrefix("M_"); val q1id = q1.pk.stripPrefix("Q_")
+    val mq1 = gen.memberQuest(m1id, q1id)
+    writeLines(cdcDir, "batch1.json", Seq(
+      gen.envelope("INSERT", m1, t0 + 10000),
+      gen.envelope("INSERT", q1, t0 + 11000),
+      gen.envelope("INSERT", mq1, t0 + 12000)))
+    clock = t0 + 60000 // sync happens one minute later
+    pipeline.syncAvailable(cdcDir, ckptDir)
+    assert(pipeline.member.count() == 2)
+    assert(pipeline.quest.count() == 2)
+    assert(pipeline.memberQuest.count() == 2)
+
+    // syncLag = syncTimestamp − approximateUpdateTimestamp (ref queries.sql:2-4)
+    val lags = Analytics.recentSyncLags(pipeline.memberQuest)
+      .select("syncLagSeconds").as[Long].collect()
+    assert(lags.head == 48, s"lag of mq1 should be 60-12 s, got ${lags.toSeq}")
+
+    // -- batch 2: MODIFY mq1's dollars (same key, newer ts), REMOVE m1,
+    //    and a stale change older than the watermark (must be dropped §2.8c)
+    val mq1Mod = mq1.copy(attrs = mq1.attrs + ("dollarsEarned" -> Right(77.77)))
+    val staleM = gen.member()
+    writeLines(cdcDir, "batch2.json", Seq(
+      gen.envelope("MODIFY", mq1Mod, t0 + 70000),
+      gen.envelope("REMOVE", m1, t0 + 71000),
+      gen.envelope("INSERT", staleM, t0 - 5000)))
+    clock = t0 + 120000
+    pipeline.syncAvailable(cdcDir, ckptDir)
+
+    assert(pipeline.member.count() == 1, "REMOVE deletes m1; stale insert dropped")
+    val mq1Row = pipeline.memberQuest
+      .filter($"memberQuestId" === mq1.sk.stripPrefix("MQ_")).first()
+    assert(mq1Row.getAs[Double]("dollarsEarned") == 77.77, "latest change wins")
+
+    // -- analytics over final state
+    val byMember = Analytics.rewardsByMember(pipeline.memberQuest, pipeline.member)
+    // m1 was removed, so only the initial-load member remains joined
+    assert(byMember.count() == 1)
+    val byQuest = Analytics.rewardsByQuest(pipeline.memberQuest, pipeline.quest)
+    assert(byQuest.count() <= 2)
+
+    // -- statement-runner facade (ref test_sync_time.sh submit/poll/result)
+    val runner = new graft.analytics.StatementRunner
+    val id = runner.executeStatement(byMember)
+    assert(runner.awaitResult(id).nonEmpty)
+    runner.shutdown()
+  }
+
+  test("merge is idempotent: re-applying a batch is a no-op") {
+    val gen = new CdcGen.Gen(4)
+    val m = gen.member()
+    val envLines = Seq(gen.envelope("INSERT", m, t0 + 1000))
+    val raw = spark.read.schema(CdcSchemas.envelope).json(envLines.toDS)
+    val extracted = Extraction.extract(raw)
+
+    val loadTime = new Timestamp(t0)
+    val target0 = Seq(
+      ("seed-member", "Seed", loadTime, loadTime)
+    ).toDF("memberId", "memberName", "approximateUpdateTimestamp", "syncTimestamp")
+
+    val syncTime = new Timestamp(t0 + 60000)
+    val once = Merge.syncEntity(target0, extracted, Merge.members, syncTime).get
+    val onceRows = once.collect().sortBy(_.getString(0))
+    assert(onceRows.length == 2)
+    // replay the same batch against the merged target: event ts is now ≤
+    // watermark, so nothing stages and the target is unchanged
+    val twice = Merge.syncEntity(
+      spark.createDataFrame(spark.sparkContext.parallelize(onceRows.toIndexedSeq), once.schema),
+      extracted, Merge.members, new Timestamp(t0 + 120000)).get
+    assert(twice.collect().sortBy(_.getString(0)).toSeq == onceRows.toSeq)
+  }
+
+  test("merge guard: empty target aborts (no initial load)") {
+    val empty = Seq.empty[(String, String, Timestamp, Timestamp)]
+      .toDF("memberId", "memberName", "approximateUpdateTimestamp", "syncTimestamp")
+    val gen = new CdcGen.Gen(5)
+    val raw = spark.read.schema(CdcSchemas.envelope)
+      .json(Seq(gen.envelope("INSERT", gen.member(), t0)).toDS)
+    assert(Merge.syncEntity(empty, Extraction.extract(raw), Merge.members,
+      new Timestamp(t0)).isEmpty)
+  }
+
+  test("member_quest merge deletes by memberQuestId, not questId (§2.8d fix)") {
+    val loadTime = new Timestamp(t0)
+    val target = Seq(
+      ("mq-1", "m-1", "q-shared", 10.0, loadTime, loadTime),
+      ("mq-2", "m-2", "q-shared", 20.0, loadTime, loadTime)
+    ).toDF("memberQuestId", "memberId", "questId", "dollarsEarned",
+           "approximateUpdateTimestamp", "syncTimestamp")
+    val gen = new CdcGen.Gen(6)
+    val item = CdcGen.Item("MQ#M_m-1", "MQ_mq-1",
+      Map("questId" -> Left("q-shared"), "dollarsEarned" -> Right(55.0)))
+    val raw = spark.read.schema(CdcSchemas.envelope)
+      .json(Seq(gen.envelope("MODIFY", item, t0 + 5000)).toDS)
+    val merged = Merge.syncEntity(target, Extraction.extract(raw),
+      Merge.memberQuests, new Timestamp(t0 + 60000)).get
+    val rows = merged.orderBy($"memberQuestId").collect()
+    assert(rows.length == 2, "reference bug would wipe both rows sharing q-shared")
+    assert(rows(0).getAs[Double]("dollarsEarned") == 55.0)
+    assert(rows(1).getAs[Double]("dollarsEarned") == 20.0)
+  }
+}
