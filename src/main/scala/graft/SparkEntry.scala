@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, PipelineQueries}
+import graft.queries.{CoreQueries, MultimodalQueries, PipelineQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +18,10 @@ object SparkEntry {
     CoreQueries.q03RevenueByCustomer(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ PipelineQueries.queries
+    CoreQueries.queries ++ PipelineQueries.queries ++ TextQueries.queries ++
+      VectorQueries.queries ++ MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ PipelineQueries.oracles
+    CoreQueries.oracles ++ PipelineQueries.oracles ++ TextQueries.oracles ++
+      VectorQueries.oracles ++ MultimodalQueries.oracles
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads plus typed metadata, with decode/feature-extract as
+  * partition-mapped batch functions.
+  *
+  * The container ships no image/audio codecs, so the decode kernel is a
+  * clearly-marked DETERMINISTIC STUB — everything around it (schema,
+  * binary column handling, batch iteration shape, partitioning, explode
+  * of per-frame rows) is the real Spark plumbing a production decode
+  * would drop into (swap [[StubCodec.decode]] for an actual codec bound
+  * per-executor).
+  */
+object MultimodalOps {
+
+  /** Media row: payload + metadata, the at-rest layout for a 100 TB
+    * multimodal table (binary column stays columnar-compressed in parquet;
+    * metadata prunes without touching payload bytes). */
+  final case class MediaRow(doc_id: Long, kind: String, media: Array[Byte])
+
+  final case class MediaFeatures(
+      doc_id: Long, kind: String, byte_len: Int,
+      width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** Documents → media table: payload = UTF-8 bytes of the text (stand-in
+    * for real image/audio bytes), kind assigned round-robin from doc_id. */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("media"))
+
+  /** ======= STUB CODEC =======
+    * Stands in for an image/audio decoder. Deterministic pure function of
+    * the payload bytes so tests and driver checks are stable. A real
+    * implementation would decode dimensions/duration and produce pixel or
+    * PCM feature tensors here. */
+  object StubCodec {
+    def decode(kind: String, media: Array[Byte]): (Int, Int, Int) = {
+      val h = {
+        var acc = 1469598103934665603L
+        var i = 0
+        while (i < media.length) { acc = (acc ^ (media(i) & 0xff)) * 1099511628211L; i += 1 }
+        acc
+      }
+      val width = 64 + math.floorMod(h, 512).toInt
+      val height = 64 + math.floorMod(h >>> 16, 512).toInt
+      val frames = if (kind == "video") 1 + media.length / 100 else 1
+      (width, height, frames)
+    }
+  }
+
+  /** Per-partition batch decode: one codec instance per partition (the
+    * shape a JNI/native decoder needs — init once, stream the batch
+    * through). No shuffle; runs scan→decode→project in one stage. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("kind"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition init would go here (codec handle, model weights)
+        rows.map { r =>
+          val (w, h, f) = StubCodec.decode(r.kind, r.media)
+          val checksum = {
+            var acc = 1469598103934665603L
+            var i = 0
+            while (i < r.media.length) { acc = (acc ^ (r.media(i) & 0xff)) * 1099511628211L; i += 1 }
+            acc
+          }
+          MediaFeatures(r.doc_id, r.kind, r.media.length, w, h, f, checksum)
+        }
+      }
+  }
+
+  /** Frame sampling plumbing: explode one row per sampled frame for video
+    * rows (stride in bytes stands in for a time stride). Pure column ops —
+    * SQL-expressible, codegen'd, shuffle-free. */
+  def frameSample(media: DataFrame, strideBytes: Int): DataFrame =
+    media
+      .withColumn("byte_len", length(col("media")).cast("long"))
+      .filter(col("kind") === "video")
+      .select(col("doc_id"), col("byte_len"),
+        explode(sequence(lit(0L), expr(s"(byte_len - 1) DIV $strideBytes"))).as("frame_idx"))
+      .withColumn("offset", col("frame_idx") * strideBytes)
+}

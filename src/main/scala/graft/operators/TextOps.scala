@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus operators for training-data pipelines: shingling, exact and
+  * near dedup, token statistics, quality scoring, language heuristics.
+  *
+  * All built from codegen'd `functions._` higher-order functions (no UDFs
+  * in the hot path); every operator is a narrow projection or one shuffle,
+  * designed so a 100 TB documents table streams through scan→project→
+  * partial-agg without materializing intermediates.
+  */
+object TextOps {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles, distinct per document. Guarded for short docs. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array())
+
+  /** Exact-dup groups: content-hash → group size + representative (min id).
+    * One hash-partitioned aggregation; at scale this is the cheapest dedup
+    * and the pre-filter for the near-dup passes. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+
+  /** MinHash signature columns: for seed s, `min(md5(shingle || '|s'))`
+    * over the doc's shingles. String-min over a uniform hash is a valid
+    * minhash; md5 keeps the oracle expressible in DuckDB. Computed with
+    * array HOFs — no explode, no shuffle: one pass over the corpus. */
+  def minhashSignature(sh: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { s =>
+      array_min(transform(sh, x => md5(concat(x, lit(s"|$s")))))
+        .as(s"mh$s")
+    }
+
+  /** LSH band buckets from a signature (rows of mh0..mh{k-1}): band i keys
+    * on the concat of its `rowsPerBand` signature fields. Emits
+    * (doc_id, band, bucket). Candidate pairs = docs sharing any bucket. */
+  def lshBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val bucket = concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      sig.select(col("doc_id"), lit(b).as("band"), bucket.as("bucket"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Candidate near-dup pairs from LSH buckets: docs sharing ≥1 band
+    * bucket, with the number of agreeing bands. The join key (band,bucket)
+    * is hash-partitioned — at scale only bucket-collisions shuffle, never
+    * the corpus cross product. */
+  def lshCandidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Exact n-gram Jaccard for pairs sharing ≥ minIntersect shingles:
+    * explode distinct shingles, self-join on shingle, count intersections,
+    * join back per-doc shingle counts. Output stays integer-exact
+    * (inter, |A|, |B|) so the oracle hash-matches; jaccard = inter /
+    * (|A|+|B|-inter) is derived from exact ints. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minIntersect: Int): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("shingle"))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= minIntersect)
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+  }
+
+  private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-document quality metrics: lengths, token counts, type/token ratio,
+    * stopword ratio, mean token length. All integer-or-exact-ratio. */
+  def qualityMetrics(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      length(col("text")).as("len_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      size(filter(toks, t => t.isin(stopwordsEn: _*))).as("n_stopwords"))
+      .withColumn("type_token_ratio",
+        col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("mean_token_len",
+        (col("len_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Oracle-side spelling of [[qualityMetrics]] (DuckDB lambdas). */
+  val qualityMetricsOracle: String = {
+    val stops = stopwordsEn.map(s => s"'$s'").mkString(", ")
+    s"""
+    SELECT doc_id, n_chars, len_chars, n_tokens, n_distinct_tokens, n_stopwords,
+      CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+      CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+      CAST(len_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len
+    FROM (
+      SELECT doc_id, n_chars, length(text) AS len_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS n_stopwords
+      FROM documents)"""
+  }
+}

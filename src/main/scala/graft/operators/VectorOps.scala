@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators: brute-force cosine top-k (correctness
+  * baseline) and sign-random-projection LSH (the scale path).
+  *
+  * Determinism contract: float embeddings are quantized to integers
+  * (`round(x * 10000)`) before any arithmetic. Integer dot products and
+  * norms are exact and order-independent; the final cosine is derived from
+  * those integers with IEEE double ops (division, sqrt are correctly
+  * rounded) — bit-identical across Spark, DuckDB, or any engine. Ranking
+  * ties break on vec_id.
+  */
+object VectorOps {
+
+  val Scale = 10000
+
+  /** Float array → exact integer array. */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * Scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared norm. */
+  def qnorm2(a: Column): Column = qdot(a, a)
+
+  /** Cosine from exact integer parts (deterministic double). */
+  def cosineFromParts(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / sqrt(n2a.cast("double") * n2b.cast("double"))
+
+  /** Brute-force top-k cosine neighbors for a (small) query set against the
+    * corpus. The query side is broadcast — one corpus scan, no corpus
+    * shuffle; the per-query top-k runs as a window over (query, candidate)
+    * pairs partitioned by query. At 1000 executors this is
+    * scan + broadcast-nested-loop + partial top-k: the right baseline. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      quantize(col("embedding")).as("q_emb"))
+      .withColumn("q_n2", qnorm2(col("q_emb")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      quantize(col("embedding")).as("c_emb"))
+      .withColumn("c_n2", qnorm2(col("c_emb")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosineFromParts(qdot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Sign-random-projection signature: bit p = sign(Σ_d w(p,d) · x_d) with
+    * deterministic pseudo-random weights w(p,d) = ±1 derived from
+    * xxhash64(p, d). No stored model, reproducible on any cluster. */
+  def srpBits(emb: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, d) =>
+          when(pmod(xxhash64(lit(p), d), lit(2)) === 0, x.cast("double"))
+            .otherwise(-x.cast("double"))),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
+    }
+    concat(bits: _*)
+  }
+
+  /** LSH ANN: bucket by SRP signature prefix bands; candidates = same
+    * bucket in any band; exact re-rank inside candidates. Trades recall
+    * for never materializing the cross product — the 100 TB path. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = planes / bands
+    def withBuckets(df: DataFrame, idCol: String): DataFrame = {
+      val sig = df.withColumn("sig", srpBits(col("embedding"), planes))
+      (0 until bands).map { b =>
+        sig.select(col(idCol), col("embedding"),
+          lit(b).as("band"),
+          substring(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("bucket"))
+      }.reduce(_ unionByName _)
+    }
+    val qb = withBuckets(queries.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
+      .withColumnRenamed("embedding", "q_embf")
+    val cb = withBuckets(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .withColumnRenamed("embedding", "c_embf")
+    val cand = qb.join(cb, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_embf"), col("c_embf"))
+      .distinct()
+    val scored = cand
+      .withColumn("q_emb", quantize(col("q_embf")))
+      .withColumn("c_emb", quantize(col("c_embf")))
+      .withColumn("cosine", cosineFromParts(
+        qdot(col("q_emb"), col("c_emb")), qnorm2(col("q_emb")), qnorm2(col("c_emb"))))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Near-dup pairs by embedding cosine above a threshold, blocked by a
+    * coarse key (here: label) so the pair join never goes quadratic in the
+    * corpus — the blocked-join shape of embedding dedup at scale. */
+  def cosineDedupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+      quantize(col("embedding")).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", cosineFromParts(
+        qdot(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")))
+      .filter(col("cosine") > threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"), col("cosine"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.MultimodalOps
+import graft.tables.Tables
+
+/** Multimodal-plumbing queries: binary payload columns derived from
+  * `documents` (no codecs in this container — decode is a deterministic
+  * stub; see MultimodalOps). The binary/metadata handling itself is
+  * oracle-checked where DuckDB can express it.
+  */
+object MultimodalQueries {
+
+  // q45 — binary column plumbing: byte length + content hash of the
+  // payload, grouped by media kind. md5(BLOB) doesn't exist in DuckDB, so
+  // the oracle hashes the source text (same bytes, UTF-8).
+  def q45MediaStats(spark: SparkSession, dir: String): DataFrame = {
+    val media = MultimodalOps.asMediaTable(Tables.documents(spark, dir))
+    media.select(
+        col("doc_id"), col("kind"),
+        length(col("media")).cast("long").as("byte_len"),
+        md5(col("media")).as("checksum"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q45Oracle: String = """
+    SELECT doc_id,
+      ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      md5(text) AS checksum
+    FROM documents ORDER BY doc_id ASC"""
+
+  // q46 — per-partition batch decode through the stub codec (the
+  // mapPartitions shape a native decoder drops into). Deterministic but
+  // kernel-specific → rows-only check; MultimodalSpec covers values.
+  def q46DecodeFeatures(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeFeatures(spark,
+        MultimodalOps.asMediaTable(Tables.documents(spark, dir)))
+      .toDF()
+      .orderBy(col("doc_id").asc)
+
+  // q47 — frame-sampling explode for video payloads (1 row per frame).
+  def q47FrameSample(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.frameSample(
+        MultimodalOps.asMediaTable(Tables.documents(spark, dir)), strideBytes = 100)
+      .orderBy(col("doc_id").asc, col("frame_idx").asc)
+  val q47Oracle: String = """
+    SELECT doc_id, byte_len, frame_idx, frame_idx * 100 AS offset FROM (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             unnest(generate_series(0, (octet_length(encode(text)) - 1) // 100)) AS frame_idx
+      FROM documents WHERE CAST(doc_id % 3 AS INT) + 1 = 3)
+    ORDER BY doc_id ASC, frame_idx ASC"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_media_stats" -> (q45MediaStats _),
+    "q46_decode_features" -> (q46DecodeFeatures _),
+    "q47_frame_sample" -> (q47FrameSample _))
+
+  val oracles: Map[String, String] = Map(
+    "q45_media_stats" -> q45Oracle,
+    "q47_frame_sample" -> q47Oracle)
+}

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.TextOps
+import graft.tables.Tables
+
+/** Training-data text operators as driver-checkable queries over the
+  * `documents` table: exact/near dedup, token stats, quality scoring,
+  * fingerprinting. Oracle-expressible ones ship DuckDB SQL; hash-kernel
+  * ones (simhash, winnowing) are rows-only with ScalaTest coverage.
+  */
+object TextQueries {
+
+  // q30 — exact dedup by content hash (md5 exists on both engines).
+  def q30DedupExact(spark: SparkSession, dir: String): DataFrame =
+    TextOps.exactDupGroups(Tables.documents(spark, dir))
+      .orderBy(col("content_hash").asc)
+  val q30Oracle: String = """
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1 ORDER BY content_hash ASC"""
+
+  // q31 — per-document quality metrics (token counts, ratios).
+  def q31TextQuality(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityMetrics(Tables.documents(spark, dir))
+      .orderBy(col("doc_id").asc)
+  val q31Oracle: String =
+    TextOps.qualityMetricsOracle + "\n    ORDER BY doc_id ASC"
+
+  // q32 — corpus profile by language label: the group-by a curation
+  // pipeline runs before sampling decisions.
+  def q32LangProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang").asc)
+  val q32Oracle: String = """
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang ASC"""
+
+  // q33 — exact word-3-gram Jaccard pairs (integer-exact: inter, |A|, |B|).
+  def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    TextOps.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, minIntersect = 2)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  val q33Oracle: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT doc_a, doc_b, inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+           CAST(inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE) AS jaccard
+    FROM inter
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+    ORDER BY doc_a ASC, doc_b ASC"""
+
+  // q34 — MinHash+LSH near-dup candidates: 8 string-min signatures over
+  // md5-salted shingles, 4 bands of 2 rows; pairs sharing ≥1 band.
+  // Fully oracle-expressible because the hash is md5 on both engines.
+  def q34MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
+    val sig = docs.select(col("doc_id") +: TextOps.minhashSignature(sh, 8): _*)
+    val bands = TextOps.lshBands(sig, numHashes = 8, rowsPerBand = 2)
+    TextOps.lshCandidatePairs(bands)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+  val q34Oracle: String = {
+    val mins = (0 until 8).map(s => s"MIN(md5(shingle || '|$s')) AS mh$s").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS bucket FROM mh")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    bands AS ($bandRows)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 ORDER BY doc_a ASC, doc_b ASC"""
+  }
+
+  // q35 — vocabulary top-k: token frequencies (BPE-corpus prep shape).
+  def q35TokenTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(20)
+  val q35Oracle: String = """
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20"""
+
+  // q36 — language-ID heuristic: per-language stopword-profile scores,
+  // argmax as the guess, compared against the label. Profiles are
+  // deliberately simple (function words per language) so the operator is
+  // SQL-expressible and the oracle exact; accuracy on this synthetic
+  // corpus is not the point — the operator shape is.
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "la", "les"),
+    "es" -> Seq("el", "los", "una"),
+    "zh" -> Seq("de", "shi", "le"))
+  def q36LangIdHeuristic(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val scored = Tables.documents(spark, dir).select(
+      Seq(col("doc_id"), col("lang")) ++ langProfiles.map { case (l, words) =>
+        size(filter(toks, t => t.isin(words: _*))).as(s"score_$l")
+      }: _*)
+    // argmax with deterministic first-wins tie-break in profile order
+    val guess = langProfiles.map(_._1).foldRight(lit("und")) { (l, acc) =>
+      val isMax = langProfiles.map(_._1).filter(_ != l)
+        .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+      when(col(s"score_$l") > 0 && isMax, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("guess", guess)
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang").asc, col("guess").asc)
+  }
+  val q36Oracle: String = {
+    val scores = langProfiles.map { case (l, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS score_$l"
+    }.mkString(",\n        ")
+    // same fold: guess = first profile (in seq order) that is positive and >= all others
+    val guessExpr = langProfiles.map(_._1).foldRight("'und'") { (l, acc) =>
+      val others = langProfiles.map(_._1).filter(_ != l)
+        .map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"CASE WHEN score_$l > 0 AND $others THEN '$l' ELSE $acc END"
+    }
+    s"""
+    SELECT lang, guess, COUNT(*) AS n FROM (
+      SELECT lang, $guessExpr AS guess FROM (
+        SELECT doc_id, lang,
+        $scores
+        FROM documents))
+    GROUP BY lang, guess ORDER BY lang ASC, guess ASC"""
+  }
+
+  // q37 — SimHash near-dup candidates via the native codegen'd expression:
+  // 4×16-bit band blocking then hamming distance ≤ 8. Hash kernel is
+  // library-specific → rows-only check; SimHashSpec covers semantics.
+  def q37SimhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        GraftFunctions.simhash(TextOps.tokens(col("text"))).as("sh"))
+    val bands = (0 until 4).map { b =>
+      docs.select(col("doc_id"), col("sh"), lit(b).as("band"),
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
+    }.reduce(_ unionByName _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sh ^ b.sh)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  // q38 — winnowing fingerprint groups via the rolling-hash expression:
+  // docs sharing a min-rolling-hash fingerprint (rows-only check).
+  def q38Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        GraftFunctions.min_rolling_hash(col("text"), 16).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") >= 1)
+      .orderBy(col("fingerprint").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> (q30DedupExact _),
+    "q31_text_quality" -> (q31TextQuality _),
+    "q32_lang_profile" -> (q32LangProfile _),
+    "q33_ngram_jaccard" -> (q33NgramJaccard _),
+    "q34_minhash_lsh" -> (q34MinhashLsh _),
+    "q35_token_topk" -> (q35TokenTopk _),
+    "q36_langid_heuristic" -> (q36LangIdHeuristic _),
+    "q37_simhash_dedup" -> (q37SimhashDedup _),
+    "q38_fingerprint" -> (q38Fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" -> q30Oracle,
+    "q31_text_quality" -> q31Oracle,
+    "q32_lang_profile" -> q32Oracle,
+    "q33_ngram_jaccard" -> q33Oracle,
+    "q34_minhash_lsh" -> q34Oracle,
+    "q35_token_topk" -> q35Oracle,
+    "q36_langid_heuristic" -> q36Oracle)
+}

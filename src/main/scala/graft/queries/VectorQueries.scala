@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps
+import graft.tables.Tables
+
+/** Embedding-similarity queries over the `embeddings` table. Cosines are
+  * computed from integer-quantized vectors (round(x·10⁴)), making every
+  * score bit-identical between Spark and the DuckDB oracle — integer dot
+  * products and norms are exact, and the final double division/sqrt are
+  * IEEE-determined.
+  */
+object VectorQueries {
+
+  /** DuckDB spelling of quantize/dot/norm over a list column. */
+  private def oQuant(c: String) =
+    s"list_transform($c, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+  private val oDot =
+    "list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i] * qb[i]))"
+
+  // q40 — brute-force cosine top-k for query vectors vec_id < 5 against
+  // the whole corpus: the exactness baseline for any ANN variant.
+  def q40AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+  val q40Oracle: String = s"""
+    WITH q AS (SELECT vec_id AS query_id, ${oQuant("embedding")} AS qa
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, ${oQuant("embedding")} AS qb
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        CAST($oDot AS DOUBLE) /
+        sqrt(CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i]*qa[i])) AS DOUBLE) *
+             CAST(list_sum(list_transform(generate_series(1, len(qb)), i -> qb[i]*qb[i])) AS DOUBLE))
+          AS cosine
+      FROM q, c WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked
+    WHERE rank <= 10 ORDER BY query_id ASC, rank ASC"""
+
+  // q41 — embedding near-dup pairs above cosine 0.3, blocked by label
+  // (the blocked-join dedup shape; threshold tuned to yield rows on the
+  // synthetic clustered embeddings).
+  def q41CosineDedup(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.cosineDedupPairs(Tables.embeddings(spark, dir), threshold = 0.3)
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+  val q41Oracle: String = s"""
+    WITH e AS (SELECT vec_id, label, ${oQuant("embedding")} AS q FROM embeddings),
+    n AS (SELECT vec_id, label, q,
+          list_sum(list_transform(generate_series(1, len(q)), i -> q[i]*q[i])) AS n2
+          FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+      CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i]*b.q[i])) AS DOUBLE) /
+      sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i]*b.q[i])) AS DOUBLE) /
+          sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) > 0.3
+    ORDER BY vec_a ASC, vec_b ASC"""
+
+  // q42 — LSH ANN (sign-random-projection buckets + exact re-rank):
+  // the scale path. Bucketing depends on xxhash64 → rows-only check;
+  // VectorSpec asserts recall against q40's exact baseline.
+  def q42AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    VectorOps.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  // q43 — k-NN label vote: classify each query vector by majority label of
+  // its 10 exact neighbors (integer counts → exact oracle).
+  def q43KnnLabelVote(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val topk = VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, k = 10)
+    val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+    topk.join(labels, "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"), col("votes"))
+      .orderBy(col("query_id").asc)
+  }
+  val q43Oracle: String = s"""
+    WITH q AS (SELECT vec_id AS query_id, ${oQuant("embedding")} AS qa
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, label, ${oQuant("embedding")} AS qb
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, label,
+        CAST($oDot AS DOUBLE) /
+        sqrt(CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i]*qa[i])) AS DOUBLE) *
+             CAST(list_sum(list_transform(generate_series(1, len(qb)), i -> qb[i]*qb[i])) AS DOUBLE))
+          AS cosine
+      FROM q, c WHERE query_id <> neighbor_id),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored) WHERE rank <= 10),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS votes FROM topk GROUP BY 1, 2)
+    SELECT query_id, label AS predicted_label, votes FROM (
+      SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+      FROM votes) WHERE rn = 1 ORDER BY query_id ASC"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_ann_bruteforce" -> (q40AnnBruteforce _),
+    "q41_cosine_dedup" -> (q41CosineDedup _),
+    "q42_ann_lsh" -> (q42AnnLsh _),
+    "q43_knn_label_vote" -> (q43KnnLabelVote _))
+
+  val oracles: Map[String, String] = Map(
+    "q40_ann_bruteforce" -> q40Oracle,
+    "q41_cosine_dedup" -> q41Oracle,
+    "q43_knn_label_vote" -> q43Oracle)
+}
