@@ -84,6 +84,38 @@ object HashKernels {
     h ^= (h >>> 33)
     h
   }
+
+  /** Exact dot product of two long arrays (quantized embeddings). A native
+    * kernel because Spark's `aggregate`/`zip_with` HOFs are CodegenFallback
+    * — interpreted per element, ~100× slower than this loop. */
+  def longDot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  /** Sign-random-projection signature over a float embedding: bit p =
+    * sign(Σ_d w(p,d)·x_d) with w(p,d) = ±1 from a mixed hash of (p,d).
+    * Deterministic, model-free, one pass over the vector per plane. */
+  def srpBits(v: ArrayData, planes: Int): UTF8String = {
+    val n = v.numElements()
+    val out = new Array[Byte](planes)
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val sign = if ((mix((p.toLong << 32) | d) & 1L) == 0L) 1.0 else -1.0
+        acc += sign * v.getFloat(d)
+        d += 1
+      }
+      out(p) = if (acc >= 0) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
 }
 
 /** `simhash(array<string>) -> long` as a native Catalyst expression with
@@ -122,6 +154,31 @@ case class MinRollingHash(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `long_dot(array<long>, array<long>) -> long` — exact quantized dot
+  * product, codegen'd. */
+case class LongDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.longDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.longDot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongDot =
+    copy(left = l, right = r)
+}
+
+/** `srp_bits(array<float>, planes) -> string` — LSH bucket signature,
+  * codegen'd. */
+case class SrpSig(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.srpBits(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.srpBits($c, $planes)")
+  override protected def withNewChildInternal(newChild: Expression): SrpSig =
+    copy(child = newChild)
+}
+
 /** Column-API entry points + SQL registration. Spark 4 routes Column↔
   * Expression through a private bridge; see graftshim.ColumnBridge. */
 object GraftFunctions {
@@ -131,6 +188,10 @@ object GraftFunctions {
     ColumnBridge.column(SimHash(ColumnBridge.expression(c)))
   def min_rolling_hash(c: Column, k: Int): Column =
     ColumnBridge.column(MinRollingHash(ColumnBridge.expression(c), k))
+  def long_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(LongDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def srp_bits(c: Column, planes: Int): Column =
+    ColumnBridge.column(SrpSig(ColumnBridge.expression(c), planes))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -30,34 +30,63 @@ object TextOps {
     docs.groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
 
-  /** MinHash signature columns: for seed s, `min(md5(shingle || '|s'))`
-    * over the doc's shingles. String-min over a uniform hash is a valid
-    * minhash; md5 keeps the oracle expressible in DuckDB. Computed with
-    * array HOFs — no explode, no shuffle: one pass over the corpus. */
-  def minhashSignature(sh: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map { s =>
-      array_min(transform(sh, x => md5(concat(x, lit(s"|$s")))))
-        .as(s"mh$s")
-    }
+  /** MinHash signatures: for seed s, `min(md5(shingle || '|s'))` over the
+    * doc's shingles. String-min over a uniform hash is a valid minhash;
+    * md5 keeps the oracle expressible in DuckDB.
+    *
+    * Shape: explode shingles (via `sequence`+`element_at`, all codegen'd —
+    * the array-HOF formulation falls back to interpreted eval and is an
+    * order of magnitude slower), then one hash aggregation with k MIN
+    * columns. No distinct needed: MIN over a multiset equals MIN over its
+    * set. Map-side partial aggregation means the shuffle carries one
+    * signature row per (partition, doc), not the shingles.
+    *
+    * Returns (doc_id, mh0..mh{k-1}); docs shorter than n tokens get no row
+    * (they have no shingles — same as the oracle's WHERE len(t) >= n). */
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    val exploded = docs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(o => element_at(col("t"), col("i") + o)): _*)
+          .as("shingle"))
+    val mins = (0 until numHashes).map(s =>
+      min(md5(concat(col("shingle"), lit(s"|$s")))).as(s"mh$s"))
+    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
 
   /** LSH band buckets from a signature (rows of mh0..mh{k-1}): band i keys
     * on the concat of its `rowsPerBand` signature fields. Emits
-    * (doc_id, band, bucket). Candidate pairs = docs sharing any bucket. */
+    * (doc_id, band, bucket). Candidate pairs = docs sharing any bucket.
+    *
+    * Built as ONE projection + explode — a per-band union would re-evaluate
+    * the (md5-heavy) signature once per band; here each signature column is
+    * computed exactly once per document and fanned out. */
   def lshBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val bands = (0 until numHashes / rowsPerBand).map { b =>
+    val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
       val bucket = concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
-      sig.select(col("doc_id"), lit(b).as("band"), bucket.as("bucket"))
+      struct(lit(b).as("band"), bucket.as("bucket"))
     }
-    bands.reduce(_ unionByName _)
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** Candidate near-dup pairs from LSH buckets: docs sharing ≥1 band
     * bucket, with the number of agreeing bands. The join key (band,bucket)
     * is hash-partitioned — at scale only bucket-collisions shuffle, never
-    * the corpus cross product. */
+    * the corpus cross product.
+    *
+    * The bands frame is persisted: it is tiny relative to the corpus
+    * (k rows of (long, int, hash) per doc), but both sides of the
+    * self-join consume it — without the persist each side would rerun the
+    * whole shingle+signature scan. */
   def lshCandidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.as("a")
-    val b = bands.as("b")
+    val cached = bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cached.as("a")
+    val b = cached.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -70,8 +99,16 @@ object TextOps {
     * (inter, |A|, |B|) so the oracle hash-matches; jaccard = inter /
     * (|A|+|B|-inter) is derived from exact ints. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minIntersect: Int): DataFrame = {
-    val sh = docs
+    // Shingles are exploded once and persisted (3 consumers: per-doc counts
+    // and both self-join sides); the join key is a 64-bit hash of the
+    // shingle, not the string — smaller shuffle, cheaper compares, and
+    // collision odds (~#shingles²/2⁶⁴) are far below any other error source.
+    // The input is spread by row first: shingling is compute-bound, and a
+    // byte-sized parquet split (one file locally) would serialize it.
+    val sh = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),

@@ -22,9 +22,10 @@ object VectorOps {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * Scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd expression; the `aggregate`/`zip_with` HOF equivalent is
+    * CodegenFallback and ~100× slower per row. */
+  def qdot(a: Column, b: Column): Column = graft.functions.GraftFunctions.long_dot(a, b)
 
   /** Exact integer squared norm. */
   def qnorm2(a: Column): Column = qdot(a, a)
@@ -42,8 +43,11 @@ object VectorOps {
     val q = queries.select(col("vec_id").as("query_id"),
       quantize(col("embedding")).as("q_emb"))
       .withColumn("q_n2", qnorm2(col("q_emb")))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      quantize(col("embedding")).as("c_emb"))
+    // spread the corpus by row: scoring is compute-bound and the corpus may
+    // arrive as one undersized parquet split
+    val c = corpus.repartition(col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"),
+        quantize(col("embedding")).as("c_emb"))
       .withColumn("c_n2", qnorm2(col("c_emb")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
@@ -55,19 +59,11 @@ object VectorOps {
   }
 
   /** Sign-random-projection signature: bit p = sign(Σ_d w(p,d) · x_d) with
-    * deterministic pseudo-random weights w(p,d) = ±1 derived from
-    * xxhash64(p, d). No stored model, reproducible on any cluster. */
-  def srpBits(emb: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, d) =>
-          when(pmod(xxhash64(lit(p), d), lit(2)) === 0, x.cast("double"))
-            .otherwise(-x.cast("double"))),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
-    }
-    concat(bits: _*)
-  }
+    * deterministic pseudo-random weights w(p,d) = ±1 derived from a mixed
+    * hash of (p,d). No stored model, reproducible on any cluster; native
+    * codegen'd kernel (see HashKernels.srpBits). */
+  def srpBits(emb: Column, planes: Int): Column =
+    graft.functions.GraftFunctions.srp_bits(emb, planes)
 
   /** LSH ANN: bucket by SRP signature prefix bands; candidates = same
     * bucket in any band; exact re-rank inside candidates. Trades recall
@@ -75,17 +71,22 @@ object VectorOps {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = planes / bands
+    // one projection + explode per side: the SRP signature (planes × dims
+    // work) is evaluated once per vector, not once per band
     def withBuckets(df: DataFrame, idCol: String): DataFrame = {
       val sig = df.withColumn("sig", srpBits(col("embedding"), planes))
-      (0 until bands).map { b =>
-        sig.select(col(idCol), col("embedding"),
-          lit(b).as("band"),
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
           substring(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("bucket"))
-      }.reduce(_ unionByName _)
+      }
+      sig.select(col(idCol), col("embedding"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col(idCol), col("embedding"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     }
     val qb = withBuckets(queries.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
       .withColumnRenamed("embedding", "q_embf")
-    val cb = withBuckets(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+    val cb = withBuckets(corpus.repartition(col("vec_id"))
+        .select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
       .withColumnRenamed("embedding", "c_embf")
     val cand = qb.join(cb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -106,8 +107,9 @@ object VectorOps {
     * coarse key (here: label) so the pair join never goes quadratic in the
     * corpus — the blocked-join shape of embedding dedup at scale. */
   def cosineDedupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), col("label"),
-      quantize(col("embedding")).as("q"))
+    val e = emb.repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("q"))
       .withColumn("n2", qnorm2(col("q")))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))

@@ -74,9 +74,10 @@ object TextQueries {
   // md5-salted shingles, 4 bands of 2 rows; pairs sharing ≥1 band.
   // Fully oracle-expressible because the hash is md5 on both engines.
   def q34MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
-    val sig = docs.select(col("doc_id") +: TextOps.minhashSignature(sh, 8): _*)
+    // repartition by row: signature evaluation is compute-bound (8 md5s per
+    // shingle) and must not inherit the byte-based scan parallelism
+    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val sig = TextOps.minhashSignatures(docs, n = 3, numHashes = 8)
     val bands = TextOps.lshBands(sig, numHashes = 8, rowsPerBand = 2)
     TextOps.lshCandidatePairs(bands)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
@@ -167,13 +168,19 @@ object TextQueries {
   // 4×16-bit band blocking then hamming distance ≤ 8. Hash kernel is
   // library-specific → rows-only check; SimHashSpec covers semantics.
   def q37SimhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
       .select(col("doc_id"),
         GraftFunctions.simhash(TextOps.tokens(col("text"))).as("sh"))
-    val bands = (0 until 4).map { b =>
-      docs.select(col("doc_id"), col("sh"), lit(b).as("band"),
+    // one projection + explode: simhash evaluated once per doc, not per band;
+    // persisted because both self-join sides consume it
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
-    }.reduce(_ unionByName _)
+    }
+    val bands = docs
+      .select(col("doc_id"), col("sh"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))

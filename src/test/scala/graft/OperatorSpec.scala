@@ -45,8 +45,7 @@ class OperatorSpec extends SparkSpec {
     val nearDup = original.split(" ").updated(10, "EDITED").mkString(" ")
     val docs = (Seq((0L, original), (1L, nearDup)) ++
       (2L to 30L).map(i => (i, randDoc()))).toDF("doc_id", "text")
-    val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
-    val sig = docs.select(col("doc_id") +: TextOps.minhashSignature(sh, 8): _*)
+    val sig = TextOps.minhashSignatures(docs, n = 3, numHashes = 8)
     val pairs = TextOps.lshCandidatePairs(
         TextOps.lshBands(sig, numHashes = 8, rowsPerBand = 2))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
