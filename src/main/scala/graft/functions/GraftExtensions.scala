@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: installs graft's native functions
+  * into any session built with
+  * `.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` —
+  * the deployment path for a cluster where users only touch SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[SimHash].getName, name, usage, "", "", "", "", "", "4.0.0", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      info("simhash", "simhash(array<string>) - 64-bit SimHash of a token array"),
+      (exprs: Seq[Expression]) => SimHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("min_rolling_hash"),
+      info("min_rolling_hash", "min_rolling_hash(string) - winnowing fingerprint (k=16)"),
+      (exprs: Seq[Expression]) => MinRollingHash(exprs.head, 16)))
+    ext.injectFunction((
+      FunctionIdentifier("long_dot"),
+      info("long_dot", "long_dot(array<long>, array<long>) - exact integer dot product"),
+      (exprs: Seq[Expression]) => LongDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("srp_bits"),
+      info("srp_bits", "srp_bits(array<float>) - 16-plane sign-random-projection signature"),
+      (exprs: Seq[Expression]) => SrpSig(exprs.head, 16)))
+  }
+}

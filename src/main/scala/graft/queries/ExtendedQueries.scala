@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.Tables
+
+/** Engine-layer surface beyond the reference's own queries: outer joins,
+  * exact percentiles, ordered string aggregation, gap-based
+  * sessionization, and a genuine Structured Streaming windowed
+  * aggregation verified against a batch SQL oracle.
+  */
+object ExtendedQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+
+  // q50 — left outer join with null-aware aggregation: customers with
+  // their order stats, including customers who never ordered.
+  def q50OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("spent"),
+        max(unix_millis(col("o_orderdate").cast("timestamp"))).as("last_order_ms"))
+      .orderBy(col("c_custkey").asc)
+  }
+  val q50Oracle: String = """
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spent,
+      MAX(epoch_ms(o_orderdate)) AS last_order_ms
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name ORDER BY c_custkey ASC"""
+
+  // q51 — full outer join of two aggregates (brand revenue vs brand size
+  // profile) with coalesced keys.
+  def q51FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val rev = li.join(p, li("l_partkey") === p("p_partkey"))
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("returned_lines"))
+    val sizes = p.filter(col("p_size") <= 3)
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("small_parts"))
+    rev.join(sizes, Seq("brand"), "full_outer")
+      .select(col("brand"),
+        coalesce(col("returned_lines"), lit(0L)).as("returned_lines"),
+        coalesce(col("small_parts"), lit(0L)).as("small_parts"))
+      .orderBy(col("brand").asc)
+  }
+  val q51Oracle: String = """
+    SELECT COALESCE(a.brand, b.brand) AS brand,
+           COALESCE(a.returned_lines, 0) AS returned_lines,
+           COALESCE(b.small_parts, 0) AS small_parts
+    FROM (SELECT p_brand AS brand, COUNT(*) AS returned_lines
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_returnflag = 'R' GROUP BY 1) a
+    FULL OUTER JOIN
+         (SELECT p_brand AS brand, COUNT(*) AS small_parts
+          FROM part WHERE p_size <= 3 GROUP BY 1) b
+    USING (brand)
+    ORDER BY brand ASC"""
+
+  // q52 — exact percentiles (continuous interpolation — same definition
+  // as DuckDB's quantile_cont) per group.
+  def q52Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.95)").as("p95_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc)
+  val q52Oracle: String = """
+    SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.5) AS p50_qty,
+      quantile_cont(l_quantity, 0.95) AS p95_qty,
+      quantile_cont(l_extendedprice, 0.5) AS p50_price,
+      COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC"""
+
+  // q53 — ordered string aggregation (collect_set + sort + join: the
+  // deterministic spelling of listagg).
+  def q53StringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("event_types"),
+           count(lit(1)).as("n"))
+      .orderBy(col("user_id").asc)
+  val q53Oracle: String = """
+    SELECT user_id,
+      string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+      COUNT(*) AS n
+    FROM events WHERE user_id < 20
+    GROUP BY user_id ORDER BY user_id ASC"""
+
+  // q54 — gap-based sessionization (30-minute inactivity gap): the
+  // declarative form — session id = running count of gap-breaks per user.
+  // The stateful flatMapGroupsWithState form computes the same sessions in
+  // streaming (StreamingSpec proves equivalence); this window form is what
+  // a batch backfill would run, and is the SQL-expressible oracle.
+  def q54Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30 * 60 * 1000L
+    // order by (epoch_ms, event_id) — NOT raw ts: Spark truncates the
+    // parquet nanos to micros while DuckDB keeps them, so same-ms ties
+    // must break on event_id identically in both engines
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_millis(col("ts")).asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("is_break",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_break")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"))
+      .orderBy(col("user_id").asc, col("session_seq").asc)
+  }
+  val q54Oracle: String = """
+    WITH marked AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+               OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+             THEN 1 ELSE 0 END AS is_break
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)),
+    sessions AS (
+      SELECT user_id, ms,
+        SUM(is_break) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS session_seq
+      FROM marked)
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ms) AS start_ms, MAX(ms) AS end_ms
+    FROM sessions GROUP BY user_id, session_seq
+    ORDER BY user_id ASC, session_seq ASC"""
+
+  // q55 — genuine Structured Streaming: tumbling 1-hour windows over the
+  // events table replayed as a file stream, drained with AvailableNow into
+  // a memory sink. The oracle is the equivalent batch date_trunc grouping —
+  // stream-equals-batch is exactly the guarantee Structured Streaming makes.
+  def q55StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(Tables.streamDir(s"$dir/events.parquet"))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+    val name = s"stream_tumbling_${System.nanoTime()}"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("window_start_ms").asc, col("event_type").asc)
+  }
+  val q55Oracle: String = """
+    SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    ORDER BY window_start_ms ASC, event_type ASC"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_outer_join" -> (q50OuterJoin _),
+    "q51_full_outer" -> (q51FullOuter _),
+    "q52_percentiles" -> (q52Percentiles _),
+    "q53_string_agg" -> (q53StringAgg _),
+    "q54_sessionize" -> (q54Sessionize _),
+    "q55_stream_tumbling" -> (q55StreamTumbling _))
+
+  val oracles: Map[String, String] = Map(
+    "q50_outer_join" -> q50Oracle,
+    "q51_full_outer" -> q51Oracle,
+    "q52_percentiles" -> q52Oracle,
+    "q53_string_agg" -> q53Oracle,
+    "q54_sessionize" -> q54Oracle,
+    "q55_stream_tumbling" -> q55Oracle)
+}

@@ -43,4 +43,13 @@ object Tables {
     * mirrors how the DuckDB oracle sees them. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** File-stream sources require a directory; stage a single parquet file
+    * into a fresh temp dir via symlink so `readStream` can list it. */
+  def streamDir(parquetFile: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    val src = java.nio.file.Paths.get(parquetFile)
+    java.nio.file.Files.createSymbolicLink(dir.resolve(src.getFileName), src)
+    dir.toString
+  }
 }

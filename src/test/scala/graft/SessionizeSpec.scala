@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.queries.ExtendedQueries
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.{Event, Session}
+
+/** The stateful (flatMapGroupsWithState) sessionizer must emit exactly the
+  * sessions the declarative window form (q54 / its oracle) computes. */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gapMs = 30 * 60 * 1000L
+
+  test("stateful sessionizer matches the SQL-window form on real events") {
+    val dir = "/root/testdata/sf0.001"
+    val batchForm = ExtendedQueries.q54Sessionize(spark, dir)
+      .select($"user_id", $"session_seq", $"n_events", $"start_ms", $"end_ms")
+      .as[Session].collect().toSet
+
+    val events = graft.tables.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"))
+      .as[Event]
+    // streaming drain via memory stream semantics in batch: closed sessions
+    // plus the final open session per user = all sessions
+    val closed = Sessionize.sessionize(events, gapMs)
+    val closedSet =
+      if (closed.isStreaming) Set.empty[Session] else closed.collect().toSet
+    val open = Sessionize.finalOpenSessions(events, gapMs)
+      .as[Session].collect().toSet
+    // batch Dataset.flatMapGroupsWithState over a static frame emits closed
+    // sessions directly
+    val all = closedSet ++ open
+    assert(all == batchForm,
+      s"stateful=${all.size} window=${batchForm.size}; diff=${(all diff batchForm).take(3)} / ${(batchForm diff all).take(3)}")
+  }
+
+  test("stateful sessionizer works as a real stream with AvailableNow") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(graft.tables.Tables.streamDir(s"$dir/events.parquet"))
+      .select($"user_id", $"event_id", expr("ts DIV 1000000").as("ms"))
+      .as[Event]
+    val sessions = Sessionize.sessionize(stream, gapMs)
+    val name = "sessions_out"
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emitted = spark.table(name).count()
+    // closed sessions only (open ones stay in state) — must be most of them
+    val total = ExtendedQueries.q54Sessionize(spark, dir).count()
+    assert(emitted > 0 && emitted <= total)
+  }
+}
