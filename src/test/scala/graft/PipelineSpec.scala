@@ -72,6 +72,20 @@ class PipelineSpec extends SparkSpec {
       .getTimestamp(0) == loadTime)
   }
 
+  test("initial load reads gzipped export files transparently (S2 COPY gzip)") {
+    val gen = new CdcGen.Gen(8)
+    val items = Seq(gen.member(), gen.quest())
+    val dir = tmpDir("export-gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/data.json.gz"))
+    gz.write(items.map(gen.exportLine).mkString("\n").getBytes)
+    gz.close()
+    val dump = InitialLoad.readExport(spark, dir)
+    val loadTime = new Timestamp(t0)
+    assert(InitialLoad.members(dump, loadTime).count() == 1)
+    assert(InitialLoad.quests(dump, loadTime).count() == 1)
+  }
+
   test("charset ltrim parity mode reproduces the reference bug") {
     // An uppercase-uuid member id starting with 'A' is safe, but one
     // starting with 'M' loses characters under charset LTRIM.
