@@ -179,7 +179,26 @@ object ExtendedQueries {
     FROM events GROUP BY 1, 2
     ORDER BY window_start_ms ASC, event_type ASC"""
 
+  // q56 — Spark 4 VariantType for the reference's SUPER column (SURVEY
+  // §1.1): parse_json → variant_get with per-access casts, the dynamic-
+  // schema path next to the typed-struct envelope used by the pipeline.
+  def q56VariantJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc)
+  val q56Oracle: String = """
+    SELECT event_type, SUM(k) AS sum_k, MAX(k) AS max_k, COUNT(*) AS n
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type ORDER BY event_type ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_variant_json" -> (q56VariantJson _),
     "q50_outer_join" -> (q50OuterJoin _),
     "q51_full_outer" -> (q51FullOuter _),
     "q52_percentiles" -> (q52Percentiles _),
@@ -188,6 +207,7 @@ object ExtendedQueries {
     "q55_stream_tumbling" -> (q55StreamTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "q56_variant_json" -> q56Oracle,
     "q50_outer_join" -> q50Oracle,
     "q51_full_outer" -> q51Oracle,
     "q52_percentiles" -> q52Oracle,

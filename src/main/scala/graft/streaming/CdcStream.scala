@@ -40,7 +40,10 @@ final class CdcStream(spark: SparkSession, store: TableStore,
       Merge.entities.foreach { conf =>
         store.read(conf.name).foreach { target =>
           Merge.syncEntity(target, cached, conf, syncTime)
-            .foreach(merged => store.write(conf.name, merged))
+            // SORTKEY mapping: snapshots are written time-sorted within
+            // files so lag/time-range queries prune parquet row groups
+            .foreach(merged =>
+              store.write(conf.name, merged, Some("approximateUpdateTimestamp")))
         }
       }
     } finally cached.unpersist()

@@ -43,11 +43,17 @@ final class TableStore(spark: SparkSession, root: String) {
 
   /** Materialize `df` as the next version, then atomically flip _CURRENT.
     * The write fully materializes the plan before the old version is
-    * unreferenced, so a merge reading v<N> can safely produce v<N+1>. */
-  def write(name: String, df: DataFrame): Unit = {
+    * unreferenced, so a merge reading v<N> can safely produce v<N+1>.
+    *
+    * `sortBy` orders rows within each output file — the reference's
+    * SORTKEY mapping (ref scripts/setup_redshift.sh:90): parquet row-group
+    * min/max stats on the sort column let later time-range scans skip
+    * row groups (zone-map pruning). */
+  def write(name: String, df: DataFrame, sortBy: Option[String] = None): Unit = {
     val next = currentVersion(name).getOrElse(-1) + 1
     val dest = tableDir(name).resolve(s"v$next")
-    df.write.mode("overwrite").parquet(dest.toString)
+    val toWrite = sortBy.fold(df)(c => df.sortWithinPartitions(c))
+    toWrite.write.mode("overwrite").parquet(dest.toString)
     val tmp = tableDir(name).resolve(s"_CURRENT.tmp$next")
     Files.write(tmp, next.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
