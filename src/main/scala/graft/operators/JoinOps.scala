@@ -39,6 +39,16 @@ object JoinOps {
       buckets: Int): Map[String, DataFrame] = {
     dfs.map { case (name, df) =>
       spark.sql(s"DROP TABLE IF EXISTS $name")
+      // DROP clears the catalog entry but a previous session may have left
+      // the managed location behind, which saveAsTable refuses to reuse
+      val warehouse = java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val loc = java.nio.file.Paths.get(warehouse, name)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
       df.write.mode("overwrite")
         .bucketBy(buckets, key).sortBy(key)
         .format("parquet")

@@ -197,7 +197,23 @@ object ExtendedQueries {
           FROM events)
     GROUP BY event_type ORDER BY event_type ASC"""
 
+  // q57 — sketch aggregates: HLL++ distinct counts and approximate
+  // percentiles. Deterministic for fixed input (both sketches are
+  // merge-order-independent) but engine-specific → rows-only check;
+  // SketchSpec bounds the error against exact answers.
+  def q57ApproxSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+          .as("price_p50_p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_approx_sketches" -> (q57ApproxSketches _),
     "q56_variant_json" -> (q56VariantJson _),
     "q50_outer_join" -> (q50OuterJoin _),
     "q51_full_outer" -> (q51FullOuter _),
