@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, ExtendedQueries, MultimodalQueries, PipelineQueries, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, ExtendedQueries, FunctionQueries, MultimodalQueries, PipelineQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,9 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ PipelineQueries.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ MultimodalQueries.queries ++ ExtendedQueries.queries
+      VectorQueries.queries ++ MultimodalQueries.queries ++ ExtendedQueries.queries ++
+      FunctionQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ PipelineQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles ++ MultimodalQueries.oracles ++ ExtendedQueries.oracles
+      VectorQueries.oracles ++ MultimodalQueries.oracles ++ ExtendedQueries.oracles ++
+      FunctionQueries.oracles
 }
