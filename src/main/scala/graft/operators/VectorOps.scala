@@ -103,6 +103,59 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * cells and exact-re-ranks only those members. The index is the
+    * standard ANN scale path when SRP buckets are too coarse: one
+    * training pass (sampled at 100 TB), then lookups touch
+    * ~nprobe/nlist of the corpus. Seeded k-means keeps it deterministic.
+    */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val corpusVec = corpus.repartition(col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(corpusVec.select(col("features")))
+    val assigned = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("embedding").as("c_embf"),
+        col("prediction").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // each query scores all nlist centroids (tiny) and keeps nprobe cells
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val centroidDf = spark.createDataFrame(centroids).toDF("cell", "centroid")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_embf"))
+    val probed = q.crossJoin(broadcast(centroidDf))
+      .withColumn("dist2", aggregate(
+        zip_with(col("q_embf").cast("array<double>"), col("centroid"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist2").asc, col("cell").asc)))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("q_embf"), col("cell"))
+
+    val scored = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("q_emb", quantize(col("q_embf")))
+      .withColumn("c_emb", quantize(col("c_embf")))
+      .withColumn("cosine", cosineFromParts(
+        qdot(col("q_emb"), col("c_emb")), qnorm2(col("q_emb")), qnorm2(col("c_emb"))))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Near-dup pairs by embedding cosine above a threshold, blocked by a
     * coarse key (here: label) so the pair join never goes quadratic in the
     * corpus — the blocked-join shape of embedding dedup at scale. */

@@ -114,7 +114,17 @@ object VectorQueries {
         (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
       FROM votes) WHERE rn = 1 ORDER BY query_id ASC"""
 
+  // q44 — IVF ANN: k-means cells + nprobe probing + exact re-rank. The
+  // coarse quantizer is engine-trained → rows-only check; OperatorSpec
+  // bounds recall against the exact baseline.
+  def q44AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    VectorOps.ivfTopK(spark, emb.filter(col("vec_id") < 5), emb, k = 10)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_ann_ivf" -> (q44AnnIvf _),
     "q40_ann_bruteforce" -> (q40AnnBruteforce _),
     "q41_cosine_dedup" -> (q41CosineDedup _),
     "q42_ann_lsh" -> (q42AnnLsh _),

@@ -99,6 +99,20 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall collapsed: $recall")
   }
 
+  test("IVF ANN recall vs brute force on real embeddings") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = VectorOps.bruteForceTopK(queries, emb, 10)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.ivfTopK(spark, queries, emb, 10)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall@10 = $recall (nlist=16, nprobe=4)")
+    assert(recall >= 0.3, s"IVF recall collapsed: $recall")
+  }
+
   test("multimodal decode stub is deterministic and kind-aware") {
     val docs = Seq((0L, "hello world"), (2L, "a video payload " * 20))
       .toDF("doc_id", "text").withColumn("n_chars", length($"text"))
