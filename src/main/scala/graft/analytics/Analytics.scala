@@ -85,8 +85,14 @@ final class StatementRunner {
     Option(statements.get(id)).map(_._1).getOrElse(Failed(s"unknown id $id"))
 
   def getStatementResult(id: String): Seq[org.apache.spark.sql.Row] =
-    Option(statements.get(id)).filter(_._1 == Finished).map(_._2)
-      .getOrElse(throw new IllegalStateException(s"$id not finished"))
+    Option(statements.get(id)) match {
+      case Some((Finished, rows)) => rows
+      case Some((Failed(err), _)) =>
+        throw new IllegalStateException(s"$id failed: $err")
+      case Some((Submitted, _)) =>
+        throw new IllegalStateException(s"$id not finished")
+      case None => throw new IllegalStateException(s"unknown statement $id")
+    }
 
   def awaitResult(id: String, timeoutMs: Long = 60000): Seq[org.apache.spark.sql.Row] = {
     val deadline = System.currentTimeMillis() + timeoutMs

@@ -12,8 +12,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  // 11-arg ExpressionInfo signature is (className, db, name, usage, ...)
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[SimHash].getName, name, usage, "", "", "", "", "", "4.0.0", "", "scala_udf")
+    new ExpressionInfo(classOf[SimHash].getName, "", name, usage, "", "", "", "", "4.0.0", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

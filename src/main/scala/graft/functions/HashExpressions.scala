@@ -196,8 +196,10 @@ object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash", exprs => SimHash(exprs.head), "scala_udf")
+    // k=16 everywhere (GraftExtensions, q38): the fingerprint definition
+    // must be identical regardless of how the function was installed
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "min_rolling_hash",
-      exprs => MinRollingHash(exprs.head, 8), "scala_udf")
+      exprs => MinRollingHash(exprs.head, 16), "scala_udf")
   }
 }

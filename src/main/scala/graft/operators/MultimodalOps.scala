@@ -81,7 +81,9 @@ object MultimodalOps {
   def frameSample(media: DataFrame, strideBytes: Int): DataFrame =
     media
       .withColumn("byte_len", length(col("media")).cast("long"))
-      .filter(col("kind") === "video")
+      // byte_len > 0 guard: Spark's `-1 DIV n` truncates to 0 (phantom
+      // frame) where a floor division would give -1 (no frames)
+      .filter(col("kind") === "video" && col("byte_len") > 0)
       .select(col("doc_id"), col("byte_len"),
         explode(sequence(lit(0L), expr(s"(byte_len - 1) DIV $strideBytes"))).as("frame_idx"))
       .withColumn("offset", col("frame_idx") * strideBytes)

@@ -71,32 +71,34 @@ object VectorOps {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = planes / bands
-    // one projection + explode per side: the SRP signature (planes × dims
-    // work) is evaluated once per vector, not once per band
-    def withBuckets(df: DataFrame, idCol: String): DataFrame = {
-      val sig = df.withColumn("sig", srpBits(col("embedding"), planes))
+    // one projection + explode per side: the SRP signature, the quantized
+    // vector, AND its norm are evaluated once per vector — not per band,
+    // and not per candidate pair after the join
+    def withBuckets(df: DataFrame, idCol: String, pfx: String): DataFrame = {
+      val sig = df
+        .withColumn(s"${pfx}q", quantize(col("embedding")))
+        .withColumn(s"${pfx}n2", qnorm2(col(s"${pfx}q")))
+        .withColumn("sig", srpBits(col("embedding"), planes))
       val bandStructs = (0 until bands).map { b =>
         struct(lit(b).as("band"),
           substring(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("bucket"))
       }
-      sig.select(col(idCol), col("embedding"), explode(array(bandStructs: _*)).as("bb"))
-        .select(col(idCol), col("embedding"),
+      sig.select(col(idCol), col(s"${pfx}q"), col(s"${pfx}n2"),
+          explode(array(bandStructs: _*)).as("bb"))
+        .select(col(idCol), col(s"${pfx}q"), col(s"${pfx}n2"),
           col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     }
-    val qb = withBuckets(queries.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
-      .withColumnRenamed("embedding", "q_embf")
+    val qb = withBuckets(queries.select(col("vec_id").as("query_id"), col("embedding")),
+      "query_id", "q_")
     val cb = withBuckets(corpus.repartition(col("vec_id"))
-        .select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
-      .withColumnRenamed("embedding", "c_embf")
-    val cand = qb.join(cb, Seq("band", "bucket"))
+        .select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id", "c_")
+    val scored = qb.join(cb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_embf"), col("c_embf"))
-      .distinct()
-    val scored = cand
-      .withColumn("q_emb", quantize(col("q_embf")))
-      .withColumn("c_emb", quantize(col("c_embf")))
+      .select(col("query_id"), col("neighbor_id"), col("q_q"), col("q_n2"),
+        col("c_q"), col("c_n2"))
+      .distinct() // a pair sharing several bands scores once
       .withColumn("cosine", cosineFromParts(
-        qdot(col("q_emb"), col("c_emb")), qnorm2(col("q_emb")), qnorm2(col("c_emb"))))
+        qdot(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -123,8 +125,10 @@ object VectorOps {
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .fit(corpusVec.select(col("features")))
     val assigned = model.transform(corpusVec)
-      .select(col("neighbor_id"), col("embedding").as("c_embf"),
+      .select(col("neighbor_id"),
+        quantize(col("embedding")).as("c_emb"),
         col("prediction").as("cell"))
+      .withColumn("c_n2", qnorm2(col("c_emb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // each query scores all nlist centroids (tiny) and keeps nprobe cells
@@ -143,12 +147,13 @@ object VectorOps {
       .filter(col("cell_rank") <= nprobe)
       .select(col("query_id"), col("q_embf"), col("cell"))
 
-    val scored = probed.join(assigned, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = probed
       .withColumn("q_emb", quantize(col("q_embf")))
-      .withColumn("c_emb", quantize(col("c_embf")))
+      .withColumn("q_n2", qnorm2(col("q_emb")))
+      .join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineFromParts(
-        qdot(col("q_emb"), col("c_emb")), qnorm2(col("q_emb")), qnorm2(col("c_emb"))))
+        qdot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))

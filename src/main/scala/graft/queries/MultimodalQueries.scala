@@ -49,7 +49,8 @@ object MultimodalQueries {
     SELECT doc_id, byte_len, frame_idx, frame_idx * 100 AS offset FROM (
       SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
              unnest(generate_series(0, (octet_length(encode(text)) - 1) // 100)) AS frame_idx
-      FROM documents WHERE CAST(doc_id % 3 AS INT) + 1 = 3)
+      FROM documents
+      WHERE CAST(doc_id % 3 AS INT) + 1 = 3 AND octet_length(encode(text)) > 0)
     ORDER BY doc_id ASC, frame_idx ASC"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

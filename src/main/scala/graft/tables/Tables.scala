@@ -40,9 +40,15 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` queries resolve —
-    * mirrors how the DuckDB oracle sees them. */
+    * mirrors how the DuckDB oracle sees them. `events` must go through its
+    * nanos-aware loader (a raw read throws PARQUET_TYPE_ILLEGAL, and the
+    * view should expose the rebuilt TimestampType `ts` like every other
+    * consumer). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 
   /** File-stream sources require a directory; stage a single parquet file
     * into a fresh temp dir via symlink so `readStream` can list it. */

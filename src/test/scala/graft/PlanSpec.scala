@@ -49,8 +49,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q40: ANN corpus scan keeps codegen'd kernels (no HOF fallback)") {
-    val s = planString("q40_ann_bruteforce")
-    assert(s.contains("longdot") || s.contains("LongDot") || !s.contains("aggregate(zip_with"),
-      "quantized dot product must run as the native expression")
+    val s = planString("q40_ann_bruteforce").toLowerCase
+    assert(s.contains("longdot"),
+      "quantized dot product must run as the native LongDot expression")
+    assert(!s.contains("aggregate(zip_with"),
+      "no interpreted HOF dot product may appear in the ANN plan")
   }
 }
