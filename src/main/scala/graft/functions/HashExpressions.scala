@@ -12,9 +12,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage-codegen emits calls to them by fully-qualified name. */
 object HashKernels {
 
-  /** FNV-1a 64-bit over UTF-8 bytes — cheap, dependency-free, stable. */
-  def fnv1a64(s: UTF8String): Long = {
-    val bytes = s.getBytes
+  /** FNV-1a 64-bit — cheap, dependency-free, stable. */
+  def fnv1a64(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < bytes.length) {
@@ -24,6 +23,8 @@ object HashKernels {
     }
     h
   }
+
+  def fnv1a64(s: UTF8String): Long = fnv1a64(s.getBytes)
 
   /** 64-bit SimHash of a token array: per-bit majority vote of token
     * hashes. Near-identical docs differ in few bits (compare via
@@ -146,6 +147,13 @@ case class SimHash(child: Expression) extends UnaryExpression {
   * fingerprint as a codegen'd expression. `k` is a compile-time window. */
 case class MinRollingHash(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"min_rolling_hash needs string, got $other")
+  }
   override def nullSafeEval(input: Any): Any =
     HashKernels.minRollingHash(input.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -159,6 +167,15 @@ case class MinRollingHash(child: Expression, k: Int) extends UnaryExpression {
 case class LongDot(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = LongType
+  // strict typing: ArrayData.getLong on a non-long array reads garbage
+  // silently, so reject anything but array<long> at analysis time
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"long_dot needs (array<long>, array<long>), got $other")
+  }
   override def nullSafeEval(a: Any, b: Any): Any =
     HashKernels.longDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -171,6 +188,15 @@ case class LongDot(left: Expression, right: Expression)
   * codegen'd. */
 case class SrpSig(child: Expression, planes: Int) extends UnaryExpression {
   override def dataType: DataType = StringType
+  // getFloat on an array<double> would read wrong 4-byte halves — reject
+  // anything but array<float> at analysis time
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"srp_bits needs array<float>, got $other")
+  }
   override def nullSafeEval(input: Any): Any =
     HashKernels.srpBits(input.asInstanceOf[ArrayData], planes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

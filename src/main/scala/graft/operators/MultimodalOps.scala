@@ -40,17 +40,14 @@ object MultimodalOps {
     * implementation would decode dimensions/duration and produce pixel or
     * PCM feature tensors here. */
   object StubCodec {
-    def decode(kind: String, media: Array[Byte]): (Int, Int, Int) = {
-      val h = {
-        var acc = 1469598103934665603L
-        var i = 0
-        while (i < media.length) { acc = (acc ^ (media(i) & 0xff)) * 1099511628211L; i += 1 }
-        acc
-      }
+    /** Returns (width, height, frames, contentHash) — the hash doubles as
+      * the checksum so callers don't rescan the payload. */
+    def decode(kind: String, media: Array[Byte]): (Int, Int, Int, Long) = {
+      val h = graft.functions.HashKernels.fnv1a64(media)
       val width = 64 + math.floorMod(h, 512).toInt
       val height = 64 + math.floorMod(h >>> 16, 512).toInt
       val frames = if (kind == "video") 1 + media.length / 100 else 1
-      (width, height, frames)
+      (width, height, frames, h)
     }
   }
 
@@ -63,13 +60,7 @@ object MultimodalOps {
       .mapPartitions { rows =>
         // per-partition init would go here (codec handle, model weights)
         rows.map { r =>
-          val (w, h, f) = StubCodec.decode(r.kind, r.media)
-          val checksum = {
-            var acc = 1469598103934665603L
-            var i = 0
-            while (i < r.media.length) { acc = (acc ^ (r.media(i) & 0xff)) * 1099511628211L; i += 1 }
-            acc
-          }
+          val (w, h, f, checksum) = StubCodec.decode(r.kind, r.media)
           MediaFeatures(r.doc_id, r.kind, r.media.length, w, h, f, checksum)
         }
       }

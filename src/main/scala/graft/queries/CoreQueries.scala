@@ -179,7 +179,12 @@ object CoreQueries {
   // sql/incremental_sync_members.sql:40). row_number over (key, ts desc).
   def q07LatestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    // order at micros (what Spark actually has after the nanos truncation)
+    // with the event_id tiebreak the oracle mirrors — ordering by raw ts
+    // would let DuckDB's nanosecond precision pick a different winner on
+    // sub-microsecond ties
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts").desc, $"event_id".desc)
     Tables.events(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
@@ -190,7 +195,7 @@ object CoreQueries {
   val q07Oracle: String = """
     SELECT user_id, event_id, event_type, epoch_ms(ts) AS epoch_ms, value
     FROM (SELECT *, row_number() OVER
-            (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
           FROM events)
     WHERE rn = 1 ORDER BY user_id ASC"""
 
@@ -483,7 +488,9 @@ object CoreQueries {
   // per user wins; a final 'error' event acts as REMOVE and deletes the key.
   def q22CdcMergeSemantics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    // micros + event_id ordering for oracle parity (see q07)
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts").desc, $"event_id".desc)
     Tables.events(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1 && $"event_type" =!= "error")
@@ -495,7 +502,7 @@ object CoreQueries {
     SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
            value AS last_value
     FROM (SELECT *, row_number() OVER
-            (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
           FROM events)
     WHERE rn = 1 AND event_type <> 'error'
     ORDER BY user_id ASC"""

@@ -106,7 +106,7 @@ object ExtendedQueries {
   // q54 — gap-based sessionization (30-minute inactivity gap): the
   // declarative form — session id = running count of gap-breaks per user.
   // The stateful flatMapGroupsWithState form computes the same sessions in
-  // streaming (StreamingSpec proves equivalence); this window form is what
+  // streaming (SessionizeSpec proves equivalence); this window form is what
   // a batch backfill would run, and is the SQL-expressible oracle.
   def q54Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val gapMs = 30 * 60 * 1000L
@@ -167,9 +167,16 @@ object ExtendedQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    val result = spark.table(name)
       .select(unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("window_start_ms").asc, col("event_type").asc)
+    // materialize and drop the memory sink — repeated invocations would
+    // otherwise accumulate full result copies in driver memory
+    val rows = result.collect().toIndexedSeq
+    val resultSchema = result.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), resultSchema)
       .orderBy(col("window_start_ms").asc, col("event_type").asc)
   }
   val q55Oracle: String = """

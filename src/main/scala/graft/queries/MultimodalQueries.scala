@@ -33,7 +33,7 @@ object MultimodalQueries {
 
   // q46 — per-partition batch decode through the stub codec (the
   // mapPartitions shape a native decoder drops into). Deterministic but
-  // kernel-specific → rows-only check; MultimodalSpec covers values.
+  // kernel-specific → rows-only check; OperatorSpec covers values.
   def q46DecodeFeatures(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.decodeFeatures(spark,
         MultimodalOps.asMediaTable(Tables.documents(spark, dir)))

@@ -166,7 +166,7 @@ object TextQueries {
 
   // q37 — SimHash near-dup candidates via the native codegen'd expression:
   // 4×16-bit band blocking then hamming distance ≤ 8. Hash kernel is
-  // library-specific → rows-only check; SimHashSpec covers semantics.
+  // library-specific → rows-only check; OperatorSpec covers semantics.
   def q37SimhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
       .select(col("doc_id"),
@@ -199,7 +199,6 @@ object TextQueries {
         GraftFunctions.min_rolling_hash(col("text"), 16).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
-      .filter(col("n_docs") >= 1)
       .orderBy(col("fingerprint").asc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

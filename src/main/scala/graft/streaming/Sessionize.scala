@@ -12,7 +12,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State per user is one open session (count, start, last-seen); an event
   * past the gap closes it and opens a new one. On a real stream the
   * timeout would flush idle sessions; draining with AvailableNow plus
-  * [[flush]] emits the final open sessions deterministically in tests.
+  * [[finalOpenSessions]] emits the trailing open sessions deterministically
+  * in tests.
   */
 object Sessionize {
 
@@ -39,7 +40,11 @@ object Sessionize {
               closed += Session(userId, open.seq, open.nEvents, open.startMs, open.endMs)
               open = OpenSession(userId, open.seq + 1, 1L, e.ms, e.ms)
             } else {
-              open = open.copy(nEvents = open.nEvents + 1, endMs = e.ms)
+              // max, not assignment: a late event from a later micro-batch
+              // (sorting is only within-batch) must not regress the open
+              // session's end and corrupt subsequent gap decisions
+              open = open.copy(nEvents = open.nEvents + 1,
+                endMs = math.max(open.endMs, e.ms))
             }
           }
           if (open != null) state.update(open)

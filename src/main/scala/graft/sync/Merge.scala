@@ -117,8 +117,14 @@ object Merge {
       .filter(Extraction.eventTime > lit(wm))
     val projected = routed.select(
       conf.projectCols ++ Seq(col("eventName"), col("sequencenumber").as("_seq")): _*)
+    // Sequence numbers are decimal strings of VARIABLE length (Kinesis
+    // emits up to ~56 digits; only test fixtures zero-pad), so ordering by
+    // (length, value) gives numeric order without overflowing any numeric
+    // type — plain string order would rank "99" above "100" and keep a
+    // stale change as latest.
     val w = Window.partitionBy(col(conf.keyCol))
-      .orderBy(col("approximateUpdateTimestamp").desc, col("_seq").desc)
+      .orderBy(col("approximateUpdateTimestamp").desc,
+        length(col("_seq")).desc, col("_seq").desc)
     projected
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
