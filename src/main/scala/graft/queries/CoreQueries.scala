@@ -274,8 +274,8 @@ object CoreQueries {
       .orderBy($"event_type".asc)
   }
   val q11Oracle: String = """
-    SELECT event_type, SUM(k) AS sum_k, COUNT(*) AS n,
-           MIN(k) AS min_k, MAX(k) AS max_k
+    SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(*) AS n,
+           CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
     FROM (SELECT event_type,
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           FROM events)
@@ -389,9 +389,9 @@ object CoreQueries {
   }
   val q17Oracle: String = s"""
     SELECT o_orderpriority,
-      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-      SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-      SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
       ${oSum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")} AS finished_value
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority ASC"""
 

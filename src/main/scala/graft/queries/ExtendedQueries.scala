@@ -138,9 +138,9 @@ object ExtendedQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC)),
     sessions AS (
       SELECT user_id, ms,
-        SUM(is_break) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+        CAST(SUM(is_break) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          AS session_seq
+          AS BIGINT) AS session_seq
       FROM marked)
     SELECT user_id, session_seq, COUNT(*) AS n_events,
            MIN(ms) AS start_ms, MAX(ms) AS end_ms
@@ -152,9 +152,8 @@ object ExtendedQueries {
   // a memory sink. The oracle is the equivalent batch date_trunc grouping —
   // stream-equals-batch is exactly the guarantee Structured Streaming makes.
   def q55StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
+    // explicit raw schema (ts as int64 nanos) — no nanosAsLong conf mutation
+    val stream = spark.readStream.schema(Tables.eventsRawSchema)
       .parquet(Tables.streamDir(s"$dir/events.parquet"))
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .withWatermark("ts", "1 hour")
@@ -198,7 +197,8 @@ object ExtendedQueries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type").asc)
   val q56Oracle: String = """
-    SELECT event_type, SUM(k) AS sum_k, MAX(k) AS max_k, COUNT(*) AS n
+    SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MAX(k) AS BIGINT) AS max_k, COUNT(*) AS n
     FROM (SELECT event_type,
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           FROM events)
@@ -207,7 +207,9 @@ object ExtendedQueries {
   // q57 — sketch aggregates: HLL++ distinct counts and approximate
   // percentiles. Deterministic for fixed input (both sketches are
   // merge-order-independent) but engine-specific → rows-only check;
-  // SketchSpec bounds the error against exact answers.
+  // SketchSpec bounds the error against exact answers. The percentile
+  // pair is split into scalar columns (the driver's rows-only check
+  // sorts/hashes values, so no array columns in the output).
   def q57ApproxSketches(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
@@ -217,6 +219,10 @@ object ExtendedQueries {
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
           .as("price_p50_p95"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("approx_orders"), col("approx_parts"),
+        element_at(col("price_p50_p95"), 1).as("price_p50"),
+        element_at(col("price_p50_p95"), 2).as("price_p95"),
+        col("n"))
       .orderBy(col("l_returnflag").asc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

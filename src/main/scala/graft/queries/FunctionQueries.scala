@@ -84,7 +84,7 @@ object FunctionQueries {
   val q60Oracle: String = """
     SELECT l_orderkey, l_linenumber,
       abs(l_discount - 0.05) AS disc_dev,
-      sign(l_discount - 0.05) AS disc_sign,
+      CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
       CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
       l_partkey % 13 AS part_mod13,
@@ -113,9 +113,14 @@ object FunctionQueries {
 
   // q62 — built-in session_window (gap 30 min): Spark's native form of
   // q54's hand-rolled sessionization; the oracle derives the same
-  // boundaries with window functions.
+  // boundaries with window functions. The ts is truncated to ms before
+  // session_window so both engines decide gap breaks at the same
+  // precision (the oracle's lag-diff works on epoch_ms; a true gap that
+  // straddles exactly 30 min at sub-ms precision would otherwise
+  // sessionize differently).
   def q62SessionWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),

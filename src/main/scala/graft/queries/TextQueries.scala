@@ -41,7 +41,7 @@ object TextQueries {
         max(col("n_chars")).as("max_chars"))
       .orderBy(col("lang").asc)
   val q32Oracle: String = """
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT source) AS n_sources,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM documents GROUP BY lang ORDER BY lang ASC"""

@@ -24,18 +24,30 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-    * read as a timestamp. Read it as raw nanos (legacy long mode) and
-    * rebuild a micros-precision TimestampType column via integer division
-    * (plain `/` would go through double and lose precision on int64 nanos).
-    * DuckDB keeps nanos; both engines floor-truncate identically, so any
-    * output derived at ms/us granularity hash-matches the oracle.
+    * read as a timestamp (PARQUET_TYPE_ILLEGAL on schema inference). An
+    * explicit user schema typing it as LongType reads the raw nanos
+    * without touching session config (no
+    * `spark.sql.legacy.parquet.nanosAsLong` mutation — that setting would
+    * leak to every other read sharing the SparkSession). The micros
+    * TimestampType `ts` is rebuilt via integer division (plain `/` would
+    * go through double and lose precision on int64 nanos). DuckDB keeps
+    * nanos; both engines floor-truncate identically, so any output derived
+    * at ms/us granularity hash-matches the oracle.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
+  val eventsRawSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw int64 nanos
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
       .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns DIV 1000)"))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

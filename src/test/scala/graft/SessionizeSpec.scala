@@ -39,9 +39,7 @@ class SessionizeSpec extends SparkSpec {
 
   test("stateful sessionizer works as a real stream with AvailableNow") {
     val dir = "/root/testdata/sf0.001"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(graft.tables.Tables.eventsRawSchema)
       .parquet(graft.tables.Tables.streamDir(s"$dir/events.parquet"))
       .select($"user_id", $"event_id", expr("ts DIV 1000000").as("ms"))
       .as[Event]
