@@ -207,7 +207,8 @@ object ExtendedQueries {
   // q57 — sketch aggregates: HLL++ distinct counts and approximate
   // percentiles. Deterministic for fixed input (both sketches are
   // merge-order-independent) but engine-specific → rows-only check;
-  // SketchSpec bounds the error against exact answers. The percentile
+  // SketchSpec bounds approx_orders/approx_parts/price_p50/price_p95
+  // against exact answers. The percentile
   // pair is split into scalar columns (the driver's rows-only check
   // sorts/hashes values, so no array columns in the output).
   def q57ApproxSketches(spark: SparkSession, dir: String): DataFrame =

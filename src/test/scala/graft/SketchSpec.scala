@@ -14,16 +14,22 @@ class SketchSpec extends SparkSpec {
     val exact = graft.tables.Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("orders"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+        countDistinct(col("l_partkey")).as("parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
       .collect().map(r => r.getString(0) -> r).toMap
+    def rel(approxV: Double, exactV: Double): Double =
+      math.abs(approxV - exactV) / exactV
     exact.foreach { case (flag, e) =>
       val a = approx(flag)
-      val relErr = math.abs(a.getAs[Long]("approx_orders") - e.getAs[Long]("orders")).toDouble /
-        e.getAs[Long]("orders")
-      assert(relErr < 0.05, s"$flag HLL rel err $relErr")
-      val p50 = a.getAs[scala.collection.Seq[Double]]("price_p50_p95").head
-      val relP = math.abs(p50 - e.getAs[Double]("p50")) / e.getAs[Double]("p50")
-      assert(relP < 0.05, s"$flag p50 rel err $relP")
+      val relOrders = rel(a.getAs[Long]("approx_orders").toDouble, e.getAs[Long]("orders").toDouble)
+      assert(relOrders < 0.05, s"$flag HLL orders rel err $relOrders")
+      val relParts = rel(a.getAs[Long]("approx_parts").toDouble, e.getAs[Long]("parts").toDouble)
+      assert(relParts < 0.05, s"$flag HLL parts rel err $relParts")
+      val relP50 = rel(a.getAs[Double]("price_p50"), e.getAs[Double]("p50"))
+      assert(relP50 < 0.05, s"$flag p50 rel err $relP50")
+      val relP95 = rel(a.getAs[Double]("price_p95"), e.getAs[Double]("p95"))
+      assert(relP95 < 0.05, s"$flag p95 rel err $relP95")
     }
   }
 }
