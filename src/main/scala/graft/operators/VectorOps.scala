@@ -122,8 +122,18 @@ object VectorOps {
     val corpusVec = corpus.repartition(col("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("embedding"))
       .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(corpusVec.select(col("features")))
+    // Train the coarse quantizer on a bounded sample: centroid quality
+    // saturates long before the full corpus is seen, and at 100 TB a full
+    // pass per k-means iteration is the difference between index-build
+    // minutes and days. ~64k vectors ≫ nlist centroids is plenty.
+    val trainTarget = 65536L
+    val corpusN = corpusVec.count()
+    val train =
+      if (corpusN <= trainTarget) corpusVec.select(col("features"))
+      else corpusVec.select(col("features"))
+        .sample(withReplacement = false, trainTarget.toDouble / corpusN, seed)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .fit(train)
     val assigned = model.transform(corpusVec)
       .select(col("neighbor_id"),
         quantize(col("embedding")).as("c_emb"),

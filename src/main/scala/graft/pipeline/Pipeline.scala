@@ -23,7 +23,10 @@ final class Pipeline(spark: SparkSession, storeRoot: String,
     * whose guard aborts on an empty target). */
   def initialLoad(exportPath: String): Unit = {
     val loadTime = now()
-    InitialLoad.loadAll(spark, exportPath, loadTime)
+    import scala.collection.parallel.CollectionConverters._
+    // Disjoint targets → write the three entity loads from parallel
+    // threads (same rationale as CdcStream.syncAll).
+    InitialLoad.loadAll(spark, exportPath, loadTime).par
       .foreach { case (name, df) => store.write(name, df) }
   }
 

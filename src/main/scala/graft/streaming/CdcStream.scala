@@ -32,12 +32,21 @@ import graft.sync.{Merge, TableStore}
 final class CdcStream(spark: SparkSession, store: TableStore,
     now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
 
-  /** Run all entity merges against one extracted (batch) DataFrame. */
+  /** Run all entity merges against one extracted (batch) DataFrame.
+    *
+    * The three entity merges touch disjoint targets, so they are submitted
+    * from parallel threads — Spark's scheduler interleaves the independent
+    * job DAGs, overlapping each merge's scan/shuffle/write. On a cluster
+    * this keeps executors busy while one merge waits on IO; in the
+    * reference the three CALLs are sequential (test_sync_time.sh:97-106),
+    * an ordering nothing depends on (disjoint tables).
+    */
   def syncAll(extracted: DataFrame): Unit = {
     val cached = extracted.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val syncTime = now()
-      Merge.entities.foreach { conf =>
+      import scala.collection.parallel.CollectionConverters._
+      Merge.entities.par.foreach { conf =>
         store.read(conf.name).foreach { target =>
           Merge.syncEntity(target, cached, conf, syncTime)
             // SORTKEY mapping: snapshots are written time-sorted within
