@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join utilities for the shapes that break at 100 TB: skewed keys and
@@ -55,5 +56,73 @@ object JoinOps {
         .saveAsTable(name)
       name -> spark.table(name)
     }
+  }
+
+  /** Backward as-of join: for every left row, attach the latest right row
+    * with the same key and `right.ts <= left.ts` (NULLs when none), the
+    * trades↔quotes temporal-join shape.
+    *
+    * NOT a join under the hood: both sides are tagged and unioned, then a
+    * single `last(_, ignoreNulls)` running window per key carries the most
+    * recent right payload forward onto each left row. One shuffle on the
+    * key, O(1) window state, and no per-key row blowup — a join-based
+    * formulation (range join + max) re-pairs every left row with every
+    * earlier right row first, which is quadratic in events-per-key and is
+    * exactly what dies at 100 TB. Right rows order before left rows at
+    * equal ts (a right row AT the left timestamp matches), and
+    * `tiebreak` resolves multiple right rows on one (key, ts): the
+    * highest tiebreak value wins, matching the oracle's
+    * `arg_max(payload, tiebreak)` spelling.
+    *
+    * @param rightPayload right columns carried onto left rows (they keep
+    *        their names — must not collide with left's)
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, key: Seq[String],
+      ts: String, rightPayload: Seq[String], tiebreak: String): DataFrame = {
+    val keyCols = key.map(col)
+    val payload = struct(rightPayload.map(col): _*)
+    val rightTagged = right.select(
+      keyCols :+ col(ts) :+ lit(0).as("_side") :+ col(tiebreak).as("_tb") :+
+        payload.as("_r"): _*)
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val leftTagged = left.select(
+      keyCols :+ col(ts) :+ lit(1).as("_side") :+
+        lit(null).cast(rightTagged.schema("_tb").dataType).as("_tb") :+
+        lit(null).cast(rightTagged.schema("_r").dataType).as("_r") :+
+        leftStruct.as("_l"): _*)
+    val unioned = rightTagged
+      .withColumn("_l", lit(null).cast(leftTagged.schema("_l").dataType))
+      .unionByName(leftTagged)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(ts).asc, col("_side").asc, col("_tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_l.*") +: rightPayload.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
+  /** Band/interval join: pair each point row with every range row whose
+    * `[start, end)` contains `point` (all three are longs, e.g. epoch ms).
+    *
+    * A naive inequality join has no equi-key, so Spark plans a broadcast
+    * nested loop — O(points × ranges). This instead quantizes time into
+    * `bucketWidth` buckets: each range explodes to the buckets it covers,
+    * each point hashes to one bucket, and the pairing becomes an
+    * *equi-join* on bucket plus a residual containment filter. Shuffle
+    * volume is points + Σ range-spans/bucketWidth, not the cross product;
+    * pick `bucketWidth` near the typical range length so ranges explode
+    * to O(1) buckets each.
+    */
+  def rangeJoin(points: DataFrame, ranges: DataFrame, pointCol: String,
+      startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
+    val expanded = ranges.withColumn("_bucket",
+      explode(sequence(col(startCol).divide(bucketWidth).cast("long"),
+        (col(endCol) - 1).divide(bucketWidth).cast("long"))))
+    val bucketed = points.withColumn("_bucket",
+      col(pointCol).divide(bucketWidth).cast("long"))
+    bucketed.join(expanded, Seq("_bucket"))
+      .filter(col(startCol) <= col(pointCol) && col(pointCol) < col(endCol))
+      .drop("_bucket")
   }
 }
