@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.Tables
+
+/** Analytic-surface breadth: the full window-function kit, pivot/unpivot
+  * reshaping, and cube grouping. All oracle-checked — every construct here
+  * exists in DuckDB SQL, and rank-arithmetic doubles (percent_rank,
+  * cume_dist) are exact small-integer ratios so they hash-match.
+  */
+object AnalyticQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  // q65 — window-function kit over each customer's order history:
+  // lag/lead, ntile, percent_rank, cume_dist, rank/dense_rank, and
+  // first/last value over an explicit sliding ROWS frame. Unique
+  // (ms, orderkey) tiebreak keeps every function deterministic.
+  def q65WindowKit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("ms").asc, col("o_orderkey").asc)
+    val sliding = w.rowsBetween(-1, 1)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("tile4", ntile(4).over(w))
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("nbr_first", first(col("o_orderkey")).over(sliding))
+      .withColumn("nbr_last", last(col("o_orderkey")).over(sliding))
+      .orderBy(col("o_custkey").asc, col("ms").asc, col("o_orderkey").asc)
+  }
+  val q65Oracle: String = """
+    SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS ms, o_totalprice,
+      lag(o_totalprice, 1) OVER w AS prev_price,
+      lead(o_totalprice, 1) OVER w AS next_price,
+      ntile(4) OVER w AS tile4,
+      percent_rank() OVER w AS prank,
+      cume_dist() OVER w AS cdist,
+      rank() OVER w AS rnk,
+      first_value(o_orderkey) OVER
+        (w ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS nbr_first,
+      last_value(o_orderkey) OVER
+        (w ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS nbr_last
+    FROM orders WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY epoch_ms(o_orderdate) ASC, o_orderkey ASC)
+    ORDER BY o_custkey ASC, ms ASC, o_orderkey ASC"""
+
+  // q66 — pivot: one row per user, event types fanned out to columns with
+  // two measures each (count + decimal-exact value sum). The value list is
+  // pinned so the output schema never depends on a distinct-scan.
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q66Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .na.fill(0L, eventTypes.map(t => s"${t}_n"))
+      .orderBy(col("user_id").asc)
+  val q66Oracle: String = {
+    val cols = eventTypes.map { t =>
+      s"""COUNT(*) FILTER (WHERE event_type = '$t') AS ${t}_n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = '$t')
+           AS DOUBLE) AS ${t}_total"""
+    }.mkString(",\n      ")
+    s"""
+    SELECT user_id, $cols
+    FROM events WHERE user_id < 50
+    GROUP BY user_id ORDER BY user_id ASC"""
+  }
+
+  // q67 — unpivot (melt): wide per-flag aggregates reshaped to long
+  // (metric, val) rows. Spark's native unpivot; the oracle is the
+  // portable UNION ALL spelling.
+  def q67Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "metric", "val")
+      .orderBy(col("l_returnflag").asc, col("metric").asc)
+  val q67Oracle: String = """
+    WITH agg AS (
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, metric, val FROM (
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM agg)
+    ORDER BY l_returnflag ASC, metric ASC"""
+
+  // q68 — cube: all four grouping combinations of (returnflag, linestatus)
+  // in one pass, with grouping_id distinguishing subtotal levels.
+  def q68Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"), col("gid"))
+      .orderBy(col("gid").asc, col("rf").asc, col("ls").asc)
+  val q68Oracle: String = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid ASC, rf ASC, ls ASC"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_window_kit" -> (q65WindowKit _),
+    "q66_pivot" -> (q66Pivot _),
+    "q67_unpivot" -> (q67Unpivot _),
+    "q68_cube" -> (q68Cube _))
+
+  val oracles: Map[String, String] = Map(
+    "q65_window_kit" -> q65Oracle,
+    "q66_pivot" -> q66Oracle,
+    "q67_unpivot" -> q67Oracle,
+    "q68_cube" -> q68Oracle)
+}
