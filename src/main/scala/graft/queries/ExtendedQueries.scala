@@ -160,22 +160,9 @@ object ExtendedQueries {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
-    val name = s"stream_tumbling_${System.nanoTime()}"
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val result = spark.table(name)
+    StreamingQueries.drain(spark, stream, outputMode = "complete")
       .select(unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n"), col("total_value"))
-      .orderBy(col("window_start_ms").asc, col("event_type").asc)
-    // materialize and drop the memory sink — repeated invocations would
-    // otherwise accumulate full result copies in driver memory
-    val rows = result.collect().toIndexedSeq
-    val resultSchema = result.schema
-    spark.catalog.dropTempView(name)
-    spark.createDataFrame(spark.sparkContext.parallelize(rows), resultSchema)
       .orderBy(col("window_start_ms").asc, col("event_type").asc)
   }
   val q55Oracle: String = """

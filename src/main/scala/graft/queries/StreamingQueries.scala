@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.tables.Tables
+
+/** Structured-Streaming breadth beyond the CDC pipeline and the windowed
+  * aggregations: stream-stream interval joins and stateful streaming
+  * deduplication. Both drain the events table replayed as a file stream
+  * with `Trigger.AvailableNow` into a memory sink, and both are
+  * oracle-checked against the equivalent batch SQL — stream-equals-batch
+  * is the guarantee being exercised.
+  *
+  * Time comparisons run at microsecond precision: Spark timestamps ARE
+  * micros, and DuckDB's `epoch_us` floor-truncates its nanos the same
+  * way, so interval boundaries land identically on both engines.
+  */
+object StreamingQueries {
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(Tables.streamDir(s"$dir/events.parquet"))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
+  /** Drain a streaming frame into a memory sink and return the collected
+    * result re-materialized as a local batch frame (the sink view is
+    * dropped so repeated runs don't accumulate driver copies).
+    *
+    * A stateful query pins its state-partition count from
+    * `spark.sql.shuffle.partitions` at first start; 32 is right for batch
+    * shuffles here but each streaming state partition carries store
+    * open/snapshot/commit overhead per micro-batch (a stream-stream join
+    * runs FOUR stores per partition), which dominates at micro-batch row
+    * counts. Scope the streaming query to fewer, fatter state partitions
+    * and restore the batch setting after the drain. */
+  private[queries] def drain(spark: SparkSession, stream: DataFrame,
+      outputMode: String = "append"): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    val result = try {
+      spark.conf.set(key, "8")
+      val name = s"stream_q_${System.nanoTime()}"
+      val q = stream.writeStream.outputMode(outputMode)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sink = spark.table(name)
+      val rows = sink.collect().toIndexedSeq
+      val schema = sink.schema
+      spark.catalog.dropTempView(name)
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    } finally spark.conf.set(key, saved)
+    result
+  }
+
+  // q69 — stream-stream interval join: each purchase pairs with the same
+  // user's clicks in the preceding hour. Watermarks on both sides bound
+  // the join state (1h of events per side at steady state — the property
+  // that keeps this runnable forever at 100 TB/day); the time-range
+  // predicate on the event-time columns is what lets Spark evict it.
+  def q69StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    drain(spark, joined)
+      .select(col("p_id"), col("c_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+      .orderBy(col("p_id").asc, col("c_id").asc)
+  }
+  val q69Oracle: String = """
+    SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+           epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+    ORDER BY p_id ASC, c_id ASC"""
+
+  // q70 — stateful streaming dedup: first occurrence of each
+  // (user_id, event_type) passes, later ones drop against keyed state.
+  // Only the keys are emitted (which physical event arrives "first" in a
+  // replay is scheduling-dependent; the surviving key set is not), so the
+  // batch oracle is exactly DISTINCT.
+  def q70StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    drain(spark, deduped)
+      .orderBy(col("user_id").asc, col("event_type").asc)
+  }
+  val q70Oracle: String = """
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id ASC, event_type ASC"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_stream_stream_join" -> (q69StreamStreamJoin _),
+    "q70_stream_dedup" -> (q70StreamDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "q69_stream_stream_join" -> q69Oracle,
+    "q70_stream_dedup" -> q70Oracle)
+}
