@@ -1,0 +1,107 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.WeightedMean
+import graft.tables.Tables
+
+/** Source/sink format breadth, the UDAF extension point, and bloom-filter
+  * join pre-pruning. The round-trip queries prove lossless write→read
+  * through each format by oracle-matching the original table; the
+  * interesting part is what must be preserved (shortest-round-trip double
+  * text for CSV, timestamp micros for ORC).
+  */
+object SourceQueries {
+
+  // q71 — CSV round trip: write customer to CSV, read it back with the
+  // original schema. Doubles survive because Spark writes Java's
+  // shortest-round-trip decimal text; strings survive via quoting.
+  def q71CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val out = Files.createTempDirectory("graft-csv").toString
+    c.write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.option("header", "true").schema(c.schema).csv(out)
+      .orderBy(col("c_custkey").asc)
+  }
+  val q71Oracle: String = """
+    SELECT * FROM customer ORDER BY c_custkey ASC"""
+
+  // q72 — ORC round trip: orders through ORC, timestamps reduced to epoch
+  // ms on output (the shared precision with the oracle's nanos).
+  def q72OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val out = Files.createTempDirectory("graft-orc").toString
+    o.write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"))
+      .orderBy(col("o_orderkey").asc)
+  }
+  val q72Oracle: String = """
+    SELECT o_orderkey, o_custkey, o_totalprice, epoch_ms(o_orderdate) AS ms
+    FROM orders ORDER BY o_orderkey ASC"""
+
+  // q73 — custom typed Aggregator (UDAF): quantity-weighted mean price
+  // per return flag, fixed-point-exact across any partial/merge order.
+  def q73UdafWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val wavg = udaf(WeightedMean)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("weighted_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc)
+  }
+  val q73Oracle: String = """
+    SELECT l_returnflag,
+      (CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0)
+        / CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+        AS weighted_price,
+      COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC"""
+
+  // q74 — bloom-prefiltered join: the build side (high-value orders) is
+  // summarized into a driver-built bloom filter that prunes the probe
+  // side BEFORE its shuffle; the subsequent equi-join re-verifies, so
+  // false positives cost nothing and the result is exact. At 100 TB this
+  // is the difference between shuffling the full fact table and shuffling
+  // ~the matching fraction (plus fpp).
+  def q74BloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bloom = orders.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+    Tables.lineitem(spark, dir)
+      .filter(mightContain(col("l_orderkey")))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast("double")
+          .as("revenue"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+  val q74Oracle: String = """
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority ASC"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_csv_roundtrip" -> (q71CsvRoundtrip _),
+    "q72_orc_roundtrip" -> (q72OrcRoundtrip _),
+    "q73_udaf_weighted_avg" -> (q73UdafWeightedAvg _),
+    "q74_bloom_prefilter_join" -> (q74BloomPrefilterJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q71_csv_roundtrip" -> q71Oracle,
+    "q72_orc_roundtrip" -> q72Oracle,
+    "q73_udaf_weighted_avg" -> q73Oracle,
+    "q74_bloom_prefilter_join" -> q74Oracle)
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.WeightedMean
+
+class SourceOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom prefilter keeps all matches and prunes most non-matches") {
+    val dir = "/root/testdata/sf0.01"
+    val li = graft.tables.Tables.lineitem(spark, dir)
+    val orders = graft.tables.Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 400000.0).select($"o_orderkey")
+    val bloom = orders.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+
+    val total = li.count()
+    val kept = li.filter(mightContain($"l_orderkey")).count()
+    val exact = li.join(orders, $"l_orderkey" === $"o_orderkey", "left_semi").count()
+    assert(kept >= exact, "bloom filter dropped a true match")
+    assert(kept < total / 2,
+      s"bloom filter pruned almost nothing: kept $kept of $total")
+  }
+
+  test("WeightedMean is exact under any partitioning (merge-order-free)") {
+    val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select($"l_extendedprice", $"l_quantity")
+    val wavg = udaf(WeightedMean)
+    def run(parts: Int): Double =
+      li.repartition(parts).agg(wavg($"l_extendedprice", $"l_quantity")).head().getDouble(0)
+    val r1 = run(1)
+    assert(r1 == run(7) && r1 == run(32), "merge order changed the result")
+  }
+
+  test("WeightedMean of an empty group is NaN, not a crash") {
+    val empty = Seq.empty[(Double, Double)].toDF("p", "q")
+    val wavg = udaf(WeightedMean)
+    assert(empty.agg(wavg($"p", $"q")).head().getDouble(0).isNaN)
+  }
+}
