@@ -80,6 +80,55 @@ object PipeBench {
       f"""{"batch":$b,"sec":$s%.3f,"rows_per_sec":$rps%.0f}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"merge_throughput","target_rows":$targetN,"batches":$json}""")
+
+    // Partition-level merge: 10M-row target, CDC-sized batches — the
+    // bucketed store only reads/rewrites the key-buckets a batch touches,
+    // so its cost tracks touched-fraction × table, not the table. A batch
+    // touching most buckets degenerates to a (small-file-penalized) full
+    // rewrite — locally visible at batch=1000; at production bucket sizes
+    // (~row groups) the bucketed path is strictly less IO.
+    val bigN = 10000000L
+    val bstoreRoot = java.nio.file.Files.createTempDirectory("pipebench-b").toString
+    val bstore = new graft.sync.BucketedTableStore(spark, bstoreRoot, nBuckets = 256)
+    bstore.writeAll("member", syntheticTarget(spark, bigN, t0 - 1000), "memberId")
+    // warmup
+    bstore.merge("member", syntheticStage(spark, 100, t0), "memberId",
+      new Timestamp(t0 + 60000))
+    val bres = Seq(16L, 1000L).map { batch =>
+      val stage = syntheticStage(spark, batch, t0)
+      val start = System.nanoTime()
+      bstore.merge("member", stage, "memberId", new Timestamp(t0 + 60000))
+      val sec = (System.nanoTime() - start) / 1e9
+      f"""{"batch":$batch,"sec":$sec%.3f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"bucketed_merge","target_rows":$bigN,"n_buckets":256,"batches":$bres}""")
+
+    // Same 10M-row target, whole-table rewrite (TableStore protocol): the
+    // baseline the bucketed store's touched-fraction cost compares against.
+    syntheticTarget(spark, bigN, t0 - 1000)
+      .write.mode("overwrite").parquet(s"$outRoot/target1m")
+    val target1m = spark.read.parquet(s"$outRoot/target1m")
+    val fres = Seq(16L, 1000L).map { batch =>
+      val stage = syntheticStage(spark, batch, t0)
+      val start = System.nanoTime()
+      val kept = target1m.join(stage.select(col("memberId")), Seq("memberId"), "left_anti")
+      val inserts = stage.filter(col("eventName") =!= "REMOVE").drop("eventName")
+        .withColumn("syncTimestamp", lit(new Timestamp(t0 + 60000)))
+        .select(target1m.columns.map(col).toIndexedSeq: _*)
+      kept.unionByName(inserts)
+        .write.mode("overwrite").parquet(s"$outRoot/full$batch")
+      val sec = (System.nanoTime() - start) / 1e9
+      f"""{"batch":$batch,"sec":$sec%.3f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"full_rewrite_merge","target_rows":$bigN,"batches":$fres}""")
     spark.stop()
   }
+
+  /** Stage frame in target shape (what Merge.stageChanges would emit). */
+  private def syntheticStage(spark: SparkSession, n: Long, startMs: Long) =
+    spark.range(n).select(
+      concat(lit("old"), col("id")).as("memberId"), // hit existing keys
+      concat(lit("newname"), col("id")).as("memberName"),
+      lit(new Timestamp(startMs + 1000)).as("approximateUpdateTimestamp"),
+      lit("MODIFY").as("eventName"))
 }

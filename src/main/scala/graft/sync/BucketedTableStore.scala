@@ -1,0 +1,170 @@
+package graft.sync
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Partition-level snapshot store — the 100 TB form of [[TableStore]].
+  *
+  * [[TableStore]] rewrites the whole table per merge, which is correct and
+  * simple but O(table) per batch: a 100 TB target with a 10 MB CDC batch
+  * would rewrite 100 TB. This store hash-buckets rows by entity key:
+  *
+  *   root/<table>/b<bucket>/v<N>/   — per-bucket parquet snapshots
+  *   root/<table>/_MANIFEST.<N>     — "bucket version" lines: the snapshot
+  *   root/<table>/_CURRENT          — live manifest number (atomic move)
+  *
+  * A merge only touches the buckets containing staged keys — cost
+  * O(batch ∕ table-fraction), not O(table). Readers resolve `_CURRENT` →
+  * manifest → per-bucket version dirs, so an in-flight merge is invisible
+  * until its single pointer move, exactly the [[TableStore]] protocol one
+  * directory deeper. Crash mid-merge leaves orphan v-dirs, never a torn
+  * snapshot.
+  *
+  * Bucket count is fixed at table creation (like any hash-bucketed
+  * layout); pick it so bucket size ≈ a few parquet row groups at target
+  * scale. The bucket id is a data column (`_bucket`) so reads recover it
+  * without path parsing and the merge's bucket routing is one codegen'd
+  * `pmod(xxhash64(key))`.
+  */
+final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int) {
+
+  require(nBuckets > 0)
+
+  def bucketCol(key: String): Column = pmod(xxhash64(col(key)), lit(nBuckets))
+
+  private def tableDir(name: String): Path = Paths.get(root, name)
+  private def currentFile(name: String): Path = tableDir(name).resolve("_CURRENT")
+  private def manifestFile(name: String, v: Int): Path =
+    tableDir(name).resolve(s"_MANIFEST.$v")
+
+  private def currentManifestVersion(name: String): Option[Int] = {
+    val f = currentFile(name)
+    if (Files.exists(f)) Some(new String(Files.readAllBytes(f)).trim.toInt) else None
+  }
+
+  /** bucket → live version for that bucket. */
+  def manifest(name: String): Option[Map[Int, Int]] =
+    currentManifestVersion(name).map { v =>
+      Files.readAllLines(manifestFile(name, v)).asScala.filter(_.nonEmpty).map { line =>
+        val Array(b, bv) = line.trim.split(' ')
+        b.toInt -> bv.toInt
+      }.toMap
+    }
+
+  private def bucketPath(name: String, bucket: Int, v: Int): Path =
+    tableDir(name).resolve(s"b$bucket").resolve(s"v$v")
+
+  def read(name: String): Option[DataFrame] = readBuckets(name, None)
+
+  /** Read the live snapshot, optionally restricted to a bucket subset —
+    * the merge's way of scanning only what it will rewrite. */
+  def readBuckets(name: String, buckets: Option[Set[Int]]): Option[DataFrame] =
+    manifest(name).map { m =>
+      val wanted = buckets.fold(m)(bs => m.view.filterKeys(bs).toMap)
+      val paths = wanted.map { case (b, v) => bucketPath(name, b, v).toString }.toSeq
+      if (paths.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(paths: _*)
+    }
+
+  private def writeManifest(name: String, m: Map[Int, Int]): Unit = {
+    val next = currentManifestVersion(name).getOrElse(-1) + 1
+    val body = m.toSeq.sorted.map { case (b, v) => s"$b $v" }.mkString("\n")
+    Files.createDirectories(tableDir(name))
+    Files.write(manifestFile(name, next), body.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val tmp = tableDir(name).resolve(s"_CURRENT.tmp$next")
+    Files.write(tmp, next.toString.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, currentFile(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Initial full write: every row routed to its bucket, one snapshot dir
+    * per bucket, manifest v0. One distributed write job — the bucket
+    * routing is a partitionBy on the derived `_bucket` column. */
+  def writeAll(name: String, df: DataFrame, key: String,
+      sortBy: Option[String] = None): Unit = {
+    val next = currentManifestVersion(name).getOrElse(-1) + 1
+    val staging = tableDir(name).resolve(s"_staging$next")
+    // `_bucket` stays a DATA column (reads must recover it without path
+    // parsing); `_bp` is its copy used only for the write-time routing —
+    // partitionBy consumes the routing column, the data column survives.
+    // repartition on the bucket: without it every write task emits a file
+    // into every bucket dir (tasks × buckets tiny files); with it each
+    // bucket is written by exactly one task as one file
+    val withBucket = df.withColumn("_bucket", bucketCol(key))
+      .repartition(col("_bucket"))
+    val sorted = sortBy.fold(withBucket)(c =>
+      withBucket.sortWithinPartitions(col("_bucket"), col(c)))
+    sorted.withColumn("_bp", col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
+    val entries = (0 until nBuckets).flatMap { b =>
+      val src = staging.resolve(s"_bp=$b")
+      if (Files.exists(src)) {
+        val dest = bucketPath(name, b, next)
+        Files.createDirectories(dest.getParent)
+        Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+        Some(b -> next)
+      } else None
+    }
+    cleanupDir(staging)
+    writeManifest(name, entries.toMap)
+  }
+
+  /** Partition-level merge: delete-then-insert upsert against ONLY the
+    * buckets containing staged keys. `stage` must carry the target schema
+    * plus `eventName` (REMOVEs are applied as deletes, like
+    * [[Merge.applyStage]]). Untouched buckets keep their live version —
+    * their bytes are never read, shuffled, or rewritten. */
+  def merge(name: String, stage: DataFrame, key: String,
+      syncTime: java.sql.Timestamp): Unit = {
+    val m = manifest(name).getOrElse(
+      throw new IllegalStateException(s"$name not initialized — writeAll first"))
+    val staged = stage.withColumn("_bucket", bucketCol(key))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = staged.select(col("_bucket")).distinct()
+        .collect().map(_.getLong(0).toInt).toSet
+      if (touched.nonEmpty) {
+        val target = readBuckets(name, Some(touched)).get
+        val stageKeys = staged.select(col(key))
+        val kept = target.join(stageKeys, Seq(key), "left_anti")
+        val inserts = staged.filter(col("eventName") =!= "REMOVE")
+          .drop("eventName")
+          .withColumn("syncTimestamp", lit(syncTime))
+          .select(target.columns.map(col).toIndexedSeq: _*)
+        val next = currentManifestVersion(name).get + 1
+        val staging = tableDir(name).resolve(s"_staging$next")
+        kept.unionByName(inserts)
+          .repartition(col("_bucket")) // one file per bucket, see writeAll
+          .withColumn("_bp", col("_bucket"))
+          .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
+        // a touched bucket may end up empty (all rows removed) — it still
+        // advances, pointing at an empty-but-valid parquet dir
+        val updated = touched.map { b =>
+          val dest = bucketPath(name, b, next)
+          Files.createDirectories(dest.getParent)
+          val src = staging.resolve(s"_bp=$b")
+          if (Files.exists(src)) Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+          else { // empty bucket: materialize an empty parquet dir
+            Files.createDirectories(dest)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              target.schema).write.mode("overwrite").parquet(dest.toString)
+          }
+          b -> next
+        }.toMap
+        cleanupDir(staging)
+        writeManifest(name, m ++ updated)
+      }
+    } finally staged.unpersist()
+  }
+
+  private def cleanupDir(dir: Path): Unit =
+    if (Files.exists(dir))
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+}
