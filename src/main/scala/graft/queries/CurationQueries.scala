@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Corpus-curation operators: TF-IDF term scoring, text normalization,
+  * and deterministic stratified sampling — the selection/cleaning passes a
+  * training-data pipeline runs between dedup and tokenization. All three
+  * stay integer-exact (or single-IEEE-op-from-exact-ints) so the DuckDB
+  * oracle hash-matches.
+  */
+object CurationQueries {
+
+  // q75 — TF-IDF top terms per document. idf is kept as the exact rational
+  // N/df (score = tf·N/df as one multiply + one divide of exact integers —
+  // both correctly-rounded IEEE ops, so identical on both engines; no log()
+  // whose libm could differ). Top-3 terms per doc, ties broken by term.
+  def q75TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // tf rows are distinct (doc, term) pairs
+    val n = docs.count()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df_, "term")
+      .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id").asc, col("rank").asc)
+  }
+  val q75Oracle: String = """
+    WITH d AS (SELECT * FROM documents WHERE doc_id < 200),
+    terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM d),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      FROM scored)
+    SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 3
+    ORDER BY doc_id ASC, rank ASC"""
+
+  // q76 — normalization pipeline: lowercase → strip non-alphanumerics →
+  // collapse runs of spaces → trim. The normalized-form hash is what a
+  // normalize-then-exact-dedup pass groups on (a cheap near-dup catcher
+  // before the MinHash tier).
+  def q76Normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")))
+      .select(col("doc_id"), length(col("norm")).as("norm_len"),
+        md5(col("norm").cast("binary")).as("norm_hash"))
+      .orderBy(col("doc_id").asc)
+  val q76Oracle: String = """
+    SELECT doc_id, length(norm) AS norm_len, md5(norm) AS norm_hash
+    FROM (SELECT doc_id, trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+            ' +', ' ', 'g')) AS norm
+          FROM documents)
+    ORDER BY doc_id ASC"""
+
+  // q77 — deterministic stratified sampling: per-language keep rates
+  // applied via a multiplicative integer hash of doc_id (not rand() — the
+  // sample is replayable, shardable, and oracle-checkable). The curation
+  // move: downsample the dominant stratum, keep the tails.
+  def q77StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", lit(20)).otherwise(lit(80))
+    Tables.documents(spark, dir)
+      .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(100L)))
+      .withColumn("kept", (col("bucket") < rate).cast("int"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"),
+        sum(when(col("kept") === 1, col("n_chars")).otherwise(lit(0L))).as("kept_chars"))
+      .orderBy(col("lang").asc)
+  }
+  val q77Oracle: String = """
+    SELECT lang, COUNT(*) AS n_total,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM (SELECT lang, n_chars,
+            CASE WHEN (doc_id * 2654435761) % 100 <
+                      (CASE WHEN lang = 'en' THEN 20 ELSE 80 END)
+                 THEN 1 ELSE 0 END AS kept
+          FROM documents)
+    GROUP BY lang ORDER BY lang ASC"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_tfidf" -> (q75TfIdf _),
+    "q76_normalize" -> (q76Normalize _),
+    "q77_stratified_sample" -> (q77StratifiedSample _))
+
+  val oracles: Map[String, String] = Map(
+    "q75_tfidf" -> q75Oracle,
+    "q76_normalize" -> q76Oracle,
+    "q77_stratified_sample" -> q77Oracle)
+}
