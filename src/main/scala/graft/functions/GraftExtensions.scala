@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("srp_bits"),
       info("srp_bits", "srp_bits(array<float>) - 16-plane sign-random-projection signature"),
       (exprs: Seq[Expression]) => SrpSig(exprs.head, 16)))
+    // plan rewrite: naive interval joins → bucketed equi-joins (active
+    // only when spark.graft.rangeJoin.bucketWidth is set)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
   }
 }

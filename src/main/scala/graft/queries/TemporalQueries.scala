@@ -95,11 +95,54 @@ object TemporalQueries {
     FROM w JOIN p ON w.start_ms <= p.p_ms AND p.p_ms < w.end_ms
     GROUP BY 1, 2 ORDER BY window_start_ms ASC"""
 
+  // q78 — the same interval aggregation as q64, but written as PLAIN SQL
+  // with a naive inequality join and rewritten by the RangeJoinRewrite
+  // optimizer rule (graft.plans) into the bucketed equi-join — the
+  // SparkSessionExtensions deployment path where users only touch SQL.
+  // The rule and its conf are scoped to this evaluation (the result is
+  // materialized before they're removed), so no other query's plan is
+  // affected.
+  def q78RangeJoinRule(spark: SparkSession, dir: String): DataFrame = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved :+ graft.plans.RangeJoinRewrite()
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", (30 * dayMs).toString)
+    try {
+      val orders = Tables.orders(spark, dir)
+      orders
+        .select(unix_millis(date_trunc("month", col("o_orderdate").cast("timestamp")))
+          .as("month_ms"))
+        .distinct()
+        .select((col("month_ms") - 5 * dayMs).as("start_ms"),
+          (col("month_ms") + 35 * dayMs).as("end_ms"))
+        .createOrReplaceTempView("graft_q78_windows")
+      orders.select(
+        unix_millis(col("o_orderdate").cast("timestamp")).as("p_ms"),
+        col("o_totalprice")).createOrReplaceTempView("graft_q78_points")
+      val result = spark.sql("""
+        SELECT start_ms AS window_start_ms, end_ms AS window_end_ms,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        FROM graft_q78_points JOIN graft_q78_windows
+          ON start_ms <= p_ms AND p_ms < end_ms
+        GROUP BY start_ms, end_ms
+        ORDER BY window_start_ms ASC""")
+      val rows = result.collect().toIndexedSeq
+      val schema = result.schema
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .orderBy(col("window_start_ms").asc)
+    } finally {
+      spark.experimental.extraOptimizations = saved
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_asof_join" -> (q63AsofJoin _),
-    "q64_range_join" -> (q64RangeJoin _))
+    "q64_range_join" -> (q64RangeJoin _),
+    "q78_range_join_rule" -> (q78RangeJoinRule _))
 
   val oracles: Map[String, String] = Map(
     "q63_asof_join" -> q63Oracle,
-    "q64_range_join" -> q64Oracle)
+    "q64_range_join" -> q64Oracle,
+    "q78_range_join_rule" -> q64Oracle)
 }

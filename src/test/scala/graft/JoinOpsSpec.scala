@@ -34,14 +34,19 @@ class JoinOpsSpec extends SparkSpec {
       val bucketed = JoinOps.bucketize(spark,
         Map("b_orders" -> orders, "b_lineitem" -> li), "o_orderkey", buckets = 4)
       val joined = bucketed("b_orders").join(bucketed("b_lineitem"), Seq("o_orderkey"))
-      val shuffles = joined.queryExecution.executedPlan.collect {
-        case s: ShuffleExchangeExec => s
-      }
-      assert(shuffles.isEmpty,
-        s"expected co-located bucketed join, found ${shuffles.size} shuffle(s)")
+      // execute first: a regression that adds a shuffle would wrap the plan
+      // in AdaptiveSparkPlanExec, which hides its subtree from collect() —
+      // the string of the finalized plan can't lie (count() would build a
+      // separate QueryExecution, so materialize this one directly)
+      val nRows = joined.collect().length.toLong
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(!planStr.contains("ShuffleExchange") &&
+        joined.queryExecution.executedPlan.collect {
+          case s: ShuffleExchangeExec => s
+        }.isEmpty,
+        s"expected co-located bucketed join, plan was:\n$planStr")
       // and it still computes the right thing
-      assert(joined.count() ==
-        orders.join(li, Seq("o_orderkey")).count())
+      assert(nRows == orders.join(li, Seq("o_orderkey")).count())
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 }

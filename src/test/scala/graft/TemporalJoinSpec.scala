@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
 import org.apache.spark.sql.functions._
 
 import graft.operators.JoinOps
@@ -53,10 +52,11 @@ class TemporalJoinSpec extends SparkSpec {
 
   test("range join plans as equi-join on buckets, not a nested loop") {
     val dir = "/root/testdata/sf0.001"
-    val plan = graft.queries.TemporalQueries.q64RangeJoin(spark, dir)
-      .queryExecution.executedPlan
-    val nested = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
-    assert(nested.isEmpty,
+    val df = graft.queries.TemporalQueries.q64RangeJoin(spark, dir)
+    df.collect() // finalize the adaptive plan — an un-executed
+    // AdaptiveSparkPlanExec hides its subtree from plan traversal
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"range join fell back to a nested loop:\n$plan")
   }
 
