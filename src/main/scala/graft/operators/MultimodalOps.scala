@@ -41,11 +41,16 @@ object MultimodalOps {
     * PCM feature tensors here. */
   object StubCodec {
     /** Returns (width, height, frames, contentHash) — the hash doubles as
-      * the checksum so callers don't rescan the payload. */
+      * the checksum so callers don't rescan the payload. The hash is the
+      * first 60 bits of md5 (not fnv) so the whole decode is expressible
+      * in the DuckDB oracle — the stub's outputs are cross-engine-checked
+      * like any relational query, not just spec-asserted. */
     def decode(kind: String, media: Array[Byte]): (Int, Int, Int, Long) = {
-      val h = graft.functions.HashKernels.fnv1a64(media)
-      val width = 64 + math.floorMod(h, 512).toInt
-      val height = 64 + math.floorMod(h >>> 16, 512).toInt
+      val digest = java.security.MessageDigest.getInstance("MD5").digest(media)
+      val hex = digest.take(8).map(b => f"$b%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16) // 60 bits, always >= 0
+      val width = 64 + (h % 512).toInt
+      val height = 64 + ((h >>> 16) % 512).toInt
       val frames = if (kind == "video") 1 + media.length / 100 else 1
       (width, height, frames, h)
     }

@@ -32,13 +32,26 @@ object MultimodalQueries {
     FROM documents ORDER BY doc_id ASC"""
 
   // q46 — per-partition batch decode through the stub codec (the
-  // mapPartitions shape a native decoder drops into). Deterministic but
-  // kernel-specific → rows-only check; OperatorSpec covers values.
+  // mapPartitions shape a native decoder drops into). The stub derives
+  // every feature from md5 of the payload, so the oracle recomputes the
+  // whole decode in SQL — the plumbing is cross-engine value-checked.
   def q46DecodeFeatures(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.decodeFeatures(spark,
         MultimodalOps.asMediaTable(Tables.documents(spark, dir)))
       .toDF()
       .orderBy(col("doc_id").asc)
+  val q46Oracle: String = """
+    SELECT doc_id,
+      ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      CAST(octet_length(encode(text)) AS INT) AS byte_len,
+      CAST(64 + h % 512 AS INT) AS width,
+      CAST(64 + (h // 65536) % 512 AS INT) AS height,
+      CAST(CASE WHEN CAST(doc_id % 3 AS INT) = 2
+            THEN 1 + octet_length(encode(text)) // 100 ELSE 1 END AS INT) AS n_frames,
+      h AS checksum
+    FROM (SELECT doc_id, text,
+            ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)
+    ORDER BY doc_id ASC"""
 
   // q47 — frame-sampling explode for video payloads (1 row per frame).
   def q47FrameSample(spark: SparkSession, dir: String): DataFrame =
@@ -60,5 +73,6 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "q45_media_stats" -> q45Oracle,
+    "q46_decode_features" -> q46Oracle,
     "q47_frame_sample" -> q47Oracle)
 }
