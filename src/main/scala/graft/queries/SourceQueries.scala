@@ -93,15 +93,40 @@ object SourceQueries {
     WHERE o_totalprice > 400000.0
     GROUP BY o_orderpriority ORDER BY o_orderpriority ASC"""
 
+  // q79 — grouped top-k via the bounded-heap Aggregator: top-3 orders by
+  // price per customer. Map-side partials ship ≤k rows per group into the
+  // shuffle (vs a window row_number sorting every row); the oracle is the
+  // window formulation — identical output, different physical cost.
+  def q79GroupedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val top3 = udaf(new graft.functions.TopKAgg(3))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey"))
+      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
+      .orderBy(col("o_custkey").asc, col("rank").asc)
+  }
+  val q79Oracle: String = """
+    SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+          FROM orders WHERE o_custkey < 200)
+    WHERE rank <= 3 ORDER BY o_custkey ASC, rank ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_csv_roundtrip" -> (q71CsvRoundtrip _),
     "q72_orc_roundtrip" -> (q72OrcRoundtrip _),
     "q73_udaf_weighted_avg" -> (q73UdafWeightedAvg _),
-    "q74_bloom_prefilter_join" -> (q74BloomPrefilterJoin _))
+    "q74_bloom_prefilter_join" -> (q74BloomPrefilterJoin _),
+    "q79_grouped_topk" -> (q79GroupedTopK _))
 
   val oracles: Map[String, String] = Map(
     "q71_csv_roundtrip" -> q71Oracle,
     "q72_orc_roundtrip" -> q72Oracle,
     "q73_udaf_weighted_avg" -> q73Oracle,
-    "q74_bloom_prefilter_join" -> q74Oracle)
+    "q74_bloom_prefilter_join" -> q74Oracle,
+    "q79_grouped_topk" -> q79Oracle)
 }

@@ -34,6 +34,26 @@ class SourceOpsSpec extends SparkSpec {
     assert(r1 == run(7) && r1 == run(32), "merge order changed the result")
   }
 
+  test("TopKAgg is invariant to partitioning and matches a full sort") {
+    val orders = graft.tables.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select($"o_custkey", $"o_totalprice", $"o_orderkey")
+    val top3 = udaf(new graft.functions.TopKAgg(3))
+    def run(parts: Int) = orders.repartition(parts)
+      .groupBy($"o_custkey")
+      .agg(top3($"o_totalprice", $"o_orderkey").as("top"))
+      .orderBy($"o_custkey")
+      .as[(Long, Seq[(Double, Long)])].collect().toSeq
+    val r1 = run(1)
+    assert(r1 == run(13), "merge order changed the top-k")
+    // against the brute-force sorted answer for one customer
+    val c = r1.head._1
+    val expected = orders.filter($"o_custkey" === c)
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc).limit(3)
+      .select($"o_totalprice", $"o_orderkey")
+      .as[(Double, Long)].collect().toSeq
+    assert(r1.head._2 == expected)
+  }
+
   test("WeightedMean of an empty group is NaN, not a crash") {
     val empty = Seq.empty[(Double, Double)].toDF("p", "q")
     val wavg = udaf(WeightedMean)
