@@ -53,9 +53,22 @@ object VectorOps {
       .withColumn("cosine",
         cosineFromParts(qdot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKByQuery(scored, k)
+  }
+
+  /** Per-query top-k via the bounded-heap aggregator: map-side partials
+    * ship ≤ k candidates per query per task into the shuffle — a window
+    * row_number formulation would shuffle and sort EVERY scored pair,
+    * which is the difference between O(k·tasks) and O(corpus) shuffle
+    * bytes per query at 100 TB. Output matches the window formulation
+    * exactly (score desc, id asc, ranks from 1). */
+  def topKByQuery(scored: DataFrame, k: Int): DataFrame = {
+    val top = udaf(new graft.functions.TopKAgg(k))
+    scored.groupBy(col("query_id"))
+      .agg(top(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        col("col._1").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Sign-random-projection signature: bit p = sign(Σ_d w(p,d) · x_d) with
@@ -100,9 +113,7 @@ object VectorOps {
       .withColumn("cosine", cosineFromParts(
         qdot(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKByQuery(scored, k)
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
@@ -166,9 +177,7 @@ object VectorOps {
         qdot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKByQuery(scored, k)
   }
 
   /** Near-dup pairs by embedding cosine above a threshold, blocked by a
