@@ -26,18 +26,37 @@ object HashKernels {
 
   def fnv1a64(s: UTF8String): Long = fnv1a64(s.getBytes)
 
-  /** 64-bit SimHash of a token array: per-bit majority vote of token
-    * hashes. Near-identical docs differ in few bits (compare via
-    * bit_count(a ^ b) ≤ t). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5 as a non-negative long — the value DuckDB's
+    * `('0x' || substr(md5(s),1,15))::BIGINT` produces (hex chars are the
+    * digest big-endian, 15 chars = top 60 bits), which is what keeps
+    * simhash oracle-checkable cross-engine. */
+  def md5Top60(bytes: Array[Byte]): Long = {
+    val d = md5Local.get().digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  /** 60-bit SimHash of a token array: per-bit majority vote of token
+    * hashes (md5 top-60, see [[md5Top60]]). Near-identical docs differ
+    * in few bits (compare via bit_count(a ^ b) ≤ t); 60 bits vs 64 costs
+    * nothing detectable in separation quality and buys a DuckDB-
+    * recomputable oracle. */
   def simhash64(tokens: ArrayData): Long = {
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](60)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = fnv1a64(tokens.getUTF8String(i))
+        val h = md5Top60(tokens.getUTF8String(i).getBytes)
         var b = 0
-        while (b < 64) {
+        while (b < 60) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
@@ -46,7 +65,7 @@ object HashKernels {
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }

@@ -126,15 +126,64 @@ object AnalyticQueries {
     GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY gid ASC, rf ASC, ls ASC"""
 
+  // q80 — exact second-moment statistics: population variance and
+  // Pearson correlation computed from fixed-point integer power sums
+  // (Σq, Σq², Σp, Σp², Σqp as DECIMAL(38,0) — exact, merge-order-free),
+  // finished with the same one-rounding-per-op double arithmetic on both
+  // engines. Built-in stddev/corr stream doubles through Welford-style
+  // updates whose rounding depends on partition order — useless for a
+  // cross-engine hash check; this formulation is the deterministic way
+  // to do distributed statistics.
+  def q80ExactStats(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val q = round(col("l_quantity")).cast("long")
+    val p = round(col("l_extendedprice") * 100).cast("long")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q.cast(d38)).as("sq"), sum((q * q).cast(d38)).as("sqq"),
+        sum(p.cast(d38)).as("sp"), sum((p * p).cast(d38)).as("spp"),
+        sum((q * p).cast(d38)).as("sqp"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sqq") - col("sq") * col("sq")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("var_qty"),
+        ((col("n") * col("sqp") - col("sq") * col("sp")).cast("double") /
+          sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double") *
+            (col("n") * col("spp") - col("sp") * col("sp")).cast("double")))
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag").asc)
+  }
+  val q80Oracle: String = """
+    SELECT l_returnflag, n,
+      CAST(n * sqq - sq * sq AS DOUBLE) / CAST(n * n AS DOUBLE) AS var_qty,
+      CAST(n * sqp - sq * sp AS DOUBLE) /
+        sqrt(CAST(n * sqq - sq * sq AS DOUBLE) *
+             CAST(n * spp - sp * sp AS DOUBLE)) AS corr_qty_price
+    FROM (
+      SELECT l_returnflag, COUNT(*) AS n,
+        SUM(CAST(q AS DECIMAL(38,0))) AS sq,
+        SUM(CAST(q * q AS DECIMAL(38,0))) AS sqq,
+        SUM(CAST(p AS DECIMAL(38,0))) AS sp,
+        SUM(CAST(p * p AS DECIMAL(38,0))) AS spp,
+        SUM(CAST(q * p AS DECIMAL(38,0))) AS sqp
+      FROM (SELECT l_returnflag,
+              CAST(round(l_quantity) AS BIGINT) AS q,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+            FROM lineitem)
+      GROUP BY l_returnflag)
+    ORDER BY l_returnflag ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_window_kit" -> (q65WindowKit _),
     "q66_pivot" -> (q66Pivot _),
     "q67_unpivot" -> (q67Unpivot _),
-    "q68_cube" -> (q68Cube _))
+    "q68_cube" -> (q68Cube _),
+    "q80_exact_stats" -> (q80ExactStats _))
 
   val oracles: Map[String, String] = Map(
     "q65_window_kit" -> q65Oracle,
     "q66_pivot" -> q66Oracle,
     "q67_unpivot" -> q67Oracle,
-    "q68_cube" -> q68Oracle)
+    "q68_cube" -> q68Oracle,
+    "q80_exact_stats" -> q80Oracle)
 }

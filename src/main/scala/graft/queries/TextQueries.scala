@@ -165,8 +165,10 @@ object TextQueries {
   }
 
   // q37 — SimHash near-dup candidates via the native codegen'd expression:
-  // 4×16-bit band blocking then hamming distance ≤ 8. Hash kernel is
-  // library-specific → rows-only check; OperatorSpec covers semantics.
+  // 4×15-bit band blocking over the 60-bit signature, then hamming
+  // distance ≤ 8. The kernel hashes tokens with md5-top-60, so the ENTIRE
+  // pipeline — per-token hash, bit votes, banding, pair join, hamming —
+  // is recomputed by the DuckDB oracle and value-checked cross-engine.
   def q37SimhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
       .select(col("doc_id"),
@@ -175,7 +177,7 @@ object TextQueries {
     // persisted because both self-join sides consume it
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
+        shiftright(col("sh"), b * 15).bitwiseAND(lit(0x7fffL)).as("bucket"))
     }
     val bands = docs
       .select(col("doc_id"), col("sh"), explode(array(bandStructs: _*)).as("bb"))
@@ -191,15 +193,66 @@ object TextQueries {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
-  // q38 — winnowing fingerprint groups via the rolling-hash expression:
-  // docs sharing a min-rolling-hash fingerprint (rows-only check).
+
+  val q37Oracle: String = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit)
+      GROUP BY doc_id, bit),
+    sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sh
+      FROM votes GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, sh, band, (sh >> (band * 15)) & 32767 AS bucket
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.sh, b.sh)) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM pairs
+    WHERE hamming <= 8 ORDER BY doc_a ASC, doc_b ASC"""
+
+  // q38 — winnowing-style document fingerprint: the minimum hash over all
+  // 16-char windows (Schleimer et al.'s min-of-windows idea), spelled with
+  // md5-top-60 window hashes so the full computation is recomputed by the
+  // DuckDB oracle. Explode + substring + md5 are all codegen'd — same
+  // shape as the minhash shingle pass; one aggregation, no shuffle of
+  // text. (The O(n) Karp-Rabin rolling kernel `min_rolling_hash` remains
+  // the native-expression form for latency-critical paths — OperatorSpec
+  // pins its semantics; this query pins the min-of-windows semantics
+  // cross-engine.) Docs shorter than the window hash as one whole-text
+  // window on both engines (substring past the end truncates identically).
   def q38Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documents(spark, dir).repartition(col("doc_id"))
       .select(col("doc_id"),
-        GraftFunctions.min_rolling_hash(col("text"), 16).as("fingerprint"))
+        explode(sequence(lit(1), greatest(length(col("text")) - 15, lit(1)))).as("i"),
+        col("text"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(CAST(substring(text, i, 16) AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+          .as("wh"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("wh")).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("fingerprint").asc)
+
+  val q38Oracle: String = """
+    WITH fp AS (
+      SELECT doc_id,
+             MIN(('0x' || substr(md5(substr(text, i, 16)), 1, 15))::BIGINT) AS fingerprint
+      FROM (SELECT doc_id, text,
+              unnest(generate_series(1, greatest(length(text) - 15, 1))) AS i
+            FROM documents)
+      GROUP BY doc_id)
+    SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM fp GROUP BY fingerprint ORDER BY fingerprint ASC"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
@@ -219,5 +272,7 @@ object TextQueries {
     "q33_ngram_jaccard" -> q33Oracle,
     "q34_minhash_lsh" -> q34Oracle,
     "q35_token_topk" -> q35Oracle,
-    "q36_langid_heuristic" -> q36Oracle)
+    "q36_langid_heuristic" -> q36Oracle,
+    "q37_simhash_dedup" -> q37Oracle,
+    "q38_fingerprint" -> q38Oracle)
 }
