@@ -43,6 +43,25 @@ object HashKernels {
     h >>> 4
   }
 
+  /** Minimum md5-top-60 over all k-char windows of `text` (min-of-windows
+    * fingerprint, DuckDB-expressible — see q38's oracle). Loops windows
+    * inside the kernel: the equivalent explode-5M-rows formulation pays
+    * per-row overhead on every window; this is one function call per
+    * document. Char-based windows (substringSQL) so multi-byte text
+    * windows match SQL substring on both engines. */
+  def minWindowMd5(text: UTF8String, k: Int): Long = {
+    val n = text.numChars()
+    val last = math.max(n - k + 1, 1)
+    var min = java.lang.Long.MAX_VALUE
+    var i = 1
+    while (i <= last) {
+      val h = md5Top60(text.substringSQL(i, k).getBytes)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
   /** 60-bit SimHash of a token array: per-bit majority vote of token
     * hashes (md5 top-60, see [[md5Top60]]). Near-identical docs differ
     * in few bits (compare via bit_count(a ^ b) ≤ t); 60 bits vs 64 costs
@@ -226,6 +245,26 @@ case class SrpSig(child: Expression, planes: Int) extends UnaryExpression {
 
 /** Column-API entry points + SQL registration. Spark 4 routes Column↔
   * Expression through a private bridge; see graftshim.ColumnBridge. */
+/** `min_window_md5(string, k) -> long` — min-of-windows md5 fingerprint
+  * as a codegen'd expression (the oracle-checkable sibling of
+  * [[MinRollingHash]]; see HashKernels.minWindowMd5). */
+case class MinWindowMd5(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"min_window_md5 needs string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minWindowMd5(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minWindowMd5($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinWindowMd5 =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -233,6 +272,8 @@ object GraftFunctions {
     ColumnBridge.column(SimHash(ColumnBridge.expression(c)))
   def min_rolling_hash(c: Column, k: Int): Column =
     ColumnBridge.column(MinRollingHash(ColumnBridge.expression(c), k))
+  def min_window_md5(c: Column, k: Int): Column =
+    ColumnBridge.column(MinWindowMd5(ColumnBridge.expression(c), k))
   def long_dot(a: Column, b: Column): Column =
     ColumnBridge.column(LongDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def srp_bits(c: Column, planes: Int): Column =

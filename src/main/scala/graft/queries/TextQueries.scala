@@ -232,13 +232,7 @@ object TextQueries {
   def q38Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(sequence(lit(1), greatest(length(col("text")) - 15, lit(1)))).as("i"),
-        col("text"))
-      .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(CAST(substring(text, i, 16) AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
-          .as("wh"))
-      .groupBy(col("doc_id"))
-      .agg(min(col("wh")).as("fingerprint"))
+        GraftFunctions.min_window_md5(col("text"), 16).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("fingerprint").asc)
