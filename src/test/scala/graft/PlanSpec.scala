@@ -48,6 +48,31 @@ class PlanSpec extends SparkSpec {
       "orders/customer/nation/region must all broadcast")
   }
 
+  /** Post-execution plan, final section only — the adaptive plan's
+    * toString repeats the tree under "== Initial Plan ==", which would
+    * double-count any occurrence assertions. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q63: as-of join is ONE hash shuffle (union+window, no join blowup)") {
+    val s = finalPlan("q63_asof_join")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashShuffles == 1,
+      s"as-of join must shuffle once on the key, found $hashShuffles:\n${s.take(800)}")
+    assert(!s.contains("Join"), "as-of must not plan a physical join")
+  }
+
+  test("q79: grouped top-k aggregates map-side (partial before the exchange)") {
+    val s = finalPlan("q79_grouped_topk")
+    assert(s.contains("partial_topkagg"),
+      "TopKAgg must run a partial pass before the shuffle")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashShuffles == 1, s"expected one hash shuffle, got $hashShuffles")
+  }
+
   test("q40: ANN corpus scan keeps codegen'd kernels (no HOF fallback)") {
     val s = planString("q40_ann_bruteforce").toLowerCase
     assert(s.contains("longdot"),
