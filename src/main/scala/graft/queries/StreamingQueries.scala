@@ -106,11 +106,39 @@ object StreamingQueries {
     SELECT DISTINCT user_id, event_type FROM events
     ORDER BY user_id ASC, event_type ASC"""
 
+  // q81 — stream-static enrichment: the event stream joins a static
+  // dimension read from parquet (broadcast per micro-batch — no stream
+  // state at all, the cheapest streaming join there is), then aggregates
+  // per segment. The pattern every CDC/metrics pipeline uses to attach
+  // dimensions to a stream.
+  def q81StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val customers = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = eventsStream(spark, dir)
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("value"))
+    // per-batch aggregation would need output-mode complete; aggregate the
+    // drained rows instead — stream does the join, batch does the rollup
+    drain(spark, enriched)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
+      .orderBy(col("c_mktsegment").asc)
+  }
+  val q81Oracle: String = """
+    SELECT c_mktsegment, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_stream_stream_join" -> (q69StreamStreamJoin _),
-    "q70_stream_dedup" -> (q70StreamDedup _))
+    "q70_stream_dedup" -> (q70StreamDedup _),
+    "q81_stream_enrich" -> (q81StreamEnrich _))
 
   val oracles: Map[String, String] = Map(
     "q69_stream_stream_join" -> q69Oracle,
-    "q70_stream_dedup" -> q70Oracle)
+    "q70_stream_dedup" -> q70Oracle,
+    "q81_stream_enrich" -> q81Oracle)
 }

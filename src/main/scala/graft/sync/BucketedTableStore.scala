@@ -60,6 +60,23 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
 
   def read(name: String): Option[DataFrame] = readBuckets(name, None)
 
+  /** Time travel: read the snapshot a historical manifest described.
+    * Manifests are immutable once written, so any retained manifest
+    * number reconstructs that exact table state. */
+  def readAtManifest(name: String, manifestVersion: Int): Option[DataFrame] = {
+    val f = manifestFile(name, manifestVersion)
+    if (!Files.exists(f)) None
+    else {
+      val m = Files.readAllLines(f).asScala.filter(_.nonEmpty).map { line =>
+        val Array(b, bv) = line.trim.split(' ')
+        b.toInt -> bv.toInt
+      }.toMap
+      val paths = m.map { case (b, v) => bucketPath(name, b, v).toString }.toSeq
+      if (paths.isEmpty) Some(spark.emptyDataFrame)
+      else Some(spark.read.parquet(paths: _*))
+    }
+  }
+
   /** Read the live snapshot, optionally restricted to a bucket subset —
     * the merge's way of scanning only what it will rewrite. */
   def readBuckets(name: String, buckets: Option[Set[Int]]): Option[DataFrame] =

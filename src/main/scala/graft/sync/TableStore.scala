@@ -41,6 +41,15 @@ final class TableStore(spark: SparkSession, root: String) {
       spark.read.parquet(tableDir(name).resolve(s"v$v").toString)
     }
 
+  /** Time travel: read a retained historical snapshot. Versions survive
+    * until a retention sweep (none runs here), so "what did the table
+    * look like before batch N" is a constant-time pointer lookup — the
+    * debugging/audit story a mutable-table sink loses. */
+  def readAt(name: String, version: Int): Option[DataFrame] = {
+    val dir = tableDir(name).resolve(s"v$version")
+    if (Files.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
+  }
+
   /** Materialize `df` as the next version, then atomically flip _CURRENT.
     * The write fully materializes the plan before the old version is
     * unreferenced, so a merge reading v<N> can safely produce v<N+1>.

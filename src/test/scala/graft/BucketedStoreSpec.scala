@@ -79,6 +79,23 @@ class BucketedStoreSpec extends SparkSpec {
     assert(store.read("member").get.count() == 0)
   }
 
+  test("time travel: a prior manifest reconstructs the pre-merge state") {
+    val root = tmpDir("bstore5")
+    val store = new BucketedTableStore(spark, root, nBuckets = 4)
+    store.writeAll("member", target(), "memberId")
+    val stage = Seq(("m2", "bob2", t1, "MODIFY"))
+      .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName")
+    store.merge("member", stage, "memberId", t1)
+
+    val before = store.readAtManifest("member", 0).get
+      .select($"memberId", $"memberName").as[(String, String)].collect().toSet
+    assert(before("m2" -> "bob") && !before("m2" -> "bob2"),
+      "manifest 0 must still show the pre-merge row")
+    val now = store.read("member").get
+      .select($"memberId", $"memberName").as[(String, String)].collect().toSet
+    assert(now("m2" -> "bob2") && !now("m2" -> "bob"))
+  }
+
   test("merge is idempotent: reapplying the same stage is a no-op") {
     val root = tmpDir("bstore4")
     val store = new BucketedTableStore(spark, root, nBuckets = 4)
