@@ -19,7 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("simhash"),
-      info("simhash", "simhash(array<string>) - 64-bit SimHash of a token array"),
+      info("simhash", "simhash(array<string>) - 60-bit (md5-top-60) SimHash of a token array"),
       (exprs: Seq[Expression]) => SimHash(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("min_rolling_hash"),

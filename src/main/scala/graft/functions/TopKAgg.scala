@@ -19,8 +19,15 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAgg(k: Int)
     extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // java.lang.Double.compare, not > / ==: raw comparisons are not a total
+  // order under NaN (both directions false), which would corrupt the
+  // sorted-buffer invariant. compare treats NaN as largest — the same
+  // place SQL engines sort it in a DESC ordering, so window-formulation
+  // parity holds even for NaN scores (e.g. 0/0 cosines).
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] =
     if (buf.sizeIs >= k && !better(x, buf.last)) buf

@@ -116,9 +116,15 @@ object JoinOps {
     */
   def rangeJoin(points: DataFrame, ranges: DataFrame, pointCol: String,
       startCol: String, endCol: String, bucketWidth: Long): DataFrame = {
-    val expanded = ranges.withColumn("_bucket",
-      explode(sequence(col(startCol).divide(bucketWidth).cast("long"),
-        (col(endCol) - 1).divide(bucketWidth).cast("long"))))
+    // end > start guard: Spark's sequence(a, b) with b < a generates a
+    // DESCENDING sequence, so one malformed range row would explode to
+    // ~(start-end)/width spurious buckets (or blow the array limit)
+    // instead of zero. Empty array -> explode drops the row.
+    val buckets = when(col(endCol) > col(startCol),
+      sequence(col(startCol).divide(bucketWidth).cast("long"),
+        (col(endCol) - 1).divide(bucketWidth).cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+    val expanded = ranges.withColumn("_bucket", explode(buckets))
     val bucketed = points.withColumn("_bucket",
       col(pointCol).divide(bucketWidth).cast("long"))
     bucketed.join(expanded, Seq("_bucket"))

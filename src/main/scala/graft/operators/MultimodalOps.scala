@@ -46,9 +46,9 @@ object MultimodalOps {
       * in the DuckDB oracle — the stub's outputs are cross-engine-checked
       * like any relational query, not just spec-asserted. */
     def decode(kind: String, media: Array[Byte]): (Int, Int, Int, Long) = {
-      val digest = java.security.MessageDigest.getInstance("MD5").digest(media)
-      val hex = digest.take(8).map(b => f"$b%02x").mkString.take(15)
-      val h = java.lang.Long.parseLong(hex, 16) // 60 bits, always >= 0
+      // same 60-bit value as the DuckDB oracle's hex parse; one shared
+      // kernel so the stub and the native expressions can't drift
+      val h = graft.functions.HashKernels.md5Top60(media)
       val width = 64 + (h % 512).toInt
       val height = 64 + ((h >>> 16) % 512).toInt
       val frames = if (kind == "video") 1 + media.length / 100 else 1

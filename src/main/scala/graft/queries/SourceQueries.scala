@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.nio.file.Files
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,9 +20,16 @@ object SourceQueries {
   // q71 — CSV round trip: write customer to CSV, read it back with the
   // original schema. Doubles survive because Spark writes Java's
   // shortest-round-trip decimal text; strings survive via quoting.
+  /** Stable scratch dir per (label, input dir): repeated invocations
+    * (warmup + best-of-2 bench passes + verify) overwrite one directory
+    * instead of leaking a fresh table-sized copy into /tmp each run. */
+  private def scratch(label: String, dir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-$label-${Integer.toHexString(dir.hashCode)}").toString
+
   def q71CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val out = Files.createTempDirectory("graft-csv").toString
+    val out = scratch("q71csv", dir)
     c.write.mode("overwrite").option("header", "true").csv(out)
     spark.read.option("header", "true").schema(c.schema).csv(out)
       .orderBy(col("c_custkey").asc)
@@ -34,7 +41,7 @@ object SourceQueries {
   // ms on output (the shared precision with the oracle's nanos).
   def q72OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val out = Files.createTempDirectory("graft-orc").toString
+    val out = scratch("q72orc", dir)
     o.write.mode("overwrite").orc(out)
     spark.read.orc(out)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),

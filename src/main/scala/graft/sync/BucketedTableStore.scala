@@ -147,7 +147,15 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
       val touched = staged.select(col("_bucket")).distinct()
         .collect().map(_.getLong(0).toInt).toSet
       if (touched.nonEmpty) {
-        val target = readBuckets(name, Some(touched)).get
+        // a touched bucket may have NO manifest entry yet (writeAll only
+        // records buckets that received rows): read the existing subset,
+        // or an empty-but-schemaed frame when every touched bucket is new
+        val existing = touched.intersect(m.keySet)
+        val target =
+          if (existing.nonEmpty) readBuckets(name, Some(existing)).get
+          else if (m.nonEmpty) readBuckets(name, Some(Set(m.keys.head))).get.limit(0)
+          else throw new IllegalStateException(
+            s"$name has an empty manifest — writeAll must seed at least one bucket")
         val stageKeys = staged.select(col(key))
         val kept = target.join(stageKeys, Seq(key), "left_anti")
         val inserts = staged.filter(col("eventName") =!= "REMOVE")

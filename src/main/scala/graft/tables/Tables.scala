@@ -63,11 +63,19 @@ object Tables {
     }
 
   /** File-stream sources require a directory; stage a single parquet file
-    * into a fresh temp dir via symlink so `readStream` can list it. */
-  def streamDir(parquetFile: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
-    val src = java.nio.file.Paths.get(parquetFile)
-    java.nio.file.Files.createSymbolicLink(dir.resolve(src.getFileName), src)
-    dir.toString
-  }
+    * into a temp dir via symlink so `readStream` can list it. The dir is
+    * cached per source file — every streaming query invocation reuses it
+    * instead of leaking a new /tmp entry per run. */
+  private val streamDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def streamDir(parquetFile: String): String =
+    streamDirs.computeIfAbsent(parquetFile, { pf =>
+      val src = java.nio.file.Paths.get(pf)
+      val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft-stream-${Integer.toHexString(pf.hashCode)}")
+      java.nio.file.Files.createDirectories(dir)
+      val link = dir.resolve(src.getFileName)
+      if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(link, src)
+      dir.toString
+    })
 }

@@ -96,6 +96,31 @@ class BucketedStoreSpec extends SparkSpec {
     assert(now("m2" -> "bob2") && !now("m2" -> "bob"))
   }
 
+  test("merge inserts into a bucket that never had a manifest entry") {
+    val root = tmpDir("bstore6")
+    val store = new BucketedTableStore(spark, root, nBuckets = 2)
+    val one = Seq(("solo", "s", t0))
+      .toDF("memberId", "memberName", "approximateUpdateTimestamp")
+      .withColumn("syncTimestamp", lit(t0))
+    store.writeAll("member", one, "memberId") // one bucket stays empty
+    assert(store.manifest("member").get.size == 1)
+
+    // find a key hashing to the OTHER (manifest-less) bucket
+    val soloBucket = Seq("solo").toDF("memberId")
+      .select(store.bucketCol("memberId")).head().getLong(0)
+    val newKey = (1 to 100).map(i => s"new$i").find { k =>
+      Seq(k).toDF("memberId").select(store.bucketCol("memberId"))
+        .head().getLong(0) != soloBucket
+    }.get
+
+    val stage = Seq((newKey, "n", t1, "INSERT"))
+      .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName")
+    store.merge("member", stage, "memberId", t1)
+    val got = store.read("member").get
+      .select($"memberId").as[String].collect().toSet
+    assert(got == Set("solo", newKey))
+  }
+
   test("merge is idempotent: reapplying the same stage is a no-op") {
     val root = tmpDir("bstore4")
     val store = new BucketedTableStore(spark, root, nBuckets = 4)

@@ -40,7 +40,7 @@ class JoinOpsSpec extends SparkSpec {
       // separate QueryExecution, so materialize this one directly)
       val nRows = joined.collect().length.toLong
       val planStr = joined.queryExecution.executedPlan.toString
-      assert(!planStr.contains("ShuffleExchange") &&
+      assert(!planStr.contains("Exchange hashpartitioning") &&
         joined.queryExecution.executedPlan.collect {
           case s: ShuffleExchangeExec => s
         }.isEmpty,

@@ -39,7 +39,8 @@ class TemporalJoinSpec extends SparkSpec {
   test("range join pairs each point with every containing interval") {
     val points = Seq((0L, "a"), (95L, "b"), (100L, "c"), (150L, "d"), (250L, "e"))
       .toDF("p", "name")
-    val ranges = Seq((0L, 100L, "r1"), (90L, 200L, "r2"), (100L, 101L, "r3"))
+    val ranges = Seq((0L, 100L, "r1"), (90L, 200L, "r2"), (100L, 101L, "r3"),
+        (500L, 400L, "broken")) // e < s: zero buckets, matches nothing
       .toDF("s", "e", "rname")
     val out = JoinOps.rangeJoin(points, ranges, "p", "s", "e", bucketWidth = 64L)
       .select($"name", $"rname").as[(String, String)].collect().toSet
