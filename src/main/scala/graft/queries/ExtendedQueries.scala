@@ -213,7 +213,29 @@ object ExtendedQueries {
         col("n"))
       .orderBy(col("l_returnflag").asc)
 
+  // q82 — re-aggregatable sketch rollup: one DataSketches HLL per day
+  // (the granularity a 100 TB pipeline would persist), then weekly
+  // distinct-user estimates by UNIONING the daily sketches — no second
+  // pass over raw events. The union is register-wise max: commutative and
+  // associative, so any merge order/partitioning yields the same sketch.
+  // Estimates are engine-specific → rows-only check; SketchSpec bounds
+  // the error against exact weekly distincts.
+  def q82SketchRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        count(lit(1)).as("n_events"))
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long")
+        .as("approx_users"),
+        sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_days"))
+      .select(unix_millis(col("week").cast("timestamp")).as("week_start_ms"),
+        col("approx_users"), col("n_events"), col("n_days"))
+      .orderBy(col("week_start_ms").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_sketch_rollup" -> (q82SketchRollup _),
     "q57_approx_sketches" -> (q57ApproxSketches _),
     "q56_variant_json" -> (q56VariantJson _),
     "q50_outer_join" -> (q50OuterJoin _),

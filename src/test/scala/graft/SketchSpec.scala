@@ -32,4 +32,21 @@ class SketchSpec extends SparkSpec {
       assert(relP95 < 0.05, s"$flag p95 rel err $relP95")
     }
   }
+
+  test("unioned daily HLL sketches estimate weekly distincts within bound") {
+    val dir = "/root/testdata/sf0.01"
+    val approx = ExtendedQueries.q82SketchRollup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactMs = graft.tables.Tables.events(spark, dir)
+      .groupBy(unix_millis(date_trunc("week", to_date(col("ts"))).cast("timestamp"))
+        .as("week_ms"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exactMs.keySet, "week buckets must line up")
+    exactMs.foreach { case (week, users) =>
+      val est = approx(week)
+      val relErr = math.abs(est - users).toDouble / users
+      assert(relErr < 0.05, s"week $week HLL union rel err $relErr ($est vs $users)")
+    }
+  }
 }
