@@ -6,17 +6,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.load.InitialLoad
 import graft.streaming.CdcStream
-import graft.sync.TableStore
+import graft.sync.{BucketedTableStore, Merge, SyncStore, TableStore}
 
 /** End-to-end orchestration — the Spark equivalent of the reference's
   * script sequence setup → export → initial load → incremental sync → query
   * (ref scripts/setup_redshift.sh, initial_load_from_export.sh,
   * test_sync_time.sh; SURVEY.md §2.7 C5).
+  *
+  * @param nBuckets None → [[TableStore]] (whole-table snapshot per merge;
+  *                 simple, right for small targets). Some(n) →
+  *                 [[BucketedTableStore]] with n hash buckets per table —
+  *                 merges rewrite only touched buckets, the configuration a
+  *                 100 TB deployment runs (BENCHMARKS.md has the measured
+  *                 crossover). Same merge semantics either way, enforced by
+  *                 PipelineSpec running the full scenario on both.
   */
 final class Pipeline(spark: SparkSession, storeRoot: String,
-    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+    nBuckets: Option[Int] = None) {
 
-  val store = new TableStore(spark, storeRoot)
+  val store: SyncStore = nBuckets match {
+    case Some(n) => new BucketedTableStore(spark, storeRoot, n)
+    case None => new TableStore(spark, storeRoot)
+  }
+
+  private val entityKeys: Map[String, String] =
+    Merge.entities.map(e => e.name -> e.keyCol).toMap
 
   /** Stage 1 — batch initial load from a DynamoDB export directory
     * (creates the three target tables; must run before incremental sync,
@@ -27,7 +42,7 @@ final class Pipeline(spark: SparkSession, storeRoot: String,
     // Disjoint targets → write the three entity loads from parallel
     // threads (same rationale as CdcStream.syncAll).
     InitialLoad.loadAll(spark, exportPath, loadTime).par
-      .foreach { case (name, df) => store.write(name, df) }
+      .foreach { case (name, df) => store.init(name, df, entityKeys(name)) }
   }
 
   /** Stage 2 — drain all pending CDC files and apply the merges. */
@@ -39,6 +54,7 @@ final class Pipeline(spark: SparkSession, storeRoot: String,
   def table(name: String): DataFrame =
     store.read(name).getOrElse(
       throw new IllegalStateException(s"table $name not initialized — run initialLoad first"))
+      .drop("_bucket") // store-internal routing column (bucketed store only)
 
   def member: DataFrame = table("member")
   def quest: DataFrame = table("quest")

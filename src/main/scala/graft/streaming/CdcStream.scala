@@ -8,7 +8,7 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.ingest.Extraction
 import graft.model.CdcSchemas
-import graft.sync.{Merge, TableStore}
+import graft.sync.{Merge, SyncStore}
 
 /** Structured-Streaming wrapper around the incremental merge — the
   * continuous form of the reference's REFRESH-then-CALL loop
@@ -29,7 +29,7 @@ import graft.sync.{Merge, TableStore}
   * dropped (§2.8c), which makes reprocessing a batch idempotent even
   * though file-stream offsets already prevent re-reads in normal runs.
   */
-final class CdcStream(spark: SparkSession, store: TableStore,
+final class CdcStream(spark: SparkSession, store: SyncStore,
     now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
 
   /** Run all entity merges against one extracted (batch) DataFrame.
@@ -48,11 +48,14 @@ final class CdcStream(spark: SparkSession, store: TableStore,
       import scala.collection.parallel.CollectionConverters._
       Merge.entities.par.foreach { conf =>
         store.read(conf.name).foreach { target =>
-          Merge.syncEntity(target, cached, conf, syncTime)
+          // guard: empty target = no initial load yet → abort (ref :13-16)
+          Merge.watermark(target).foreach { wm =>
+            val stage = Merge.stageChanges(cached, conf, wm)
             // SORTKEY mapping: snapshots are written time-sorted within
             // files so lag/time-range queries prune parquet row groups
-            .foreach(merged =>
-              store.write(conf.name, merged, Some("approximateUpdateTimestamp")))
+            store.applyMerge(conf.name, stage, conf.keyCol, syncTime,
+              sortBy = Some("approximateUpdateTimestamp"))
+          }
         }
       }
     } finally cached.unpersist()

@@ -30,7 +30,8 @@ import scala.jdk.CollectionConverters._
   * without path parsing and the merge's bucket routing is one codegen'd
   * `pmod(xxhash64(key))`.
   */
-final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int) {
+final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
+    extends SyncStore {
 
   require(nBuckets > 0)
 
@@ -138,7 +139,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
     * [[Merge.applyStage]]). Untouched buckets keep their live version —
     * their bytes are never read, shuffled, or rewritten. */
   def merge(name: String, stage: DataFrame, key: String,
-      syncTime: java.sql.Timestamp): Unit = {
+      syncTime: java.sql.Timestamp, sortBy: Option[String] = None): Unit = {
     val m = manifest(name).getOrElse(
       throw new IllegalStateException(s"$name not initialized — writeAll first"))
     val staged = stage.withColumn("_bucket", bucketCol(key))
@@ -164,8 +165,10 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
           .select(target.columns.map(col).toIndexedSeq: _*)
         val next = currentManifestVersion(name).get + 1
         val staging = tableDir(name).resolve(s"_staging$next")
-        kept.unionByName(inserts)
+        val merged = kept.unionByName(inserts)
           .repartition(col("_bucket")) // one file per bucket, see writeAll
+        sortBy.fold(merged)(c =>
+            merged.sortWithinPartitions(col("_bucket"), col(c)))
           .withColumn("_bp", col("_bucket"))
           .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
         // a touched bucket may end up empty (all rows removed) — it still
@@ -187,6 +190,15 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
       }
     } finally staged.unpersist()
   }
+
+  /** [[SyncStore]] verbs — [[writeAll]] / [[merge]] under the shared names,
+    * so [[graft.pipeline.Pipeline]] swaps this store in via config. */
+  def init(name: String, df: DataFrame, key: String,
+      sortBy: Option[String] = None): Unit = writeAll(name, df, key, sortBy)
+
+  def applyMerge(name: String, stage: DataFrame, key: String,
+      syncTime: java.sql.Timestamp, sortBy: Option[String] = None): Unit =
+    merge(name, stage, key, syncTime, sortBy)
 
   private def cleanupDir(dir: Path): Unit =
     if (Files.exists(dir))

@@ -134,9 +134,13 @@ object Merge {
   /** Steps 4-6: delete-then-insert upsert with REMOVE application
     * (ref :44-52). Pure function: returns the new target content. */
   def applyStage(target: DataFrame, stage: DataFrame, conf: EntityConf,
+      syncTime: Timestamp): DataFrame =
+    applyStage(target, stage, conf.keyCol, syncTime)
+
+  def applyStage(target: DataFrame, stage: DataFrame, keyCol: String,
       syncTime: Timestamp): DataFrame = {
-    val stageKeys = stage.select(col(conf.keyCol))
-    val kept = target.join(stageKeys, Seq(conf.keyCol), "left_anti")
+    val stageKeys = stage.select(col(keyCol))
+    val kept = target.join(stageKeys, Seq(keyCol), "left_anti")
     val inserts = stage
       .filter(col("eventName") =!= "REMOVE")
       .drop("eventName")

@@ -26,7 +26,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * identify them). Snapshot-level swap is kept here for simplicity;
   * partition-level swap is the same protocol one directory deeper.
   */
-final class TableStore(spark: SparkSession, root: String) {
+final class TableStore(spark: SparkSession, root: String) extends SyncStore {
 
   private def tableDir(name: String): Path = Paths.get(root, name)
   private def currentFile(name: String): Path = tableDir(name).resolve("_CURRENT")
@@ -70,5 +70,19 @@ final class TableStore(spark: SparkSession, root: String) {
       StandardCopyOption.REPLACE_EXISTING)
     // Old versions are kept for time-travel/debug; a retention sweep would
     // delete v<k> for k < current-1 in production.
+  }
+
+  /** [[SyncStore]]: full write; `key` is unused (no bucketing here). */
+  def init(name: String, df: DataFrame, key: String,
+      sortBy: Option[String] = None): Unit = write(name, df, sortBy)
+
+  /** [[SyncStore]]: whole-table delete-then-insert — the staged batch is
+    * merged against the live snapshot and the result written as the next
+    * version. O(table) per batch by construction. */
+  def applyMerge(name: String, stage: DataFrame, key: String,
+      syncTime: java.sql.Timestamp, sortBy: Option[String] = None): Unit = {
+    val target = read(name).getOrElse(
+      throw new IllegalStateException(s"$name not initialized — init first"))
+    write(name, Merge.applyStage(target, stage, key, syncTime), sortBy)
   }
 }

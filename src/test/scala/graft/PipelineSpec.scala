@@ -166,6 +166,48 @@ class PipelineSpec extends SparkSpec {
     runner.shutdown()
   }
 
+  test("bucketed store pipeline matches snapshot store pipeline exactly") {
+    // Same scenario (insert/modify/remove/stale-drop), run once per store
+    // config; the final member/quest/member_quest contents must be
+    // identical — SyncStore only changes the physical layout.
+    def run(nBuckets: Option[Int], tag: String): Map[String, Seq[String]] = {
+      val gen = new CdcGen.Gen(11) // same seed both runs → same fixture data
+      val exportDir = tmpDir(s"bexport-$tag")
+      val cdcDir = tmpDir(s"bcdc-$tag")
+      val ckptDir = tmpDir(s"bckpt-$tag")
+      val storeRoot = tmpDir(s"bstore-$tag")
+      val m0 = gen.member(); val q0 = gen.quest()
+      val mq0 = gen.memberQuest(m0.pk.stripPrefix("M_"), q0.pk.stripPrefix("Q_"))
+      writeLines(exportDir, "data.json", Seq(m0, q0, mq0).map(gen.exportLine))
+      var clock = t0
+      val pipeline = new Pipeline(spark, storeRoot, () => new Timestamp(clock), nBuckets)
+      pipeline.initialLoad(exportDir)
+      val m1 = gen.member()
+      val mq1 = gen.memberQuest(m1.pk.stripPrefix("M_"), q0.pk.stripPrefix("Q_"))
+      writeLines(cdcDir, "batch1.json", Seq(
+        gen.envelope("INSERT", m1, t0 + 10000),
+        gen.envelope("INSERT", mq1, t0 + 12000)))
+      clock = t0 + 60000
+      pipeline.syncAvailable(cdcDir, ckptDir)
+      val mq1Mod = mq1.copy(attrs = mq1.attrs + ("dollarsEarned" -> Right(55.55)))
+      writeLines(cdcDir, "batch2.json", Seq(
+        gen.envelope("MODIFY", mq1Mod, t0 + 70000),
+        gen.envelope("REMOVE", m0, t0 + 71000),
+        gen.envelope("INSERT", gen.member(), t0 - 5000))) // stale → dropped
+      clock = t0 + 120000
+      pipeline.syncAvailable(cdcDir, ckptDir)
+      Seq("member", "quest", "member_quest").map { t =>
+        val df = pipeline.table(t)
+        t -> df.select(df.columns.sorted.map(col).toIndexedSeq: _*)
+          .collect().map(_.mkString("|")).toSeq.sorted
+      }.toMap
+    }
+    val plain = run(None, "plain")
+    val bucketed = run(Some(8), "bucketed")
+    assert(plain("member").nonEmpty && plain("member_quest").nonEmpty)
+    assert(bucketed == plain, "bucketed store must produce identical tables")
+  }
+
   test("merge is idempotent: re-applying a batch is a no-op") {
     val gen = new CdcGen.Gen(4)
     val m = gen.member()
