@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.bench.ShuffleMetrics
+import graft.operators.JoinOps
+import graft.tables.Tables
+
+/** Measured shuffle traffic: every "this operator shuffles less" claim in
+  * SCALE.md §4-5 asserted against per-task shuffle-write metrics, optimized
+  * operator vs naive formulation on the same inputs. Numbers at sf0.1 are
+  * recorded in SCALE.md §7.
+  */
+class ShuffleAuditSpec extends SparkSpec {
+
+  private val dir = sys.env.getOrElse("GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.01")
+
+  /** Force real exchanges on both variants: with dims auto-broadcast the
+    * naive side would show no shuffle to beat. */
+  private def withoutAutoBroadcast[A](body: => A): A = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try body
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  private def audit(label: String, optimized: DataFrame, naive: DataFrame)
+      : (ShuffleMetrics.Shuffle, ShuffleMetrics.Shuffle) = {
+    val opt = ShuffleMetrics.measure(spark)(ShuffleMetrics.run(optimized))
+    val base = ShuffleMetrics.measure(spark)(ShuffleMetrics.run(naive))
+    info(f"$label%-22s optimized ${opt.pretty}%-28s naive ${base.pretty}")
+    (opt, base)
+  }
+
+  test("as-of join avoids materializing the pair set the join formulation pays for") {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        unix_millis(col("ts")).as("click_ms"), col("value").as("click_value"),
+        col("event_id"))
+    val optimized = JoinOps.asofJoinBackward(purchases, clicks,
+      key = Seq("user_id"), ts = "ms", rightPayload = Seq("click_ms", "click_value"),
+      tiebreak = "event_id")
+    // Naive: materialize every (purchase, earlier-click) pair, then argmax.
+    // Same output, but the pair set — quadratic in events-per-key — crosses
+    // the wire into the groupBy.
+    val c = clicks.select(col("user_id").as("c_user"), col("click_ms"),
+      col("click_value"), col("event_id").as("c_tb"))
+    val naive = purchases
+      .join(c, col("user_id") === col("c_user") && col("click_ms") <= col("ms"), "left")
+      .groupBy(col("user_id"), col("event_id"), col("ms"), col("value"))
+      .agg(max(struct(col("click_ms"), col("c_tb"), col("click_value"))).as("m"))
+      .select(col("user_id"), col("event_id"), col("ms"), col("value"),
+        col("m.click_ms").as("click_ms"), col("m.click_value").as("click_value"))
+    withoutAutoBroadcast {
+      // semantics first: both formulations must agree row-for-row
+      val l = optimized.collect().map(_.mkString("|")).sorted
+      val r = naive.collect().map(_.mkString("|")).sorted
+      assert(l.sameElements(r), "naive formulation must match the operator")
+      val (opt, base) = audit("as-of join", optimized, naive)
+      // Measured honesty (SCALE.md §7): the shuffle is the SAME — Catalyst
+      // reuses the join's user_id partitioning for the groupBy, so both
+      // move purchases+clicks once. The join formulation loses by
+      // materializing the (purchase × earlier-click) pair set through the
+      // aggregate — quadratic in events-per-key, in-stage CPU/memory/spill,
+      // not wire bytes.
+      assert(opt.records <= base.records,
+        s"as-of must never shuffle more (${opt.records} vs ${base.records})")
+      val unionRows = purchases.count() + clicks.count()
+      val pairRows = purchases
+        .join(c, col("user_id") === col("c_user") && col("click_ms") <= col("ms"), "left")
+        .count()
+      info(f"as-of rows materialized: union+window $unionRows%d, join pair set $pairRows%d")
+      assert(pairRows > unionRows,
+        s"pair set must exceed union size for the claim to bite ($pairRows vs $unionRows)")
+    }
+  }
+
+  test("bloom prefilter cuts probe-side shuffle of the big-big join") {
+    def orders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    def aggOf(lineitem: DataFrame) = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast("double").as("rev"))
+    val bloom = orders.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+    val pruned = aggOf(Tables.lineitem(spark, dir).filter(mightContain(col("l_orderkey"))))
+    val plain = aggOf(Tables.lineitem(spark, dir))
+    withoutAutoBroadcast {
+      val (opt, base) = audit("bloom prefilter", pruned, plain)
+      assert(opt.bytes < base.bytes,
+        s"bloom-pruned probe side must shuffle fewer bytes (${opt.bytes} vs ${base.bytes})")
+    }
+  }
+
+  test("bounded-heap top-k shuffles less than the window formulation") {
+    val top3 = udaf(new graft.functions.TopKAgg(3))
+    val optimized = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val naive = Tables.orders(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+    val (opt, base) = audit("grouped top-k", optimized, naive)
+    assert(opt.records < base.records,
+      s"TopKAgg partials must shuffle fewer rows (${opt.records} vs ${base.records})")
+  }
+
+  test("broadcast star join keeps the fact table out of the shuffle") {
+    def join(bcast: Boolean) = {
+      val o = Tables.orders(spark, dir)
+      val c0 = Tables.customer(spark, dir)
+      val c = if (bcast) broadcast(c0) else c0
+      o.join(c, o("o_custkey") === c0("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).as("total"))
+    }
+    withoutAutoBroadcast {
+      val (opt, base) = audit("broadcast star join", join(bcast = true), join(bcast = false))
+      assert(opt.records < base.records,
+        s"broadcast join must not shuffle the fact table (${opt.records} vs ${base.records})")
+    }
+  }
+}
