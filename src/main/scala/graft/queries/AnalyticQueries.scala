@@ -173,17 +173,73 @@ object AnalyticQueries {
       GROUP BY l_returnflag)
     ORDER BY l_returnflag ASC"""
 
+  // q83 — explicit GROUPING SETS (the general form cube/rollup sugar over;
+  // SURVEY §2.4): three chosen aggregation levels in one pass — Spark
+  // expands to one Expand + single shuffle, not three scans.
+  def q83GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("q83_orders")
+    spark.sql("""
+      SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+             COALESCE(o_orderstatus, 'ALL') AS status,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+             CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                  AS BIGINT) AS gid
+      FROM q83_orders
+      GROUP BY GROUPING SETS ((o_orderpriority),
+                              (o_orderstatus),
+                              (o_orderpriority, o_orderstatus))
+      ORDER BY gid ASC, pri ASC, status ASC""")
+  }
+  val q83Oracle: String = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority),
+                            (o_orderstatus),
+                            (o_orderpriority, o_orderstatus))
+    ORDER BY gid ASC, pri ASC, status ASC"""
+
+  // q87 — two-stage salted aggregation, the skew lever for hot group keys
+  // (SCALE.md §6) expressed inside the oracle gate: stage 1 aggregates
+  // (key, salt) — a hot key's rows spread over 16 reducers — stage 2
+  // combines the ≤16 partials per key. DECIMAL partials make the re-
+  // aggregation exact, so the result hash-matches the plain GROUP BY the
+  // oracle runs. Deterministic salt (hash of the row key) → reproducible.
+  def q87SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("_salt", pmod(xxhash64(col("l_orderkey")), lit(16)))
+      .groupBy(col("l_returnflag"), col("_salt"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).as("q"),
+        count(lit(1)).as("c"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("q")).cast("double").as("sum_qty"), sum(col("c")).as("n"))
+      .orderBy(col("l_returnflag").asc)
+  val q87Oracle: String = """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_window_kit" -> (q65WindowKit _),
     "q66_pivot" -> (q66Pivot _),
     "q67_unpivot" -> (q67Unpivot _),
     "q68_cube" -> (q68Cube _),
-    "q80_exact_stats" -> (q80ExactStats _))
+    "q80_exact_stats" -> (q80ExactStats _),
+    "q83_grouping_sets" -> (q83GroupingSets _),
+    "q87_salted_agg" -> (q87SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
     "q65_window_kit" -> q65Oracle,
     "q66_pivot" -> q66Oracle,
     "q67_unpivot" -> q67Oracle,
     "q68_cube" -> q68Oracle,
-    "q80_exact_stats" -> q80Oracle)
+    "q80_exact_stats" -> q80Oracle,
+    "q83_grouping_sets" -> q83Oracle,
+    "q87_salted_agg" -> q87Oracle)
 }

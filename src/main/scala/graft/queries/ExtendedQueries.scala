@@ -234,7 +234,57 @@ object ExtendedQueries {
         col("approx_users"), col("n_events"), col("n_days"))
       .orderBy(col("week_start_ms").asc)
 
+  // q84 — Count-Min frequency sketch: one distributed pass builds an
+  // eps=5e-4 CM sketch of the user_id stream (constant size, merge-order-
+  // free — Spark merges per-partition sketches), then the 20 heaviest
+  // users' frequencies are estimated from the sketch alone. Output pairs
+  // the estimate with the exact count; CM guarantees est ≥ exact and
+  // est ≤ exact + eps·N w.p. ≥ 0.99 — SketchSpec asserts both bounds.
+  // Estimates are engine-specific → rows-only check.
+  def q84CountMinFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val cms = ev.stat.countMinSketch(col("user_id"), 0.0005, 0.99, 42)
+    val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id").asc).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    top.toSeq
+      .map { case (u, n) => (u, n, cms.estimateCount(java.lang.Long.valueOf(u))) }
+      .toDF("user_id", "n_exact", "n_approx")
+      .orderBy(col("n_exact").desc, col("user_id").asc)
+  }
+
+  // q86 — sliding (hopping) windows: 2-hour windows advancing hourly, so
+  // every event lands in exactly two windows. Same replayed file stream
+  // as q55; the oracle expands each event to its two window starts and
+  // re-aggregates — stream-equals-batch again.
+  def q86StreamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val stream = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(Tables.streamDir(s"$dir/events.parquet"))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+    StreamingQueries.drain(spark, stream, outputMode = "complete")
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("n"), col("total_value"))
+      .orderBy(col("window_start_ms").asc)
+  }
+  val q86Oracle: String = """
+    WITH w AS (
+      SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, value
+      FROM events
+      UNION ALL
+      SELECT epoch_ms(date_trunc('hour', ts) - INTERVAL 1 HOUR), value
+      FROM events)
+    SELECT window_start_ms, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM w GROUP BY window_start_ms ORDER BY window_start_ms ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_countmin_freq" -> (q84CountMinFreq _),
+    "q86_stream_sliding" -> (q86StreamSliding _),
     "q82_sketch_rollup" -> (q82SketchRollup _),
     "q57_approx_sketches" -> (q57ApproxSketches _),
     "q56_variant_json" -> (q56VariantJson _),
@@ -246,6 +296,7 @@ object ExtendedQueries {
     "q55_stream_tumbling" -> (q55StreamTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "q86_stream_sliding" -> q86Oracle,
     "q56_variant_json" -> q56Oracle,
     "q50_outer_join" -> q50Oracle,
     "q51_full_outer" -> q51Oracle,

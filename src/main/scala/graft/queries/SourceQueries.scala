@@ -123,8 +123,23 @@ object SourceQueries {
           FROM orders WHERE o_custkey < 200)
     WHERE rank <= 3 ORDER BY o_custkey ASC, rank ASC"""
 
+  // q85 — JSON-lines round trip (the reference's export/COPY interchange
+  // format, SURVEY §2.1 S2 on the SINK side): write part as JSON, read it
+  // back with the original schema. Jackson writes shortest-round-trip
+  // doubles, so p_retailprice survives bit-exactly.
+  def q85JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val out = scratch("q85json", dir)
+    p.write.mode("overwrite").json(out)
+    spark.read.schema(p.schema).json(out)
+      .orderBy(col("p_partkey").asc)
+  }
+  val q85Oracle: String = """
+    SELECT * FROM part ORDER BY p_partkey ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_csv_roundtrip" -> (q71CsvRoundtrip _),
+    "q85_json_roundtrip" -> (q85JsonRoundtrip _),
     "q72_orc_roundtrip" -> (q72OrcRoundtrip _),
     "q73_udaf_weighted_avg" -> (q73UdafWeightedAvg _),
     "q74_bloom_prefilter_join" -> (q74BloomPrefilterJoin _),
@@ -132,6 +147,7 @@ object SourceQueries {
 
   val oracles: Map[String, String] = Map(
     "q71_csv_roundtrip" -> q71Oracle,
+    "q85_json_roundtrip" -> q85Oracle,
     "q72_orc_roundtrip" -> q72Oracle,
     "q73_udaf_weighted_avg" -> q73Oracle,
     "q74_bloom_prefilter_join" -> q74Oracle,

@@ -33,6 +33,21 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("count-min estimates respect the one-sided CM error bound") {
+    val dir = "/root/testdata/sf0.01"
+    val n = graft.tables.Tables.events(spark, dir).count()
+    val eps = 0.0005
+    val rows = ExtendedQueries.q84CountMinFreq(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val approx = r.getAs[Long]("n_approx")
+      assert(approx >= exact, s"CM never underestimates ($approx < $exact)")
+      assert(approx <= exact + (eps * n).toLong + 1,
+        s"user ${r.getLong(0)}: $approx exceeds $exact + eps*N")
+    }
+  }
+
   test("unioned daily HLL sketches estimate weekly distincts within bound") {
     val dir = "/root/testdata/sf0.01"
     val approx = ExtendedQueries.q82SketchRollup(spark, dir).collect()
