@@ -23,6 +23,55 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array())
 
+  /** Distributed exclusive prefix-sum: adds `outCol` = Σ `valueCol` over
+    * all rows strictly before this one in `orderCol` order — the scan
+    * primitive behind sequence packing (global token offsets), file-offset
+    * assignment, and ordered id dispensing.
+    *
+    * A single-partition window would serialize the table through one task;
+    * this is the scale-correct decomposition: (1) rows are bucketed by an
+    * arithmetic range on `orderCol` (computed from min/max — deterministic,
+    * unlike `repartitionByRange`'s sampling, which may place a row
+    * differently in the sums job and the output job); (2) one partial-agg
+    * shuffle reduces each bucket to a sum, the ≤ `numBuckets` sums are
+    * prefix-scanned on the driver (O(buckets) metadata, never O(rows));
+    * (3) the per-bucket bases broadcast-join back and an in-bucket running
+    * window finishes. One data shuffle total. Balanced when `orderCol` is
+    * ~uniform over its range (dense ids); skewed key spaces should map
+    * through a rank first.
+    *
+    * `orderCol` must be a unique integer column (it is both the global
+    * order and the in-bucket tiebreak). */
+  def withGlobalOffset(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, numBuckets: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val bounds = df.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long")).first()
+    if (bounds.isNullAt(0)) return df.withColumn(outCol, lit(0L)) // empty
+    val lo = bounds.getLong(0)
+    val span = bounds.getLong(1) - lo + 1
+    // bucket = floor((orderCol - lo) * numBuckets / span), monotone in
+    // orderCol; double math is safe: ids ≤ 2^52 and relative order within
+    // a bucket is preserved exactly by the window's orderBy
+    val bucket = floor((col(orderCol).cast("double") - lo)
+      * numBuckets / span).cast("int").as("_b")
+    val bucketed = df.withColumn("_b", bucket)
+    val sums = bucketed.groupBy(col("_b"))
+      .agg(sum(col(valueCol)).cast("long").as("_s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = sums.scanLeft((0, 0L)) { case ((_, acc), (b, s)) => (b, acc + s) }
+      .init.map(_._2) // exclusive prefix: base of bucket i = Σ sums of buckets < i
+    val baseRows = sums.map(_._1).zip(bases).toSeq
+    import spark.implicits._
+    val basesDf = baseRows.toDF("_b", "_base")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(col(orderCol).asc)
+    bucketed.join(broadcast(basesDf), Seq("_b"))
+      .withColumn(outCol,
+        col("_base") + sum(col(valueCol)).over(w) - col(valueCol))
+      .drop("_b", "_base")
+  }
+
   /** Exact-dup groups: content-hash → group size + representative (min id).
     * One hash-partitioned aggregation; at scale this is the cheapest dedup
     * and the pre-filter for the near-dup passes. */

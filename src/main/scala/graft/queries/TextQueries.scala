@@ -248,7 +248,41 @@ object TextQueries {
     SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
     FROM fp GROUP BY fingerprint ORDER BY fingerprint ASC"""
 
+  // q88 — sequence packing (concat-then-chunk, the LLM pretraining shape):
+  // documents in doc_id order are laid into one virtual token stream and
+  // cut into fixed 512-token sequences; each doc reports its global token
+  // offset and the chunk range it spans. The global offset is
+  // TextOps.withGlobalOffset — a distributed prefix-scan (one data
+  // shuffle + O(buckets) driver metadata), NOT a single-partition window,
+  // which is the difference between packing 100 TB and packing one task.
+  def q88SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    TextOps.withGlobalOffset(docs, "doc_id", "n_tok", "off")
+      .select(col("doc_id"), col("n_tok"), col("off"),
+        expr("off DIV 512").as("first_chunk"),
+        expr("(off + n_tok - 1) DIV 512").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+      .orderBy(col("doc_id").asc)
+  }
+  val q88Oracle: String = """
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    o AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t)
+    SELECT doc_id, n_tok, off,
+           off // 512 AS first_chunk,
+           (off + n_tok - 1) // 512 AS last_chunk,
+           (off + n_tok - 1) // 512 - off // 512 + 1 AS n_chunks
+    FROM o ORDER BY doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_sequence_packing" -> (q88SequencePacking _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_text_quality" -> (q31TextQuality _),
     "q32_lang_profile" -> (q32LangProfile _),
@@ -260,6 +294,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q88_sequence_packing" -> q88Oracle,
     "q30_dedup_exact" -> q30Oracle,
     "q31_text_quality" -> q31Oracle,
     "q32_lang_profile" -> q32Oracle,

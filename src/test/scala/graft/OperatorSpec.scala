@@ -12,6 +12,22 @@ import graft.operators.{MultimodalOps, TextOps, VectorOps}
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("withGlobalOffset matches a single-partition running sum") {
+    // Sparse, shuffled ids across several buckets; values incl. zeros.
+    val rows = scala.util.Random.shuffle(
+      (Seq(3L, 7L, 100L, 101L, 5000L, 123456L, 123457L, 999999L)
+        .zip(Seq(5L, 0L, 17L, 3L, 1L, 250L, 8L, 42L))))
+    val df = rows.toDF("id", "v").repartition(5)
+    val out = graft.operators.TextOps
+      .withGlobalOffset(df, "id", "v", "off", numBuckets = 4)
+      .select($"id", $"off").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+      .init.map(_._2) // exclusive prefix in id order
+      .zip(rows.sortBy(_._1).map(_._1)).map(_.swap).toMap
+    assert(out == expected, s"$out vs $expected")
+  }
+
   test("simhash: identical docs collide, near-dups are close, unrelated far") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = base.replace("tok30", "changed")
