@@ -98,13 +98,70 @@ object CurationQueries {
           FROM documents)
     GROUP BY lang ORDER BY lang ASC"""
 
+  // q89 — the composed curation pipeline, end-to-end in one plan:
+  // quality-filter (token count + type/token ratio) → prefix-hash dedup
+  // (boilerplate/URL-style: md5 of the first 40 chars, keep min doc_id)
+  // → deterministic stratified downsample (en at 50%) → per-source corpus
+  // stats. Each stage is one narrow projection or one hash shuffle; the
+  // whole pipeline is 3 shuffles (dedup agg, semi join, final agg) —
+  // Catalyst fuses the filters into the scan. corpus_ttr divides two
+  // exact integer sums once, so the oracle hash-matches.
+  def q89CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps
+    val toks = TextOps.tokens(col("text"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+    val quality = base.filter(col("n_tokens") >= 20 &&
+      col("n_distinct").cast("double") / col("n_tokens").cast("double") >= 0.35)
+    val keep = quality
+      .groupBy(md5(substring(col("text"), 1, 40).cast("binary")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = quality.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val sampled = deduped.filter(
+      pmod(col("doc_id") * lit(2654435761L), lit(100L)) <
+        when(col("lang") === "en", lit(50)).otherwise(lit(100)))
+    sampled.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_distinct")).cast("double") /
+          sum(col("n_tokens")).cast("double")).as("corpus_ttr"))
+      .orderBy(col("source").asc)
+  }
+  val q89Oracle: String = """
+    WITH base AS (
+      SELECT doc_id, lang, source, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      FROM documents),
+    quality AS (
+      SELECT * FROM base
+      WHERE n_tokens >= 20
+        AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.35),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(substr(text, 1, 40))),
+    deduped AS (
+      SELECT * FROM quality WHERE doc_id IN (SELECT doc_id FROM keep)),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE (doc_id * 2654435761) % 100 <
+            (CASE WHEN lang = 'en' THEN 50 ELSE 100 END))
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_distinct) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+             AS corpus_ttr
+    FROM sampled GROUP BY source ORDER BY source ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_tfidf" -> (q75TfIdf _),
     "q76_normalize" -> (q76Normalize _),
-    "q77_stratified_sample" -> (q77StratifiedSample _))
+    "q77_stratified_sample" -> (q77StratifiedSample _),
+    "q89_curation_pipeline" -> (q89CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
     "q75_tfidf" -> q75Oracle,
     "q76_normalize" -> q76Oracle,
-    "q77_stratified_sample" -> q77Oracle)
+    "q77_stratified_sample" -> q77Oracle,
+    "q89_curation_pipeline" -> q89Oracle)
 }
