@@ -73,6 +73,34 @@ class PlanSpec extends SparkSpec {
     assert(hashShuffles == 1, s"expected one hash shuffle, got $hashShuffles")
   }
 
+  test("q83: grouping sets plan one Expand + one shuffle, not three scans") {
+    val s = finalPlan("q83_grouping_sets")
+    assert("Expand".r.findAllIn(s).size == 1,
+      "GROUPING SETS must expand once")
+    assert("Scan parquet".r.findAllIn(s).size == 1,
+      "one pass over orders, not one per grouping set")
+  }
+
+  test("q87: salted agg keeps map-side partials on the salted key") {
+    val s = finalPlan("q87_salted_agg")
+    // stage 1 partial on (flag, salt), final, then stage 2 partial+final on
+    // flag — the hot-key rows never converge on one reducer un-partialed
+    assert(s.contains("partial_sum") || s.contains("partial"),
+      "salted agg must partial-aggregate map-side")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashShuffles == 2,
+      s"two-stage salted agg = exactly two shuffles, got $hashShuffles")
+  }
+
+  test("q89: curation pipeline fuses filters into the scan, 3 shuffles") {
+    val s = finalPlan("q89_curation_pipeline")
+    assert("Scan parquet".r.findAllIn(s).size <= 2,
+      "quality+sample filters must not multiply scans (semi-join reuses)")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashShuffles <= 4,
+      s"dedup agg + semi join + final agg bound the shuffles, got $hashShuffles")
+  }
+
   test("q40: ANN corpus scan keeps codegen'd kernels (no HOF fallback)") {
     val s = planString("q40_ann_bruteforce").toLowerCase
     assert(s.contains("longdot"),
