@@ -37,6 +37,36 @@ class SessionizeSpec extends SparkSpec {
       s"stateful=${all.size} window=${batchForm.size}; diff=${(all diff batchForm).take(3)} / ${(batchForm diff all).take(3)}")
   }
 
+  test("transformWithState sessionizer matches flatMapGroupsWithState on a stream") {
+    val dir = "/root/testdata/sf0.001"
+    def streamEvents = spark.readStream.schema(graft.tables.Tables.eventsRawSchema)
+      .parquet(graft.tables.Tables.streamDir(s"$dir/events.parquet"))
+      .select($"user_id", $"event_id", expr("ts DIV 1000000").as("ms"))
+      .as[Event]
+    def drain(sessions: org.apache.spark.sql.Dataset[Session], name: String): Set[Session] = {
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = spark.table(name).as[Session].collect().toSet
+      spark.catalog.dropTempView(name)
+      out
+    }
+    val v1 = drain(Sessionize.sessionize(streamEvents, gapMs), "twss_v1")
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val v2 = drain(
+        graft.streaming.SessionProcessor.sessionize(streamEvents, gapMs), "twss_v2")
+      assert(v2 == v1,
+        s"v2=${v2.size} v1=${v1.size}; diff=${(v2 diff v1).take(3)} / ${(v1 diff v2).take(3)}")
+      assert(v1.nonEmpty, "drain must close at least one session")
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("stateful sessionizer works as a real stream with AvailableNow") {
     val dir = "/root/testdata/sf0.001"
     val stream = spark.readStream.schema(graft.tables.Tables.eventsRawSchema)
