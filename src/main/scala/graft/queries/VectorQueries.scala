@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.VectorOps
@@ -123,7 +124,93 @@ object VectorQueries {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  // q90 — mean-pooled label centroids: the embedding-pooling primitive
+  // (cluster centers, class prototypes, chunk→doc pooling). posexplode →
+  // (label, dim) partial sums: the shuffle carries labels × dims partial
+  // rows, never vectors × dims input rows. Quantized longs keep the sums
+  // exact; the centroid divides two exact ints once → hash-matches.
+  def q90LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        (col("s").cast("double") / (lit(10000.0) * col("n"))).as("centroid"))
+      .orderBy(col("label").asc, col("dim").asc)
+  val q90Oracle: String = """
+    SELECT label, CAST(pos - 1 AS BIGINT) AS dim,
+           CAST(SUM(q) AS DOUBLE) / (10000.0 * COUNT(*)) AS centroid
+    FROM (SELECT label,
+                 generate_subscripts(embedding, 1) AS pos,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+          FROM embeddings)
+    GROUP BY label, pos ORDER BY label ASC, dim ASC"""
+
+  // q91 — nearest-centroid assignment + confusion matrix: every vector
+  // scored against each label centroid (centroids stay integer SUM
+  // vectors — cosine is scale-invariant, so dividing by n is skipped and
+  // everything stays exact longs until one cosine division). The 10-row
+  // centroid table broadcasts; the argmax is a tiny window per vector.
+  def q91NearestCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        VectorOps.quantize(col("embedding")).as("q_emb"))
+      .withColumn("q_n2", VectorOps.qnorm2(col("q_emb")))
+    val cent = Tables.embeddings(spark, dir)
+      .select(col("label").as("clabel"),
+        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("dim", "q")))
+      .groupBy(col("clabel"), col("dim")).agg(sum(col("q")).as("s"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+        x => x.getField("s")).as("c_emb"))
+      .withColumn("c_n2", VectorOps.qnorm2(col("c_emb")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("clabel").asc)
+    e.crossJoin(broadcast(cent))
+      .withColumn("cos", VectorOps.cosineFromParts(
+        VectorOps.qdot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label").asc, col("pred_label").asc)
+  }
+  val q91Oracle: String = s"""
+    WITH e AS (
+      SELECT vec_id, label, ${oQuant("embedding")} AS q FROM embeddings),
+    en AS (
+      SELECT vec_id, label, q,
+        list_sum(list_transform(generate_series(1, len(q)), i -> q[i]*q[i])) AS n2
+      FROM e),
+    cd0 AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+      FROM embeddings),
+    cd AS (
+      SELECT label AS clabel, pos, SUM(q) AS s FROM cd0 GROUP BY label, pos),
+    c AS (
+      SELECT clabel, list(s ORDER BY pos) AS cq FROM cd GROUP BY clabel),
+    cn AS (
+      SELECT clabel, cq,
+        list_sum(list_transform(generate_series(1, len(cq)), i -> cq[i]*cq[i])) AS cn2
+      FROM c),
+    scored AS (
+      SELECT en.vec_id, en.label, cn.clabel,
+        CAST(list_sum(list_transform(generate_series(1, len(q)), i -> q[i]*cq[i])) AS DOUBLE)
+          / sqrt(CAST(n2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS cos
+      FROM en CROSS JOIN cn),
+    pred AS (
+      SELECT vec_id, label, clabel,
+        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel ASC) AS rn
+      FROM scored)
+    SELECT label, clabel AS pred_label, COUNT(*) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY label, clabel ORDER BY label ASC, pred_label ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_label_centroids" -> (q90LabelCentroids _),
+    "q91_nearest_centroid" -> (q91NearestCentroid _),
     "q44_ann_ivf" -> (q44AnnIvf _),
     "q40_ann_bruteforce" -> (q40AnnBruteforce _),
     "q41_cosine_dedup" -> (q41CosineDedup _),
@@ -131,6 +218,8 @@ object VectorQueries {
     "q43_knn_label_vote" -> (q43KnnLabelVote _))
 
   val oracles: Map[String, String] = Map(
+    "q90_label_centroids" -> q90Oracle,
+    "q91_nearest_centroid" -> q91Oracle,
     "q40_ann_bruteforce" -> q40Oracle,
     "q41_cosine_dedup" -> q41Oracle,
     "q43_knn_label_vote" -> q43Oracle)
