@@ -281,7 +281,71 @@ object TextQueries {
            (off + n_tok - 1) // 512 - off // 512 + 1 AS n_chunks
     FROM o ORDER BY doc_id ASC"""
 
+  // q92 — incremental dedup: a new batch (doc_id ≥ 400) admitted against
+  // the existing corpus (doc_id < 400) — the daily-ingest shape, where
+  // dedup must NOT rescan corpus×corpus. Exact duplicates via semi-join on
+  // content hash; near-duplicates via semi-join of the batch's minhash
+  // band buckets against the corpus's distinct buckets (at 100 TB the
+  // corpus side of both joins is a precomputed, bucketed fingerprint
+  // store — here derived inline from the same table). Anti/semi joins
+  // shuffle fingerprints, never documents.
+  def q92IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val corpusHash = corpus.select(md5(col("text").cast("binary")).as("h")).distinct()
+    val exactDup = batch
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(corpusHash, Seq("h"), "left_semi").select(col("doc_id"))
+    val corpusBuckets = TextOps.lshBands(
+      TextOps.minhashSignatures(corpus, n = 3, numHashes = 8), 8, 2)
+      .select(col("band"), col("bucket")).distinct()
+    val nearDup = TextOps.lshBands(
+      TextOps.minhashSignatures(batch, n = 3, numHashes = 8), 8, 2)
+      .join(corpusBuckets, Seq("band", "bucket"), "left_semi")
+      .select(col("doc_id")).distinct()
+    batch.select(col("doc_id"))
+      .join(exactDup.withColumn("e", lit(1)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("nd", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(0)).as("exact_dup"),
+        coalesce(col("nd"), lit(0)).as("near_dup"))
+      .withColumn("admitted",
+        (col("exact_dup") === 0 && col("near_dup") === 0).cast("int"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q92Oracle: String = {
+    val mins = (0 until 8).map(s => s"MIN(md5(shingle || '|$s')) AS mh$s").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS bucket FROM mh")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    bands AS ($bandRows),
+    cb AS (SELECT DISTINCT band, bucket FROM bands WHERE doc_id < 400),
+    nd AS (SELECT DISTINCT b.doc_id FROM bands b
+           JOIN cb ON b.band = cb.band AND b.bucket = cb.bucket
+           WHERE b.doc_id >= 400),
+    ed AS (SELECT doc_id FROM (
+             SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400)
+           WHERE h IN (SELECT md5(text) FROM documents WHERE doc_id < 400))
+    SELECT d.doc_id,
+      CASE WHEN d.doc_id IN (SELECT doc_id FROM ed) THEN 1 ELSE 0 END AS exact_dup,
+      CASE WHEN d.doc_id IN (SELECT doc_id FROM nd) THEN 1 ELSE 0 END AS near_dup,
+      CASE WHEN d.doc_id IN (SELECT doc_id FROM ed)
+             OR d.doc_id IN (SELECT doc_id FROM nd) THEN 0 ELSE 1 END AS admitted
+    FROM documents d WHERE doc_id >= 400 ORDER BY doc_id ASC"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_incremental_dedup" -> (q92IncrementalDedup _),
     "q88_sequence_packing" -> (q88SequencePacking _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_text_quality" -> (q31TextQuality _),
@@ -294,6 +358,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q92_incremental_dedup" -> q92Oracle,
     "q88_sequence_packing" -> q88Oracle,
     "q30_dedup_exact" -> q30Oracle,
     "q31_text_quality" -> q31Oracle,
