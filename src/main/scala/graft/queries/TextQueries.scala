@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -344,7 +345,61 @@ object TextQueries {
     FROM documents d WHERE doc_id >= 400 ORDER BY doc_id ASC"""
   }
 
+  // q93 — dedup clusters: connected components over the minhash LSH
+  // candidate-pair graph (q34's pairs), giving the transitive dedup GROUPS
+  // pairwise matches alone miss (A~B, B~C ⇒ {A,B,C} even if A,C never
+  // collide). Spark side is GraphOps.connectedComponents — iterative
+  // min-label propagation, one shuffle per iteration, O(diameter)
+  // iterations. The oracle computes the same closure with a recursive CTE
+  // (exact min reachable id), which is the O(nodes·edges) formulation
+  // that works for an oracle and dies at scale — the iterative join IS
+  // the 100 TB form.
+  def q93DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val pairs = TextOps.lshCandidatePairs(
+      TextOps.lshBands(TextOps.minhashSignatures(docs, n = 3, numHashes = 8), 8, 2))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = graft.operators.GraphOps.connectedComponents(pairs)
+    val w = Window.partitionBy(col("component"))
+    comp.select(col("node").as("doc_id"), col("label").as("component"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy(col("doc_id").asc)
+  }
+  val q93Oracle: String = {
+    val mins = (0 until 8).map(s => s"MIN(md5(shingle || '|$s')) AS mh$s").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS bucket FROM mh")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    bands AS ($bandRows),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT sym.src AS node, reach.r
+      FROM sym JOIN reach ON sym.dst = reach.node),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+    FROM comp ORDER BY doc_id ASC"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_dedup_clusters" -> (q93DedupClusters _),
     "q92_incremental_dedup" -> (q92IncrementalDedup _),
     "q88_sequence_packing" -> (q88SequencePacking _),
     "q30_dedup_exact" -> (q30DedupExact _),
@@ -358,6 +413,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q93_dedup_clusters" -> q93Oracle,
     "q92_incremental_dedup" -> q92Oracle,
     "q88_sequence_packing" -> q88Oracle,
     "q30_dedup_exact" -> q30Oracle,
