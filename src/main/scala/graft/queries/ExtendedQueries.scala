@@ -282,7 +282,26 @@ object ExtendedQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM w GROUP BY window_start_ms ORDER BY window_start_ms ASC"""
 
+  // q94 — update output mode: the third of the three streaming output
+  // modes (append = q69/q70, complete = q55/q86). Update emits only keys
+  // whose aggregate changed in the micro-batch; counts are monotone, so
+  // MAX over the emitted rows per key reconstructs the final state no
+  // matter how many micro-batches the drain splits into.
+  def q94StreamUpdateMode(spark: SparkSession, dir: String): DataFrame = {
+    val stream = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(Tables.streamDir(s"$dir/events.parquet"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    StreamingQueries.drain(spark, stream, outputMode = "update")
+      .groupBy(col("event_type")).agg(max(col("n")).as("n_events"))
+      .orderBy(col("event_type").asc)
+  }
+  val q94Oracle: String = """
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_stream_update_mode" -> (q94StreamUpdateMode _),
     "q84_countmin_freq" -> (q84CountMinFreq _),
     "q86_stream_sliding" -> (q86StreamSliding _),
     "q82_sketch_rollup" -> (q82SketchRollup _),
@@ -296,6 +315,7 @@ object ExtendedQueries {
     "q55_stream_tumbling" -> (q55StreamTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "q94_stream_update_mode" -> q94Oracle,
     "q86_stream_sliding" -> q86Oracle,
     "q56_variant_json" -> q56Oracle,
     "q50_outer_join" -> q50Oracle,

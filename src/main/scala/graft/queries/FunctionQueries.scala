@@ -145,7 +145,34 @@ object FunctionQueries {
     FROM sessions GROUP BY user_id, session_seq
     ORDER BY user_id ASC, start_ms ASC"""
 
+  // q97 — null-handling kit: NULLIF / COALESCE / null-safe equality (<=>,
+  // SQL's IS NOT DISTINCT FROM) / IS NULL arithmetic, plus null-vs-empty
+  // aggregation semantics (COUNT(col) skips nulls, SUM over all-null is
+  // NULL → coalesced). The reference's SQL leans on these in the merge
+  // predicates (SURVEY §2.8b NOT-IN null trap).
+  def q97NullKit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        expr("nullif(o_orderstatus, 'O')").as("s_null"),
+        expr("coalesce(nullif(o_orderstatus, 'O'), 'open')").as("status2"),
+        expr("nullif(o_orderstatus, 'O') <=> NULL").cast("int").as("was_open"),
+        expr("nullif(o_orderstatus, 'O') <=> nullif(o_orderpriority, o_orderpriority)")
+          .cast("int").as("both_null"),
+        (col("o_totalprice").isNull).cast("int").as("price_null"))
+      .orderBy(col("o_orderkey").asc)
+  val q97Oracle: String = """
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS s_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status2,
+           CAST(NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL AS INT)
+             AS was_open,
+           CAST(NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM
+                NULLIF(o_orderpriority, o_orderpriority) AS INT) AS both_null,
+           CAST(o_totalprice IS NULL AS INT) AS price_null
+    FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_null_kit" -> (q97NullKit _),
     "q58_date_arithmetic" -> (q58DateArithmetic _),
     "q59_string_kit" -> (q59StringKit _),
     "q60_exact_math" -> (q60ExactMath _),
@@ -153,6 +180,7 @@ object FunctionQueries {
     "q62_session_window" -> (q62SessionWindow _))
 
   val oracles: Map[String, String] = Map(
+    "q97_null_kit" -> q97Oracle,
     "q58_date_arithmetic" -> q58Oracle,
     "q59_string_kit" -> q59Oracle,
     "q60_exact_math" -> q60Oracle,

@@ -137,7 +137,38 @@ object SourceQueries {
   val q85Oracle: String = """
     SELECT * FROM part ORDER BY p_partkey ASC"""
 
+  // q95 — partitioned table layout + partition pruning: events written
+  // `partitionBy(day)` (the reference's SORTKEY/DISTKEY physical-design
+  // story at directory granularity), then a one-day query. The day filter
+  // prunes to ONE directory before any IO — `PartitionFilters` in the
+  // scan, pinned by PlanSpec — which is the difference between reading
+  // 1/30th and reading everything, and at 100 TB between a partition and
+  // the lake.
+  def q95PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("q95part", dir)
+    val marker = Paths.get(out, "_SUCCESS")
+    if (!java.nio.file.Files.exists(marker)) {
+      Tables.events(spark, dir)
+        .withColumn("day", to_date(col("ts")))
+        .repartition(col("day")) // one file per partition dir, not tasks×days
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+    }
+    spark.read.parquet(out)
+      .filter(col("day") === lit("2024-01-15").cast("date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .orderBy(col("event_type").asc)
+  }
+  val q95Oracle: String = """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE date_trunc('day', ts) = DATE '2024-01-15'
+    GROUP BY event_type ORDER BY event_type ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_partition_pruning" -> (q95PartitionPruning _),
     "q71_csv_roundtrip" -> (q71CsvRoundtrip _),
     "q85_json_roundtrip" -> (q85JsonRoundtrip _),
     "q72_orc_roundtrip" -> (q72OrcRoundtrip _),
@@ -146,6 +177,7 @@ object SourceQueries {
     "q79_grouped_topk" -> (q79GroupedTopK _))
 
   val oracles: Map[String, String] = Map(
+    "q95_partition_pruning" -> q95Oracle,
     "q71_csv_roundtrip" -> q71Oracle,
     "q85_json_roundtrip" -> q85Oracle,
     "q72_orc_roundtrip" -> q72Oracle,

@@ -101,6 +101,14 @@ class PlanSpec extends SparkSpec {
       s"dedup agg + semi join + final agg bound the shuffles, got $hashShuffles")
   }
 
+  test("q95: day filter prunes partition directories at the source") {
+    val s = finalPlan("q95_partition_pruning")
+    assert(s.contains("PartitionFilters:"),
+      "scan must carry partition filters")
+    val pf = s.split("PartitionFilters:")(1).takeWhile(_ != ']')
+    assert(pf.contains("day"), s"day must be a partition filter, got $pf")
+  }
+
   test("q40: ANN corpus scan keeps codegen'd kernels (no HOF fallback)") {
     val s = planString("q40_ann_bruteforce").toLowerCase
     assert(s.contains("longdot"),
