@@ -71,6 +71,34 @@ object MultimodalOps {
       }
   }
 
+  final case class Thumb(doc_id: Long, byte_len: Int, stride: Int,
+      thumb_len: Int, thumb_md5: String)
+
+  /** Resize/thumbnail plumbing: per-partition batch transform that
+    * PRODUCES a new binary payload (the part frame-sampling and decode
+    * don't exercise). The stub "resize" keeps every k-th payload byte with
+    * k sized to a target byte budget — a real implementation swaps in a
+    * pixel-domain scaler with the identical batch shape (binary in,
+    * binary out, per-partition init). Emits the thumbnail's length and
+    * md5 so the produced bytes themselves are cross-engine-checked, not
+    * just counted. */
+  def resizeThumbnails(spark: SparkSession, media: DataFrame,
+      targetBytes: Int): Dataset[Thumb] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("kind"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
+        rows.map { r =>
+          val n = r.media.length
+          val k = math.max(1, n / targetBytes)
+          val thumb = Array.tabulate((n + k - 1) / k)(i => r.media(i * k))
+          md.reset()
+          val hex = md.digest(thumb).map("%02x".format(_)).mkString
+          Thumb(r.doc_id, n, k, thumb.length, hex)
+        }
+      }
+  }
+
   /** Frame sampling plumbing: explode one row per sampled frame for video
     * rows (stride in bytes stands in for a time stride). Pure column ops —
     * SQL-expressible, codegen'd, shuffle-free. */

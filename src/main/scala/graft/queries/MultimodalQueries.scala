@@ -66,13 +66,40 @@ object MultimodalQueries {
       WHERE CAST(doc_id % 3 AS INT) + 1 = 3 AND octet_length(encode(text)) > 0)
     ORDER BY doc_id ASC, frame_idx ASC"""
 
+  // q96 — resize/thumbnail: the payload-PRODUCING multimodal op (q46
+  // reads payloads, q47 explodes metadata; this one emits new bytes).
+  // Stub scaler keeps every k-th byte toward a 256-byte budget; the
+  // thumbnail's md5 goes through the oracle, so the produced bytes are
+  // verified, not just their count. The corpus is ASCII (byte i ==
+  // char i+1), which is what lets DuckDB respell the byte stride as a
+  // character stride.
+  def q96ResizeThumbnail(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.resizeThumbnails(spark,
+        MultimodalOps.asMediaTable(Tables.documents(spark, dir)),
+        targetBytes = 256)
+      .toDF()
+      .orderBy(col("doc_id").asc)
+  val q96Oracle: String = """
+    WITH m AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             GREATEST(1, octet_length(encode(text)) // 256) AS k
+      FROM documents)
+    SELECT doc_id, CAST(n AS INT) AS byte_len, CAST(k AS INT) AS stride,
+           CAST((n + k - 1) // k AS INT) AS thumb_len,
+           md5(array_to_string(
+             list_transform(generate_series(1, n, k), i -> text[i:i]), ''))
+             AS thumb_md5
+    FROM m ORDER BY doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_media_stats" -> (q45MediaStats _),
     "q46_decode_features" -> (q46DecodeFeatures _),
-    "q47_frame_sample" -> (q47FrameSample _))
+    "q47_frame_sample" -> (q47FrameSample _),
+    "q96_resize_thumbnail" -> (q96ResizeThumbnail _))
 
   val oracles: Map[String, String] = Map(
     "q45_media_stats" -> q45Oracle,
     "q46_decode_features" -> q46Oracle,
-    "q47_frame_sample" -> q47Oracle)
+    "q47_frame_sample" -> q47Oracle,
+    "q96_resize_thumbnail" -> q96Oracle)
 }
