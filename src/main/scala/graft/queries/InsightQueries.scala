@@ -1,0 +1,345 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sync.TableStore
+import graft.tables.Tables
+
+/** Data-quality, sequence-statistics, and storage-diff operators: fuzzy
+  * edit-distance dedup, Markov transition matrices, a constraint-violation
+  * report, per-group OLS regression, EWMA smoothing, a percentile kit, and
+  * a snapshot change feed off [[TableStore]] time travel.
+  *
+  * Determinism notes: all float paths go through exact integer/decimal
+  * arithmetic or sequentially-identical IEEE folds (EWMA's fold order is
+  * pinned by (µs, event_id) sort on both engines); levenshtein distances
+  * are exact ints on both engines.
+  */
+object InsightQueries {
+
+  // ---------------------------------------------------------------------
+  // q104 — fuzzy nearest-duplicate per document: block by
+  // (lang, source, length bucket), score candidate pairs with exact
+  // Levenshtein over a 40-char prefix, keep each doc's best match. The
+  // block key bounds the quadratic term (pairs per block, not corpus²) —
+  // the same blocked-join shape as the MinHash/cosine dedups, with the
+  // edit-distance kernel instead. Both engines compute integer distances.
+  def q104EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        expr("n_chars DIV 50").as("len_bkt"), substring($"text", 1, 40).as("prefix"))
+    val pairs = d.as("a").join(d.as("b"),
+      $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
+        $"a.len_bkt" === $"b.len_bkt" && $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        levenshtein($"a.prefix", $"b.prefix").cast("long").as("dist"))
+    val w = Window.partitionBy($"doc_a").orderBy($"dist".asc, $"doc_b".asc)
+    pairs.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_a", $"doc_b", $"dist")
+      .orderBy($"doc_a".asc)
+  }
+  val q104Oracle: String = """
+    WITH d AS (SELECT doc_id, lang, source, n_chars // 50 AS len_bkt,
+                      substr(text, 1, 40) AS prefix FROM documents),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+          FROM d a JOIN d b
+            ON a.lang = b.lang AND a.source = b.source
+           AND a.len_bkt = b.len_bkt AND a.doc_id <> b.doc_id)
+    SELECT doc_a, doc_b, dist FROM (
+      SELECT *, row_number() OVER
+        (PARTITION BY doc_a ORDER BY dist ASC, doc_b ASC) AS rn FROM p)
+    WHERE rn = 1 ORDER BY doc_a ASC"""
+
+  // ---------------------------------------------------------------------
+  // q105 — event-type transition matrix (Markov bigrams): per user, order
+  // events by (µs, event_id), pair each with its successor, count
+  // transitions and normalize per from-state. One exchange on user_id for
+  // the lead window; the (5×5)-cell aggregate is a second tiny exchange.
+  def q105EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts").asc, $"event_id".asc)
+    val grid = Tables.events(spark, dir)
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy($"from_type")
+    grid.withColumn("p",
+        $"n".cast("double") / sum($"n").over(wFrom).cast("double"))
+      .orderBy($"from_type".asc, $"to_type".asc)
+  }
+  val q105Oracle: String = """
+    WITH s AS (SELECT user_id, event_type,
+                 lead(event_type) OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+               FROM events),
+    g AS (SELECT event_type AS from_type, to_type, COUNT(*) AS n
+          FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM g ORDER BY from_type ASC, to_type ASC"""
+
+  // ---------------------------------------------------------------------
+  // q106 — data-quality validation report: null / duplicate-key /
+  // foreign-key / range constraints over orders, lineitem, customer, and
+  // events, one row per check. Each check is an independent aggregate —
+  // Spark runs them as parallel jobs of one scan each; FK checks are
+  // anti-joins (broadcast when the parent's key set is small).
+  def q106ValidationSuite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val events = Tables.events(spark, dir)
+    def chk(name: String, bad: DataFrame): DataFrame =
+      bad.agg(count(lit(1)).as("violations")).select(lit(name).as("check"), $"violations")
+    chk("lineitem_discount_range",
+        lineitem.filter($"l_discount" < 0.0 || $"l_discount" > 1.0))
+      .unionByName(chk("lineitem_fk_orders",
+        lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"),
+          "left_anti")))
+      .unionByName(chk("lineitem_qty_range",
+        lineitem.filter($"l_quantity" < 1.0 || $"l_quantity" > 50.0)))
+      .unionByName(chk("orders_dup_pk",
+        orders.groupBy($"o_orderkey").agg(count(lit(1)).as("c")).filter($"c" > 1)))
+      .unionByName(chk("orders_fk_customer",
+        orders.join(customer, orders("o_custkey") === customer("c_custkey"),
+          "left_anti")))
+      .unionByName(chk("orders_null_custkey", orders.filter($"o_custkey".isNull)))
+      .unionByName(chk("events_ts_range",
+        events.filter(to_date($"ts") < lit("2024-01-01").cast("date") ||
+          to_date($"ts") > lit("2024-01-31").cast("date"))))
+      .orderBy($"check".asc)
+  }
+  val q106Oracle: String = """
+    SELECT * FROM (
+      SELECT 'lineitem_discount_range' AS "check", COUNT(*) AS violations
+        FROM lineitem WHERE l_discount < 0.0 OR l_discount > 1.0
+      UNION ALL
+      SELECT 'lineitem_fk_orders', COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      UNION ALL
+      SELECT 'lineitem_qty_range', COUNT(*)
+        FROM lineitem WHERE l_quantity < 1.0 OR l_quantity > 50.0
+      UNION ALL
+      SELECT 'orders_dup_pk', COUNT(*) FROM
+        (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+      UNION ALL
+      SELECT 'orders_fk_customer', COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      UNION ALL
+      SELECT 'orders_null_custkey', COUNT(*) FROM orders WHERE o_custkey IS NULL
+      UNION ALL
+      SELECT 'events_ts_range', COUNT(*) FROM events
+        WHERE CAST(ts AS DATE) < DATE '2024-01-01'
+           OR CAST(ts AS DATE) > DATE '2024-01-31')
+    ORDER BY "check" ASC"""
+
+  // ---------------------------------------------------------------------
+  // q107 — per-group OLS regression (price ~ quantity) from exact
+  // DECIMAL(38,0) power sums, q80's pattern extended to slope / intercept
+  // / r: one map-side-combined exchange carries six exact partials per
+  // group; the closed-form solution is identical double arithmetic on
+  // identical exact integers on both engines.
+  def q107Regression(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val x = round(col("l_quantity")).cast("long")
+    val y = round(col("l_extendedprice") * 100).cast("long")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(d38)).as("sx"), sum((x * x).cast(d38)).as("sxx"),
+        sum(y.cast(d38)).as("sy"), sum((y * y).cast(d38)).as("syy"),
+        sum((x * y).cast(d38)).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"),
+        ((col("sy").cast("double") -
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            col("sx").cast("double")) / col("n").cast("double"))
+          .as("intercept"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("r"))
+      .orderBy(col("l_returnflag").asc)
+  }
+  val q107Oracle: String = """
+    SELECT l_returnflag, n,
+      CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        AS slope,
+      (CAST(sy AS DOUBLE) -
+        (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+      CAST(n * sxy - sx * sy AS DOUBLE) /
+        sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+             CAST(n * syy - sy * sy AS DOUBLE)) AS r
+    FROM (
+      SELECT l_returnflag, COUNT(*) AS n,
+        SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+        SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+      FROM (SELECT l_returnflag,
+              CAST(round(l_quantity) AS BIGINT) AS x,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem)
+      GROUP BY l_returnflag)
+    ORDER BY l_returnflag ASC"""
+
+  // ---------------------------------------------------------------------
+  // q108 — EWMA smoothing (α = 0.5) of each user's event values: values
+  // are folded in (µs, event_id) order, seeded with the first value —
+  // both engines execute the identical IEEE multiply-add sequence, so the
+  // result is bit-exact with no quantization. Spark side sorts the
+  // collected (µs, id, value) structs then folds with `aggregate`; the
+  // collect is per-user (bounded by a user's event count), not global.
+  def q108Ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id",
+        struct(unix_micros($"ts").as("us"), $"event_id", $"value").as("obs"))
+      .groupBy($"user_id")
+      .agg(transform(array_sort(collect_list($"obs")), o => o.getField("value"))
+        .as("vals"))
+      .select($"user_id", size($"vals").cast("long").as("n_events"),
+        aggregate(slice($"vals", lit(2), size($"vals") - 1),
+          element_at($"vals", 1),
+          (acc, v) => acc * lit(0.5d) + v * lit(0.5d)).as("ewma"))
+      .orderBy($"user_id".asc)
+  }
+  val q108Oracle: String = """
+    WITH l AS (SELECT user_id,
+                 list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id) AS vals
+               FROM events GROUP BY 1)
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals, (acc, v) -> acc * 0.5 + v * 0.5) AS ewma
+    FROM l ORDER BY user_id ASC"""
+
+  // ---------------------------------------------------------------------
+  // q109 — percentile kit per event type over exact value-cents:
+  // interpolated quartiles (percentile_cont), the discrete median
+  // (percentile_disc), and a deterministically tie-broken modal weekday.
+  // Quantiles interpolate exact ints at binary-exact fractions, so both
+  // engines' formulas produce identical doubles.
+  def q109PercentileKit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("CAST(weekday(to_date(ts)) AS BIGINT)").as("wd"))
+      .createOrReplaceTempView("q109_events")
+    val wd = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("wd").asc)
+    val modal = Tables.events(spark, dir)
+      .select(col("event_type"), expr("CAST(weekday(to_date(ts)) AS BIGINT)").as("wd"))
+      .groupBy(col("event_type"), col("wd")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+      .select(col("event_type"), col("wd").as("modal_weekday"))
+    val pct = Tables.events(spark, dir).sparkSession.sql("""
+      SELECT event_type,
+        percentile_cont(0.25) WITHIN GROUP (ORDER BY cents) AS p25,
+        percentile_cont(0.5)  WITHIN GROUP (ORDER BY cents) AS p50,
+        percentile_cont(0.75) WITHIN GROUP (ORDER BY cents) AS p75,
+        percentile_disc(0.5)  WITHIN GROUP (ORDER BY cents) AS p50_disc
+      FROM q109_events GROUP BY event_type""")
+    pct.join(modal, "event_type")
+      .select(col("event_type"), col("p25"), col("p50"), col("p75"),
+        col("p50_disc").cast("long").as("p50_disc"), col("modal_weekday"))
+      .orderBy(col("event_type").asc)
+  }
+  val q109Oracle: String = """
+    WITH e AS (SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS wd
+               FROM events),
+    pct AS (SELECT event_type,
+              quantile_cont(cents, 0.25) AS p25,
+              quantile_cont(cents, 0.5) AS p50,
+              quantile_cont(cents, 0.75) AS p75,
+              CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_disc
+            FROM e GROUP BY 1),
+    modal AS (SELECT event_type, wd AS modal_weekday FROM (
+        SELECT event_type, wd, COUNT(*) AS n,
+          row_number() OVER (PARTITION BY event_type
+                             ORDER BY COUNT(*) DESC, wd ASC) AS rn
+        FROM e GROUP BY event_type, wd) WHERE rn = 1)
+    SELECT event_type, p25, p50, p75, p50_disc, modal_weekday
+    FROM pct JOIN modal USING (event_type) ORDER BY event_type ASC"""
+
+  // ---------------------------------------------------------------------
+  // q110 — snapshot change feed: two deterministic versions of an orders
+  // table are written through [[TableStore]] (v0, v1), read back via time
+  // travel, and diffed into an insert/update/delete feed — the CDC-out
+  // story (what a downstream consumer would ingest). The diff is one full
+  // outer join on the key; at scale both snapshots hash-partition once on
+  // o_orderkey and AQE handles any version-skew.
+  def q110ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cf").toString
+    val store = new TableStore(spark, root)
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    store.write("orders_cf", orders.filter($"o_orderkey" % 3 =!= 0))
+    store.write("orders_cf", orders.filter($"o_orderkey" % 5 =!= 0)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 7 === 0, $"o_totalprice" * 2.0d)
+          .otherwise($"o_totalprice")))
+    val a = store.readAt("orders_cf", 0).get
+      .select($"o_orderkey".as("key_a"), $"o_totalprice".as("price_old"))
+    val b = store.readAt("orders_cf", 1).get
+      .select($"o_orderkey".as("key_b"), $"o_totalprice".as("price_new"))
+    a.join(b, $"key_a" === $"key_b", "full_outer")
+      .withColumn("op",
+        when($"key_a".isNull, lit("insert"))
+          .when($"key_b".isNull, lit("delete"))
+          .when($"price_old" =!= $"price_new", lit("update")))
+      .filter($"op".isNotNull)
+      .select(coalesce($"key_a", $"key_b").as("o_orderkey"), $"op",
+        $"price_old", $"price_new")
+      .orderBy($"o_orderkey".asc)
+  }
+  val q110Oracle: String = """
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+    a AS (SELECT o_orderkey AS key_a, o_totalprice AS price_old
+          FROM base WHERE o_orderkey % 3 <> 0),
+    b AS (SELECT o_orderkey AS key_b,
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2.0
+                      ELSE o_totalprice END AS price_new
+          FROM base WHERE o_orderkey % 5 <> 0),
+    j AS (SELECT key_a, key_b, price_old, price_new,
+            CASE WHEN key_a IS NULL THEN 'insert'
+                 WHEN key_b IS NULL THEN 'delete'
+                 WHEN price_old <> price_new THEN 'update' END AS op
+          FROM a FULL OUTER JOIN b ON key_a = key_b)
+    SELECT COALESCE(key_a, key_b) AS o_orderkey, op, price_old, price_new
+    FROM j WHERE op IS NOT NULL ORDER BY o_orderkey ASC"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_edit_distance" -> (q104EditDistance _),
+    "q105_event_transitions" -> (q105EventTransitions _),
+    "q106_validation_suite" -> (q106ValidationSuite _),
+    "q107_regression" -> (q107Regression _),
+    "q108_ewma" -> (q108Ewma _),
+    "q109_percentile_kit" -> (q109PercentileKit _),
+    "q110_change_feed" -> (q110ChangeFeed _))
+
+  val oracles: Map[String, String] = Map(
+    "q104_edit_distance" -> q104Oracle,
+    "q105_event_transitions" -> q105Oracle,
+    "q106_validation_suite" -> q106Oracle,
+    "q107_regression" -> q107Oracle,
+    "q108_ewma" -> q108Oracle,
+    "q109_percentile_kit" -> q109Oracle,
+    "q110_change_feed" -> q110Oracle)
+}
