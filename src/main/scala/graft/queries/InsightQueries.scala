@@ -325,6 +325,26 @@ object InsightQueries {
     SELECT COALESCE(key_a, key_b) AS o_orderkey, op, price_old, price_new
     FROM j WHERE op IS NOT NULL ORDER BY o_orderkey ASC"""
 
+  // ---------------------------------------------------------------------
+  // q111 — Morton z-value computation (the clustering key behind
+  // ZOrderOps.writeZOrdered): pure bit-interleaving arithmetic, generated
+  // from the same definition as the oracle SQL so the two spellings cannot
+  // drift. ZOrderSpec measures the row-group pruning the layout buys.
+  def q111Zorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id",
+        dayofmonth(to_date($"ts")).cast("long").as("day"))
+      .withColumn("z", graft.operators.ZOrderOps.zvalue($"user_id", $"day"))
+      .orderBy($"event_id".asc)
+  }
+  val q111Oracle: String = s"""
+    SELECT event_id, user_id, day,
+           ${graft.operators.ZOrderOps.zvalueSql("user_id", "day")} AS z
+    FROM (SELECT event_id, user_id,
+            CAST(day(CAST(ts AS DATE)) AS BIGINT) AS day FROM events)
+    ORDER BY event_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_edit_distance" -> (q104EditDistance _),
     "q105_event_transitions" -> (q105EventTransitions _),
@@ -332,7 +352,8 @@ object InsightQueries {
     "q107_regression" -> (q107Regression _),
     "q108_ewma" -> (q108Ewma _),
     "q109_percentile_kit" -> (q109PercentileKit _),
-    "q110_change_feed" -> (q110ChangeFeed _))
+    "q110_change_feed" -> (q110ChangeFeed _),
+    "q111_zorder" -> (q111Zorder _))
 
   val oracles: Map[String, String] = Map(
     "q104_edit_distance" -> q104Oracle,
@@ -341,5 +362,6 @@ object InsightQueries {
     "q107_regression" -> q107Oracle,
     "q108_ewma" -> q108Oracle,
     "q109_percentile_kit" -> q109Oracle,
-    "q110_change_feed" -> q110Oracle)
+    "q110_change_feed" -> q110Oracle,
+    "q111_zorder" -> q111Oracle)
 }
