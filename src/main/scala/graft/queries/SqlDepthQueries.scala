@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** SQL-surface depth: recursive CTEs (Spark 4's WITH RECURSIVE), correlated
+  * LATERAL subqueries, and incremental aggregate maintenance — the
+  * iterate / per-row-subquery / maintain-don't-recompute shapes warehouses
+  * lean on beyond plain SELECT.
+  */
+object SqlDepthQueries {
+
+  // ---------------------------------------------------------------------
+  // q112 — recursive CTE: walk each seed order key up its binary-ancestor
+  // chain (node → node DIV 2) until the root. Spark 4 plans WITH RECURSIVE
+  // as an iterative UnionLoop — each step is one distributed join-free
+  // projection over the previous frontier, so depth bounds the iteration
+  // count (≈ log₂(maxkey)), not the data size. All-integer arithmetic.
+  def q112RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("q112_orders")
+    spark.sql("""
+      WITH RECURSIVE walk (start, node, depth) AS (
+        SELECT o_orderkey, o_orderkey, 0
+        FROM q112_orders WHERE o_orderkey % 997 = 0
+        UNION ALL
+        SELECT start, node DIV 2, depth + 1 FROM walk WHERE node > 0)
+      SELECT start, node, depth FROM walk
+      ORDER BY start ASC, depth ASC""")
+  }
+  val q112Oracle: String = """
+    WITH RECURSIVE walk AS (
+      SELECT o_orderkey AS start, o_orderkey AS node, 0 AS depth
+      FROM orders WHERE o_orderkey % 997 = 0
+      UNION ALL
+      SELECT start, node // 2, depth + 1 FROM walk WHERE node > 0)
+    SELECT start, node, depth FROM walk ORDER BY start ASC, depth ASC"""
+
+  // ---------------------------------------------------------------------
+  // q113 — correlated LATERAL top-k: each customer's two largest orders
+  // via a per-row subquery. Catalyst de-correlates this into a ranked
+  // window over one join — per-customer top-k without a driver loop, the
+  // same physical shape as q79's grouped top-k. (The DIV-100 bucket keeps
+  // the customer list small enough that the oracle's O(customers ×
+  // orders) lateral stays fast at sf0.1.)
+  def q113LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("q113_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("q113_customer")
+    spark.sql("""
+      SELECT c.c_custkey, t.o_orderkey,
+             CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM q113_customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM q113_orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+      WHERE c.c_custkey % 100 = 0
+      ORDER BY c.c_custkey ASC, price_cents DESC, o_orderkey ASC""")
+  }
+  val q113Oracle: String = """
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+    WHERE c.c_custkey % 100 = 0
+    ORDER BY c.c_custkey ASC, price_cents DESC, o_orderkey ASC"""
+
+  // ---------------------------------------------------------------------
+  // q114 — incremental aggregate maintenance: a per-customer revenue
+  // aggregate is built from batch 1, then batch 2 arrives and the state
+  // is MERGED (full outer join of partial sums — cost ∝ state ∪ delta),
+  // never recomputed from raw history. The oracle recomputes from scratch
+  // and must agree — the IVM correctness condition. Exact integer cents
+  // make partial-sum merge order irrelevant.
+  def q114IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    def partial(batch: DataFrame): DataFrame =
+      batch.groupBy($"o_custkey")
+        .agg(sum(cents).as("rev"), count(lit(1)).as("n"))
+    val orders = Tables.orders(spark, dir)
+    val state1 = partial(orders.filter($"o_orderkey" % 2 === 0))
+    val delta = partial(orders.filter($"o_orderkey" % 2 =!= 0))
+    val s = state1.select($"o_custkey", $"rev".as("rev_a"), $"n".as("n_a"))
+    val d = delta.select($"o_custkey", $"rev".as("rev_b"), $"n".as("n_b"))
+    s.join(d, Seq("o_custkey"), "full_outer")
+      .select($"o_custkey",
+        (coalesce($"rev_a", lit(0L)) + coalesce($"rev_b", lit(0L))).as("revenue_cents"),
+        (coalesce($"n_a", lit(0L)) + coalesce($"n_b", lit(0L))).as("n_orders"))
+      .orderBy($"o_custkey".asc)
+  }
+  val q114Oracle: String = """
+    SELECT o_custkey,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey ASC"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_recursive_cte" -> (q112RecursiveCte _),
+    "q113_lateral_topk" -> (q113LateralTopk _),
+    "q114_incremental_agg" -> (q114IncrementalAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q112_recursive_cte" -> q112Oracle,
+    "q113_lateral_topk" -> q113Oracle,
+    "q114_incremental_agg" -> q114Oracle)
+}
