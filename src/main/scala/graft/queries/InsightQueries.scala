@@ -345,6 +345,68 @@ object InsightQueries {
             CAST(day(CAST(ts AS DATE)) AS BIGINT) AS day FROM events)
     ORDER BY event_id ASC"""
 
+  // ---------------------------------------------------------------------
+  // q115 — exact bitmap distinct rollup: per-day user bitsets OR-merged
+  // into weekly bitmaps — q82's HLL rollup made exact. Bitmap size tracks
+  // the id universe (not rows); the weekly distinct never re-reads raw
+  // events. Oracle = plain COUNT(DISTINCT), which must agree exactly.
+  def q115BitmapRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val maxId = ev.agg(max($"user_id")).head().getLong(0)
+    val build = udaf(new graft.functions.BitmapBuild((maxId >> 6).toInt + 1),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val or = udaf(new graft.functions.BitmapOr(),
+      graft.functions.BitmapAgg.wordsEncoder)
+    ev.groupBy(to_date($"ts").as("day"))
+      .agg(build($"user_id").as("bm"))
+      .groupBy(date_trunc("week", $"day").cast("date").as("week"))
+      .agg(or($"bm").as("bm"), count(lit(1)).as("n_days"))
+      .select(unix_millis($"week".cast("timestamp")).as("week_start_ms"),
+        expr("CAST(aggregate(transform(bm, w -> bit_count(w)), 0, (a, x) -> a + x) AS BIGINT)")
+          .as("n_users"),
+        $"n_days")
+      .orderBy($"week_start_ms".asc)
+  }
+  val q115Oracle: String = """
+    SELECT epoch_ms(CAST(date_trunc('week', CAST(ts AS DATE)) AS TIMESTAMP))
+             AS week_start_ms,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+    FROM events GROUP BY 1 ORDER BY week_start_ms ASC"""
+
+  // q116 — exact bitmap set intersection: weekly view∩purchase audiences
+  // via word-wise AND of the two bitmaps + popcount — distinct-overlap
+  // without a distinct-join. The same algebra answers any boolean
+  // audience combination from the one bitmap build.
+  def q116BitmapIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val maxId = ev.agg(max($"user_id")).head().getLong(0)
+    val build = udaf(new graft.functions.BitmapBuild((maxId >> 6).toInt + 1),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val weekly = ev.filter($"event_type".isin("view", "purchase"))
+      .groupBy(date_trunc("week", to_date($"ts")).cast("date").as("week"),
+        $"event_type")
+      .agg(build($"user_id").as("bm"))
+    val v = weekly.filter($"event_type" === "view").select($"week", $"bm".as("bv"))
+    val p = weekly.filter($"event_type" === "purchase").select($"week", $"bm".as("bp"))
+    v.join(p, "week")
+      .select(unix_millis($"week".cast("timestamp")).as("week_start_ms"),
+        expr("CAST(aggregate(transform(zip_with(bv, bp, (a, b) -> a & b), w -> bit_count(w)), 0, (a, x) -> a + x) AS BIGINT)")
+          .as("n_both"))
+      .orderBy($"week_start_ms".asc)
+  }
+  val q116Oracle: String = """
+    WITH v AS (SELECT DISTINCT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+                 AS week, user_id FROM events WHERE event_type = 'view'),
+    p AS (SELECT DISTINCT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)
+            AS week, user_id FROM events WHERE event_type = 'purchase')
+    SELECT epoch_ms(CAST(week AS TIMESTAMP)) AS week_start_ms,
+           COUNT(*) AS n_both
+    FROM v JOIN p USING (week, user_id)
+    GROUP BY week ORDER BY week_start_ms ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_edit_distance" -> (q104EditDistance _),
     "q105_event_transitions" -> (q105EventTransitions _),
@@ -353,7 +415,9 @@ object InsightQueries {
     "q108_ewma" -> (q108Ewma _),
     "q109_percentile_kit" -> (q109PercentileKit _),
     "q110_change_feed" -> (q110ChangeFeed _),
-    "q111_zorder" -> (q111Zorder _))
+    "q111_zorder" -> (q111Zorder _),
+    "q115_bitmap_rollup" -> (q115BitmapRollup _),
+    "q116_bitmap_intersect" -> (q116BitmapIntersect _))
 
   val oracles: Map[String, String] = Map(
     "q104_edit_distance" -> q104Oracle,
@@ -363,5 +427,7 @@ object InsightQueries {
     "q108_ewma" -> q108Oracle,
     "q109_percentile_kit" -> q109Oracle,
     "q110_change_feed" -> q110Oracle,
-    "q111_zorder" -> q111Oracle)
+    "q111_zorder" -> q111Oracle,
+    "q115_bitmap_rollup" -> q115Oracle,
+    "q116_bitmap_intersect" -> q116Oracle)
 }

@@ -60,6 +60,24 @@ class InsightSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("violations") == 0L, r.toString))
   }
 
+  test("q115 bitmap rollup is partition-invariant (merge order free)") {
+    val base = InsightQueries.q115BitmapRollup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = graft.tables.Tables.events(spark, dir)
+      .groupBy(date_trunc("week", to_date(col("ts"))).cast("date").as("w"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getLong(1))
+    assert(base.map(_._2).sorted.toSeq == exact.sorted.toSeq,
+      "bitmap counts must equal exact distincts")
+    val shuffled = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val alt = InsightQueries.q115BitmapRollup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(alt.toSeq == base.toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", shuffled)
+  }
+
   test("q106 catches seeded violations") {
     import spark.implicits._
     // corrupt copies: a dup key, a dangling FK, an out-of-range discount

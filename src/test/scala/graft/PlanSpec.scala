@@ -109,6 +109,37 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("day"), s"day must be a partition filter, got $pf")
   }
 
+  test("q98: gaps-islands reuses the user partitioning (2 shuffles, not 3)") {
+    val s = finalPlan("q98_gaps_islands")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    // distinct on (user, day) + window on user; the (user, anchor) agg must
+    // ride the window's user partitioning rather than shuffle again
+    assert(hashShuffles <= 2,
+      s"island agg must reuse the window's partitioning, got $hashShuffles")
+  }
+
+  test("q103: histogram partial-aggregates map-side before its one shuffle") {
+    val s = finalPlan("q103_histogram")
+    assert(s.contains("partial_count") || s.contains("partial"),
+      "bin counts must combine map-side")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashShuffles == 1, s"one shuffle on bin id, got $hashShuffles")
+  }
+
+  test("q113: LATERAL top-k de-correlates (no nested-loop, no cartesian)") {
+    val s = finalPlan("q113_lateral_topk")
+    assert(!s.contains("CartesianProduct"),
+      "correlated lateral must not plan a cartesian product")
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "correlated lateral must not plan a nested loop join")
+  }
+
+  test("q110: snapshot diff is one join, no re-shuffle after it") {
+    val s = finalPlan("q110_change_feed")
+    val joins = "MergeJoin|HashJoin".r.findAllIn(s).size
+    assert(joins == 1, s"change feed must diff with exactly one join, got $joins")
+  }
+
   test("q40: ANN corpus scan keeps codegen'd kernels (no HOF fallback)") {
     val s = planString("q40_ann_bruteforce").toLowerCase
     assert(s.contains("longdot"),
