@@ -36,5 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plan rewrite: naive interval joins → bucketed equi-joins (active
     // only when spark.graft.rangeJoin.bucketWidth is set)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
+    // physical planning for the TopKPerKey logical operator (the
+    // Dataset-API helper also installs it per-session on first use)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -225,8 +225,46 @@ object AnalyticQueries {
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC"""
 
+  // q118 — TIME-RANGE window frame: per-customer rolling 90-day order
+  // count and revenue, `RANGE BETWEEN <ms> PRECEDING AND CURRENT ROW`
+  // over epoch-ms. Value-defined frames make peer rows (tied ms) see the
+  // same aggregate, so the row-level output is deterministic without a
+  // tiebreaker inside the frame spec. Revenue partials go through
+  // DECIMAL(18,6) on both engines for bit-stable sums. Scale: one hash
+  // exchange on o_custkey; the running frame is a single sorted pass per
+  // partition (Spark's bounded-preceding range frame keeps a sliding
+  // buffer, O(rows in 90 days) memory per key, no re-scan).
+  private val ms90d = 90L * 86400000L
+  def q118RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ms").asc)
+      .rangeBetween(-ms90d, 0)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        col("o_totalprice"))
+      .withColumn("n_90d", count(lit(1)).over(w))
+      .withColumn("rev_90d",
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w)
+          .cast("double"))
+      .drop("o_totalprice")
+      .orderBy(col("o_custkey").asc, col("ms").asc, col("o_orderkey").asc)
+  }
+  val q118Oracle: String = s"""
+    SELECT o_custkey, o_orderkey, ms,
+           count(*) OVER w AS n_90d,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS rev_90d
+    FROM (SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS ms,
+                 o_totalprice
+          FROM orders WHERE o_custkey < 200)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY ms ASC
+                 RANGE BETWEEN $ms90d PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey ASC, ms ASC, o_orderkey ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_window_kit" -> (q65WindowKit _),
+    "q118_range_window" -> (q118RangeWindow _),
     "q66_pivot" -> (q66Pivot _),
     "q67_unpivot" -> (q67Unpivot _),
     "q68_cube" -> (q68Cube _),
@@ -236,6 +274,7 @@ object AnalyticQueries {
 
   val oracles: Map[String, String] = Map(
     "q65_window_kit" -> q65Oracle,
+    "q118_range_window" -> q118Oracle,
     "q66_pivot" -> q66Oracle,
     "q67_unpivot" -> q67Oracle,
     "q68_cube" -> q68Oracle,

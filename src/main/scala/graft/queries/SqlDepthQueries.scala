@@ -97,13 +97,43 @@ object SqlDepthQueries {
            COUNT(*) AS n_orders
     FROM orders GROUP BY o_custkey ORDER BY o_custkey ASC"""
 
+  // ---------------------------------------------------------------------
+  // q117 — the custom physical operator: per-customer top-2 orders through
+  // graft.plans.TopKPerKeyExec (LogicalPlan + Strategy + SparkPlan), which
+  // declares ClusteredDistribution + ordering and streams each partition
+  // once with O(1) state — no rank column, no filter pass. Same semantics
+  // as q113's lateral, different machinery; the oracle is the ranked
+  // window formulation. PlanSpec pins that the custom node actually plans.
+  def q117TopkExec(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+    graft.plans.TopKPerKey.topK(spark, orders,
+        keyCols = Seq($"o_custkey"),
+        orderCols = Seq($"price_cents".desc, $"o_orderkey".asc), k = 2)
+      .orderBy($"o_custkey".asc, $"price_cents".desc, $"o_orderkey".asc)
+  }
+  val q117Oracle: String = """
+    SELECT o_custkey, o_orderkey, price_cents FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                        o_orderkey ASC) AS rn
+      FROM orders)
+    WHERE rn <= 2
+    ORDER BY o_custkey ASC, price_cents DESC, o_orderkey ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_recursive_cte" -> (q112RecursiveCte _),
     "q113_lateral_topk" -> (q113LateralTopk _),
-    "q114_incremental_agg" -> (q114IncrementalAgg _))
+    "q114_incremental_agg" -> (q114IncrementalAgg _),
+    "q117_topk_exec" -> (q117TopkExec _))
 
   val oracles: Map[String, String] = Map(
     "q112_recursive_cte" -> q112Oracle,
     "q113_lateral_topk" -> q113Oracle,
-    "q114_incremental_agg" -> q114Oracle)
+    "q114_incremental_agg" -> q114Oracle,
+    "q117_topk_exec" -> q117Oracle)
 }

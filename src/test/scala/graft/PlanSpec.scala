@@ -140,6 +140,17 @@ class PlanSpec extends SparkSpec {
     assert(joins == 1, s"change feed must diff with exactly one join, got $joins")
   }
 
+  test("q117: custom TopKPerKeyExec plans, one shuffle, no window rank") {
+    val s = finalPlan("q117_topk_exec")
+    assert(s.contains("TopKPerKey"),
+      "the custom physical operator must appear in the executed plan")
+    assert(!s.contains("Window"),
+      "top-k must not fall back to a window rank+filter")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashShuffles == 1,
+      s"ClusteredDistribution(keys) = one hash exchange, got $hashShuffles")
+  }
+
   test("q40: ANN corpus scan keeps codegen'd kernels (no HOF fallback)") {
     val s = planString("q40_ann_bruteforce").toLowerCase
     assert(s.contains("longdot"),
