@@ -191,6 +191,79 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
     } finally staged.unpersist()
   }
 
+  /** Point lookup: read only the buckets that can contain `values` of the
+    * entity key — the hash-bucketed layout's payoff for selective reads.
+    * A k-key probe against an N-bucket table opens ≤ k bucket dirs, not
+    * the table; at 100 TB with 128 MB buckets that is MBs of IO per probe.
+    * The residual filter keeps correctness for hash collisions. */
+  def lookup(name: String, key: String, values: Seq[String]): Option[DataFrame] = {
+    import spark.implicits._
+    val buckets = values.toDF(key).select(bucketCol(key))
+      .collect().map(_.getLong(0).toInt).toSet
+    readBuckets(name, Some(buckets)).map(_.filter(col(key).isin(values: _*)))
+  }
+
+  /** Bucket-count evolution: rewrite the live snapshot into `newN` buckets
+    * (the fixed-at-creation count's escape hatch once buckets outgrow a
+    * few row groups). One distributed read+route+write of the LIVE data
+    * only — history stays under the old bucket count and remains
+    * time-travelable until vacuumed. Returns the new store handle. */
+  def rebucket(name: String, key: String, newN: Int,
+      newRoot: String, sortBy: Option[String] = None): BucketedTableStore = {
+    val live = read(name).getOrElse(
+      throw new IllegalStateException(s"$name not initialized — writeAll first"))
+    val next = new BucketedTableStore(spark, newRoot, newN)
+    next.writeAll(name, live.drop("_bucket"), key, sortBy)
+    next
+  }
+
+  /** Retention sweep: keep the `keepManifests` most recent manifests
+    * (always including the live one) and every bucket version any of them
+    * references; delete older manifests, unreferenced bucket v-dirs, and
+    * orphaned staging dirs from crashed merges. Without this, every merge
+    * leaks its superseded bucket versions forever — at 100 TB the leak,
+    * not the live data, dominates storage. Deletion order is crash-safe:
+    * manifests below the retention floor go first, so an interrupted
+    * sweep leaves unreferenced dirs (re-collectable) but never a manifest
+    * pointing at deleted data. Returns (manifests deleted, dirs deleted). */
+  def vacuum(name: String, keepManifests: Int): (Int, Int) = {
+    require(keepManifests >= 1, "must keep at least the live manifest")
+    currentManifestVersion(name) match {
+      case None => (0, 0)
+      case Some(cur) =>
+        val floor = cur - keepManifests + 1
+        val dropped = (0 until floor).filter(v => Files.exists(manifestFile(name, v)))
+        dropped.foreach(v => Files.delete(manifestFile(name, v)))
+        // union of (bucket, version) pairs the retained manifests still need
+        val live: Set[(Int, Int)] = (math.max(0, floor) to cur).flatMap { v =>
+          val f = manifestFile(name, v)
+          if (!Files.exists(f)) Nil
+          else Files.readAllLines(f).asScala.filter(_.nonEmpty).map { line =>
+            val Array(b, bv) = line.trim.split(' ')
+            (b.toInt, bv.toInt)
+          }
+        }.toSet
+        var dirs = 0
+        (0 until nBuckets).foreach { b =>
+          val bDir = tableDir(name).resolve(s"b$b")
+          if (Files.exists(bDir)) {
+            Files.list(bDir).iterator().asScala.toSeq
+              .filter(p => p.getFileName.toString.startsWith("v"))
+              .foreach { p =>
+                val v = p.getFileName.toString.drop(1).toInt
+                if (!live.contains((b, v))) { cleanupDir(p); dirs += 1 }
+              }
+          }
+        }
+        Files.list(tableDir(name)).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("_staging"))
+          // the live manifest's staging dir may still be mid-move only if a
+          // merge is running; single-writer protocol says none is
+          .foreach { p => cleanupDir(p); dirs += 1 }
+        (dropped.size, dirs)
+    }
+  }
+
   /** [[SyncStore]] verbs — [[writeAll]] / [[merge]] under the shared names,
     * so [[graft.pipeline.Pipeline]] swaps this store in via config. */
   def init(name: String, df: DataFrame, key: String,

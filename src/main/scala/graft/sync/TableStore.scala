@@ -72,6 +72,28 @@ final class TableStore(spark: SparkSession, root: String) extends SyncStore {
     // delete v<k> for k < current-1 in production.
   }
 
+  /** Retention sweep: delete snapshot versions older than the
+    * `keepVersions` most recent (the live version always survives).
+    * Time travel to a vacuumed version returns None afterwards; the live
+    * read is untouched. Returns the deleted version numbers. Safe order:
+    * only ever removes dirs strictly below the retention floor, so a
+    * crash mid-sweep leaves extra garbage, never a dangling pointer. */
+  def vacuum(name: String, keepVersions: Int): Seq[Int] = {
+    require(keepVersions >= 1, "must keep at least the live version")
+    currentVersion(name).toSeq.flatMap { cur =>
+      val floor = cur - keepVersions + 1
+      (0 until floor).filter { v =>
+        val dir = tableDir(name).resolve(s"v$v")
+        if (Files.exists(dir)) { deleteRecursively(dir); true } else false
+      }
+    }
+  }
+
+  private def deleteRecursively(dir: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
   /** [[SyncStore]]: full write; `key` is unused (no bucketing here). */
   def init(name: String, df: DataFrame, key: String,
       sortBy: Option[String] = None): Unit = write(name, df, sortBy)

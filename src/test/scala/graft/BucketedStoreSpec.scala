@@ -121,6 +121,81 @@ class BucketedStoreSpec extends SparkSpec {
     assert(got == Set("solo", newKey))
   }
 
+  test("vacuum: old manifests and unreferenced bucket versions deleted, live read intact") {
+    val root = tmpDir("bstore7")
+    val store = new BucketedTableStore(spark, root, nBuckets = 4)
+    store.writeAll("member", target(), "memberId")
+    // two merges on the same key → that bucket gets three versions
+    Seq(t1, new Timestamp(t1.getTime + 60000)).zipWithIndex.foreach { case (t, i) =>
+      val stage = Seq(("m2", s"bob$i", t, "MODIFY"))
+        .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName")
+      store.merge("member", stage, "memberId", t)
+    }
+    val liveBefore = store.read("member").get
+      .select($"memberId", $"memberName").as[(String, String)].collect().toSet
+
+    val (manifestsDropped, dirsDropped) = store.vacuum("member", keepManifests = 1)
+    assert(manifestsDropped == 2, "manifests 0 and 1 must be swept")
+    assert(dirsDropped >= 2, "the two superseded versions of m2's bucket must be swept")
+
+    assert(store.readAtManifest("member", 0).isEmpty,
+      "time travel below the retention floor must be gone")
+    val liveAfter = store.read("member").get
+      .select($"memberId", $"memberName").as[(String, String)].collect().toSet
+    assert(liveAfter == liveBefore, "the live snapshot must be untouched")
+    // sweep is idempotent
+    assert(store.vacuum("member", keepManifests = 1) == ((0, 0)))
+  }
+
+  test("TableStore vacuum: versions below the floor gone, live + retained readable") {
+    val root = tmpDir("tstore-vac")
+    val store = new graft.sync.TableStore(spark, root)
+    (0 to 2).foreach { i =>
+      store.write("member", target().withColumn("gen", lit(i)))
+    }
+    assert(store.vacuum("member", keepVersions = 2) == Seq(0))
+    assert(store.readAt("member", 0).isEmpty)
+    assert(store.readAt("member", 1).isDefined, "retained history must survive")
+    assert(store.read("member").get.agg(max($"gen")).head().getInt(0) == 2)
+  }
+
+  test("lookup reads only the probed keys' bucket files") {
+    val root = tmpDir("bstore8")
+    val store = new BucketedTableStore(spark, root, nBuckets = 8)
+    store.writeAll("member", target(), "memberId")
+
+    val df = store.lookup("member", "memberId", Seq("m2", "m5")).get
+    val got = df.select($"memberId", $"memberName").as[(String, String)]
+      .collect().toSet
+    assert(got == Set("m2" -> "bob", "m5" -> "eve"))
+
+    val wantedBuckets = Seq("m2", "m5").map { k =>
+      Seq(k).toDF("memberId").select(store.bucketCol("memberId"))
+        .head().getLong(0).toInt
+    }.toSet
+    val touchedDirs = df.inputFiles.map { f =>
+      f.split('/').find(_.matches("b\\d+")).get
+    }.toSet
+    assert(touchedDirs == wantedBuckets.map(b => s"b$b"),
+      s"probe must open only the keys' buckets, opened $touchedDirs")
+  }
+
+  test("rebucket rewrites the live snapshot under a new bucket count") {
+    val root = tmpDir("bstore9")
+    val store = new BucketedTableStore(spark, root, nBuckets = 2)
+    store.writeAll("member", target(), "memberId")
+    val before = store.read("member").get
+      .select($"memberId", $"memberName").as[(String, String)].collect().toSet
+
+    val wide = store.rebucket("member", "memberId", newN = 8,
+      newRoot = tmpDir("bstore9-wide"))
+    val after = wide.read("member").get
+      .select($"memberId", $"memberName").as[(String, String)].collect().toSet
+    assert(after == before, "rebucket must preserve contents exactly")
+    assert(wide.manifest("member").get.keySet.max < 8)
+    assert(wide.lookup("member", "memberId", Seq("m4")).get.count() == 1)
+  }
+
   test("merge is idempotent: reapplying the same stage is a no-op") {
     val root = tmpDir("bstore4")
     val store = new BucketedTableStore(spark, root, nBuckets = 4)
