@@ -359,6 +359,35 @@ object CoreQueries {
     ORDER BY c_custkey ASC"""
 
   // ---------------------------------------------------------------------
+  // q119 — bag-semantics set operators: INTERSECT ALL / EXCEPT ALL keep
+  // multiplicities (q15's distinct forms collapse them). The multiset
+  // difference of supplier keys between two order-priority slices of
+  // lineitem is exactly the "how many MORE times" question bag semantics
+  // answer. Duplicate output rows are identical, so ORDER BY the value is
+  // fully deterministic for the hash compare.
+  def q119SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    def side(flag: String) = li.filter($"l_returnflag" === flag)
+      .filter($"l_suppkey" < 40).select($"l_suppkey")
+    val a = side("A"); val b = side("R")
+    a.intersectAll(b).select(lit("intersect_all").as("op"), $"l_suppkey")
+      .unionByName(a.exceptAll(b).select(lit("except_all").as("op"), $"l_suppkey"))
+      .orderBy($"op".asc, $"l_suppkey".asc)
+  }
+  val q119Oracle: String = """
+    SELECT 'intersect_all' AS op, l_suppkey FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A' AND l_suppkey < 40
+      INTERSECT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R' AND l_suppkey < 40)
+    UNION ALL
+    SELECT 'except_all' AS op, l_suppkey FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A' AND l_suppkey < 40
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R' AND l_suppkey < 40)
+    ORDER BY op ASC, l_suppkey ASC"""
+
+  // ---------------------------------------------------------------------
   // q16 — HAVING: post-aggregation filter.
   def q16HavingFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -523,6 +552,7 @@ object CoreQueries {
     "q13_daily_counts" -> (q13DailyCounts _),
     "q14_distinct_users" -> (q14DistinctUsers _),
     "q15_set_ops" -> (q15SetOps _),
+    "q119_set_ops_all" -> (q119SetOpsAll _),
     "q16_having_filter" -> (q16HavingFilter _),
     "q17_case_when" -> (q17CaseWhen _),
     "q18_window_running" -> (q18WindowRunning _),
@@ -547,6 +577,7 @@ object CoreQueries {
     "q13_daily_counts" -> q13Oracle,
     "q14_distinct_users" -> q14Oracle,
     "q15_set_ops" -> q15Oracle,
+    "q119_set_ops_all" -> q119Oracle,
     "q16_having_filter" -> q16Oracle,
     "q17_case_when" -> q17Oracle,
     "q18_window_running" -> q18Oracle,

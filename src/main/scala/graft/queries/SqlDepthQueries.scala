@@ -98,6 +98,43 @@ object SqlDepthQueries {
     FROM orders GROUP BY o_custkey ORDER BY o_custkey ASC"""
 
   // ---------------------------------------------------------------------
+  // q120 — incremental JOIN maintenance: q114's idea lifted from
+  // aggregates to joins. With both sides receiving deltas, the maintained
+  // result is the delta algebra
+  //   J_new = (A₀⋈B₀) ∪ (ΔA⋈B₀) ∪ (A₀⋈ΔB) ∪ (ΔA⋈ΔB)
+  // — the classic trap is dropping the ΔA⋈ΔB cross term. At scale A₀⋈B₀
+  // is the stored join result (here recomputed inline for the oracle);
+  // only the three delta terms touch new data, and each is an equi-join
+  // the bucketed layout co-locates. The oracle full-recomputes A⋈B and
+  // must agree — the IVM correctness condition. Exact integer cents.
+  def q120IncrementalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", cents.as("price_cents"))
+    val dAPred = $"o_orderkey" % 4 === 0
+    val dBPred = $"l_orderkey" % 5 === 0
+    val (a0, dA) = (orders.filter(!dAPred), orders.filter(dAPred))
+    val (b0, dB) = (li.filter(!dBPred), li.filter(dBPred))
+    def j(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, a("o_orderkey") === b("l_orderkey"))
+        .select($"o_custkey", $"price_cents")
+    j(a0, b0).unionByName(j(dA, b0))
+      .unionByName(j(a0, dB)).unionByName(j(dA, dB))
+      .groupBy($"o_custkey")
+      .agg(sum($"price_cents").as("revenue_cents"), count(lit(1)).as("n_lines"))
+      .orderBy($"o_custkey".asc)
+  }
+  val q120Oracle: String = """
+    SELECT o_custkey,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+           COUNT(*) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_custkey ORDER BY o_custkey ASC"""
+
+  // ---------------------------------------------------------------------
   // q117 — the custom physical operator: per-customer top-2 orders through
   // graft.plans.TopKPerKeyExec (LogicalPlan + Strategy + SparkPlan), which
   // declares ClusteredDistribution + ordering and streams each partition
@@ -129,11 +166,13 @@ object SqlDepthQueries {
     "q112_recursive_cte" -> (q112RecursiveCte _),
     "q113_lateral_topk" -> (q113LateralTopk _),
     "q114_incremental_agg" -> (q114IncrementalAgg _),
-    "q117_topk_exec" -> (q117TopkExec _))
+    "q117_topk_exec" -> (q117TopkExec _),
+    "q120_incremental_join" -> (q120IncrementalJoin _))
 
   val oracles: Map[String, String] = Map(
     "q112_recursive_cte" -> q112Oracle,
     "q113_lateral_topk" -> q113Oracle,
     "q114_incremental_agg" -> q114Oracle,
-    "q117_topk_exec" -> q117Oracle)
+    "q117_topk_exec" -> q117Oracle,
+    "q120_incremental_join" -> q120Oracle)
 }
