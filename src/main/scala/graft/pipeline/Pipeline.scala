@@ -20,10 +20,16 @@ import graft.sync.{BucketedTableStore, Merge, SyncStore, TableStore}
   *                 100 TB deployment runs (BENCHMARKS.md has the measured
   *                 crossover). Same merge semantics either way, enforced by
   *                 PipelineSpec running the full scenario on both.
+  * @param retainStates Some(k) → after each sync drain, sweep every
+  *                 target's snapshot history down to the k most recent
+  *                 states (store `vacuum`); None → keep all history.
+  *                 A continuous deployment sets this, or the superseded
+  *                 snapshots leak without bound.
   */
 final class Pipeline(spark: SparkSession, storeRoot: String,
     now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
-    nBuckets: Option[Int] = None) {
+    nBuckets: Option[Int] = None,
+    retainStates: Option[Int] = None) {
 
   val store: SyncStore = nBuckets match {
     case Some(n) => new BucketedTableStore(spark, storeRoot, n)
@@ -45,10 +51,14 @@ final class Pipeline(spark: SparkSession, storeRoot: String,
       .foreach { case (name, df) => store.init(name, df, entityKeys(name)) }
   }
 
-  /** Stage 2 — drain all pending CDC files and apply the merges. */
+  /** Stage 2 — drain all pending CDC files and apply the merges, then
+    * run the configured retention sweep. */
   def syncAvailable(cdcDir: String, checkpointDir: String): Unit = {
     val q = new CdcStream(spark, store, now).start(cdcDir, checkpointDir)
     q.awaitTermination()
+    retainStates.foreach { k =>
+      Merge.entities.foreach(e => store.retain(e.name, k))
+    }
   }
 
   def table(name: String): DataFrame =

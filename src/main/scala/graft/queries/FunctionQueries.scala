@@ -171,8 +171,50 @@ object FunctionQueries {
            CAST(o_totalprice IS NULL AS INT) AS price_null
     FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey ASC"""
 
+  // q121 — map-typed column kit: build a per-user map event_type→count
+  // with map_from_entries over a collected struct array, interrogate it
+  // (map_keys/size/element_at with a missing-key NULL), and explode the
+  // entries back to rows. The map round-trip happens entirely in Spark;
+  // the exploded, fully-ordered rows are what the oracle (a plain GROUP
+  // BY reformulation) checks — complex-type plumbing with a scalar-exact
+  // gate. Scale: one shuffle to the per-user agg; maps stay bounded by
+  // the event-type cardinality, never by event count.
+  def q121MapKit(spark: SparkSession, dir: String): DataFrame = {
+    val perType = Tables.events(spark, dir)
+      .filter(col("user_id") < 40)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val asMap = perType
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"),
+        size(col("m")).cast("bigint").as("n_types"),
+        element_at(col("m"), "view").as("n_view"),
+        element_at(col("m"), "no_such_type").isNull.cast("int").as("missing_is_null"),
+        explode(map_entries(col("m"))).as("e"))
+    asMap.select(col("user_id"), col("n_types"), col("n_view"),
+        col("missing_is_null"),
+        col("e.key").as("event_type"), col("e.value").as("n"))
+      .orderBy(col("user_id").asc, col("event_type").asc)
+  }
+  val q121Oracle: String = """
+    WITH per_type AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events WHERE user_id < 40 GROUP BY user_id, event_type),
+    per_user AS (
+      SELECT user_id, COUNT(*) AS n_types,
+             MAX(CASE WHEN event_type = 'view' THEN n END) AS n_view,
+             CAST(1 AS INT) AS missing_is_null
+      FROM per_type GROUP BY user_id)
+    SELECT p.user_id, u.n_types, u.n_view, u.missing_is_null,
+           p.event_type, p.n
+    FROM per_type p JOIN per_user u USING (user_id)
+    ORDER BY p.user_id ASC, p.event_type ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_null_kit" -> (q97NullKit _),
+    "q121_map_kit" -> (q121MapKit _),
     "q58_date_arithmetic" -> (q58DateArithmetic _),
     "q59_string_kit" -> (q59StringKit _),
     "q60_exact_math" -> (q60ExactMath _),
@@ -181,6 +223,7 @@ object FunctionQueries {
 
   val oracles: Map[String, String] = Map(
     "q97_null_kit" -> q97Oracle,
+    "q121_map_kit" -> q121Oracle,
     "q58_date_arithmetic" -> q58Oracle,
     "q59_string_kit" -> q59Oracle,
     "q60_exact_math" -> q60Oracle,

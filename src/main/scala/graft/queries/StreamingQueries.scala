@@ -132,13 +132,65 @@ object StreamingQueries {
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment ASC"""
 
+  // q122 — stream-stream LEFT OUTER interval join: q69 plus the
+  // null-extension rows for purchases with no click in the hour. Outer
+  // rows only materialize when the watermark proves no matching click can
+  // still arrive, so the tail of the stream (p_ts ≥ final watermark =
+  // min(max p_ts, max c_ts) − 1h) is legitimately unfinalized at drain
+  // end — the result is restricted to the finalized region on BOTH
+  // engines, which is exactly the semantics a forever-running stream
+  // exposes. State stays watermark-bounded like q69's inner form.
+  def q122StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+    // finalization cutoff, computed batch-side exactly as the stream's
+    // final global watermark: min over sides of max event time, minus 1h
+    val ev = Tables.events(spark, dir)
+    def maxUs(t: String) = ev.filter(col("event_type") === t)
+      .agg(max(expr("ts_ns DIV 1000"))).head().getLong(0)
+    val cutoffUs = math.min(maxUs("purchase"), maxUs("click")) - 3600000000L
+    drain(spark, joined)
+      .select(col("p_id"), col("c_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+      .filter(col("p_us") < cutoffUs)
+      .orderBy(col("p_id").asc, col("c_id").asc_nulls_first)
+  }
+  val q122Oracle: String = """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         wm AS (SELECT LEAST((SELECT max(epoch_us(ts)) FROM p),
+                             (SELECT max(epoch_us(ts)) FROM c))
+                       - 3600000000 AS cut)
+    SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+           epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+    WHERE epoch_us(p.ts) < (SELECT cut FROM wm)
+    ORDER BY p_id ASC, c_id ASC NULLS FIRST"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_stream_stream_join" -> (q69StreamStreamJoin _),
     "q70_stream_dedup" -> (q70StreamDedup _),
-    "q81_stream_enrich" -> (q81StreamEnrich _))
+    "q81_stream_enrich" -> (q81StreamEnrich _),
+    "q122_stream_outer_join" -> (q122StreamOuterJoin _))
 
   val oracles: Map[String, String] = Map(
     "q69_stream_stream_join" -> q69Oracle,
     "q70_stream_dedup" -> q70Oracle,
-    "q81_stream_enrich" -> q81Oracle)
+    "q81_stream_enrich" -> q81Oracle,
+    "q122_stream_outer_join" -> q122Oracle)
 }

@@ -273,6 +273,9 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
       syncTime: java.sql.Timestamp, sortBy: Option[String] = None): Unit =
     merge(name, stage, key, syncTime, sortBy)
 
+  /** [[SyncStore]] retention verb → [[vacuum]]. */
+  def retain(name: String, keep: Int): Unit = vacuum(name, keep)
+
   private def cleanupDir(dir: Path): Unit =
     if (Files.exists(dir))
       Files.walk(dir).iterator().asScala.toSeq.reverse

@@ -36,4 +36,10 @@ trait SyncStore {
     * result atomically. */
   def applyMerge(name: String, stage: DataFrame, key: String,
       syncTime: Timestamp, sortBy: Option[String] = None): Unit
+
+  /** Retention sweep: drop snapshot history beyond the `keep` most recent
+    * states (the live state always survives; time travel shrinks to the
+    * retained window). Continuous pipelines call this after merges so the
+    * version/manifest leak stays bounded — see each store's `vacuum`. */
+  def retain(name: String, keep: Int): Unit
 }

@@ -94,6 +94,9 @@ final class TableStore(spark: SparkSession, root: String) extends SyncStore {
     Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
   }
 
+  /** [[SyncStore]] retention verb → [[vacuum]]. */
+  def retain(name: String, keep: Int): Unit = vacuum(name, keep)
+
   /** [[SyncStore]]: full write; `key` is unused (no bucketing here). */
   def init(name: String, df: DataFrame, key: String,
       sortBy: Option[String] = None): Unit = write(name, df, sortBy)

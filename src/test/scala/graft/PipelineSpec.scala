@@ -3,6 +3,8 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Analytics
@@ -206,6 +208,36 @@ class PipelineSpec extends SparkSpec {
     val bucketed = run(Some(8), "bucketed")
     assert(plain("member").nonEmpty && plain("member_quest").nonEmpty)
     assert(bucketed == plain, "bucketed store must produce identical tables")
+  }
+
+  test("pipeline retention sweeps snapshot history after each sync") {
+    val gen = new CdcGen.Gen(17)
+    val exportDir = tmpDir("rexport")
+    val cdcDir = tmpDir("rcdc")
+    val ckptDir = tmpDir("rckpt")
+    val storeRoot = tmpDir("rstore")
+    val m0 = gen.member(); val q0 = gen.quest()
+    val mq0 = gen.memberQuest(m0.pk.stripPrefix("M_"), q0.pk.stripPrefix("Q_"))
+    writeLines(exportDir, "data.json", Seq(m0, q0, mq0).map(gen.exportLine))
+
+    var clock = t0
+    val pipeline = new Pipeline(spark, storeRoot, () => new Timestamp(clock),
+      nBuckets = None, retainStates = Some(1))
+    pipeline.initialLoad(exportDir)
+    (1 to 2).foreach { i =>
+      writeLines(cdcDir, s"batch$i.json",
+        Seq(gen.envelope("INSERT", gen.member(), t0 + i * 10000)))
+      clock = t0 + i * 60000
+      pipeline.syncAvailable(cdcDir, ckptDir)
+    }
+    // three states existed per table (load + two merges); only the live
+    // version may remain on disk after the per-sync sweep
+    val memberVdirs = Files.list(Paths.get(storeRoot, "member"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.matches("v\\d+")).toSeq
+    assert(memberVdirs == Seq("v2"),
+      s"retention must keep only the live snapshot, found $memberVdirs")
+    assert(pipeline.member.count() == 3, "live table intact after sweeps")
   }
 
   test("merge is idempotent: re-applying a batch is a no-op") {
