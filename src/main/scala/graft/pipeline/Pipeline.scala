@@ -54,12 +54,22 @@ final class Pipeline(spark: SparkSession, storeRoot: String,
   /** Stage 2 — drain all pending CDC files and apply the merges, then
     * run the configured retention sweep. */
   def syncAvailable(cdcDir: String, checkpointDir: String): Unit = {
-    val q = new CdcStream(spark, store, now).start(cdcDir, checkpointDir)
+    val q = new CdcStream(spark, store, now).start(cdcDir, checkpointDir,
+      quarantineDir = Some(quarantinePath))
     q.awaitTermination()
     retainStates.foreach { k =>
       Merge.entities.foreach(e => store.retain(e.name, k))
     }
   }
+
+  private val quarantinePath = s"$storeRoot/_quarantine"
+
+  /** Dead-letter table: raw CDC lines the JSON reader could not parse,
+    * with batch id and capture time. Empty until a poison line arrives. */
+  def quarantine: DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(quarantinePath)))
+      spark.read.parquet(quarantinePath)
+    else spark.emptyDataFrame
 
   def table(name: String): DataFrame =
     store.read(name).getOrElse(

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.storage.StorageLevel
 
@@ -63,18 +64,45 @@ final class CdcStream(spark: SparkSession, store: SyncStore,
 
   /** Start the stream over a directory of envelope JSON files.
     * `Trigger.AvailableNow` ≈ drain-everything-then-stop (one refresh+call
-    * sweep); pass `ProcessingTime` for a scheduled loop. */
+    * sweep); pass `ProcessingTime` for a scheduled loop.
+    *
+    * `quarantineDir` enables dead-letter capture: a line the JSON reader
+    * cannot parse surfaces in the PERMISSIVE corrupt-record column and is
+    * appended (raw text + batch id + capture time) to the quarantine
+    * table instead of silently becoming an all-null envelope that the
+    * merge would drop on the floor. The sync itself only ever sees clean
+    * records, and one poison line never stalls the stream — the triage
+    * story a production CDC pipeline needs. */
   def start(inputDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()) = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      quarantineDir: Option[String] = None) = {
+    val corrupt = "_corrupt_record"
     val envelopes = spark.readStream
-      .schema(CdcSchemas.envelope)
+      .schema(CdcSchemas.envelope.add(corrupt,
+        org.apache.spark.sql.types.StringType))
+      .option("columnNameOfCorruptRecord", corrupt)
       .json(inputDir)
-    val extracted = Extraction.extract(envelopes)
-    extracted.writeStream
+    envelopes.writeStream
       .queryName("cdc-sync")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) => syncAll(batch) }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // one materialization feeds both the quarantine split and the
+        // merges (a corrupt-column-only projection against the raw file
+        // scan is also disallowed — the persisted frame sidesteps that)
+        val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          quarantineDir.foreach { dir =>
+            val bad = cached.filter(col(corrupt).isNotNull)
+              .select(col(corrupt).as("raw_line"),
+                lit(batchId).as("batch_id"),
+                lit(now()).as("quarantined_at"))
+            if (!bad.isEmpty) bad.write.mode("append").parquet(dir)
+          }
+          syncAll(Extraction.extract(
+            cached.filter(col(corrupt).isNull).drop(corrupt)))
+        } finally cached.unpersist()
+      }
       .start()
   }
 }

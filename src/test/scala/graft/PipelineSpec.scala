@@ -240,6 +240,36 @@ class PipelineSpec extends SparkSpec {
     assert(pipeline.member.count() == 3, "live table intact after sweeps")
   }
 
+  test("poison CDC line is quarantined, clean records still merge") {
+    val gen = new CdcGen.Gen(19)
+    val exportDir = tmpDir("qexport")
+    val cdcDir = tmpDir("qcdc")
+    val ckptDir = tmpDir("qckpt")
+    val storeRoot = tmpDir("qstore")
+    val m0 = gen.member(); val q0 = gen.quest()
+    val mq0 = gen.memberQuest(m0.pk.stripPrefix("M_"), q0.pk.stripPrefix("Q_"))
+    writeLines(exportDir, "data.json", Seq(m0, q0, mq0).map(gen.exportLine))
+
+    var clock = t0
+    val pipeline = new Pipeline(spark, storeRoot, () => new Timestamp(clock))
+    pipeline.initialLoad(exportDir)
+
+    val poison = "this is {{{ not json"
+    writeLines(cdcDir, "batch1.json", Seq(
+      gen.envelope("INSERT", gen.member(), t0 + 10000),
+      poison,
+      gen.envelope("INSERT", gen.member(), t0 + 11000)))
+    clock = t0 + 60000
+    pipeline.syncAvailable(cdcDir, ckptDir)
+
+    assert(pipeline.member.count() == 3,
+      "both clean inserts must merge despite the poison line")
+    val q = pipeline.quarantine
+    assert(q.count() == 1, "exactly the poison line is quarantined")
+    assert(q.select($"raw_line").as[String].head() == poison,
+      "quarantine must keep the raw text for triage")
+  }
+
   test("merge is idempotent: re-applying a batch is a no-op") {
     val gen = new CdcGen.Gen(4)
     val m = gen.member()
