@@ -50,6 +50,31 @@ class JoinOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("join hints steer the physical strategy (broadcast / merge / shuffle_hash)") {
+    // At 100 TB the planner's size estimates can be wrong (post-filter
+    // cardinalities, opaque UDF selectivity); hints are the operator's
+    // manual override and must demonstrably reach the physical plan.
+    val dir = "/root/testdata/sf0.001"
+    val o = graft.tables.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey")
+    val c = graft.tables.Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment")
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    val cond = $"o_custkey" === $"c_custkey"
+    val merged = planOf(o.join(c.hint("merge"), cond))
+    assert(merged.contains("SortMergeJoin") && !merged.contains("BroadcastHashJoin"),
+      s"merge hint must force SMJ even for a broadcastable dim:\n${merged.take(600)}")
+    val hashed = planOf(o.join(c.hint("shuffle_hash"), cond))
+    assert(hashed.contains("ShuffledHashJoin"),
+      s"shuffle_hash hint must force SHJ:\n${hashed.take(600)}")
+    val bcast = planOf(o.join(c.hint("broadcast"), cond))
+    assert(bcast.contains("BroadcastHashJoin"),
+      s"broadcast hint must force BHJ:\n${bcast.take(600)}")
+  }
+
   test("AQE splits the hot partition of a skewed sort-merge join") {
     // SCALE.md §6 claims AQE skew-join splitting is available as a runtime
     // lever — prove it: one key owns ~95% of the fact rows, thresholds
