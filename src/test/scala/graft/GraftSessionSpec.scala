@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The deployment wiring itself: a session built through
+  * [[GraftSession.builder]] (≈ `spark.sql.extensions=GraftExtensions` on
+  * a cluster) must expose the native functions in plain SQL and carry the
+  * custom optimizer rule + planner strategy — no Scala-API registration
+  * calls anywhere.
+  *
+  * Builds a REAL second session: the shared test session is parked
+  * (clear active/default) so getOrCreate constructs a fresh one over the
+  * same SparkContext with the extensions applied, and is restored after.
+  */
+class GraftSessionSpec extends AnyFunSuite {
+
+  test("GraftSession: SQL functions, optimizer rule, and strategy installed") {
+    val shared = SparkSpec.spark // ensure the context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = GraftSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      assert(s ne shared, "must be a fresh session, not the parked one")
+
+      // native functions resolve and evaluate from plain SQL
+      val sim = s.sql(
+        "SELECT simhash(array('alpha','beta','gamma')) AS h").head().getLong(0)
+      assert(sim != 0L)
+      val dot = s.sql(
+        "SELECT long_dot(array(1L,2L,3L), array(4L,5L,6L)) AS d").head().getLong(0)
+      assert(dot == 32L)
+      assert(s.catalog.functionExists("min_rolling_hash"))
+      assert(s.catalog.functionExists("srp_bits"))
+
+      // optimizer rule and planner strategy rode in with the extensions
+      assert(s.sessionState.optimizer.extendedOperatorOptimizationRules
+        .exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]),
+        "RangeJoinRewrite must be injected")
+      assert(s.sessionState.planner.strategies
+        .contains(graft.plans.TopKStrategy),
+        "TopKStrategy must be injected")
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+}
