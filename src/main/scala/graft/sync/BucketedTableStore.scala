@@ -47,14 +47,15 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
     if (Files.exists(f)) Some(new String(Files.readAllBytes(f)).trim.toInt) else None
   }
 
+  private def parseManifest(name: String, v: Int): Map[Int, Int] =
+    Files.readAllLines(manifestFile(name, v)).asScala.filter(_.nonEmpty).map { line =>
+      val Array(b, bv) = line.trim.split(' ')
+      b.toInt -> bv.toInt
+    }.toMap
+
   /** bucket → live version for that bucket. */
   def manifest(name: String): Option[Map[Int, Int]] =
-    currentManifestVersion(name).map { v =>
-      Files.readAllLines(manifestFile(name, v)).asScala.filter(_.nonEmpty).map { line =>
-        val Array(b, bv) = line.trim.split(' ')
-        b.toInt -> bv.toInt
-      }.toMap
-    }
+    currentManifestVersion(name).map(parseManifest(name, _))
 
   private def bucketPath(name: String, bucket: Int, v: Int): Path =
     tableDir(name).resolve(s"b$bucket").resolve(s"v$v")
@@ -88,8 +89,27 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
       else spark.read.parquet(paths: _*)
     }
 
-  private def writeManifest(name: String, m: Map[Int, Int]): Unit = {
-    val next = currentManifestVersion(name).getOrElse(-1) + 1
+  private def writeManifest(name: String, m: Map[Int, Int]): Unit =
+    commitManifest(name, m, currentManifestVersion(name))
+
+  /** Publish manifest `m` as the next state, REQUIRING that the live
+    * manifest is still `expectedBase` — optimistic concurrency for the
+    * single-writer protocol. A merge builds its manifest as
+    * base-snapshot ++ its-buckets; if another writer committed after
+    * this writer read its base, blindly publishing would silently drop
+    * the other writer's bucket updates (a lost update, not a crash).
+    * The stale commit throws instead; the caller re-reads and re-merges.
+    * The check-then-move window is epsilon vs the merge runtime — the
+    * same compare-and-swap discipline transactional table formats use,
+    * minus a distributed lock this environment doesn't need. */
+  private[graft] def commitManifest(name: String, m: Map[Int, Int],
+      expectedBase: Option[Int]): Unit = {
+    val live = currentManifestVersion(name)
+    if (live != expectedBase)
+      throw new java.util.ConcurrentModificationException(
+        s"$name: manifest moved $expectedBase -> $live since this writer " +
+          "read its base; re-read and re-merge (lost-update protection)")
+    val next = live.getOrElse(-1) + 1
     val body = m.toSeq.sorted.map { case (b, v) => s"$b $v" }.mkString("\n")
     Files.createDirectories(tableDir(name))
     Files.write(manifestFile(name, next), body.getBytes,
@@ -106,7 +126,8 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
     * routing is a partitionBy on the derived `_bucket` column. */
   def writeAll(name: String, df: DataFrame, key: String,
       sortBy: Option[String] = None): Unit = {
-    val next = currentManifestVersion(name).getOrElse(-1) + 1
+    val base = currentManifestVersion(name)
+    val next = base.getOrElse(-1) + 1
     val staging = tableDir(name).resolve(s"_staging$next")
     // `_bucket` stays a DATA column (reads must recover it without path
     // parsing); `_bp` is its copy used only for the write-time routing —
@@ -130,7 +151,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
       } else None
     }
     cleanupDir(staging)
-    writeManifest(name, entries.toMap)
+    commitManifest(name, entries.toMap, base)
   }
 
   /** Partition-level merge: delete-then-insert upsert against ONLY the
@@ -140,7 +161,10 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
     * their bytes are never read, shuffled, or rewritten. */
   def merge(name: String, stage: DataFrame, key: String,
       syncTime: java.sql.Timestamp, sortBy: Option[String] = None): Unit = {
-    val m = manifest(name).getOrElse(
+    // base is captured once: the commit at the end is conditional on the
+    // live manifest still being this one (lost-update protection)
+    val base = currentManifestVersion(name)
+    val m = base.map(parseManifest(name, _)).getOrElse(
       throw new IllegalStateException(s"$name not initialized — writeAll first"))
     val staged = stage.withColumn("_bucket", bucketCol(key))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -163,7 +187,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
           .drop("eventName")
           .withColumn("syncTimestamp", lit(syncTime))
           .select(target.columns.map(col).toIndexedSeq: _*)
-        val next = currentManifestVersion(name).get + 1
+        val next = base.get + 1
         val staging = tableDir(name).resolve(s"_staging$next")
         val merged = kept.unionByName(inserts)
           .repartition(col("_bucket")) // one file per bucket, see writeAll
@@ -186,7 +210,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
           b -> next
         }.toMap
         cleanupDir(staging)
-        writeManifest(name, m ++ updated)
+        commitManifest(name, m ++ updated, base)
       }
     } finally staged.unpersist()
   }

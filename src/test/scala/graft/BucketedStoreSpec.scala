@@ -196,6 +196,28 @@ class BucketedStoreSpec extends SparkSpec {
     assert(wide.lookup("member", "memberId", Seq("m4")).get.count() == 1)
   }
 
+  test("stale manifest commit is rejected (lost-update protection)") {
+    val root = tmpDir("bstore10")
+    val store = new BucketedTableStore(spark, root, nBuckets = 4)
+    store.writeAll("member", target(), "memberId") // manifest 0
+    // writer A captures base 0; writer B lands a real merge first
+    val stage = Seq(("m2", "bob2", t1, "MODIFY"))
+      .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName")
+    store.merge("member", stage, "memberId", t1) // manifest 1
+    val liveBefore = store.manifest("member").get
+
+    // A's publish against its stale base must refuse, not clobber B
+    intercept[java.util.ConcurrentModificationException] {
+      store.commitManifest("member", Map(0 -> 99), Some(0))
+    }
+    assert(store.manifest("member").get == liveBefore,
+      "refused commit must leave the live manifest untouched")
+
+    // the retry path — re-read the base, commit against it — succeeds
+    store.commitManifest("member", liveBefore, Some(1))
+    assert(store.readAtManifest("member", 2).isDefined)
+  }
+
   test("merge is idempotent: reapplying the same stage is a no-op") {
     val root = tmpDir("bstore4")
     val store = new BucketedTableStore(spark, root, nBuckets = 4)
