@@ -58,18 +58,31 @@ final class TableStore(spark: SparkSession, root: String) extends SyncStore {
     * SORTKEY mapping (ref scripts/setup_redshift.sh:90): parquet row-group
     * min/max stats on the sort column let later time-range scans skip
     * row groups (zone-map pruning). */
-  def write(name: String, df: DataFrame, sortBy: Option[String] = None): Unit = {
-    val next = currentVersion(name).getOrElse(-1) + 1
+  def write(name: String, df: DataFrame, sortBy: Option[String] = None): Unit =
+    writeIfBase(name, df, currentVersion(name), sortBy)
+
+  /** [[write]] conditional on the live version still being `expectedBase`
+    * — the merge's lost-update protection ([[BucketedTableStore
+    * .commitManifest]] has the full rationale): a merge derived from a
+    * superseded snapshot must refuse-and-retry, not clobber the writer
+    * that landed in between. */
+  private[graft] def writeIfBase(name: String, df: DataFrame,
+      expectedBase: Option[Int], sortBy: Option[String] = None): Unit = {
+    val next = expectedBase.getOrElse(-1) + 1
     val dest = tableDir(name).resolve(s"v$next")
     val toWrite = sortBy.fold(df)(c => df.sortWithinPartitions(c))
     toWrite.write.mode("overwrite").parquet(dest.toString)
+    val live = currentVersion(name)
+    if (live != expectedBase)
+      throw new java.util.ConcurrentModificationException(
+        s"$name: version moved $expectedBase -> $live since this writer " +
+          "read its base; re-read and re-merge (lost-update protection)")
     val tmp = tableDir(name).resolve(s"_CURRENT.tmp$next")
     Files.write(tmp, next.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, currentFile(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // Old versions are kept for time-travel/debug; a retention sweep would
-    // delete v<k> for k < current-1 in production.
+    // Old versions are kept for time-travel/debug until retain/vacuum.
   }
 
   /** Retention sweep: delete snapshot versions older than the
@@ -106,8 +119,14 @@ final class TableStore(spark: SparkSession, root: String) extends SyncStore {
     * version. O(table) per batch by construction. */
   def applyMerge(name: String, stage: DataFrame, key: String,
       syncTime: java.sql.Timestamp, sortBy: Option[String] = None): Unit = {
-    val target = read(name).getOrElse(
-      throw new IllegalStateException(s"$name not initialized — init first"))
-    write(name, Merge.applyStage(target, stage, key, syncTime), sortBy)
+    // capture the base ONCE: the merged result derives from this
+    // snapshot, so the publish must be conditional on it still being live
+    val base = currentVersion(name)
+    val target = base.map(v =>
+        spark.read.parquet(tableDir(name).resolve(s"v$v").toString))
+      .getOrElse(
+        throw new IllegalStateException(s"$name not initialized — init first"))
+    writeIfBase(name, Merge.applyStage(target, stage, key, syncTime),
+      base, sortBy)
   }
 }

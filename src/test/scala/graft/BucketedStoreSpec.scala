@@ -218,6 +218,18 @@ class BucketedStoreSpec extends SparkSpec {
     assert(store.readAtManifest("member", 2).isDefined)
   }
 
+  test("TableStore stale write is rejected the same way") {
+    val root = tmpDir("tstore-occ")
+    val store = new graft.sync.TableStore(spark, root)
+    store.write("member", target())                  // v0
+    store.write("member", target())                  // v1 (another writer)
+    intercept[java.util.ConcurrentModificationException] {
+      store.writeIfBase("member", target(), expectedBase = Some(0))
+    }
+    assert(store.currentVersion("member").contains(1),
+      "refused write must not move the live pointer")
+  }
+
   test("merge is idempotent: reapplying the same stage is a no-op") {
     val root = tmpDir("bstore4")
     val store = new BucketedTableStore(spark, root, nBuckets = 4)
