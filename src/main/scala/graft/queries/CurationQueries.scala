@@ -153,13 +153,73 @@ object CurationQueries {
              AS corpus_ttr
     FROM sampled GROUP BY source ORDER BY source ASC"""
 
+  // q123 — keep-BEST dedup (canonical selection): q89's dedup keeps
+  // min-doc_id arbitrarily; real curation keeps the best duplicate.
+  // Groups share an md5 prefix key; the survivor is the longest document
+  // (n_chars desc), tiebreak doc_id asc. One window over one hash
+  // shuffle on the dup key — same physical shape as latest-per-key (q07),
+  // different ranking. Survivor count == distinct dup keys by construction.
+  def q123KeepBestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(substring(col("text"), 1, 40).cast("binary")).as("k"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("doc_id").asc)
+  }
+  val q123Oracle: String = """
+    SELECT doc_id, lang, source, n_chars, k FROM (
+      SELECT doc_id, lang, source, n_chars,
+             md5(substr(text, 1, 40)) AS k,
+             row_number() OVER (PARTITION BY md5(substr(text, 1, 40))
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents)
+    WHERE rn = 1 ORDER BY doc_id ASC"""
+
+  // q124 — per-source caps: bound any one source's share of the corpus
+  // (the anti-domination rule every pretraining mix applies). Keep the
+  // top 40 docs per source by length (doc_id tiebreak); output the
+  // capped corpus profile. The grouped top-k shape — at 100 TB the
+  // TopKAgg aggregator or TopKPerKeyExec replace the window when k is
+  // small relative to group size (both are in the library); the window
+  // form is kept here because the oracle must rank identically.
+  def q124SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 40)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"),
+        max(col("n_chars")).as("longest"))
+      .orderBy(col("source").asc)
+  }
+  val q124Oracle: String = """
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           MAX(n_chars) AS longest
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents)
+    WHERE rk <= 40
+    GROUP BY source ORDER BY source ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_keep_best_dedup" -> (q123KeepBestDedup _),
+    "q124_source_cap" -> (q124SourceCap _),
     "q75_tfidf" -> (q75TfIdf _),
     "q76_normalize" -> (q76Normalize _),
     "q77_stratified_sample" -> (q77StratifiedSample _),
     "q89_curation_pipeline" -> (q89CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "q123_keep_best_dedup" -> q123Oracle,
+    "q124_source_cap" -> q124Oracle,
     "q75_tfidf" -> q75Oracle,
     "q76_normalize" -> q76Oracle,
     "q77_stratified_sample" -> q77Oracle,
