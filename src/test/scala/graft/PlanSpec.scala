@@ -151,6 +151,32 @@ class PlanSpec extends SparkSpec {
       s"ClusteredDistribution(keys) = one hash exchange, got $hashShuffles")
   }
 
+  test("TopKPerKeyExec rides existing partitioning/order (no second exchange/sort)") {
+    // the operator's scale claim: a child already clustered and sorted on
+    // (keys ++ order) — a bucketed or z-ordered table — goes straight to
+    // the streaming pass; the planner must not insert another exchange or
+    // sort beyond the ones that produced the layout
+    import org.apache.spark.sql.functions._
+    val orders = graft.tables.Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      .repartition(col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey").asc, col("price_cents").desc,
+        col("o_orderkey").asc)
+    val topk = graft.plans.TopKPerKey.topK(spark, orders,
+      keyCols = Seq(col("o_custkey")),
+      orderCols = Seq(col("price_cents").desc, col("o_orderkey").asc), k = 2)
+    topk.collect()
+    val s = topk.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(s.contains("TopKPerKey"), "custom node must plan")
+    val exchanges = "Exchange".r.findAllIn(s).size
+    assert(exchanges == 1,
+      s"only the caller's repartition may exchange, found $exchanges:\n${s.take(900)}")
+    val sorts = "\\bSort\\b".r.findAllIn(s).size
+    assert(sorts == 1,
+      s"only the caller's sortWithinPartitions may sort, found $sorts:\n${s.take(900)}")
+  }
+
   test("q40: ANN corpus scan keeps codegen'd kernels (no HOF fallback)") {
     val s = planString("q40_ann_bruteforce").toLowerCase
     assert(s.contains("longdot"),
