@@ -44,6 +44,16 @@ def main(sf_dir, out_dir):
         try:
             spark_df = pds.dataset(str(pdir), format="parquet").to_table().to_pandas()
             duck_df = con.execute(sql).df()
+            # DuckDB promotes SUM(BIGINT/INT) to HUGEINT; the driver's hash
+            # normalizes HUGEINT differently from Spark's int64, so an
+            # uncast SUM in an oracle fails the real gate even when values
+            # match here. Treat it as a failure locally too.
+            wide = [r[0] for r in con.execute(f"DESCRIBE ({sql})").fetchall()
+                    if r[1] in ("HUGEINT", "UHUGEINT")]
+            if wide:
+                print(f"FAIL {name}: oracle columns {wide} are HUGEINT — "
+                      f"wrap in CAST(... AS BIGINT)")
+                n_fail += 1;  continue
         except Exception as e:
             print(f"FAIL {name}: {e}");  n_fail += 1;  continue
         srows, scols = frame_rows(spark_df)

@@ -93,7 +93,7 @@ object SqlDepthQueries {
   }
   val q114Oracle: String = """
     SELECT o_custkey,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            COUNT(*) AS n_orders
     FROM orders GROUP BY o_custkey ORDER BY o_custkey ASC"""
 
@@ -129,7 +129,7 @@ object SqlDepthQueries {
   }
   val q120Oracle: String = """
     SELECT o_custkey,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            COUNT(*) AS n_lines
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_custkey ORDER BY o_custkey ASC"""

@@ -273,8 +273,8 @@ object TextQueries {
       FROM documents),
     o AS (
       SELECT doc_id, n_tok,
-             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
       FROM t)
     SELECT doc_id, n_tok, off,
            off // 512 AS first_chunk,
