@@ -44,11 +44,11 @@ class BitmapOr extends Aggregator[Array[Long], Array[Long], Array[Long]] {
   private def or(a: Array[Long], b: Array[Long]): Array[Long] =
     if (a.isEmpty) b
     else if (b.isEmpty) a
-    else {
+    else if (a.length >= b.length) {
       var i = 0
-      while (i < a.length) { a(i) |= b(i); i += 1 }
+      while (i < b.length) { a(i) |= b(i); i += 1 }
       a
-    }
+    } else or(b.clone(), a) // differing universes: widest array wins, no drop
   def reduce(b: Array[Long], in: Array[Long]): Array[Long] = or(b, in.clone())
   def merge(a: Array[Long], b: Array[Long]): Array[Long] = or(a, b)
   def finish(b: Array[Long]): Array[Long] = b

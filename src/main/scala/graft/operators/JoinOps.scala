@@ -47,7 +47,8 @@ object JoinOps {
       val loc = java.nio.file.Paths.get(warehouse, name)
       if (java.nio.file.Files.exists(loc)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        scala.util.Using.resource(java.nio.file.Files.walk(loc))(
+          _.iterator().asScala.toSeq).reverse
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
       df.write.mode("overwrite")

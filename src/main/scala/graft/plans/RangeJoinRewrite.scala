@@ -38,7 +38,13 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] {
   private val widthKey = "spark.graft.rangeJoin.bucketWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(widthKey, "0").trim.toLong
+    // a malformed width must disable the rewrite, not fail every query in
+    // the session (this rule runs on every plan)
+    val width = scala.util.Try(conf.getConfString(widthKey, "0").trim.toLong)
+      .getOrElse {
+        logWarning(s"$widthKey is not a long; range-join rewrite disabled")
+        0L
+      }
     if (width <= 0) plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) =>

@@ -160,10 +160,17 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
     * [[Merge.applyStage]]). Untouched buckets keep their live version —
     * their bytes are never read, shuffled, or rewritten. */
   def merge(name: String, stage: DataFrame, key: String,
-      syncTime: java.sql.Timestamp, sortBy: Option[String] = None): Unit = {
+      syncTime: java.sql.Timestamp, sortBy: Option[String] = None): Unit =
     // base is captured once: the commit at the end is conditional on the
     // live manifest still being this one (lost-update protection)
-    val base = currentManifestVersion(name)
+    mergeAtBase(name, stage, key, syncTime, currentManifestVersion(name), sortBy)
+
+  /** [[merge]] with the base manifest made explicit — the seam the
+    * stale-writer tests drive: a base captured before a concurrent winner
+    * committed must refuse and leave the winner's buckets untouched. */
+  private[graft] def mergeAtBase(name: String, stage: DataFrame, key: String,
+      syncTime: java.sql.Timestamp, base: Option[Int],
+      sortBy: Option[String] = None): Unit = {
     val m = base.map(parseManifest(name, _)).getOrElse(
       throw new IllegalStateException(s"$name not initialized — writeAll first"))
     val staged = stage.withColumn("_bucket", bucketCol(key))
@@ -196,17 +203,32 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
           .withColumn("_bp", col("_bucket"))
           .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
         // a touched bucket may end up empty (all rows removed) — it still
-        // advances, pointing at an empty-but-valid parquet dir
+        // advances, pointing at an empty-but-valid parquet dir. Materialize
+        // the empties INTO STAGING too: nothing below may write directly to
+        // a v-dir, which could be a concurrent winner's published data.
+        touched.foreach { b =>
+          val src = staging.resolve(s"_bp=$b")
+          if (!Files.exists(src))
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              target.schema).write.mode("overwrite").parquet(src.toString)
+        }
+        // Re-check the base before any move: a stale writer must abandon
+        // its staging dir, not clobber the winner's bucket versions. An
+        // already-existing dest is the same staleness signal (a racing
+        // writer published v<next> between the check and this move).
+        def stale(): Nothing = {
+          cleanupDir(staging)
+          throw new java.util.ConcurrentModificationException(
+            s"$name: manifest moved past $base while merging; " +
+              "re-read and re-merge (lost-update protection)")
+        }
+        if (currentManifestVersion(name) != base) stale()
         val updated = touched.map { b =>
           val dest = bucketPath(name, b, next)
           Files.createDirectories(dest.getParent)
-          val src = staging.resolve(s"_bp=$b")
-          if (Files.exists(src)) Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
-          else { // empty bucket: materialize an empty parquet dir
-            Files.createDirectories(dest)
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              target.schema).write.mode("overwrite").parquet(dest.toString)
-          }
+          try Files.move(staging.resolve(s"_bp=$b"), dest,
+            StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => stale() }
           b -> next
         }.toMap
         cleanupDir(staging)
@@ -271,7 +293,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
         (0 until nBuckets).foreach { b =>
           val bDir = tableDir(name).resolve(s"b$b")
           if (Files.exists(bDir)) {
-            Files.list(bDir).iterator().asScala.toSeq
+            scala.util.Using.resource(Files.list(bDir))(_.iterator().asScala.toSeq)
               .filter(p => p.getFileName.toString.startsWith("v"))
               .foreach { p =>
                 val v = p.getFileName.toString.drop(1).toInt
@@ -279,7 +301,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
               }
           }
         }
-        Files.list(tableDir(name)).iterator().asScala.toSeq
+        scala.util.Using.resource(Files.list(tableDir(name)))(_.iterator().asScala.toSeq)
           .filter(_.getFileName.toString.startsWith("_staging"))
           // the live manifest's staging dir may still be mid-move only if a
           // merge is running; single-writer protocol says none is
@@ -302,6 +324,6 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
 
   private def cleanupDir(dir: Path): Unit =
     if (Files.exists(dir))
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      scala.util.Using.resource(Files.walk(dir))(_.iterator().asScala.toSeq)
+        .reverse.foreach(Files.deleteIfExists(_))
 }

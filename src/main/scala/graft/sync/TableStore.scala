@@ -70,13 +70,27 @@ final class TableStore(spark: SparkSession, root: String) extends SyncStore {
       expectedBase: Option[Int], sortBy: Option[String] = None): Unit = {
     val next = expectedBase.getOrElse(-1) + 1
     val dest = tableDir(name).resolve(s"v$next")
+    // Materialize into a writer-private staging dir FIRST: v<next> may
+    // already be live (published by a concurrent winner), and overwriting
+    // it before the staleness check would corrupt the winner's snapshot —
+    // the exact lost update this method exists to prevent.
+    val staging = tableDir(name).resolve(
+      s"_v.tmp${java.util.UUID.randomUUID().toString.take(8)}")
     val toWrite = sortBy.fold(df)(c => df.sortWithinPartitions(c))
-    toWrite.write.mode("overwrite").parquet(dest.toString)
-    val live = currentVersion(name)
-    if (live != expectedBase)
+    toWrite.write.mode("overwrite").parquet(staging.toString)
+    def stale(live: Option[Int]): Nothing = {
+      deleteRecursively(staging)
       throw new java.util.ConcurrentModificationException(
         s"$name: version moved $expectedBase -> $live since this writer " +
           "read its base; re-read and re-merge (lost-update protection)")
+    }
+    val live = currentVersion(name)
+    if (live != expectedBase) stale(live)
+    // An existing dest with an unmoved pointer is a racing writer that
+    // staged the same version first — same staleness signal.
+    try Files.move(staging, dest, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      stale(currentVersion(name)) }
     val tmp = tableDir(name).resolve(s"_CURRENT.tmp$next")
     Files.write(tmp, next.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -104,7 +118,9 @@ final class TableStore(spark: SparkSession, root: String) extends SyncStore {
 
   private def deleteRecursively(dir: Path): Unit = {
     import scala.jdk.CollectionConverters._
-    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    scala.util.Using.resource(Files.walk(dir)) { s =>
+      s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
   }
 
   /** [[SyncStore]] retention verb → [[vacuum]]. */

@@ -222,12 +222,45 @@ class BucketedStoreSpec extends SparkSpec {
     val root = tmpDir("tstore-occ")
     val store = new graft.sync.TableStore(spark, root)
     store.write("member", target())                  // v0
-    store.write("member", target())                  // v1 (another writer)
+    val winner = Seq(("mW", "winner", t1, "INSERT"))
+      .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName")
+    store.write("member", winner)                    // v1 (another writer)
+    // the stale writer targets the SAME v1 path the winner already
+    // published: it must refuse without touching the winner's bytes
     intercept[java.util.ConcurrentModificationException] {
       store.writeIfBase("member", target(), expectedBase = Some(0))
     }
     assert(store.currentVersion("member").contains(1),
       "refused write must not move the live pointer")
+    assert(store.read("member").get.select($"memberId").as[String]
+        .collect().toSeq == Seq("mW"),
+      "refused write must not corrupt the winner's published snapshot")
+  }
+
+  test("stale bucketed merge leaves the winner's bucket data intact") {
+    val root = tmpDir("bstore-occ2")
+    val store = new BucketedTableStore(spark, root, nBuckets = 2)
+    store.writeAll("member", target(), "memberId")   // manifest 0
+    // winner lands a merge first → manifest 1
+    val winner = Seq(("m2", "winner-bob", t1, "MODIFY"))
+      .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName")
+    store.merge("member", winner, "memberId", t1)
+    val winnerRows = store.read("member").get
+      .select($"memberId", $"memberName").as[(String, String)].collect().toSet
+    // stale writer: same base-0 manifest, overlapping bucket versions —
+    // applyMergeAt-style race simulated by committing through merge with a
+    // rolled-back pointer capture is not reachable from the public API, so
+    // drive writeIfBase's bucketed analogue directly: a merge whose base
+    // was read before the winner committed
+    val stale = Seq(("m2", "stale-bob", t1, "MODIFY"))
+      .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName")
+    intercept[java.util.ConcurrentModificationException] {
+      store.mergeAtBase("member", stale, "memberId", t1, Some(0))
+    }
+    assert(store.read("member").get
+        .select($"memberId", $"memberName").as[(String, String)].collect().toSet
+      == winnerRows,
+      "stale merge must not clobber the winner's published bucket versions")
   }
 
   test("merge is idempotent: reapplying the same stage is a no-op") {

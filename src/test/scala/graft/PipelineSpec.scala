@@ -232,9 +232,10 @@ class PipelineSpec extends SparkSpec {
     }
     // three states existed per table (load + two merges); only the live
     // version may remain on disk after the per-sync sweep
-    val memberVdirs = Files.list(Paths.get(storeRoot, "member"))
-      .iterator().asScala.map(_.getFileName.toString)
-      .filter(_.matches("v\\d+")).toSeq
+    val memberVdirs = scala.util.Using.resource(
+        Files.list(Paths.get(storeRoot, "member")))(
+        _.iterator().asScala.map(_.getFileName.toString).toSeq)
+      .filter(_.matches("v\\d+"))
     assert(memberVdirs == Seq("v2"),
       s"retention must keep only the live snapshot, found $memberVdirs")
     assert(pipeline.member.count() == 3, "live table intact after sweeps")
