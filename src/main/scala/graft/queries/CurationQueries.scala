@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.TextOps
 import graft.tables.Tables
 
 /** Corpus-curation operators: TF-IDF term scoring, text normalization,
@@ -209,7 +210,93 @@ object CurationQueries {
     WHERE rk <= 40
     GROUP BY source ORDER BY source ASC"""
 
+  // q126 — repetition metrics (the Gopher/MassiveText quality rules):
+  // fraction of duplicate word 2-grams and 3-grams per document, in exact
+  // parts-per-thousand. High duplicate-n-gram mass marks boilerplate /
+  // looping generations that length or stopword filters miss. One narrow
+  // projection per doc (no shuffle until the final sort): total n-grams is
+  // size(toks)-n+1; distinct count reuses the shingle kit. The repetitive
+  // flag is the Gopher-style cutoff (>200‰ duplicate 2-grams).
+  def q126RepetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        greatest(size(toks).cast("long") - 1, lit(0L)).as("n_2grams"),
+        greatest(size(toks).cast("long") - 2, lit(0L)).as("n_3grams"),
+        size(TextOps.shingles(toks, 2)).cast("long").as("d2"),
+        size(TextOps.shingles(toks, 3)).cast("long").as("d3"))
+      .select(col("doc_id"), col("n_2grams"), col("n_3grams"),
+        expr("CASE WHEN n_2grams > 0 THEN (n_2grams - d2) * 1000 DIV n_2grams ELSE 0L END")
+          .as("dup2_ppt"),
+        expr("CASE WHEN n_3grams > 0 THEN (n_3grams - d3) * 1000 DIV n_3grams ELSE 0L END")
+          .as("dup3_ppt"))
+      .withColumn("repetitive", (col("dup2_ppt") > 200).cast("int"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q126Oracle: String = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+        GREATEST(CAST(len(toks) AS BIGINT) - 1, 0) AS n_2grams,
+        GREATEST(CAST(len(toks) AS BIGINT) - 2, 0) AS n_3grams,
+        CAST(len(list_distinct([toks[i] || ' ' || toks[i+1]
+          FOR i IN range(1, GREATEST(len(toks), 1))])) AS BIGINT) AS d2,
+        CAST(len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          FOR i IN range(1, GREATEST(len(toks) - 1, 1))])) AS BIGINT) AS d3
+      FROM t)
+    SELECT doc_id, n_2grams, n_3grams,
+      CASE WHEN n_2grams > 0 THEN (n_2grams - d2) * 1000 // n_2grams ELSE 0 END AS dup2_ppt,
+      CASE WHEN n_3grams > 0 THEN (n_3grams - d3) * 1000 // n_3grams ELSE 0 END AS dup3_ppt,
+      CAST(CASE WHEN n_2grams > 0 THEN (n_2grams - d2) * 1000 // n_2grams ELSE 0 END > 200 AS INT) AS repetitive
+    FROM g ORDER BY doc_id ASC"""
+
+  // q127 — benchmark-contamination screen: flag corpus documents sharing
+  // any 4-token shingle with a probe set (here: docs 0-2 standing in for
+  // an eval benchmark). The probe side is tiny by construction, so the
+  // plan is explode-corpus-shingles → BROADCAST semi-join on the shingle
+  // → per-doc hit count: the corpus is never shuffled, which is the
+  // whole point at 100 TB (a benchmark is KBs; a shuffle would move TBs).
+  def q127ContaminationScreen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    // explode(sequence)+element_at keeps shingling inside whole-stage
+    // codegen (the array-HOF spelling is CodegenFallback in Spark 4 and
+    // an order of magnitude slower). The corpus side is NOT pre-
+    // deduplicated: the broadcast join filters first (≈everything drops),
+    // and countDistinct shuffles only the surviving hits — at scale the
+    // corpus never shuffles, only matches do.
+    def sh(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 3)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until 4).map(o => element_at(col("t"), col("i") + o)): _*)
+          .as("shingle"))
+    val probe = sh(docs.filter(col("doc_id") < 3))
+      .select(col("shingle")).distinct()
+    sh(docs.filter(col("doc_id") >= 3))
+      .join(broadcast(probe), Seq("shingle"), "inner")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_hits"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q127Oracle: String = """
+    WITH sh AS (
+      SELECT doc_id, list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+             FOR i IN range(1, GREATEST(len(toks) - 2, 1))]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    probe AS (SELECT DISTINCT shingle FROM e WHERE doc_id < 3)
+    SELECT e.doc_id, COUNT(*) AS n_hits
+    FROM e JOIN probe USING (shingle)
+    WHERE e.doc_id >= 3
+    GROUP BY e.doc_id ORDER BY e.doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_repetition_metrics" -> (q126RepetitionMetrics _),
+    "q127_contamination_screen" -> (q127ContaminationScreen _),
     "q123_keep_best_dedup" -> (q123KeepBestDedup _),
     "q124_source_cap" -> (q124SourceCap _),
     "q75_tfidf" -> (q75TfIdf _),
@@ -218,6 +305,8 @@ object CurationQueries {
     "q89_curation_pipeline" -> (q89CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "q126_repetition_metrics" -> q126Oracle,
+    "q127_contamination_screen" -> q127Oracle,
     "q123_keep_best_dedup" -> q123Oracle,
     "q124_source_cap" -> q124Oracle,
     "q75_tfidf" -> q75Oracle,

@@ -398,7 +398,34 @@ object TextQueries {
     FROM comp ORDER BY doc_id ASC"""
   }
 
+  // q125 — BPE-style pre-tokenization: the GPT-2-family regex shape
+  // (contraction suffixes | letter runs | digit runs | single punctuation)
+  // applied as one codegen'd regexp_extract_all projection — no UDF, no
+  // shuffle until the final corpus rollup. Per doc: regex-token count vs
+  // whitespace count and exact chars-per-token in integer space. The
+  // pattern subset is chosen to mean the same thing in Java regex (Spark)
+  // and RE2 (DuckDB): alternation, non-capturing groups, char classes.
+  private val bpeIshPattern = "'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def q125RegexTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0)))
+          .cast("long").as("n_regex_tok"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tok"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("chars_per_tok_x100",
+        expr("n_chars * 100 DIV n_regex_tok"))
+      .orderBy(col("doc_id").asc)
+  val q125Oracle: String = """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_regex_tok,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tok,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) AS BIGINT) * 100 // CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS chars_per_tok_x100
+    FROM documents ORDER BY doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_regex_tokens" -> (q125RegexTokens _),
     "q93_dedup_clusters" -> (q93DedupClusters _),
     "q92_incremental_dedup" -> (q92IncrementalDedup _),
     "q88_sequence_packing" -> (q88SequencePacking _),
@@ -413,6 +440,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q125_regex_tokens" -> q125Oracle,
     "q93_dedup_clusters" -> q93Oracle,
     "q92_incremental_dedup" -> q92Oracle,
     "q88_sequence_packing" -> q88Oracle,

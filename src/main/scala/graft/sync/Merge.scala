@@ -149,6 +149,28 @@ object Merge {
     kept.unionByName(inserts)
   }
 
+  /** [[applyStage]] with ADDITIVE SCHEMA EVOLUTION — the upstream-added-an-
+    * attribute shape a long-lived CDC sync eventually meets (the reference
+    * is fixed-DDL and would need a manual ALTER + backfill; ref
+    * sql/create_target_tables.sql:3-37 pins every column).
+    *
+    * Columns only in the stage are added to the result with NULL for all
+    * surviving target rows; columns only in the target stay NULL on the
+    * staged inserts. Nothing is dropped — evolution is append-only, so a
+    * reader of the old schema keeps working (it just ignores new columns).
+    * At scale this is a metadata change: the union adds null literals, no
+    * existing bytes are rewritten until snapshots naturally turn over. */
+  def applyStageEvolving(target: DataFrame, stage: DataFrame, keyCol: String,
+      syncTime: Timestamp): DataFrame = {
+    val stageKeys = stage.select(col(keyCol))
+    val kept = target.join(stageKeys, Seq(keyCol), "left_anti")
+    val inserts = stage
+      .filter(col("eventName") =!= "REMOVE")
+      .drop("eventName")
+      .withColumn("syncTimestamp", lit(syncTime))
+    kept.unionByName(inserts, allowMissingColumns = true)
+  }
+
   /** Full per-entity sync. Returns None when the guard aborts (no initial
     * load, ref :13-16) or nothing is staged. The staged frame must be
     * reused by delete/filter/insert, so callers materialize via the

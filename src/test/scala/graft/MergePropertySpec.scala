@@ -75,4 +75,45 @@ class MergePropertySpec extends SparkSpec {
       assert(twice.collect().toSet == onceRows.toSet, s"seed=$seed changes=$changes")
     }
   }
+
+  test("schema evolution: stage-only columns appear, target-only survive as null") {
+    val syncT = new Timestamp(t0 + 5000L)
+    // upstream added `tier`; this batch modifies m1 and inserts m3
+    val stage = Seq(
+      ("m1", "Alice2", new Timestamp(t0 + 1000L), "gold", "MODIFY"),
+      ("m3", "Carol", new Timestamp(t0 + 2000L), "silver", "INSERT")
+    ).toDF("memberId", "memberName", "approximateUpdateTimestamp", "tier", "eventName")
+    val target = Seq(
+      ("m1", "Alice", new Timestamp(t0), new Timestamp(t0)),
+      ("m2", "Bob", new Timestamp(t0), new Timestamp(t0))
+    ).toDF("memberId", "memberName", "approximateUpdateTimestamp", "syncTimestamp")
+
+    val out = Merge.applyStageEvolving(target, stage, "memberId", syncT)
+    assert(out.columns.toSet ==
+      Set("memberId", "memberName", "approximateUpdateTimestamp", "syncTimestamp", "tier"))
+    val byId = out.select($"memberId", $"memberName", $"tier")
+      .as[(String, String, Option[String])].collect().map(r => r._1 -> r).toMap
+    assert(byId("m1") == ("m1", "Alice2", Some("gold")), "staged row carries new column")
+    assert(byId("m2") == ("m2", "Bob", None), "surviving row gets NULL for new column")
+    assert(byId("m3") == ("m3", "Carol", Some("silver")))
+    // the old-schema shape is a strict subset: legacy readers keep working
+    assert(out.select(target.columns.map(col).toIndexedSeq: _*).count() == 3)
+  }
+
+  test("schema evolution is append-only: a narrower stage never drops columns") {
+    val syncT = new Timestamp(t0 + 5000L)
+    // stage WITHOUT memberName (producer stopped sending it): column stays,
+    // staged inserts get NULL
+    val stage = Seq(
+      ("m9", new Timestamp(t0 + 1000L), "INSERT")
+    ).toDF("memberId", "approximateUpdateTimestamp", "eventName")
+    val target = Seq(
+      ("m2", "Bob", new Timestamp(t0), new Timestamp(t0))
+    ).toDF("memberId", "memberName", "approximateUpdateTimestamp", "syncTimestamp")
+    val out = Merge.applyStageEvolving(target, stage, "memberId", syncT)
+    assert(out.columns.toSet == target.columns.toSet)
+    val names = out.select($"memberId", $"memberName")
+      .as[(String, Option[String])].collect().toMap
+    assert(names("m2") == Some("Bob") && names("m9") == None)
+  }
 }
