@@ -168,6 +168,52 @@ class PipelineSpec extends SparkSpec {
     runner.shutdown()
   }
 
+  test("checkpoint recovery: a restarted stream never reprocesses drained files") {
+    val gen = new CdcGen.Gen(11)
+    val exportDir = tmpDir("ckpt-export")
+    val cdcDir = tmpDir("ckpt-cdc")
+    val ckptDir = tmpDir("ckpt-ckpt")
+    val storeRoot = tmpDir("ckpt-store")
+
+    val m0 = gen.member()
+    writeLines(exportDir, "data.json", Seq(m0).map(gen.exportLine))
+    var clock = t0
+    val pipeline = new Pipeline(spark, storeRoot, () => new Timestamp(clock))
+    pipeline.initialLoad(exportDir)
+
+    val m1 = gen.member()
+    writeLines(cdcDir, "batch1.json", Seq(gen.envelope("INSERT", m1, t0 + 10000)))
+    clock = t0 + 60000
+    pipeline.syncAvailable(cdcDir, ckptDir)
+    assert(pipeline.member.count() == 2)
+    val store = new graft.sync.TableStore(spark, storeRoot)
+    val versionAfterBatch1 = store.currentVersion("member")
+
+    // restart 1: same checkpoint, NO new files — the recovered offsets say
+    // everything is drained, so no micro-batch fires and no version is
+    // published (not even an idempotent rewrite)
+    clock = t0 + 120000
+    pipeline.syncAvailable(cdcDir, ckptDir)
+    assert(store.currentVersion("member") == versionAfterBatch1,
+      "restart with no new data must not publish a new version")
+
+    // restart 2: a FRESH pipeline object (new stream, same checkpoint) +
+    // one new file — only the new file is processed; batch1's insert is
+    // not re-applied (its syncTimestamp is preserved)
+    val m2 = gen.member()
+    writeLines(cdcDir, "batch2.json", Seq(gen.envelope("INSERT", m2, t0 + 70000)))
+    clock = t0 + 180000
+    val restarted = new Pipeline(spark, storeRoot, () => new Timestamp(clock))
+    restarted.syncAvailable(cdcDir, ckptDir)
+    assert(restarted.member.count() == 3)
+    val syncTs = restarted.member
+      .select($"memberId", $"syncTimestamp").as[(String, Timestamp)]
+      .collect().toMap
+    assert(syncTs(m1.pk.stripPrefix("M_")) == new Timestamp(t0 + 60000),
+      "already-drained batch must keep its original syncTimestamp after restart")
+    assert(syncTs(m2.pk.stripPrefix("M_")) == new Timestamp(t0 + 180000))
+  }
+
   test("bucketed store pipeline matches snapshot store pipeline exactly") {
     // Same scenario (insert/modify/remove/stale-drop), run once per store
     // config; the final member/quest/member_quest contents must be
