@@ -294,7 +294,47 @@ object CurationQueries {
     WHERE e.doc_id >= 3
     GROUP BY e.doc_id ORDER BY e.doc_id ASC"""
 
+  // q128 — quantile-threshold curation: per-language interquartile length
+  // bounds (exact interpolated quartiles over integer char counts), then
+  // keep only documents inside [p25, p75] — the distribution-aware trim
+  // pass that replaces hand-tuned global length cutoffs. The bounds table
+  // is O(langs) and broadcast back; the corpus is scanned twice but never
+  // shuffled (quartiles partial-aggregate per group; the filter is a
+  // broadcast-join projection). Quartiles at binary-exact fractions make
+  // the interpolation bit-identical on both engines.
+  def q128QuantileTrim(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    docs.createOrReplaceTempView("q128_docs")
+    val bounds = spark.sql("""
+      SELECT lang,
+        percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS p25,
+        percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS p75,
+        COUNT(*) AS n_docs
+      FROM q128_docs GROUP BY lang""")
+    docs.join(broadcast(bounds), "lang")
+      .filter(col("n_chars").cast("double") >= col("p25") &&
+        col("n_chars").cast("double") <= col("p75"))
+      .groupBy(col("lang"), col("p25"), col("p75"), col("n_docs"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("lang"), col("p25"), col("p75"), col("n_docs"), col("n_kept"))
+      .orderBy(col("lang").asc)
+  }
+  val q128Oracle: String = """
+    WITH d AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+    b AS (SELECT lang,
+            quantile_cont(n_chars, 0.25) AS p25,
+            quantile_cont(n_chars, 0.75) AS p75,
+            COUNT(*) AS n_docs
+          FROM d GROUP BY lang)
+    SELECT d.lang, b.p25, b.p75, b.n_docs, COUNT(*) AS n_kept
+    FROM d JOIN b ON d.lang = b.lang
+    WHERE CAST(d.n_chars AS DOUBLE) >= b.p25 AND CAST(d.n_chars AS DOUBLE) <= b.p75
+    GROUP BY d.lang, b.p25, b.p75, b.n_docs
+    ORDER BY d.lang ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_quantile_trim" -> (q128QuantileTrim _),
     "q126_repetition_metrics" -> (q126RepetitionMetrics _),
     "q127_contamination_screen" -> (q127ContaminationScreen _),
     "q123_keep_best_dedup" -> (q123KeepBestDedup _),
@@ -305,6 +345,7 @@ object CurationQueries {
     "q89_curation_pipeline" -> (q89CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "q128_quantile_trim" -> q128Oracle,
     "q126_repetition_metrics" -> q126Oracle,
     "q127_contamination_screen" -> q127Oracle,
     "q123_keep_best_dedup" -> q123Oracle,

@@ -124,6 +124,15 @@ object VectorQueries {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  // q129 — product-quantization ANN: codebooks are engine-trained →
+  // rows-only check; OperatorSpec bounds recall against the exact
+  // baseline (the re-rank stage makes it the highest-recall ANN tier).
+  def q129AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    VectorOps.pqTopK(spark, emb.filter(col("vec_id") < 5), emb, k = 10)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   // q90 — mean-pooled label centroids: the embedding-pooling primitive
   // (cluster centers, class prototypes, chunk→doc pooling). posexplode →
   // (label, dim) partial sums: the shuffle carries labels × dims partial
@@ -212,6 +221,7 @@ object VectorQueries {
     "q90_label_centroids" -> (q90LabelCentroids _),
     "q91_nearest_centroid" -> (q91NearestCentroid _),
     "q44_ann_ivf" -> (q44AnnIvf _),
+    "q129_ann_pq" -> (q129AnnPq _),
     "q40_ann_bruteforce" -> (q40AnnBruteforce _),
     "q41_cosine_dedup" -> (q41CosineDedup _),
     "q42_ann_lsh" -> (q42AnnLsh _),

@@ -129,6 +129,22 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall collapsed: $recall")
   }
 
+  test("PQ ANN recall vs brute force on real embeddings") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = VectorOps.bruteForceTopK(queries, emb, 10)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorOps.pqTopK(spark, queries, emb, 10)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"PQ recall@10 = $recall (m=8, k=32, rerank=100)")
+    // the exact re-rank over 100 ADC candidates should clear the probe-
+    // bounded tiers comfortably (measured 1.0 at sf0.001)
+    assert(recall >= 0.7, s"PQ recall collapsed: $recall")
+  }
+
   test("multimodal decode stub is deterministic and kind-aware") {
     val docs = Seq((0L, "hello world"), (2L, "a video payload " * 20))
       .toDF("doc_id", "text").withColumn("n_chars", length($"text"))
