@@ -101,6 +101,18 @@ class PlanSpec extends SparkSpec {
       s"dedup agg + semi join + final agg bound the shuffles, got $hashShuffles")
   }
 
+  test("q127: contamination probe broadcasts; corpus shingles never pre-shuffle") {
+    val s = finalPlan("q127_contamination_screen")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "probe set must broadcast — a shuffled join would move the corpus to find KBs")
+    // everything ABOVE the join (the per-doc countDistinct) must reuse the
+    // corpus's doc_id partitioning: no exchange may sit between the join
+    // and the result except the presentation sort
+    val beforeJoin = s.split("BroadcastHashJoin")(0)
+    assert(!beforeJoin.contains("Exchange hashpartitioning"),
+      "post-join countDistinct must reuse the doc_id partitioning, not re-shuffle")
+  }
+
   test("q95: day filter prunes partition directories at the source") {
     val s = finalPlan("q95_partition_pruning")
     assert(s.contains("PartitionFilters:"),
