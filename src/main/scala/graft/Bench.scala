@@ -48,10 +48,20 @@ object Bench {
       }
       name -> (if (passes.exists(_ < 0)) -1.0 else passes.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver keeps only the tail of this process's output, so the one
+    // JSON line must stay short even with 100+ queries: keys are the qNN
+    // prefix (unique across the inventory) and values are centisecond
+    // precision. Full names + nanosecond precision go to bench_full.json.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

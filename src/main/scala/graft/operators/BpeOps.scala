@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction (Sennrich et al. 2016), staged
+  * for corpus scale.
+  *
+  * The scale decomposition mirrors every production BPE trainer: the
+  * corpus-sized work happens ONCE, in `wordFreq` (tokenize + one hash
+  * shuffle down to a word-frequency table — at 100 TB of text the distinct
+  * word count is millions, not billions, so the result is many orders of
+  * magnitude smaller than the corpus). The merge loop then iterates over
+  * the word-frequency table only: each round is one flatMap (adjacent
+  * symbol pairs weighted by word frequency), one partial-aggregated
+  * shuffle on the pair key, and one `limit(1)` argmax pulled to the
+  * driver (O(1) rows). The per-word symbol rewrite is a pure typed map —
+  * per-element compute over the already-small table, not the corpus.
+  *
+  * Everything is deterministic: the argmax tiebreak is (count desc, left
+  * asc, right asc), so training is reproducible across partitionings and
+  * reruns — the property q130's split assignment and q77's sampling also
+  * guarantee, and for the same reason: pipelines must replay identically.
+  *
+  * q135 exercises the pair-counting kernel against a DuckDB oracle; the
+  * iterative loop itself is pinned by BpeSpec against the classic
+  * low/lower/newest/widest hand-traced example.
+  */
+object BpeOps {
+
+  /** End-of-word marker keeping merges from crossing word boundaries. */
+  val EndOfWord = "</w>"
+
+  final case class BpeModel(merges: Seq[(String, String)]) {
+    /** Apply the learned merges, in order, to one word. */
+    def encodeWord(word: String): Seq[String] = {
+      var syms: Seq[String] = word.map(_.toString) :+ EndOfWord
+      merges.foreach { case (a, b) => syms = BpeOps.mergePair(syms, a, b) }
+      syms
+    }
+  }
+
+  /** Corpus → word-frequency table (the one corpus-sized pass). */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Single left-to-right merge pass of (a, b) → a+b over a symbol seq. */
+  def mergePair(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    val n = syms.length
+    while (i < n) {
+      if (i < n - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Learn `nMerges` merges from a (word, freq) table. */
+  def train(spark: SparkSession, wordFreq: DataFrame, nMerges: Int): BpeModel = {
+    import spark.implicits._
+    var ds: Dataset[(Seq[String], Long)] = wordFreq
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString) :+ EndOfWord, f) }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var round = 0
+    while (round < nMerges && !done) {
+      val best = ds.flatMap { case (s, f) =>
+        if (s.length < 2) Iterator.empty
+        else s.iterator.zip(s.iterator.drop(1)).map { case (a, b) => (a, b, f) }
+      }.toDF("a", "b", "f")
+        .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (ma, mb) = (best(0).getString(0), best(0).getString(1))
+        merges += ((ma, mb))
+        // localCheckpoint truncates the per-round lineage (the table is
+        // small; the corpus was left behind in wordFreq); the previous
+        // round's blocks unpersist once the new checkpoint materializes,
+        // so a long merge schedule pins one table, not the whole history
+        val prev = ds
+        ds = ds.map { case (s, f) => (mergePair(s, ma, mb), f) }
+          .localCheckpoint(true)
+        prev.unpersist()
+      }
+      round += 1
+    }
+    BpeModel(merges.result())
+  }
+
+  /** The learned merge table as a DataFrame (rank-ordered). */
+  def mergeTable(spark: SparkSession, model: BpeModel): DataFrame = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b) }
+      .toDF("rank", "left", "right")
+  }
+
+  /** Tokenize a corpus column with a trained model (typed map over rows;
+    * the merge list rides along as a broadcast-sized closure constant). */
+  def encode(docs: DataFrame, textCol: String, model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = model.merges
+    docs.select(col("doc_id").cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
+          var syms: Seq[String] = w.map(_.toString) :+ EndOfWord
+          merges.foreach { case (a, b) => syms = mergePair(syms, a, b) }
+          syms
+        }.toSeq
+        (id, toks)
+      }.toDF("doc_id", "bpe_tokens")
+  }
+}

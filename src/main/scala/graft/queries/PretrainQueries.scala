@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import graft.tables.Tables
+
+/** Pretraining-corpus assembly operators: the passes that run AFTER
+  * curation (q75-q128) and turn a cleaned corpus into training input —
+  * deterministic split assignment, PII redaction, cross-document segment
+  * dedup, source-mixture resampling, shard dispatch, and the pair
+  * statistics under BPE vocabulary induction. Everything is hash- or
+  * integer-deterministic so the DuckDB oracle hash-matches, and nothing
+  * materializes driver-side state larger than O(groups).
+  */
+object PretrainQueries {
+
+  // ---------------------------------------------------------------------
+  // q130 — deterministic train/val/test split: each document's fate is a
+  // pure function of its id (md5 of "id|salt", first two hex chars
+  // compared lexicographically against fixed thresholds ≈ 90/5/5). No
+  // rand(): the split is reproducible across reruns, shards, and engines,
+  // and a join against yesterday's split assigns identically — the
+  // property leakage audits depend on. Narrow projection, zero shuffles
+  // until the output sort.
+  def q130SplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit("|split")).cast("binary"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(h, 1, 2).as("hb"))
+      .withColumn("split",
+        when(col("hb") < "e6", "train")       // 230/256 ≈ 89.8%
+          .when(col("hb") < "f3", "val")      //  13/256 ≈  5.1%
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q130Oracle: String = """
+    SELECT doc_id,
+           CASE WHEN hb < 'e6' THEN 'train'
+                WHEN hb < 'f3' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+            substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 2) AS hb
+          FROM documents)
+    ORDER BY doc_id ASC"""
+
+  // ---------------------------------------------------------------------
+  // q131 — PII redaction: emails and phone-shaped tokens scrubbed with
+  // anchored character-class regexes (the subset whose semantics are
+  // identical in Java regex and RE2, so the oracle can replay it). The
+  // scan is one codegen'd projection — regexp_replace/regexp_count never
+  // leave whole-stage codegen, and nothing shuffles. The contact blob is
+  // derived deterministically from the row so the fixture needs no
+  // synthetic input table.
+  def q131PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9.-]+@[a-z0-9.-]+"
+    val phone = "555-[0-9]{4}"
+    val blob = concat(
+      lit("doc "), col("doc_id"), lit(" contact user"), col("doc_id"),
+      lit("@mail-"), col("lang"), lit(".example.com or call 555-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+      lit(" "), substring(col("text"), 1, 20))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), blob.as("blob"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("blob"), email, "<EMAIL>"),
+          phone, "<PHONE>").as("redacted"),
+        regexp_count(col("blob"), lit(email)).as("n_emails"),
+        regexp_count(col("blob"), lit(phone)).as("n_phones"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q131Oracle: String = """
+    SELECT doc_id,
+           regexp_replace(regexp_replace(blob,
+             '[a-z0-9.-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             '555-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(blob, '[a-z0-9.-]+@[a-z0-9.-]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(blob, '555-[0-9]{4}')) AS INT) AS n_phones
+    FROM (SELECT doc_id,
+            'doc ' || CAST(doc_id AS VARCHAR) || ' contact user' ||
+            CAST(doc_id AS VARCHAR) || '@mail-' || lang ||
+            '.example.com or call 555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ||
+            substr(text, 1, 20) AS blob
+          FROM documents)
+    ORDER BY doc_id ASC"""
+
+  // ---------------------------------------------------------------------
+  // q132 — cross-document segment dedup (the CCNet/RefinedWeb paragraph
+  // pass, on 3-token segments): segments whose corpus-wide frequency ≥ 3
+  // are boilerplate and removed from EVERY document; survivors reassemble
+  // in original order. Plan shape: explode segments (narrow) → one hash
+  // shuffle to count frequencies → join freq back on the segment key →
+  // re-group by doc. At 100 TB the frequency table is the only
+  // all-to-all; documents re-group by doc_id, which the store's
+  // bucketing already co-locates. Reassembly is collect_list + array_sort
+  // inside one aggregate — no window, no per-row subquery.
+  def q132SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segLen = 3
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val segs = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          ceil(size(col("t")).cast("double") / segLen).cast("int") - 1)).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("t"), col("i") * segLen + 1, lit(segLen))).as("seg"))
+    val freq = segs.groupBy(col("seg")).agg(count(lit(1)).as("f"))
+    segs.join(freq, "seg")
+      .withColumn("kept", (col("f") < 3).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"), sum(col("kept")).as("n_kept"),
+        md5(coalesce(array_join(transform(
+          array_sort(collect_list(when(col("kept") === 1,
+            struct(col("i"), col("seg"))))),
+          x => x.getField("seg")), " "), lit("")).cast("binary")).as("rebuilt_hash"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q132Oracle: String = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    segs AS (
+      SELECT doc_id, i,
+             array_to_string(toks[i*3+1 : i*3+3], ' ') AS seg
+      FROM t, LATERAL unnest(generate_series(0,
+        CAST(ceil(len(toks) / 3.0) AS INT) - 1)) AS u(i)),
+    f AS (SELECT seg, COUNT(*) AS f FROM segs GROUP BY seg)
+    SELECT s.doc_id, COUNT(*) AS n_segs,
+           CAST(SUM(CASE WHEN f.f < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN f.f < 3 THEN s.seg END, ' '
+             ORDER BY s.i), '')) AS rebuilt_hash
+    FROM segs s JOIN f USING (seg)
+    GROUP BY s.doc_id ORDER BY s.doc_id ASC"""
+
+  // ---------------------------------------------------------------------
+  // q133 — source-mixture resampling: each source gets an integer epoch
+  // count (the up/down-weighting every pretraining mix applies; fractional
+  // rates compose with q77's hash sampling). Replication is
+  // explode(sequence(1, epochs)) — a narrow generator, no shuffle, no
+  // rand() — and the output row count is exactly Σ source_n × epochs.
+  // The checksum pins that every (doc, epoch) replica materialized once.
+  def q133MixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val epochs = when(col("source") === "src0", lit(3))
+      .when(col("source") === "src1", lit(2)).otherwise(lit(1))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), epochs.as("epochs"))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("epochs"))).as("epoch"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id") * col("epoch")).as("checksum"))
+      .orderBy(col("source").asc)
+  }
+  val q133Oracle: String = """
+    SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_rows,
+           CAST(SUM(doc_id * epoch) AS BIGINT) AS checksum
+    FROM (SELECT doc_id, source,
+            unnest(generate_series(1,
+              CASE WHEN source = 'src0' THEN 3
+                   WHEN source = 'src1' THEN 2 ELSE 1 END)) AS epoch
+          FROM documents)
+    GROUP BY source ORDER BY source ASC"""
+
+  // ---------------------------------------------------------------------
+  // q134 — deterministic corpus shuffle + shard dispatch: shard =
+  // hash(id|salt) mod nShards, read order within a shard = ascending
+  // hash — a reproducible global permutation with NO global sort and NO
+  // coordination (cf. q88's prefix-scan, which this composes with when
+  // explicit positions are needed). Each shard's profile carries
+  // arg-min/arg-max by hash so the oracle pins the exact read order
+  // endpoints, not just membership.
+  def q134ShardDispatch(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit("|shuf")).cast("binary"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        conv(substring(h, 1, 12), 16, 10).cast("long").as("hnum"))
+      .withColumn("shard", pmod(col("hnum"), lit(8L)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        expr("min_by(doc_id, hnum)").as("first_doc"),
+        expr("max_by(doc_id, hnum)").as("last_doc"))
+      .orderBy(col("shard").asc)
+  }
+  val q134Oracle: String = """
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           arg_min(doc_id, hnum) AS first_doc,
+           arg_max(doc_id, hnum) AS last_doc
+    FROM (SELECT doc_id, n_chars, hnum,
+            CAST(hnum % 8 AS INT) AS shard
+          FROM (SELECT doc_id, n_chars,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|shuf'),
+                    1, 12)) AS BIGINT) AS hnum
+                FROM documents))
+    GROUP BY shard ORDER BY shard ASC"""
+
+  // ---------------------------------------------------------------------
+  // q135 — corpus-wide adjacent-pair statistics (the counting kernel
+  // inside BPE vocabulary induction — TextOps.bpeTrain iterates exactly
+  // this shape): explode bigrams via sequence+element_at (stays in
+  // whole-stage codegen; the array-HOF spelling is CodegenFallback),
+  // partial-aggregate per task, one shuffle on the pair key, global
+  // top-20 via TakeOrderedAndProject. Deterministic ties: (count desc,
+  // pair asc) is a total order.
+  def q135PairCounts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(concat_ws(" ", element_at(col("t"), col("i")),
+        element_at(col("t"), col("i") + 1)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+  }
+  val q135Oracle: String = """
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    b AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                         FOR i IN range(1, len(toks))]) AS pair
+          FROM t WHERE len(toks) >= 2)
+    SELECT pair, COUNT(*) AS cnt FROM b GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT 20"""
+
+  // ---------------------------------------------------------------------
+  // q137 — SCD Type-2 dimension build from the event stream: per user,
+  // collapse consecutive equal event_types and emit validity intervals
+  // [valid_from, valid_to) with an is_current flag — the
+  // dimension-history shape the reference's member/quest tables would
+  // take under a track-history mandate (reference stores latest-only;
+  // SURVEY §2.8e). Two windows over ONE hash shuffle on user_id (both
+  // windows share the partitioning); ties broken by event_id so the
+  // interval chain is total-ordered and engine-independent.
+  def q137Scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val changes = Tables.events(spark, dir)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.cast("int").as("is_current"))
+      .orderBy(col("user_id").asc, col("valid_from").asc, col("event_type").asc)
+  }
+  val q137Oracle: String = """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events WHERE user_id < 30),
+    changes AS (
+      SELECT user_id, event_id, ts, event_type FROM ordered
+      WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC) AS valid_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC) IS NULL AS INT) AS is_current
+    FROM changes
+    ORDER BY user_id ASC, valid_from ASC, event_type ASC"""
+
+  // ---------------------------------------------------------------------
+  // q136 — BPE vocabulary induction (no SQL oracle: the merge loop's
+  // argmax-then-rewrite iteration isn't SQL-expressible; BpeSpec pins the
+  // algorithm against the hand-traced Sennrich example instead). One
+  // corpus pass builds the word-frequency table; 8 merge rounds iterate
+  // over that table only. Output is the rank-ordered merge table — the
+  // model artifact a tokenizer ships.
+  def q136BpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val wf = graft.operators.BpeOps.wordFreq(
+      Tables.documents(spark, dir), "text")
+    val model = graft.operators.BpeOps.train(spark, wf, nMerges = 8)
+    graft.operators.BpeOps.mergeTable(spark, model).orderBy(col("rank").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_bpe_vocab" -> (q136BpeVocab _),
+    "q130_split_assign" -> (q130SplitAssign _),
+    "q131_pii_redact" -> (q131PiiRedact _),
+    "q132_segment_dedup" -> (q132SegmentDedup _),
+    "q133_mixture_resample" -> (q133MixtureResample _),
+    "q134_shard_dispatch" -> (q134ShardDispatch _),
+    "q135_pair_counts" -> (q135PairCounts _),
+    "q137_scd2_build" -> (q137Scd2Build _))
+
+  val oracles: Map[String, String] = Map(
+    "q130_split_assign" -> q130Oracle,
+    "q131_pii_redact" -> q131Oracle,
+    "q132_segment_dedup" -> q132Oracle,
+    "q133_mixture_resample" -> q133Oracle,
+    "q134_shard_dispatch" -> q134Oracle,
+    "q135_pair_counts" -> q135Oracle,
+    "q137_scd2_build" -> q137Oracle)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.BpeOps
+
+/** Pins BPE training on the classic Sennrich low/lower/newest/widest
+  * corpus, hand-traced:
+  *
+  * words (freq): low 5, lower 2, newest 6, widest 3; symbols get a </w>
+  * terminal. Round-by-round argmax (count desc, left asc, right asc):
+  *   1. (e,s)   9   [newest 6 + widest 3; ties (s,t),(t,</w>) lose lex]
+  *   2. (es,t)  9   [tie (t,</w>) loses lex]
+  *   3. (est,</w>) 9
+  *   4. (l,o)   7   [tie (o,w) loses lex]
+  *   5. (lo,w)  7
+  * Encoding "lowest" with those merges → low est</w> (via lo-w after l-o,
+  * then the est chain) — the canonical generalization example.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "freq")
+  }
+
+  test("merge sequence matches the hand-traced Sennrich example") {
+    val model = BpeOps.train(spark, corpus, nMerges = 5)
+    assert(model.merges === Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("encodeWord generalizes to an unseen word") {
+    val model = BpeOps.train(spark, corpus, nMerges = 5)
+    // merges apply in rank order — the est chain fires inside "lowest",
+    // then l-o, lo-w
+    assert(model.encodeWord("lowest") === Seq("low", "est</w>"))
+  }
+
+  test("wordFreq aggregates the corpus once, train is deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "low low newest"), (1L, "newest widest lower"))
+      .toDF("doc_id", "text")
+    val wf = BpeOps.wordFreq(docs, "text").as[(String, Long)].collect().toMap
+    assert(wf === Map("low" -> 2L, "newest" -> 2L, "widest" -> 1L, "lower" -> 1L))
+    val m1 = BpeOps.train(spark, BpeOps.wordFreq(docs, "text"), 3).merges
+    val m2 = BpeOps.train(spark,
+      BpeOps.wordFreq(docs.repartition(7), "text"), 3).merges
+    assert(m1 === m2)
+  }
+
+  test("encode emits per-doc BPE tokens") {
+    val s = spark
+    import s.implicits._
+    val model = BpeOps.train(spark, corpus, nMerges = 5)
+    val docs = Seq((0L, "lowest low")).toDF("doc_id", "text")
+    val out = BpeOps.encode(docs, "text", model)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(0L) === Seq("low", "est</w>", "low", "</w>"))
+  }
+
+  test("train stops early when no pairs remain") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq(("a", 3L)).toDF("word", "freq") // a</w> → one pair, then none
+    val model = BpeOps.train(spark, tiny, nMerges = 10)
+    assert(model.merges === Seq(("a", "</w>")))
+  }
+}
