@@ -300,7 +300,67 @@ object ExtendedQueries {
     SELECT event_type, COUNT(*) AS n_events
     FROM events GROUP BY event_type ORDER BY event_type ASC"""
 
+  // q140 — deterministic bottom-k sample quantiles: the fourth
+  // re-aggregatable sketch (HLL q82, CMS q84, bitmap q115 — now
+  // quantiles). BottomKSketch keeps the k=100 rows with smallest salted
+  // row-hash per group: a uniform sample that is merge-associative (the
+  // global bottom-k is computable from per-partition bottom-ks, so the
+  // shuffle carries ≤ k rows per group per task) AND fully deterministic
+  // — unlike approx_percentile, a SQL engine replays the identical
+  // sample, so this sketch gets a hash-exact oracle, not just an error
+  // bound. est_p50 = the ⌈n/2⌉-th smallest sampled value; exact_p50
+  // rides along to exhibit the error in-band.
+  def q140SampleQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sketch = udaf(new graft.functions.BottomKSketch(100))
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      md5(concat((col("l_orderkey") * 10 + col("l_linenumber")).cast("string"),
+        lit("|btk")).cast("binary")).as("h"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    li.groupBy(col("l_returnflag"))
+      .agg(sketch(col("h"), col("cents")).as("sample"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+          .as("exact_p50"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("sample"),
+          ceil(size(col("sample")).cast("double") / 2).cast("int")).as("est_p50"),
+        size(col("sample")).as("n_sample"),
+        col("exact_p50").cast("long").as("exact_p50"), col("n"))
+      .orderBy(col("l_returnflag").asc)
+  }
+  val q140Oracle: String = """
+    WITH v AS (
+      SELECT l_returnflag,
+             md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) || '|btk') AS h,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    s AS (
+      SELECT * FROM (
+        SELECT l_returnflag, h, cents,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY h ASC) AS rn
+        FROM v)
+      WHERE rn <= 100),
+    ranked AS (
+      SELECT l_returnflag, cents,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY cents ASC) AS vr,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS ns
+      FROM s),
+    est AS (
+      SELECT l_returnflag, cents AS est_p50, ns AS n_sample
+      FROM ranked WHERE vr = CAST(ceil(ns / 2.0) AS BIGINT)),
+    ex AS (
+      SELECT l_returnflag,
+             CAST(quantile_disc(cents, 0.5) AS BIGINT) AS exact_p50,
+             COUNT(*) AS n
+      FROM v GROUP BY l_returnflag)
+    SELECT e.l_returnflag, e.est_p50, CAST(e.n_sample AS INT) AS n_sample,
+           x.exact_p50, x.n
+    FROM est e JOIN ex x USING (l_returnflag)
+    ORDER BY e.l_returnflag ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_sample_quantile" -> (q140SampleQuantile _),
     "q94_stream_update_mode" -> (q94StreamUpdateMode _),
     "q84_countmin_freq" -> (q84CountMinFreq _),
     "q86_stream_sliding" -> (q86StreamSliding _),
@@ -315,6 +375,7 @@ object ExtendedQueries {
     "q55_stream_tumbling" -> (q55StreamTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "q140_sample_quantile" -> q140Oracle,
     "q94_stream_update_mode" -> q94Oracle,
     "q86_stream_sliding" -> q86Oracle,
     "q56_variant_json" -> q56Oracle,

@@ -279,8 +279,54 @@ object PretrainQueries {
     graft.operators.BpeOps.mergeTable(spark, model).orderBy(col("rank").asc)
   }
 
+  // ---------------------------------------------------------------------
+  // q139 — the composed corpus→training-shards pipeline, end-to-end in
+  // one plan (the packing counterpart of q89's curation composition):
+  // tokenize → global token offsets (q88's distributed prefix-scan: one
+  // data shuffle + O(buckets) driver metadata) → 2048-token chunk spans →
+  // explode each doc's chunk range → hash-mod shard routing (q134's
+  // coordination-free dispatch) → per-shard profile. The only corpus
+  // shuffles are the prefix-scan's bucket pass and the final O(shards)
+  // aggregation; chunk explosion is a narrow generator.
+  def q139PackPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    TextOps.withGlobalOffset(docs, "doc_id", "n_tok", "off")
+      .select(col("doc_id"), col("n_tok"),
+        expr("off DIV 2048").as("first_chunk"),
+        expr("(off + n_tok - 1) DIV 2048").as("last_chunk"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(col("first_chunk"), col("last_chunk"))).as("chunk"))
+      .withColumn("shard", pmod(col("chunk"), lit(8L)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("chunk")).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_doc_chunks"))
+      .orderBy(col("shard").asc)
+  }
+  val q139Oracle: String = """
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    o AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      FROM t),
+    ch AS (
+      SELECT doc_id, n_tok,
+             unnest(generate_series(off // 2048, (off + n_tok - 1) // 2048)) AS chunk
+      FROM o)
+    SELECT CAST(chunk % 8 AS INT) AS shard,
+           COUNT(DISTINCT chunk) AS n_chunks,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_doc_chunks
+    FROM ch GROUP BY shard ORDER BY shard ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_bpe_vocab" -> (q136BpeVocab _),
+    "q139_pack_pipeline" -> (q139PackPipeline _),
     "q130_split_assign" -> (q130SplitAssign _),
     "q131_pii_redact" -> (q131PiiRedact _),
     "q132_segment_dedup" -> (q132SegmentDedup _),
@@ -290,6 +336,7 @@ object PretrainQueries {
     "q137_scd2_build" -> (q137Scd2Build _))
 
   val oracles: Map[String, String] = Map(
+    "q139_pack_pipeline" -> q139Oracle,
     "q130_split_assign" -> q130Oracle,
     "q131_pii_redact" -> q131Oracle,
     "q132_segment_dedup" -> q132Oracle,

@@ -64,4 +64,41 @@ class SketchSpec extends SparkSpec {
       assert(relErr < 0.05, s"week $week HLL union rel err $relErr ($est vs $users)")
     }
   }
+
+  test("bottom-k sample is partition-invariant and bounds quantile error") {
+    val s = spark
+    import s.implicits._
+    val sketch = udaf(new graft.functions.BottomKSketch(100))
+    // 10k rows, value = permuted id so the true p50 is known exactly
+    val base = (0L until 10000L).map(i => (i, (i * 7919L) % 10000L))
+      .toDF("id", "v")
+      .select(md5(concat($"id".cast("string"), lit("|t"))).as("h"), $"v")
+    def sample(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(sketch($"h", $"v").as("s")).as[Seq[Long]].head()
+    val s1 = sample(base.repartition(1))
+    val s32 = sample(base.repartition(32))
+    assert(s1 === s32, "bottom-k sample must not depend on partitioning")
+    assert(s1.length === 100)
+    assert(s1 === s1.sorted, "finish() returns values ascending")
+    // rank error of the sample median vs true median (5000): O(1/sqrt(k))
+    val est = s1(49)
+    assert(math.abs(est - 5000L) < 1500,
+      s"sample p50 $est too far from true 5000")
+  }
+
+  test("bottom-k sketches re-aggregate: merged group samples equal global") {
+    val s = spark
+    import s.implicits._
+    val sketch = udaf(new graft.functions.BottomKSketch(50))
+    val df = (0L until 2000L).map(i => (i % 4, i)).toDF("g", "v")
+      .select($"g", md5(concat($"v".cast("string"), lit("|m"))).as("h"), $"v")
+    // rollup path: per-group sketches → union of the two groups' rows
+    // re-sketched must equal sketching the union directly (bottom-k is
+    // merge-associative)
+    val direct = df.filter($"g" < 2)
+      .agg(sketch($"h", $"v")).as[Seq[Long]].head()
+    val viaUnion = df.filter($"g" === 0).union(df.filter($"g" === 1))
+      .agg(sketch($"h", $"v")).as[Seq[Long]].head()
+    assert(direct === viaUnion)
+  }
 }
