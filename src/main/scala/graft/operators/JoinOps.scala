@@ -77,11 +77,19 @@ object JoinOps {
     *
     * @param rightPayload right columns carried onto left rows (they keep
     *        their names — must not collide with left's)
+    * @param tolerance max staleness in the ts column's native units (the
+    *        feature-store point-in-time bound): a match older than
+    *        `left.ts - tolerance` is treated as no match (payload NULLs).
+    *        The carried match keeps its timestamp inside the window
+    *        payload, so the bound is a post-window projection — same one
+    *        shuffle, same O(1) state.
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, key: Seq[String],
-      ts: String, rightPayload: Seq[String], tiebreak: String): DataFrame = {
+      ts: String, rightPayload: Seq[String], tiebreak: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(!rightPayload.contains("_rts"), "_rts is reserved")
     val keyCols = key.map(col)
-    val payload = struct(rightPayload.map(col): _*)
+    val payload = struct(rightPayload.map(col) :+ col(ts).as("_rts"): _*)
     val rightTagged = right.select(
       keyCols :+ col(ts) :+ lit(0).as("_side") :+ col(tiebreak).as("_tb") :+
         payload.as("_r"): _*)
@@ -97,10 +105,15 @@ object JoinOps {
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col(ts).asc, col("_side").asc, col("_tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outPayload = tolerance match {
+      case Some(t) => rightPayload.map(c =>
+        when(col("_m._rts") >= col(ts) - t, col(s"_m.$c")).as(c))
+      case None => rightPayload.map(c => col(s"_m.$c").as(c))
+    }
     unioned
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(col("_l.*") +: rightPayload.map(c => col(s"_m.$c").as(c)): _*)
+      .select(col("_l.*") +: outPayload: _*)
   }
 
   /** Band/interval join: pair each point row with every range row whose

@@ -324,9 +324,55 @@ object PretrainQueries {
            COUNT(*) AS n_doc_chunks
     FROM ch GROUP BY shard ORDER BY shard ASC"""
 
+  // ---------------------------------------------------------------------
+  // q142 — deterministic negative sampling (the word2vec/recsys
+  // contrastive-pair prep): each positive (user, item) interaction draws
+  // 4 negatives via a multiplicative integer hash — no rand(), so the
+  // draw replays identically across engines/shards (q77/q130's rule).
+  // Collisions with the user's true positive set are flagged by one
+  // left join against the distinct positives (at scale: broadcast if the
+  // catalog is small, else both sides hash on user+item — never a
+  // per-row rejection loop, which would be a driver round-trip per draw).
+  // Explode is a narrow generator; the join is the only corpus shuffle.
+  def q142NegativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        pmod(col("event_id"), lit(1000L)).as("item"))
+    val posSet = pos.select(col("user_id"), col("item")).distinct()
+    val negs = pos
+      .select(col("user_id"), col("event_id"),
+        explode(sequence(lit(1), lit(4))).as("j"))
+      .select(col("user_id"), col("event_id"), col("j"),
+        pmod((col("user_id") * 10000L + col("event_id") * 4L + col("j"))
+          * lit(2654435761L), lit(1000L)).as("item"))
+    negs.join(posSet.withColumn("hit", lit(1)), Seq("user_id", "item"), "left")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_negs"),
+        sum(coalesce(col("hit"), lit(0))).as("n_collisions"),
+        sum(col("item") * col("j")).as("checksum"))
+      .orderBy(col("user_id").asc)
+  }
+  val q142Oracle: String = """
+    WITH pos AS (
+      SELECT user_id, event_id, event_id % 1000 AS item
+      FROM events WHERE event_type = 'purchase'),
+    ps AS (SELECT DISTINCT user_id, item FROM pos),
+    negs AS (
+      SELECT user_id, event_id, j,
+             ((user_id * 10000 + event_id * 4 + j) * 2654435761) % 1000 AS item
+      FROM pos, LATERAL unnest(generate_series(1, 4)) AS u(j))
+    SELECT n.user_id, COUNT(*) AS n_negs,
+           CAST(SUM(CASE WHEN ps.item IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_collisions,
+           CAST(SUM(n.item * n.j) AS BIGINT) AS checksum
+    FROM negs n LEFT JOIN ps ON n.user_id = ps.user_id AND n.item = ps.item
+    GROUP BY n.user_id ORDER BY n.user_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_bpe_vocab" -> (q136BpeVocab _),
     "q139_pack_pipeline" -> (q139PackPipeline _),
+    "q142_negative_sampling" -> (q142NegativeSampling _),
     "q130_split_assign" -> (q130SplitAssign _),
     "q131_pii_redact" -> (q131PiiRedact _),
     "q132_segment_dedup" -> (q132SegmentDedup _),
@@ -337,6 +383,7 @@ object PretrainQueries {
 
   val oracles: Map[String, String] = Map(
     "q139_pack_pipeline" -> q139Oracle,
+    "q142_negative_sampling" -> q142Oracle,
     "q130_split_assign" -> q130Oracle,
     "q131_pii_redact" -> q131Oracle,
     "q132_segment_dedup" -> q132Oracle,

@@ -136,12 +136,57 @@ object TemporalQueries {
     }
   }
 
+  // q141 — point-in-time (feature-store) join: q63's backward as-of with
+  // a 2-hour max-staleness bound. A feature older than the bound must NOT
+  // leak into the training row — the lookback-window correctness rule
+  // every feature store enforces. Same union+window machinery and single
+  // shuffle as q63; the bound is a post-window projection (the carried
+  // match keeps its timestamp), so tolerance costs zero extra plan
+  // nodes. The oracle is DuckDB's native ASOF LEFT JOIN with the same
+  // staleness CASE applied on top.
+  def q141PointInTimeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tolMs = 2L * 3600 * 1000
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        unix_millis(col("ts")).as("click_ms"), col("value").as("click_value"),
+        col("event_id"))
+    JoinOps.asofJoinBackward(purchases, clicks, key = Seq("user_id"),
+        ts = "ms", rightPayload = Seq("click_ms", "click_value"),
+        tiebreak = "event_id", tolerance = Some(tolMs))
+      .withColumn("is_fresh", col("click_ms").isNotNull.cast("int"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+  val q141Oracle: String = """
+    WITH p AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms, value
+      FROM events WHERE event_type = 'purchase'),
+    c0 AS (
+      SELECT user_id, epoch_ms(ts) AS click_ms, value, event_id
+      FROM events WHERE event_type = 'click'),
+    c AS (
+      SELECT user_id, click_ms, arg_max(value, event_id) AS click_value
+      FROM c0 GROUP BY user_id, click_ms)
+    SELECT p.user_id, p.event_id, p.ms, p.value,
+           CASE WHEN c.click_ms >= p.ms - 7200000 THEN c.click_ms END AS click_ms,
+           CASE WHEN c.click_ms >= p.ms - 7200000 THEN c.click_value END AS click_value,
+           CAST(c.click_ms IS NOT NULL AND c.click_ms >= p.ms - 7200000 AS INT)
+             AS is_fresh
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ms >= c.click_ms
+    ORDER BY p.user_id ASC, p.event_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_point_in_time_join" -> (q141PointInTimeJoin _),
     "q63_asof_join" -> (q63AsofJoin _),
     "q64_range_join" -> (q64RangeJoin _),
     "q78_range_join_rule" -> (q78RangeJoinRule _))
 
   val oracles: Map[String, String] = Map(
+    "q141_point_in_time_join" -> q141Oracle,
     "q63_asof_join" -> q63Oracle,
     "q64_range_join" -> q64Oracle,
     "q78_range_join_rule" -> q64Oracle)

@@ -36,6 +36,22 @@ class TemporalJoinSpec extends SparkSpec {
       (2L, 100L, "l3", None, None)))            // key with no right rows
   }
 
+  test("asof tolerance nulls matches older than the staleness bound") {
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (1L, 1000L, "l3"))
+      .toDF("k", "ms", "name")
+    val right = Seq((1L, 90L, 10.0, 1L))
+      .toDF("k", "ms", "v", "tb")
+      .select($"k", $"ms", $"v".as("r_v"), $"tb")
+    val out = JoinOps.asofJoinBackward(left, right, Seq("k"), "ms",
+        Seq("r_v"), "tb", tolerance = Some(150L))
+      .orderBy($"ms")
+      .collect().map(r => (r.getLong(1), Option(r.get(3))))
+    assert(out.toSeq == Seq(
+      (100L, Some(10.0)),  // 10 ms stale — fresh
+      (200L, Some(10.0)),  // 110 ms stale — still inside the bound
+      (1000L, None)))      // 910 ms stale — match exists but is too old
+  }
+
   test("range join pairs each point with every containing interval") {
     val points = Seq((0L, "a"), (95L, "b"), (100L, "c"), (150L, "d"), (250L, "e"))
       .toDF("p", "name")
