@@ -162,7 +162,41 @@ object SqlDepthQueries {
     WHERE rn <= 2
     ORDER BY o_custkey ASC, price_cents DESC, o_orderkey ASC"""
 
+  // ---------------------------------------------------------------------
+  // q143 — incremental aggregate maintenance WITH RETRACTIONS (the Z-set
+  // completion of q114's insert-only maintenance): a delete batch arrives
+  // as negative-multiplicity deltas, the maintained state absorbs them by
+  // the same merge-partials union — never a recompute — and groups whose
+  // support reaches zero are dropped (the Z-set normalization step; a
+  // maintained view must not retain empty groups the recompute wouldn't
+  // produce). Cost ∝ state ∪ delta, one hash shuffle. The oracle
+  // recomputes from the surviving rows and must agree exactly.
+  def q143IncrementalRetract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val orders = Tables.orders(spark, dir)
+    // maintained state: per-customer (sum, count) over ALL orders
+    val state = orders.groupBy($"o_custkey")
+      .agg(sum(cents).as("rev"), count(lit(1)).as("n"))
+    // retraction batch: every 7th order is deleted → negative multiplicity
+    val retract = orders.filter($"o_orderkey" % 7 === 0)
+      .groupBy($"o_custkey")
+      .agg((-sum(cents)).as("rev"), (-count(lit(1))).as("n"))
+    state.unionByName(retract)
+      .groupBy($"o_custkey")
+      .agg(sum($"rev").as("revenue_cents"), sum($"n").as("n_orders"))
+      .filter($"n_orders" > 0) // Z-set normalization: drop emptied groups
+      .orderBy($"o_custkey".asc)
+  }
+  val q143Oracle: String = """
+    SELECT o_custkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_orders
+    FROM orders WHERE o_orderkey % 7 <> 0
+    GROUP BY o_custkey ORDER BY o_custkey ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_incremental_retract" -> (q143IncrementalRetract _),
     "q112_recursive_cte" -> (q112RecursiveCte _),
     "q113_lateral_topk" -> (q113LateralTopk _),
     "q114_incremental_agg" -> (q114IncrementalAgg _),
@@ -170,6 +204,7 @@ object SqlDepthQueries {
     "q120_incremental_join" -> (q120IncrementalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q143_incremental_retract" -> q143Oracle,
     "q112_recursive_cte" -> q112Oracle,
     "q113_lateral_topk" -> q113Oracle,
     "q114_incremental_agg" -> q114Oracle,
