@@ -196,4 +196,45 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("aggregate(zip_with"),
       "no interpreted HOF dot product may appear in the ANN plan")
   }
+
+  test("q130/q131: split + redaction are pure projections (zero exchanges)") {
+    Seq("q130_split_assign", "q131_pii_redact").foreach { q =>
+      val s = planString(q)
+      // the output orderBy is allowed its range exchange; nothing else may
+      // shuffle — fate/redaction are per-row functions of the row
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+      assert(shuffles == 0, s"$q must not hash-shuffle, plan:\n$s")
+    }
+  }
+
+  test("q134: shard dispatch shuffles once (the final O(shards) agg)") {
+    val s = planString("q134_shard_dispatch")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles <= 1,
+      s"hash-mod routing needs no coordination before the tiny agg:\n$s")
+    assert("partial_count|partial".r.findAllIn(s.toLowerCase).nonEmpty,
+      "per-shard profile must partial-aggregate map-side")
+  }
+
+  test("q135: pair counting partial-aggregates and plans top-k, not sort") {
+    val s = planString("q135_pair_counts")
+    assert(s.contains("TakeOrderedAndProject"),
+      "global top-20 must be TakeOrderedAndProject, not a full sort")
+  }
+
+  test("q137: both SCD2 windows share one shuffle on the entity key") {
+    val s = planString("q137_scd2_build")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles == 1,
+      s"change-detect and interval-close windows must reuse one exchange:\n$s")
+  }
+
+  test("q141: tolerance costs no extra plan nodes over plain as-of (q63)") {
+    def windows(q: String) = "Window".r.findAllIn(planString(q)).size
+    def shuffles(q: String) =
+      "Exchange hashpartitioning".r.findAllIn(planString(q)).size
+    assert(shuffles("q141_point_in_time_join") == shuffles("q63_asof_join"),
+      "staleness bound must stay a post-window projection")
+    assert(windows("q141_point_in_time_join") == windows("q63_asof_join"))
+  }
 }
