@@ -182,13 +182,57 @@ object StreamingQueries {
     WHERE epoch_us(p.ts) < (SELECT cut FROM wm)
     ORDER BY p_id ASC, c_id ASC NULLS FIRST"""
 
+  // q144 — streaming SCD Type-2 maintenance (Scd2Processor over
+  // transformWithState/RocksDB): q137's dimension history kept
+  // incrementally — each change that differs from the key's open
+  // interval EMITS the closed row and re-opens, O(1) state per key,
+  // history appends monotonically. The oracle is q137's batch window
+  // formulation restricted to closed intervals (the open ones are state,
+  // not output — they're q07's latest-per-key surface). Stream equals
+  // batch, hash-checked.
+  def q144StreamScd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val changes = eventsStream(spark, dir)
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("event_type"))
+        .as[graft.streaming.Scd2Processor.Change]
+      val closed = graft.streaming.Scd2Processor.build(changes).toDF()
+      drain(spark, closed)
+        .orderBy(col("user_id").asc, col("valid_from_ms").asc,
+          col("event_type").asc)
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+  val q144Oracle: String = """
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts) ASC, event_id ASC) AS prev
+      FROM events WHERE user_id < 30),
+    changes AS (
+      SELECT user_id, event_id, ms, event_type FROM ordered
+      WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, ms AS valid_from_ms,
+           lead(ms) OVER (PARTITION BY user_id
+             ORDER BY ms ASC, event_id ASC) AS valid_to_ms
+    FROM changes
+    QUALIFY valid_to_ms IS NOT NULL
+    ORDER BY user_id ASC, valid_from_ms ASC, event_type ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_stream_scd2" -> (q144StreamScd2 _),
     "q69_stream_stream_join" -> (q69StreamStreamJoin _),
     "q70_stream_dedup" -> (q70StreamDedup _),
     "q81_stream_enrich" -> (q81StreamEnrich _),
     "q122_stream_outer_join" -> (q122StreamOuterJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q144_stream_scd2" -> q144Oracle,
     "q69_stream_stream_join" -> q69Oracle,
     "q70_stream_dedup" -> q70Oracle,
     "q81_stream_enrich" -> q81Oracle,
