@@ -369,10 +369,98 @@ object PretrainQueries {
     FROM negs n LEFT JOIN ps ON n.user_id = ps.user_id AND n.item = ps.item
     GROUP BY n.user_id ORDER BY n.user_id ASC"""
 
+  // ---------------------------------------------------------------------
+  // q145 — dictionary (categorical) encoding: dense integer ids by
+  // (frequency desc, term asc), rare terms (count < 2) mapped to OOV -1 —
+  // the StringIndexer/vocab-file step before any embedding table. Scale
+  // decomposition: the corpus-sized pass is the term-count aggregation
+  // (one partial-aggregated shuffle); the id assignment is a window over
+  // the VOCAB table, orders of magnitude smaller than the corpus (Spark
+  // ML's StringIndexer collects the vocab to the driver instead — the
+  // window keeps it distributed); the encode join broadcasts the id
+  // table (a 10M-term vocab is ~100 MB — at the broadcast ceiling; the
+  // same join hash-partitions cleanly when vocab outgrows it).
+  def q145VocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term").asc)
+    val ids = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .withColumn("id", row_number().over(w).cast("long") - 1)
+      .select(col("term"), col("id"))
+    toks.join(broadcast(ids), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("id").isNull.cast("long")).as("n_oov"),
+        sum(coalesce(col("id"), lit(-1L)) * (col("pos") + 1)).as("id_checksum"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q145Oracle: String = """
+    WITH t AS (
+      SELECT doc_id, pos, toks[pos + 1] AS term
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           LATERAL unnest(generate_series(0, len(toks) - 1)) AS u(pos)),
+    ids AS (
+      SELECT term, row_number() OVER (ORDER BY COUNT(*) DESC, term ASC) - 1 AS id
+      FROM t GROUP BY term HAVING COUNT(*) >= 2)
+    SELECT t.doc_id, COUNT(*) AS n_tok,
+           CAST(SUM(CASE WHEN ids.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(COALESCE(ids.id, -1) * (t.pos + 1)) AS BIGINT) AS id_checksum
+    FROM t LEFT JOIN ids USING (term)
+    GROUP BY t.doc_id ORDER BY t.doc_id ASC"""
+
+  // ---------------------------------------------------------------------
+  // q146 — content-defined chunking (the FastCDC/rsync storage-dedup
+  // primitive, on token windows): a position is a chunk boundary when the
+  // hash of its 4-token window lands under a threshold (here 2/256 hex
+  // prefixes ≈ 1/128 rate), so boundaries move WITH content — an insert
+  // shifts chunk edges locally instead of re-chunking the whole document,
+  // which is what makes delta storage of a 100 TB corpus incremental.
+  // Pure narrow projection: explode windows inside codegen, hash, flag,
+  // one per-doc aggregation.
+  def q146ContentChunking(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 4)
+    docs
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - 3)).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"),
+        substring(md5(concat_ws(" ",
+          (0 until 4).map(o => element_at(col("t"), col("i") + o)): _*)
+          .cast("binary")), 1, 2).as("hb"))
+      .withColumn("boundary", (col("hb") < "02").cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("boundary")).as("n_boundaries"),
+        (sum(col("boundary")) + 1).as("n_chunks"),
+        sum(when(col("boundary") === 1, col("i")).otherwise(0L)).as("boundary_checksum"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q146Oracle: String = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 4),
+    w AS (
+      SELECT doc_id, i,
+             substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               || ' ' || toks[i+3]), 1, 2) AS hb
+      FROM t, LATERAL unnest(generate_series(1, len(toks) - 3)) AS u(i))
+    SELECT doc_id, COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN hb < '02' THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+           CAST(SUM(CASE WHEN hb < '02' THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN hb < '02' THEN i ELSE 0 END) AS BIGINT) AS boundary_checksum
+    FROM w GROUP BY doc_id ORDER BY doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_bpe_vocab" -> (q136BpeVocab _),
     "q139_pack_pipeline" -> (q139PackPipeline _),
     "q142_negative_sampling" -> (q142NegativeSampling _),
+    "q145_vocab_encode" -> (q145VocabEncode _),
+    "q146_content_chunking" -> (q146ContentChunking _),
     "q130_split_assign" -> (q130SplitAssign _),
     "q131_pii_redact" -> (q131PiiRedact _),
     "q132_segment_dedup" -> (q132SegmentDedup _),
@@ -384,6 +472,8 @@ object PretrainQueries {
   val oracles: Map[String, String] = Map(
     "q139_pack_pipeline" -> q139Oracle,
     "q142_negative_sampling" -> q142Oracle,
+    "q145_vocab_encode" -> q145Oracle,
+    "q146_content_chunking" -> q146Oracle,
     "q130_split_assign" -> q130Oracle,
     "q131_pii_redact" -> q131Oracle,
     "q132_segment_dedup" -> q132Oracle,
