@@ -455,7 +455,74 @@ object PretrainQueries {
            CAST(SUM(CASE WHEN hb < '02' THEN i ELSE 0 END) AS BIGINT) AS boundary_checksum
     FROM w GROUP BY doc_id ORDER BY doc_id ASC"""
 
+  // ---------------------------------------------------------------------
+  // q147 — the flagship end-to-end corpus build, five library stages in
+  // ONE plan: quality filter (q31/q89) → exact dedup keep-min (q30) →
+  // deterministic split, train only (q130) → global token offsets via the
+  // distributed prefix-scan (q88) → 512-token chunks routed to shards
+  // (q139/q134) → per-shard profile. Everything before the prefix-scan
+  // is narrow or one hash shuffle (dedup agg + semi-join); the scan adds
+  // its one data shuffle; chunk explosion is a generator. A user running
+  // "corpus in, training shards out" touches exactly this composition —
+  // the DuckDB oracle replays all five stages and must hash-match.
+  def q147CorpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+    val quality = base.filter(col("n_tok") >= 20 &&
+      col("n_distinct").cast("double") / col("n_tok").cast("double") >= 0.35)
+    val keep = quality.groupBy(md5(col("text").cast("binary")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = quality.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val train = deduped.filter(
+      substring(md5(concat(col("doc_id").cast("string"), lit("|split"))
+        .cast("binary")), 1, 2) < "e6")
+      .select(col("doc_id"), col("n_tok"))
+    TextOps.withGlobalOffset(train, "doc_id", "n_tok", "off")
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(expr("off DIV 512"),
+          expr("(off + n_tok - 1) DIV 512"))).as("chunk"))
+      .withColumn("shard", pmod(col("chunk"), lit(4L)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("chunk")).as("n_chunks"),
+        sum(col("n_tok")).as("doc_chunk_tokens"))
+      .orderBy(col("shard").asc)
+  }
+  val q147Oracle: String = """
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      FROM documents),
+    quality AS (
+      SELECT * FROM base
+      WHERE n_tok >= 20
+        AND CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 0.35),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+    train AS (
+      SELECT doc_id, n_tok FROM quality
+      WHERE doc_id IN (SELECT doc_id FROM keep)
+        AND substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 2) < 'e6'),
+    o AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      FROM train),
+    ch AS (
+      SELECT doc_id, n_tok,
+             unnest(generate_series(off // 512, (off + n_tok - 1) // 512)) AS chunk
+      FROM o)
+    SELECT CAST(chunk % 4 AS INT) AS shard,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(DISTINCT chunk) AS n_chunks,
+           CAST(SUM(n_tok) AS BIGINT) AS doc_chunk_tokens
+    FROM ch GROUP BY shard ORDER BY shard ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_corpus_build" -> (q147CorpusBuild _),
     "q136_bpe_vocab" -> (q136BpeVocab _),
     "q139_pack_pipeline" -> (q139PackPipeline _),
     "q142_negative_sampling" -> (q142NegativeSampling _),
@@ -474,6 +541,7 @@ object PretrainQueries {
     "q142_negative_sampling" -> q142Oracle,
     "q145_vocab_encode" -> q145Oracle,
     "q146_content_chunking" -> q146Oracle,
+    "q147_corpus_build" -> q147Oracle,
     "q130_split_assign" -> q130Oracle,
     "q131_pii_redact" -> q131Oracle,
     "q132_segment_dedup" -> q132Oracle,
