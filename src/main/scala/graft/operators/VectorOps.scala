@@ -82,7 +82,7 @@ object VectorOps {
     * bucket in any band; exact re-rank inside candidates. Trades recall
     * for never materializing the cross product — the 100 TB path. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 16, bands: Int = 4): DataFrame = {
+      planes: Int = 48, bands: Int = 12): DataFrame = {
     val rowsPerBand = planes / bands
     // one projection + explode per side: the SRP signature, the quantized
     // vector, AND its norm are evaluated once per vector — not per band,

@@ -112,7 +112,9 @@ class OperatorSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(s"LSH recall@10 = $recall (candidates ${approx.size})")
-    assert(recall >= 0.2, s"recall collapsed: $recall")
+    // 12 bands × 4-bit SRP buckets: 0.74 measured at sf0.001 (was 0.44
+    // at 4 bands — more independent collision chances for near vectors)
+    assert(recall >= 0.5, s"recall collapsed: $recall")
   }
 
   test("IVF ANN recall vs brute force on real embeddings") {
