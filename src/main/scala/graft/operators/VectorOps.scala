@@ -125,7 +125,7 @@ object VectorOps {
     */
   def ivfTopK(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 6, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector

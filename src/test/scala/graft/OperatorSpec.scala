@@ -127,8 +127,10 @@ class OperatorSpec extends SparkSpec {
       .select($"query_id", $"neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
-    info(s"IVF recall@10 = $recall (nlist=16, nprobe=4)")
-    assert(recall >= 0.3, s"IVF recall collapsed: $recall")
+    info(s"IVF recall@10 = $recall (nlist=16, nprobe=6)")
+    // 0.88 measured at sf0.001 (was 0.64 at nprobe=4 — probing 6/16
+    // cells covers the boundary-straddling neighbors)
+    assert(recall >= 0.6, s"IVF recall collapsed: $recall")
   }
 
   test("PQ ANN recall vs brute force on real embeddings") {
