@@ -64,7 +64,8 @@ object Bench {
     // JSON line must stay short even with 100+ queries: keys are the qNN
     // prefix (unique across the inventory) and values are centisecond
     // precision. Full names + nanosecond precision go to bench_full.json.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    def fmt(v: Double): String = if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -45,8 +45,10 @@ object GraphOps {
     // per-iteration join-and-compare (a full extra shuffle per round)
     // with one tiny global aggregate over the already-checkpointed
     // labels — one shuffle-join fewer per iteration.
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).first().getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("label"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph: SUM is NULL
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var done = false

@@ -89,7 +89,13 @@ object JoinOps {
       tolerance: Option[Long] = None): DataFrame = {
     require(!rightPayload.contains("_rts"), "_rts is reserved")
     val keyCols = key.map(col)
-    val payload = struct(rightPayload.map(col) :+ col(ts).as("_rts"): _*)
+    // the match timestamp rides in the payload ONLY when a staleness
+    // bound needs it — tolerance-less callers don't pay the extra field
+    // through the union/shuffle/window pipeline
+    val payloadCols =
+      if (tolerance.isDefined) rightPayload.map(col) :+ col(ts).as("_rts")
+      else rightPayload.map(col)
+    val payload = struct(payloadCols: _*)
     val rightTagged = right.select(
       keyCols :+ col(ts) :+ lit(0).as("_side") :+ col(tiebreak).as("_tb") :+
         payload.as("_r"): _*)

@@ -344,8 +344,13 @@ object PretrainQueries {
       .select(col("user_id"), col("event_id"),
         explode(sequence(lit(1), lit(4))).as("j"))
       .select(col("user_id"), col("event_id"), col("j"),
-        pmod((col("user_id") * 10000L + col("event_id") * 4L + col("j"))
-          * lit(2654435761L), lit(1000L)).as("item"))
+        // inner mod bounds the multiplicand (< 1000003 × 2654435761 ≪
+        // 2^63) so the draw can't overflow at any id scale — a wrapped
+        // product would silently diverge from the oracle's checked
+        // BIGINT arithmetic
+        pmod(pmod(pmod(col("user_id"), lit(1000003L)) * 10000L
+            + pmod(col("event_id"), lit(1000003L)) * 4L + col("j"),
+          lit(1000003L)) * lit(2654435761L), lit(1000L)).as("item"))
     negs.join(posSet.withColumn("hit", lit(1)), Seq("user_id", "item"), "left")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_negs"),
@@ -360,7 +365,8 @@ object PretrainQueries {
     ps AS (SELECT DISTINCT user_id, item FROM pos),
     negs AS (
       SELECT user_id, event_id, j,
-             ((user_id * 10000 + event_id * 4 + j) * 2654435761) % 1000 AS item
+             ((((user_id % 1000003) * 10000 + (event_id % 1000003) * 4 + j)
+                % 1000003) * 2654435761) % 1000 AS item
       FROM pos, LATERAL unnest(generate_series(1, 4)) AS u(j))
     SELECT n.user_id, COUNT(*) AS n_negs,
            CAST(SUM(CASE WHEN ps.item IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -374,12 +380,14 @@ object PretrainQueries {
   // (frequency desc, term asc), rare terms (count < 2) mapped to OOV -1 —
   // the StringIndexer/vocab-file step before any embedding table. Scale
   // decomposition: the corpus-sized pass is the term-count aggregation
-  // (one partial-aggregated shuffle); the id assignment is a window over
-  // the VOCAB table, orders of magnitude smaller than the corpus (Spark
-  // ML's StringIndexer collects the vocab to the driver instead — the
-  // window keeps it distributed); the encode join broadcasts the id
-  // table (a 10M-term vocab is ~100 MB — at the broadcast ceiling; the
-  // same join hash-partitions cleanly when vocab outgrows it).
+  // (one partial-aggregated shuffle); the id assignment then ranks the
+  // VOCAB table, orders of magnitude smaller than the corpus. The
+  // unpartitioned window funnels the vocab through one task — fine to
+  // ~10M terms (seconds of sort), same regime where Spark ML's
+  // StringIndexer collects the vocab to the driver; a vocab beyond that
+  // would rank via the distributed prefix-scan (q88's primitive) keyed
+  // on a count-bucket. The encode join broadcasts the id table (~100 MB
+  // at 10M terms) and hash-partitions cleanly when vocab outgrows it.
   def q145VocabEncode(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))

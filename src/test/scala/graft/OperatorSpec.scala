@@ -101,6 +101,20 @@ class OperatorSpec extends SparkSpec {
     assert(top.head.getAs[Double]("cosine") > 0.99)
   }
 
+  test("connected components: hand graph converges, empty graph is empty") {
+    import graft.operators.GraphOps
+    // two components {1,2,3,7} (chain via transitivity) and {5,6}
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 1L), (5L, 6L)).toDF("src", "dst")
+    val labels = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      5L -> 5L, 6L -> 5L))
+    // empty edge set: no NPE from the NULL label sum, empty result
+    val none = GraphOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(none.count() == 0)
+  }
+
   test("LSH ANN recall vs brute force on real embeddings") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 5)
