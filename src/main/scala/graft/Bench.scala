@@ -59,6 +59,41 @@ object Bench {
         }
       }
     }
+    // Targeted third pass: best-of-2 interleaved passes still lose when one
+    // interference window spans BOTH sweeps (observed: a contiguous
+    // alphabetical stretch inflated 8-18x across both passes, tripling the
+    // reported total). Compare each query's best against the committed
+    // quiet-host ledger (bench_reference.json) and re-time only the
+    // outliers — a query more than 2x its reference (with a 0.3 s floor so
+    // sub-100ms queries don't churn on scheduler jitter) gets up to two
+    // more attempts, keeping the minimum. Queries without a reference entry
+    // (newly added this round) are left as measured.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json")
+    val reference: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(refPath))
+        // minimal parse of {"queries":{"name":sec,...}} — values are plain doubles
+        val qsec = """"(q[0-9]+[A-Za-z0-9_]*)"\s*:\s*(-?[0-9.Ee+-]+)""".r
+        val start = txt.indexOf("\"queries\"")
+        if (start < 0) Map.empty
+        else qsec.findAllMatchIn(txt.substring(start))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap.filter(_._2 >= 0)
+      } catch { case _: Throwable => Map.empty }
+    named.foreach { case (name, fn) =>
+      reference.get(name).foreach { ref =>
+        var attempts = 0
+        while (attempts < 2 && timings(name) > math.max(2.0 * ref, ref + 0.3)) {
+          attempts += 1
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            val t = (System.nanoTime() - t0) / 1e9
+            if (timings(name) >= 0 && t < timings(name)) timings(name) = t
+          } catch { case _: Throwable => attempts = 2 }
+          spark.sharedState.cacheManager.clearCache()
+        }
+      }
+    }
     val results = named.map { case (name, _) => name -> timings(name) }
     // The driver keeps only the tail of this process's output, so the one
     // JSON line must stay short even with 100+ queries: keys are the qNN
@@ -71,9 +106,12 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] failed to write $outPath: ${e.getMessage}")
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -45,9 +45,12 @@ object GraphOps {
     // per-iteration join-and-compare (a full extra shuffle per round)
     // with one tiny global aggregate over the already-checkpointed
     // labels — one shuffle-join fewer per iteration.
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("label"))).first()
-      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph: SUM is NULL
+    // DECIMAL(38,0), not Long: an unchecked Long SUM over huge node ids can
+    // wrap, and a wrapped-equal sum would falsely signal convergence.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO // empty graph: SUM is NULL
+      else r.getDecimal(0)
     }
     var prevSum = labelSum(labels)
     var iter = 0
@@ -64,7 +67,7 @@ object GraphOps {
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      done = nextSum == prevSum
+      done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }

@@ -146,18 +146,40 @@ object TextOps {
     * explode distinct shingles, self-join on shingle, count intersections,
     * join back per-doc shingle counts. Output stays integer-exact
     * (inter, |A|, |B|) so the oracle hash-matches; jaccard = inter /
-    * (|A|+|B|-inter) is derived from exact ints. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, minIntersect: Int): DataFrame = {
+    * (|A|+|B|-inter) is derived from exact ints.
+    *
+    * `maxDf` caps shingle document frequency BEFORE the self-join: a
+    * shingle present in d documents yields O(d²) join rows on one key, so
+    * a stop-phrase 3-gram in 10⁶ docs is a ~5·10¹¹-row skew bomb that no
+    * post-join HAVING can undo. Shingles with df > maxDf carry ~zero
+    * discriminative weight for near-dup detection (they're corpus
+    * boilerplate by definition), so the Jaccard is computed over the
+    * df-capped shingle set — per-shingle join fan-out is then ≤ maxDf²/2
+    * regardless of corpus size. Per-doc counts (n_a/n_b) use the same
+    * capped set, keeping inter ≤ min(n_a, n_b) and jaccard ≤ 1 invariants.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minIntersect: Int,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     // Shingles are exploded once and persisted (3 consumers: per-doc counts
     // and both self-join sides); the join key is a 64-bit hash of the
     // shingle, not the string — smaller shuffle, cheaper compares, and
     // collision odds (~#shingles²/2⁶⁴) are far below any other error source.
     // The input is spread by row first: shingling is compute-bound, and a
     // byte-sized parquet split (one file locally) would serialize it.
-    val sh = docs.repartition(col("doc_id"))
+    val raw = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh =
+      if (maxDf == Int.MaxValue) raw
+      else {
+        // The hot set is tiny by construction (≤ distinct-shingles/maxDf
+        // entries), so it broadcasts; the anti-join is map-side, no shuffle.
+        val hot = raw.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("shingle"))
+        raw.join(broadcast(hot), Seq("shingle"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),

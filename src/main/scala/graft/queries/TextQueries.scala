@@ -47,18 +47,25 @@ object TextQueries {
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM documents GROUP BY lang ORDER BY lang ASC"""
 
-  // q33 — exact word-3-gram Jaccard pairs (integer-exact: inter, |A|, |B|).
+  // q33 — exact word-3-gram Jaccard pairs (integer-exact: inter, |A|, |B|),
+  // over the df-capped shingle set (df ≤ 64): hot boilerplate shingles are
+  // dropped BEFORE the self-join so per-shingle fan-out is bounded at any
+  // corpus size. The oracle applies the identical cap via QUALIFY.
   def q33NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    TextOps.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, minIntersect = 2)
+    TextOps.ngramJaccardPairs(Tables.documents(spark, dir), n = 3,
+        minIntersect = 2, maxDf = 64)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   val q33Oracle: String = """
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
           i -> array_to_string(t[i:i+2], ' '))) AS shingle
         FROM toks WHERE len(t) >= 3)),
+    sh AS (
+      SELECT doc_id, shingle FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 64),
     counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter

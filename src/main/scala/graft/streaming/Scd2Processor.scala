@@ -42,6 +42,12 @@ object Scd2Processor {
       var cur = if (open.exists()) open.get() else null
       sorted.foreach { c =>
         if (cur == null) cur = OpenInterval(c.event_type, c.ms)
+        // A change arriving in a LATER batch with ms older than the open
+        // interval's start would close an inverted interval
+        // (valid_to < valid_from); sorting only orders within a batch.
+        // Late changes are dropped — same late-data policy as the
+        // watermarked sessionizers.
+        else if (c.ms < cur.from_ms) ()
         else if (c.event_type != cur.event_type) {
           closed += ClosedInterval(userId, cur.event_type, cur.from_ms, c.ms)
           cur = OpenInterval(c.event_type, c.ms)

@@ -35,7 +35,11 @@ final class SyncMetrics(maxBatches: Int = 1024) extends StreamingQueryListener {
     val p = event.progress
     val m = BatchMetric(
       Option(p.name).getOrElse(p.id.toString), p.batchId,
-      p.numInputRows, p.durationMs.values().stream().mapToLong(_.longValue).sum(),
+      // triggerExecution already spans the whole batch (addBatch/getBatch/
+      // walCommit are sub-phases of it); summing every phase double-counts.
+      p.numInputRows,
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(
+        p.durationMs.values().stream().mapToLong(_.longValue).sum()),
       Option(p.sources).filter(_.nonEmpty).map(_.head.endOffset).getOrElse(""))
     buf.synchronized {
       buf += m

@@ -122,6 +122,33 @@ class ShuffleAuditSpec extends SparkSpec {
       s"TopKAgg partials must shuffle fewer rows (${opt.records} vs ${base.records})")
   }
 
+  test("ngram-Jaccard df-cap bounds the hot-shingle pair explosion") {
+    import spark.implicits._
+    // Skewed corpus: one boilerplate phrase shared by ALL docs plus unique
+    // content per doc. Uncapped, the two boilerplate shingles alone produce
+    // the full C(d,2) pair set through the self-join; the df-cap drops them
+    // before the join so no pair survives.
+    val d = 100
+    val docs = (0 until d)
+      .map(i => (i.toLong, s"common boiler plate tail unique$i token$i filler$i"))
+      .toDF("doc_id", "text")
+    val uncapped = graft.operators.TextOps.ngramJaccardPairs(docs, n = 3, minIntersect = 2)
+    val capped = graft.operators.TextOps.ngramJaccardPairs(docs, n = 3,
+      minIntersect = 2, maxDf = 50)
+    // Measured honesty (same finding as the as-of case): the pair set is
+    // materialized IN-STAGE, not across the wire — hash(doc_a) partitioning
+    // already satisfies the groupBy(doc_a, doc_b), so shuffle-record counts
+    // barely move. The quadratic cost is the join's output row count, which
+    // is exactly what the output pair count witnesses (every boilerplate
+    // pair has inter = 2 ≥ minIntersect, so none is filtered post-join).
+    val unPairs = uncapped.count()
+    val cpPairs = capped.count()
+    info(s"pairs: uncapped $unPairs, df-capped $cpPairs")
+    assert(unPairs == d.toLong * (d - 1) / 2,
+      "boilerplate must produce the full quadratic pair set when uncapped")
+    assert(cpPairs == 0, "df-cap must remove boilerplate-only pairs entirely")
+  }
+
   test("broadcast star join keeps the fact table out of the shuffle") {
     def join(bcast: Boolean) = {
       val o = Tables.orders(spark, dir)
