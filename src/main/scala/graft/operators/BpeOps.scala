@@ -59,14 +59,28 @@ object BpeOps {
     out.result()
   }
 
-  /** Learn `nMerges` merges from a (word, freq) table. */
-  def train(spark: SparkSession, wordFreq: DataFrame, nMerges: Int): BpeModel = {
+  /** Learn `nMerges` merges from a (word, freq) table.
+    *
+    * Driver-sequenced job count is the scale limiter here, not data size
+    * (a 32k-merge schedule at one argmax per round is 32k sequential
+    * jobs): each round costs exactly ONE job — the pair-count argmax —
+    * and the per-round symbol rewrite stays a LAZY map stacked on the
+    * plan. Every `ckptEvery` rounds one extra checkpoint job truncates
+    * the accumulated lineage (re-applying ≤ ckptEvery-1 merge passes over
+    * the small word table costs far less than a scheduler round-trip), so
+    * amortized jobs/round = 1 + 1/ckptEvery vs 2 for eager-checkpoint-
+    * per-round. The merge sequence is byte-identical either way: argmax
+    * ordering never depends on checkpoint placement. */
+  def train(spark: SparkSession, wordFreq: DataFrame, nMerges: Int,
+      ckptEvery: Int = 4): BpeModel = {
     import spark.implicits._
     var ds: Dataset[(Seq[String], Long)] = wordFreq
       .select(col("word").cast("string"), col("freq").cast("long"))
       .as[(String, Long)]
       .map { case (w, f) => (w.map(_.toString) :+ EndOfWord, f) }
     val merges = Seq.newBuilder[(String, String)]
+    var lastCkpt: Dataset[(Seq[String], Long)] = null
+    var sinceCkpt = 0
     var done = false
     var round = 0
     while (round < nMerges && !done) {
@@ -81,17 +95,22 @@ object BpeOps {
       else {
         val (ma, mb) = (best(0).getString(0), best(0).getString(1))
         merges += ((ma, mb))
-        // localCheckpoint truncates the per-round lineage (the table is
-        // small; the corpus was left behind in wordFreq); the previous
-        // round's blocks unpersist once the new checkpoint materializes,
-        // so a long merge schedule pins one table, not the whole history
-        val prev = ds
         ds = ds.map { case (s, f) => (mergePair(s, ma, mb), f) }
-          .localCheckpoint(true)
-        prev.unpersist()
+        sinceCkpt += 1
+        if (sinceCkpt >= ckptEvery) {
+          // eager localCheckpoint: one job, after which the previous
+          // checkpoint's blocks can be dropped — the loop pins one copy of
+          // the (small) word table, never the whole merge history
+          val ck = ds.localCheckpoint(true)
+          if (lastCkpt != null) lastCkpt.unpersist()
+          lastCkpt = ck
+          ds = ck
+          sinceCkpt = 0
+        }
       }
       round += 1
     }
+    if (lastCkpt != null) lastCkpt.unpersist()
     BpeModel(merges.result())
   }
 

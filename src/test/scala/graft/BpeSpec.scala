@@ -60,6 +60,48 @@ class BpeSpec extends SparkSpec {
     assert(out(0L) === Seq("low", "est</w>", "low", "</w>"))
   }
 
+  test("train schedules ~1 Spark job per merge round, not 2") {
+    // A 32k-merge production vocab is driver-job-bound: the scale fix is
+    // lazy per-round rewrites with a checkpoint every ckptEvery rounds,
+    // so 5 merges must cost 5 argmax jobs + 1 checkpoint job — the old
+    // eager-checkpoint loop scheduled 10.
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(counter)
+      try {
+        body
+        // listener bus is async: poll until the count stops moving
+        var prev = -1
+        var cur = jobs.get()
+        var spins = 0
+        while (cur != prev && spins < 40) {
+          Thread.sleep(50); prev = cur; cur = jobs.get(); spins += 1
+        }
+        cur
+      } finally spark.sparkContext.removeSparkListener(counter)
+    }
+    // AQE splits each argmax into shuffle-stage + final jobs, so absolute
+    // counts are config-dependent; the invariant is the CADENCE: eager
+    // checkpointing pays one extra job per round, lazy pays 1/ckptEvery.
+    var lazyMerges: Seq[(String, String)] = Nil
+    var eagerMerges: Seq[(String, String)] = Nil
+    val lazyJobs = countJobs {
+      lazyMerges = BpeOps.train(spark, corpus, nMerges = 5, ckptEvery = 4).merges
+    }
+    val eagerJobs = countJobs {
+      eagerMerges = BpeOps.train(spark, corpus, nMerges = 5, ckptEvery = 1).merges
+    }
+    info(s"jobs: lazy-checkpoint $lazyJobs, eager-per-round $eagerJobs")
+    assert(lazyMerges === eagerMerges, "checkpoint cadence must not change training")
+    assert(lazyJobs <= eagerJobs - 3,
+      s"lazy cadence must drop ~1 job per non-checkpoint round ($lazyJobs vs $eagerJobs)")
+  }
+
   test("train stops early when no pairs remain") {
     val s = spark
     import s.implicits._
