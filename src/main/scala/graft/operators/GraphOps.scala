@@ -25,7 +25,28 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsWithStats(edges, maxIter)._1
+
+  /** As [[connectedComponents]], also reporting the iteration count (for
+    * convergence-rate assertions; each iteration is a fixed number of
+    * driver-sequenced jobs, so iterations ARE the cost at small diameters).
+    *
+    * `shortcut = true` adds pointer doubling to the neighbor offers: each
+    * node also adopts its label's label (one labels⋈labels self-join on
+    * the O(|V|) label table — cheaper than the edge join it replaces
+    * iterations of). Offers then reach distance 2^k after k rounds instead
+    * of k, turning worst-case chains from O(diameter) into O(log diameter)
+    * iterations. The fixpoint is unchanged — min reachable id — only the
+    * route to it shortens.
+    *
+    * Doubling engages from iteration 3, not 1: near-dup graphs are
+    * quasi-cliques that converge in 2-3 rounds, where the extra self-join
+    * is pure overhead (measured +60% on the sf0.1 dedup graph with
+    * doubling from round 1); graphs still unconverged by round 3 have
+    * real diameter, which is exactly where doubling wins. */
+  def connectedComponentsWithStats(edges: DataFrame, maxIter: Int = 50,
+      shortcut: Boolean = true): (DataFrame, Int) = {
     // localCheckpoint (eager), not persist: persist short-circuits
     // recompute but the logical plan still grows by one join+agg per
     // iteration, so planning/scheduling cost compounds — measured 78 s for
@@ -61,7 +82,16 @@ object GraphOps {
       val offered = sym
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("label"))
-      val next = labels.unionByName(offered)
+      // pointer doubling: adopt label(label(node)) as well
+      val withVia =
+        if (!shortcut || iter < 2) labels.unionByName(offered)
+        else {
+          val l1 = labels.select(col("node"), col("label").as("mid"))
+          val l2 = labels.select(col("node").as("mid"), col("label"))
+          labels.unionByName(offered)
+            .unionByName(l1.join(l2, Seq("mid")).select(col("node"), col("label")))
+        }
+      val next = withVia
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
       val nextSum = labelSum(next)
@@ -71,6 +101,6 @@ object GraphOps {
       prevSum = nextSum
       iter += 1
     }
-    labels
+    (labels, iter)
   }
 }

@@ -115,6 +115,24 @@ class OperatorSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("connected components: pointer doubling converges in O(log diameter)") {
+    import graft.operators.GraphOps
+    // a 17-node chain — the worst case for plain min-label propagation
+    val chain = (0L until 16L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (plainDf, plainIters) =
+      GraphOps.connectedComponentsWithStats(chain, shortcut = false)
+    val (fastDf, fastIters) =
+      GraphOps.connectedComponentsWithStats(chain, shortcut = true)
+    val plain = plainDf.as[(Long, Long)].collect().toMap
+    val fast = fastDf.as[(Long, Long)].collect().toMap
+    info(s"chain-17 iterations: plain $plainIters, pointer-doubled $fastIters")
+    assert(fast == plain, "shortcut must not change the fixpoint")
+    assert(fast.values.toSet == Set(0L), "one component labeled by its min id")
+    assert(plainIters >= 16, "plain propagation walks the chain")
+    assert(fastIters <= 7, s"doubling must converge logarithmically ($fastIters)")
+    assert(fastIters < plainIters)
+  }
+
   test("LSH ANN recall vs brute force on real embeddings") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 5)
