@@ -122,6 +122,66 @@ object JoinOps {
       .select(col("_l.*") +: outPayload: _*)
   }
 
+  /** Set-similarity join: (left row, right row) pairs whose word n-gram
+    * shingle sets reach `threshold` Jaccard — the q33/q34 dedup pipeline
+    * (signature → band → candidate → exact verify) lifted into a reusable
+    * two-table operator, e.g. new-batch-vs-corpus screening or cross-source
+    * contamination checks.
+    *
+    * Stages, each scale-bounded:
+    *  1. MinHash signatures per side (one corpus pass each, map-side
+    *     partial agg — the shuffle carries one signature row per doc).
+    *  2. LSH band buckets; candidates = pairs sharing ≥1 (band, bucket) —
+    *     an equi-join, so only bucket collisions shuffle, never the
+    *     left × right product.
+    *  3. Exact verify: candidates join back to the hashed shingle sets,
+    *     intersection counts are exact integers, and `jaccard =
+    *     inter / (n_left + n_right - inter)` filters at `threshold`.
+    * Verified output is exact for every emitted pair; recall is the LSH
+    * bound (pairs colliding in no band are never considered — the knob is
+    * numHashes/rowsPerBand, same trade q34 documents).
+    *
+    * Output: (left_id, right_id, inter, n_left, n_right, jaccard). */
+  def setSimilarityJoin(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, threshold: Double, n: Int = 3,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // shingling/signatures are compute-bound: spread by row, not by the
+    // scan's byte splits
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .repartition(col("doc_id"))
+    val l = prep(left)
+    val r = prep(right)
+    def hashedShingles(df: DataFrame, outId: String) = df
+      .select(col("doc_id").as(outId),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("s"))
+      .select(col(outId), xxhash64(col("s")).as("shingle"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // 2 consumers: counts + verify
+    val shL = hashedShingles(l, "left_id")
+    val shR = hashedShingles(r, "right_id")
+    def bands(df: DataFrame, outId: String) =
+      TextOps.lshBands(TextOps.minhashSignatures(df, n, numHashes),
+        numHashes, rowsPerBand)
+        .select(col("doc_id").as(outId), col("band"), col("bucket"))
+    val cand = bands(l, "left_id")
+      .join(bands(r, "right_id"), Seq("band", "bucket"))
+      .select(col("left_id"), col("right_id")).distinct()
+    val inter = cand
+      .join(shL, Seq("left_id"))
+      .join(shR, Seq("right_id", "shingle"))
+      .groupBy(col("left_id"), col("right_id"))
+      .agg(count(lit(1)).as("inter"))
+    val nL = shL.groupBy(col("left_id")).agg(count(lit(1)).as("n_left"))
+    val nR = shR.groupBy(col("right_id")).agg(count(lit(1)).as("n_right"))
+    inter.join(nL, Seq("left_id")).join(nR, Seq("right_id"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_left") + col("n_right") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("inter"),
+        col("n_left"), col("n_right"), col("jaccard"))
+  }
+
   /** Band/interval join: pair each point row with every range row whose
     * `[start, end)` contains `point` (all three are longs, e.g. epoch ms).
     *

@@ -431,7 +431,59 @@ object TextQueries {
            CAST(length(text) AS BIGINT) * 100 // CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS chars_per_tok_x100
     FROM documents ORDER BY doc_id ASC"""
 
+  // q148 — set-similarity JOIN between two tables (even-id docs vs odd-id
+  // docs) at Jaccard ≥ 0.3: the q33/q34 dedup pipeline as a reusable
+  // two-table operator (JoinOps.setSimilarityJoin) — signature → band →
+  // candidate equi-join → exact integer verify. The oracle replays the
+  // identical md5 minhash banding and the exact verify in SQL, so every
+  // emitted pair hash-matches (recall is the LSH bound on BOTH sides by
+  // construction).
+  def q148SetsimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.operators.JoinOps.setSimilarityJoin(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      idCol = "doc_id", textCol = "text", threshold = 0.3)
+      .orderBy(col("left_id").asc, col("right_id").asc)
+  }
+  val q148Oracle: String = {
+    val mins = (0 until 8).map(s => s"MIN(md5(shingle || '|$s')) AS mh$s").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS bucket FROM mh")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    bands AS ($bandRows),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.left_id, c.right_id, COUNT(*) AS inter
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.left_id
+        JOIN sh b ON b.doc_id = c.right_id AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT i.left_id, i.right_id, i.inter,
+      ca.n_sh AS n_left, cb.n_sh AS n_right,
+      CAST(i.inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - i.inter AS DOUBLE) AS jaccard
+    FROM inter i
+      JOIN counts ca ON ca.doc_id = i.left_id
+      JOIN counts cb ON cb.doc_id = i.right_id
+    WHERE CAST(i.inter AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - i.inter AS DOUBLE) >= 0.3
+    ORDER BY left_id ASC, right_id ASC"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_setsim_join" -> (q148SetsimJoin _),
     "q125_regex_tokens" -> (q125RegexTokens _),
     "q93_dedup_clusters" -> (q93DedupClusters _),
     "q92_incremental_dedup" -> (q92IncrementalDedup _),
@@ -447,6 +499,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q148_setsim_join" -> q148Oracle,
     "q125_regex_tokens" -> q125Oracle,
     "q93_dedup_clusters" -> q93Oracle,
     "q92_incremental_dedup" -> q92Oracle,

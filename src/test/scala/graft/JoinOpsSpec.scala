@@ -75,6 +75,46 @@ class JoinOpsSpec extends SparkSpec {
       s"broadcast hint must force BHJ:\n${bcast.take(600)}")
   }
 
+  test("set-similarity join: exact verify, no false positives, finds dups") {
+    val left = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text about spark execution plans"),
+      (4L, "short one")
+    ).toDF("id", "body")
+    val right = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // dup of 0
+      (3L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 0
+      (5L, "totally different content on another subject entirely")
+    ).toDF("id", "body")
+    val out = JoinOps.setSimilarityJoin(left, right, idCol = "id",
+      textCol = "body", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // identical texts share every minhash → collide in all bands → always
+    // a candidate; exact verify gives jaccard 1.0 on 8 distinct 3-grams
+    val exact = out.find(t => t._1 == 0L && t._2 == 1L)
+    assert(exact.isDefined, s"identical pair (0,1) must be found, got ${out.toSeq}")
+    assert(exact.get._3 == 8 && exact.get._4 == 8 && exact.get._5 == 8)
+    assert(exact.get._6 == 1.0)
+    // every emitted pair is exactly verified — recompute each Jaccard by
+    // brute force and require agreement (no false positives by design)
+    def grams(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val lTexts = Map(0L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "completely unrelated text about spark execution plans",
+      4L -> "short one")
+    val rTexts = Map(1L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "the quick brown fox jumps over the lazy dog tonight",
+      5L -> "totally different content on another subject entirely")
+    out.foreach { case (lid, rid, inter, nl, nr, j) =>
+      val (a, b) = (grams(lTexts(lid)), grams(rTexts(rid)))
+      assert(inter == (a & b).size && nl == a.size && nr == b.size,
+        s"pair ($lid,$rid) must carry exact counts")
+      assert(j >= 0.5 && math.abs(j - inter.toDouble / (a | b).size) < 1e-12)
+    }
+    // dissimilar pairs never pass the exact verify regardless of LSH luck
+    assert(!out.exists(t => t._1 == 2L || t._1 == 4L || t._2 == 5L))
+  }
+
   test("AQE splits the hot partition of a skewed sort-merge join") {
     // SCALE.md §6 claims AQE skew-join splitting is available as a runtime
     // lever — prove it: one key owns ~95% of the fact rows, thresholds
