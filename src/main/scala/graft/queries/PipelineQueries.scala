@@ -13,13 +13,21 @@ import graft.pipeline.Pipeline
   * export → initial load → two streaming CDC merge batches → rewards report
   * (the whole of SURVEY.md §3 E1-E3 in miniature, deterministic seed/clock).
   *
-  * Not SQL-expressible over the harness tables → no oracle entry; the
-  * driver records a rows-only check. Pipeline-internal correctness is
-  * covered by PipelineSpec.
+  * Oracle-checked: the generator is seeded, so the run deposits its exact
+  * export + CDC envelope lines at a fixed path and the DuckDB oracle
+  * replays the merge over them — initial load by pk-prefix routing, then
+  * latest-change-per-key window (ts desc, sequence-number desc) +
+  * anti-join delete-then-insert with REMOVE application, then the rewards
+  * aggregation — the same window+anti-join shape as q22's oracle, but over
+  * the real envelope files end-to-end.
   */
 object PipelineQueries {
 
   private val t0 = 1660000000000L
+
+  /** Fixed drop point for the oracle's replay inputs (content is
+    * byte-deterministic: seeded generator, fixed clock). */
+  private val replayDir = "/tmp/graft_q23_replay"
 
   def q23CdcPipelineE2E(spark: SparkSession, dir: String): DataFrame = {
     val gen = new CdcGen.Gen(42)
@@ -63,11 +71,93 @@ object PipelineQueries {
     clock = t0 + 120000
     pipeline.syncAvailable(cdcDir, ckptDir)
 
+    // deposit the exact inputs for the DuckDB replay oracle
+    Files.createDirectories(Paths.get(replayDir))
+    Files.write(Paths.get(replayDir, "export.json"),
+      exportLines.mkString("\n").getBytes)
+    Files.write(Paths.get(replayDir, "cdc.json"),
+      (batch1 ++ batch2).mkString("\n").getBytes)
+
     Analytics.rewardsByMember(pipeline.memberQuest, pipeline.member)
+  }
+
+  /** DuckDB replay of the full pipeline over the deposited envelope files.
+    *
+    * Mirrors the engine exactly: initial-load rows get the load clock (t0)
+    * as watermark, so only changes with event-second > t0 apply
+    * (Extraction.eventTime's DIV-1000 truncation spelled `ms // 1000`);
+    * latest-change-per-key via row_number ordered (event ts desc, seq
+    * length desc, seq desc) like Merge.stageChanges; delete-then-insert
+    * with REMOVE application like Merge.applyStage; member_quest keyed on
+    * memberQuestId (the §2.8d fix). Both CDC batches replay in one pass —
+    * equivalent to the two sequential merges because every batch-2 change
+    * is strictly newer than batch-1's watermark.
+    */
+  val q23Oracle: String = {
+    val t0s = t0 / 1000
+    s"""
+    WITH exp AS (
+      SELECT Item FROM read_json_auto('$replayDir/export.json',
+                                      format='newline_delimited')),
+    cdc AS (
+      SELECT * FROM read_json_auto('$replayDir/cdc.json',
+                                   format='newline_delimited')),
+    chg AS (
+      SELECT eventName,
+             dynamodb."Keys".pk."S" AS pk,
+             dynamodb."Keys".sk."S" AS sk,
+             dynamodb.ApproximateCreationDateTime AS ms,
+             sequence_number AS seq,
+             dynamodb.NewImage AS img
+      FROM cdc WHERE eventName IN ('INSERT', 'MODIFY', 'REMOVE')),
+    m_init AS (
+      SELECT regexp_replace(Item.pk."S", '^M_', '') AS memberId,
+             Item.sk."S" AS memberName
+      FROM exp WHERE Item.pk."S" LIKE 'M^_%' ESCAPE '^'),
+    m_latest AS (
+      SELECT regexp_replace(pk, '^M_', '') AS memberId,
+             sk AS memberName, eventName
+      FROM (SELECT *, row_number() OVER (PARTITION BY pk
+              ORDER BY ms // 1000 DESC, length(seq) DESC, seq DESC) AS rn
+            FROM chg
+            WHERE pk LIKE 'M^_%' ESCAPE '^' AND ms // 1000 > $t0s)
+      WHERE rn = 1),
+    member AS (
+      SELECT memberId, memberName FROM m_init
+      WHERE memberId NOT IN (SELECT memberId FROM m_latest)
+      UNION ALL
+      SELECT memberId, memberName FROM m_latest WHERE eventName <> 'REMOVE'),
+    mq_init AS (
+      SELECT regexp_replace(Item.sk."S", '^MQ_', '') AS memberQuestId,
+             regexp_replace(Item.pk."S", '^MQ#M_', '') AS memberId,
+             CAST(Item.dollarsEarned."N" AS DOUBLE) AS dollarsEarned
+      FROM exp WHERE Item.pk."S" LIKE 'MQ#%'),
+    mq_latest AS (
+      SELECT regexp_replace(sk, '^MQ_', '') AS memberQuestId,
+             regexp_replace(pk, '^MQ#M_', '') AS memberId,
+             CAST(img.dollarsEarned."N" AS DOUBLE) AS dollarsEarned,
+             eventName
+      FROM (SELECT *, row_number() OVER (PARTITION BY sk
+              ORDER BY ms // 1000 DESC, length(seq) DESC, seq DESC) AS rn
+            FROM chg
+            WHERE pk LIKE 'MQ#%' AND ms // 1000 > $t0s)
+      WHERE rn = 1),
+    member_quest AS (
+      SELECT memberQuestId, memberId, dollarsEarned FROM mq_init
+      WHERE memberQuestId NOT IN (SELECT memberQuestId FROM mq_latest)
+      UNION ALL
+      SELECT memberQuestId, memberId, dollarsEarned FROM mq_latest
+      WHERE eventName <> 'REMOVE')
+    SELECT mq.memberId, m.memberName,
+           SUM(mq.dollarsEarned) AS totalDollarsEarned
+    FROM member_quest mq JOIN member m USING (memberId)
+    GROUP BY 1, 2
+    ORDER BY totalDollarsEarned DESC, memberId ASC"""
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_cdc_pipeline_e2e" -> (q23CdcPipelineE2E _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q23_cdc_pipeline_e2e" -> q23Oracle)
 }
