@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // physical planning for the TopKPerKey logical operator (the
     // Dataset-API helper also installs it per-session on first use)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // SQL time travel over TableStore snapshots: `t VERSION AS OF n`
+    // (active only when spark.graft.store.root is set)
+    ext.injectParser((session, delegate) =>
+      new graft.plans.TimeTravelParser(session, delegate))
   }
 }

@@ -407,7 +407,37 @@ object InsightQueries {
     FROM v JOIN p USING (week, user_id)
     GROUP BY week ORDER BY week_start_ms ASC"""
 
+  // ---------------------------------------------------------------------
+  // q149 — SQL time travel: two snapshot versions of a customer projection
+  // go through [[TableStore]] (v0 pristine, v1 with doubled balances =
+  // live), then `SELECT … FROM customer_tt VERSION AS OF 0` is parsed by
+  // [[graft.plans.TimeTravelParser]] and must return exactly the pristine
+  // data — so the oracle is simply the customer table. The
+  // extensions-installed path (spark.sql through an injectParser session)
+  // is covered by TimeTravelSpec; here the parser is driven directly so
+  // the check runs in the driver's plain session.
+  def q149TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_tt").toString
+    val store = new TableStore(spark, root)
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    store.write("customer_tt", cust) // v0
+    store.write("customer_tt",
+      cust.withColumn("c_acctbal", $"c_acctbal" * 2.0d)) // v1 = live
+    spark.conf.set("spark.graft.store.root", root)
+    val parser = new graft.plans.TimeTravelParser(spark,
+      spark.sessionState.sqlParser)
+    val plan = parser.parsePlan(
+      "SELECT c_custkey, c_name, c_acctbal FROM customer_tt VERSION AS OF 0 " +
+        "ORDER BY c_custkey ASC")
+    org.apache.spark.sql.graftshim.PlanBridge.ofRows(spark, plan)
+  }
+  val q149Oracle: String = """
+    SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_time_travel" -> (q149TimeTravel _),
     "q104_edit_distance" -> (q104EditDistance _),
     "q105_event_transitions" -> (q105EventTransitions _),
     "q106_validation_suite" -> (q106ValidationSuite _),
@@ -420,6 +450,7 @@ object InsightQueries {
     "q116_bitmap_intersect" -> (q116BitmapIntersect _))
 
   val oracles: Map[String, String] = Map(
+    "q149_time_travel" -> q149Oracle,
     "q104_edit_distance" -> q104Oracle,
     "q105_event_transitions" -> q105Oracle,
     "q106_validation_suite" -> q106Oracle,
