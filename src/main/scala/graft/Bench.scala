@@ -7,9 +7,36 @@ import org.apache.spark.sql.SparkSession
   * first so JIT/codegen/parquet-reader warmup isn't billed to whichever
   * query happens to run first; the timed pass then measures steady-state
   * per-query wall time.
+  *
+  * Timeout-proofing (the driver kills the process after a fixed wall clock
+  * and keeps only the LAST ~2000 chars of output):
+  *   - the compact JSON line is printed after EVERY phase (pass 1, pass 2,
+  *     re-time), not just at the end — the driver parses the last line in
+  *     the tail, so a mid-phase kill still leaves a parseable result;
+  *   - a JVM shutdown hook re-prints the latest line on SIGTERM so even a
+  *     kill landing mid-query emits the timings measured so far;
+  *   - pass 2 and the outlier re-time pass stop starting new work once
+  *     elapsed wall clock exceeds SPARK_GRAFT_BENCH_BUDGET_SEC (default
+  *     420 s) — pass-1 timings are complete by themselves;
+  *   - Spark logging is forced to FATAL and per-query failures report as a
+  *     single truncated stderr line: a killed task's stack trace would
+  *     otherwise flood the driver's tail and scroll the JSON line out.
   */
 object Bench {
+  @volatile private var finishedNormally: Boolean = false
+  /** Set by the shutdown hook; silences main-thread output so the hook's
+    * final JSON line is the last thing in the driver's tail. */
+  @volatile private var shuttingDown: Boolean = false
+
+  private def oneLine(e: Throwable): String = {
+    val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    m.replace('\n', ' ').take(120)
+  }
+
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -19,7 +46,63 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // FATAL, not WARN: when the driver's timeout kills us mid-query, Spark
+    // logs every failed task with a full stack trace, and those frames are
+    // exactly what flooded the 2000-char tail in round 5 (BENCH_r05 rc=124,
+    // parsed:null despite a completed sweep).
+    spark.sparkContext.setLogLevel("FATAL")
+
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // TrieMap: the shutdown hook reads these while the main thread writes.
+    val timings = collection.concurrent.TrieMap.empty[String, Double]
+    val attempts = collection.concurrent.TrieMap.empty[String, Int].withDefaultValue(0)
+
+    def fmt(v: Double): String = if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // The driver keeps only the tail of this process's output, so the one
+    // JSON line must stay short even with 100+ queries: keys are the qNN
+    // prefix (unique across the inventory) and values are centisecond
+    // precision. Full names + nanosecond precision go to bench_full.json.
+    def compactLine(phase: String): String = {
+      val results = named.map { case (n, _) => n -> timings.getOrElse(n, -1.0) }
+      val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","protocol":"$phase"}"""
+    }
+    def writeFull(phase: String): Unit = {
+      val results = named.map { case (n, _) => n -> timings.getOrElse(n, -1.0) }
+      val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val att = named.map { case (n, _) => "\"" + n + "\":" + attempts(n) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"attempts":$att,"sf":"$sfDir","protocol":"$phase","elapsed_sec":${fmt(elapsedSec)}}""")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] failed to write $outPath: ${oneLine(e)}")
+      }
+    }
+    def emit(phase: String): Unit = if (!shuttingDown) {
+      println(compactLine(phase))
+      System.out.flush()
+      writeFull(phase)
+    }
+    // Abnormal-exit safety net: the driver's timeout sends SIGTERM; print
+    // whatever has been measured so far — even mid-pass-1 a partial line
+    // (unmeasured queries at -1) beats no line. The brief sleep lets the
+    // main thread notice shuttingDown and finish any in-flight stderr
+    // write, so this JSON line lands LAST in the driver's tail.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finishedNormally) {
+        shuttingDown = true
+        try Thread.sleep(300) catch { case _: InterruptedException => () }
+        println(compactLine("killed"))
+        System.out.flush()
+        try writeFull("killed") catch { case _: Throwable => () }
+      }
+    }))
 
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
@@ -27,6 +110,21 @@ object Bench {
         try fn(spark, warmupDir).count() catch { case _: Throwable => () }
       }
       spark.sharedState.cacheManager.clearCache()
+    }
+
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      attempts(name) = attempts(name) + 1
+      val t0 = System.nanoTime()
+      val t =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          if (!shuttingDown) System.err.println(s"[bench] $name failed: ${oneLine(e)}")
+          -1.0 // sentinel: a thrown query must not masquerade as a timing
+        }
+      // drop per-query cached frames so one query's persist() doesn't
+      // shrink storage memory for the rest of the run
+      spark.sharedState.cacheManager.clearCache()
+      t
     }
 
     // Best-of-2 with INTERLEAVED passes: pass 1 runs every query, then
@@ -38,27 +136,22 @@ object Bench {
     // whichever alphabetical stretch a window overlapped, gone under
     // best-of-interleaved. Per-query one-off hiccups (first-touch file
     // listing, GC pause) wash out the same way.
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    val timings = collection.mutable.Map.empty[String, Double]
-    (1 to 2).foreach { _ =>
-      named.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val t =
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0 // sentinel: a thrown query must not masquerade as a timing
-          }
-        // drop per-query cached frames so one query's persist() doesn't
-        // shrink storage memory for the rest of the run
-        spark.sharedState.cacheManager.clearCache()
-        timings(name) = (timings.get(name), t) match {
-          case (Some(prev), cur) if prev < 0 || cur < 0 => -1.0
-          case (Some(prev), cur) => math.min(prev, cur)
-          case (None, cur) => cur
+    named.foreach { case (name, fn) =>
+      if (!shuttingDown) timings(name) = timeOnce(name, fn)
+    }
+    emit("pass1")
+    named.foreach { case (name, fn) =>
+      // budget: pass-1 timings are already complete on their own
+      if (!shuttingDown && elapsedSec < budgetSec) {
+        val t = timeOnce(name, fn)
+        timings(name) = (timings(name), t) match {
+          case (prev, cur) if prev < 0 || cur < 0 => -1.0
+          case (prev, cur) => math.min(prev, cur)
         }
       }
     }
+    emit("pass2")
+
     // Targeted third pass: best-of-2 interleaved passes still lose when one
     // interference window spans BOTH sweeps (observed: a contiguous
     // alphabetical stretch inflated 8-18x across both passes, tripling the
@@ -67,7 +160,10 @@ object Bench {
     // outliers — a query more than 2x its reference (with a 0.3 s floor so
     // sub-100ms queries don't churn on scheduler jitter) gets up to two
     // more attempts, keeping the minimum. Queries without a reference entry
-    // (newly added this round) are left as measured.
+    // (newly added this round) are left as measured. The whole pass stops
+    // starting new attempts once the wall-clock budget is spent — losing a
+    // re-time only costs accuracy on an outlier; losing the JSON line (what
+    // an unbounded pass risked in round 5) costs the entire round's signal.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json")
     val reference: Map[String, Double] =
       try {
@@ -81,38 +177,18 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     named.foreach { case (name, fn) =>
       reference.get(name).foreach { ref =>
-        var attempts = 0
-        while (attempts < 2 && timings(name) > math.max(2.0 * ref, ref + 0.3)) {
-          attempts += 1
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).count()
-            val t = (System.nanoTime() - t0) / 1e9
-            if (timings(name) >= 0 && t < timings(name)) timings(name) = t
-          } catch { case _: Throwable => attempts = 2 }
-          spark.sharedState.cacheManager.clearCache()
+        var tries = 0
+        while (tries < 2 && !shuttingDown && elapsedSec < budgetSec &&
+               timings(name) > math.max(2.0 * ref, ref + 0.3)) {
+          tries += 1
+          val t = timeOnce(name, fn)
+          if (t < 0) tries = 2
+          else if (timings(name) >= 0 && t < timings(name)) timings(name) = t
         }
       }
     }
-    val results = named.map { case (name, _) => name -> timings(name) }
-    // The driver keeps only the tail of this process's output, so the one
-    // JSON line must stay short even with 100+ queries: keys are the qNN
-    // prefix (unique across the inventory) and values are centisecond
-    // precision. Full names + nanosecond precision go to bench_full.json.
-    def fmt(v: Double): String = if (v < 0) "-1"
-      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] failed to write $outPath: ${e.getMessage}")
-    }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    emit("final")
+    finishedNormally = true
     spark.stop()
   }
 }
