@@ -142,6 +142,38 @@ object TextOps {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Directed LSH candidate pairs with a bucket-membership cap: the first
+    * `maxBucket` docs (by doc_id) of each (band, bucket) propose pairs;
+    * the rest of a hot bucket are dropped BEFORE the self-join. A bucket
+    * of d identical boilerplate docs is the LSH analogue of q33's
+    * hot-shingle skew bomb — uncapped it yields d(d-1) directed pairs,
+    * capped at m it yields ≤ m(m-1) regardless of corpus growth. The cap
+    * is deterministic (ordered by doc_id) so an oracle replays it with a
+    * QUALIFY row_number() window. Pairs are directed (both (a,b) and
+    * (b,a)) because nearest-duplicate search scans from each doc's side;
+    * distinct collapses multi-band collisions.
+    *
+    * The capped bands frame is persisted — both self-join sides consume
+    * it, and the broadcast-side plan would otherwise rerun the md5-heavy
+    * signature scan (ReusedExchange never applies to a broadcast build
+    * side). Callers outside Verify/Bench (which clearCache per query)
+    * should clear the cache when done. */
+  def cappedLshCandidates(docs: DataFrame, n: Int, numHashes: Int,
+      rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = minhashSignatures(docs, n, numHashes)
+    val bands = lshBands(sig, numHashes, rowsPerBand)
+    val capW = Window.partitionBy(col("band"), col("bucket")).orderBy(col("doc_id").asc)
+    val capped = bands.withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= maxBucket).drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard for pairs sharing ≥ minIntersect shingles:
     * explode distinct shingles, self-join on shingle, count intersections,
     * join back per-doc shingle counts. Output stays integer-exact

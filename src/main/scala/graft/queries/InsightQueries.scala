@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.operators.TextOps
 import graft.sync.TableStore
 import graft.tables.Tables
 
@@ -23,39 +24,66 @@ import graft.tables.Tables
 object InsightQueries {
 
   // ---------------------------------------------------------------------
-  // q104 — fuzzy nearest-duplicate per document: block by
-  // (lang, source, length bucket), score candidate pairs with exact
-  // Levenshtein over a 40-char prefix, keep each doc's best match. The
-  // block key bounds the quadratic term (pairs per block, not corpus²) —
-  // the same blocked-join shape as the MinHash/cosine dedups, with the
-  // edit-distance kernel instead. Both engines compute integer distances.
+  // q104 — fuzzy nearest-duplicate per document: MinHash-band prescreen
+  // (q34's md5 signatures: 8 hashes, 4 bands of 2) proposes candidate
+  // pairs, then exact Levenshtein over a 40-char prefix scores them and
+  // each doc keeps its best match. Band buckets are CAPPED at 32 members
+  // (first by doc_id, mirrored in the oracle via QUALIFY) so a bucket of
+  // identical boilerplate docs yields ≤ 32² pairs instead of C(d,2) — the
+  // same skew bound as q33's shingle df-cap. An earlier version blocked on
+  // (lang, source, n_chars DIV 50) with NO candidate bound: one hot block
+  // grows quadratically with the corpus, and the length bucket splits true
+  // near-dups whose edits change n_chars — LSH prescreening is both the
+  // scale fix and the better recall.
   def q104EditDistance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val docs = Tables.documents(spark, dir).repartition($"doc_id")
+    val cand = TextOps.cappedLshCandidates(docs, n = 3, numHashes = 8,
+      rowsPerBand = 2, maxBucket = 32)
     val d = Tables.documents(spark, dir)
-      .select($"doc_id", $"lang", $"source",
-        expr("n_chars DIV 50").as("len_bkt"), substring($"text", 1, 40).as("prefix"))
-    val pairs = d.as("a").join(d.as("b"),
-      $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
-        $"a.len_bkt" === $"b.len_bkt" && $"a.doc_id" =!= $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        levenshtein($"a.prefix", $"b.prefix").cast("long").as("dist"))
+      .select($"doc_id", substring($"text", 1, 40).as("prefix"))
+    val pairs = cand
+      .join(d.as("ma"), $"doc_a" === $"ma.doc_id")
+      .join(d.as("mb"), $"doc_b" === $"mb.doc_id")
+      .select($"doc_a", $"doc_b",
+        levenshtein($"ma.prefix", $"mb.prefix").cast("long").as("dist"))
     val w = Window.partitionBy($"doc_a").orderBy($"dist".asc, $"doc_b".asc)
     pairs.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
       .select($"doc_a", $"doc_b", $"dist")
       .orderBy($"doc_a".asc)
   }
-  val q104Oracle: String = """
-    WITH d AS (SELECT doc_id, lang, source, n_chars // 50 AS len_bkt,
-                      substr(text, 1, 40) AS prefix FROM documents),
-    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
-          FROM d a JOIN d b
-            ON a.lang = b.lang AND a.source = b.source
-           AND a.len_bkt = b.len_bkt AND a.doc_id <> b.doc_id)
+  val q104Oracle: String = {
+    val mins = (0 until 8).map(s => s"MIN(md5(shingle || '|$s')) AS mh$s").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS bucket FROM mh")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    bands AS ($bandRows),
+    capped AS (
+      SELECT doc_id, band, bucket FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) <= 32),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+    d AS (SELECT doc_id, substr(text, 1, 40) AS prefix FROM documents),
+    p AS (SELECT doc_a, doc_b,
+                 CAST(levenshtein(ma.prefix, mb.prefix) AS BIGINT) AS dist
+          FROM cand JOIN d ma ON ma.doc_id = doc_a
+                    JOIN d mb ON mb.doc_id = doc_b)
     SELECT doc_a, doc_b, dist FROM (
       SELECT *, row_number() OVER
         (PARTITION BY doc_a ORDER BY dist ASC, doc_b ASC) AS rn FROM p)
     WHERE rn = 1 ORDER BY doc_a ASC"""
+  }
 
   // ---------------------------------------------------------------------
   // q105 — event-type transition matrix (Markov bigrams): per user, order

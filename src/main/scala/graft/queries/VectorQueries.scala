@@ -47,9 +47,12 @@ object VectorQueries {
     SELECT query_id, neighbor_id, cosine, rank FROM ranked
     WHERE rank <= 10 ORDER BY query_id ASC, rank ASC"""
 
-  // q41 — embedding near-dup pairs above cosine 0.3, blocked by label
-  // (the blocked-join dedup shape; threshold tuned to yield rows on the
-  // synthetic clustered embeddings).
+  // q41 — embedding near-dup pairs above cosine 0.3, blocked by
+  // (label, sign-LSH band bucket) with a 64-member bucket cap (threshold
+  // tuned to yield rows on the synthetic clustered embeddings). The sign
+  // buckets are exact integer predicates on the quantized vector, so the
+  // oracle replays the bucketing (and the cap, via QUALIFY) verbatim; an
+  // earlier label-only block grew quadratically within hot labels.
   def q41CosineDedup(spark: SparkSession, dir: String): DataFrame =
     VectorOps.cosineDedupPairs(Tables.embeddings(spark, dir), threshold = 0.3)
       .orderBy(col("vec_a").asc, col("vec_b").asc)
@@ -57,11 +60,23 @@ object VectorQueries {
     WITH e AS (SELECT vec_id, label, ${oQuant("embedding")} AS q FROM embeddings),
     n AS (SELECT vec_id, label, q,
           list_sum(list_transform(generate_series(1, len(q)), i -> q[i]*q[i])) AS n2
-          FROM e)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+          FROM e),
+    bands AS (
+      SELECT vec_id, label, band,
+        array_to_string(list_transform(generate_series(1, 4),
+          i -> CASE WHEN q[band*4 + i] > 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM n CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) b),
+    capped AS (
+      SELECT vec_id, label, band, bucket FROM bands
+      QUALIFY row_number() OVER (PARTITION BY label, band, bucket ORDER BY vec_id) <= 64),
+    cand AS (
+      SELECT DISTINCT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM capped a JOIN capped b ON a.label = b.label AND a.band = b.band
+        AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cand.label AS label,
       CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i]*b.q[i])) AS DOUBLE) /
       sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cosine
-    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b
     WHERE CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i]*b.q[i])) AS DOUBLE) /
           sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) > 0.3
     ORDER BY vec_a ASC, vec_b ASC"""

@@ -149,6 +149,49 @@ class ShuffleAuditSpec extends SparkSpec {
     assert(cpPairs == 0, "df-cap must remove boilerplate-only pairs entirely")
   }
 
+  test("LSH bucket cap bounds the identical-doc pair explosion") {
+    import spark.implicits._
+    // d identical docs share every band bucket; uncapped that is the full
+    // directed d·(d-1) candidate set, the fuzzy-dedup analogue of the
+    // hot-shingle skew bomb. The cap keeps the first m per bucket, so the
+    // candidate set is exactly m·(m-1) no matter how large d grows.
+    val d = 100
+    val docs = (0 until d)
+      .map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val uncapped = graft.operators.TextOps.cappedLshCandidates(docs,
+      n = 3, numHashes = 8, rowsPerBand = 2, maxBucket = Int.MaxValue)
+    val capped = graft.operators.TextOps.cappedLshCandidates(docs,
+      n = 3, numHashes = 8, rowsPerBand = 2, maxBucket = 8)
+    val (un, cp) = (uncapped.count(), capped.count())
+    info(s"directed candidates: uncapped $un, capped $cp")
+    assert(un == d.toLong * (d - 1),
+      "identical docs must produce the full directed pair set when uncapped")
+    assert(cp == 8L * 7, "bucket cap must bound candidates at m·(m-1)")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("sign-LSH bucket cap bounds the cosine-dedup pair explosion") {
+    import spark.implicits._
+    // d identical vectors under one label share every sign bucket — the
+    // embedding analogue of the boilerplate document cluster. Uncapped
+    // that is C(d,2) scored pairs (cosine 1.0, all above threshold);
+    // capped at m it is exactly C(m,2) regardless of d.
+    val d = 100
+    val emb = (0 until d)
+      .map(i => (i.toLong, Array.fill(64)(0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val uncapped = graft.operators.VectorOps.cosineDedupPairs(emb,
+      threshold = 0.3, maxBucket = Int.MaxValue)
+    val capped = graft.operators.VectorOps.cosineDedupPairs(emb,
+      threshold = 0.3, maxBucket = 8)
+    val (un, cp) = (uncapped.count(), capped.count())
+    info(s"scored pairs: uncapped $un, capped $cp")
+    assert(un == d.toLong * (d - 1) / 2,
+      "identical vectors must produce the full pair set when uncapped")
+    assert(cp == 8L * 7 / 2, "bucket cap must bound scored pairs at C(m,2)")
+  }
+
   test("broadcast star join keeps the fact table out of the shuffle") {
     def join(bcast: Boolean) = {
       val o = Tables.orders(spark, dir)
