@@ -141,6 +141,12 @@ object JoinOps {
     * bound (pairs colliding in no band are never considered — the knob is
     * numHashes/rowsPerBand, same trade q34 documents).
     *
+    * Caching contract: the hashed shingle frames (one per side) stay
+    * persisted after the result materializes — they are interior nodes of
+    * the returned lazy plan, so the operator cannot unpersist them
+    * itself. The Verify/Bench drivers clear the cache after every query;
+    * other library callers should `unpersist`/`clearCache()` once done.
+    *
     * Output: (left_id, right_id, inter, n_left, n_right, jaccard). */
   def setSimilarityJoin(left: DataFrame, right: DataFrame, idCol: String,
       textCol: String, threshold: Double, n: Int = 3,

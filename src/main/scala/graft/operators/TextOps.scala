@@ -189,6 +189,12 @@ object TextOps {
     * df-capped shingle set — per-shingle join fan-out is then ≤ maxDf²/2
     * regardless of corpus size. Per-doc counts (n_a/n_b) use the same
     * capped set, keeping inter ≤ min(n_a, n_b) and jaccard ≤ 1 invariants.
+    *
+    * Caching contract: the exploded shingle frames stay persisted after
+    * the result materializes (they are interior nodes of the returned lazy
+    * plan, so the operator cannot unpersist them itself). The Verify/Bench
+    * drivers clear the cache after every query; other library callers
+    * should `unpersist`/`clearCache()` once done with the result.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minIntersect: Int,
       maxDf: Int = Int.MaxValue): DataFrame = {

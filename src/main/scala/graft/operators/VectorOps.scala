@@ -71,6 +71,25 @@ object VectorOps {
         col("col._1").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Per-query recall of an ANN result against an exact baseline: the
+    * fraction of the baseline's (query_id, neighbor_id) rows the ANN
+    * result recovered. Queries the ANN missed entirely still get a row
+    * (recall 0). The evaluation harness for the ANN tiers — it turns an
+    * engine-specific approximate result into a deterministic, oracle-
+    * checkable bound (emit `recall >= bound` and have the oracle expect
+    * true). */
+  def recallAgainst(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("k").cast("double")).as("recall"))
+  }
+
   /** Sign-random-projection signature: bit p = sign(Σ_d w(p,d) · x_d) with
     * deterministic pseudo-random weights w(p,d) = ±1 derived from a mixed
     * hash of (p,d). No stored model, reproducible on any cluster; native

@@ -28,21 +28,34 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * DSv2 `VERSION AS OF` grammar for catalog tables. Known textual-rewrite
   * limitation, documented rather than hidden: the pattern is also rewritten
   * inside string literals containing the exact `ident VERSION AS OF n`
-  * sequence.
+  * sequence — though only when `ident` names a directory that exists under
+  * the store root (non-store identifiers, including the trailing segment
+  * of qualified names, pass through untouched).
   */
 class TimeTravelParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
+  // (?<![.\w]) — NOT preceded by a dot or word char: the trailing segment
+  // of a qualified name (`db.tbl VERSION AS OF 3`) must not rewrite, or
+  // Spark's native catalog time travel on qualified tables would silently
+  // break.
   private val TimeTravel =
-    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    """(?i)(?<![.\w])([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
 
   private def rewrite(sqlText: String): String =
     session.conf.getOption("spark.graft.store.root") match {
       case None => sqlText
       case Some(root) =>
-        TimeTravel.replaceAllIn(sqlText, m =>
+        TimeTravel.replaceAllIn(sqlText, m => {
+          // Rewrite only names that actually exist as store tables; any
+          // other `ident VERSION AS OF n` (e.g. a DSv2 catalog table)
+          // passes through to the delegate grammar untouched.
+          val isStoreTable =
+            java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, m.group(1)))
           scala.util.matching.Regex.quoteReplacement(
-            s"parquet.`$root/${m.group(1)}/v${m.group(2)}`"))
+            if (isStoreTable) s"parquet.`$root/${m.group(1)}/v${m.group(2)}`"
+            else m.matched)
+        })
     }
 
   override def parsePlan(sqlText: String): LogicalPlan =

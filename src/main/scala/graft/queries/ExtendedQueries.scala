@@ -192,36 +192,58 @@ object ExtendedQueries {
     GROUP BY event_type ORDER BY event_type ASC"""
 
   // q57 — sketch aggregates: HLL++ distinct counts and approximate
-  // percentiles. Deterministic for fixed input (both sketches are
-  // merge-order-independent) but engine-specific → rows-only check;
-  // SketchSpec bounds approx_orders/approx_parts/price_p50/price_p95
-  // against exact answers. The percentile
-  // pair is split into scalar columns (the driver's rows-only check
-  // sorts/hashes values, so no array columns in the output).
+  // percentiles. The estimates are engine-specific, so the query emits
+  // deterministic BOUND CHECKS the oracle can predict exactly: each HLL
+  // estimate within 6% of the exact distinct (3× the requested 2% rsd;
+  // measured ≤ 3.3% across sf0.001-0.1), each approx percentile inside
+  // the exact [p−0.01, p+0.01] quantile envelope (accuracy 1000 bounds
+  // rank error at 0.1%). The exact sides are computed in the same Spark
+  // job; the oracle recomputes the keys and n exactly and expects every
+  // check to hold — the q148 trick that turns an approximate operator
+  // into a hash-checkable query.
   def q57ApproxSketches(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-          .as("price_p50_p95"),
+          .as("pp"),
+        countDistinct(col("l_orderkey")).as("eo"),
+        countDistinct(col("l_partkey")).as("ep"),
+        expr("percentile(l_extendedprice, array(0.49, 0.51, 0.94, 0.96))")
+          .as("ex"),
         count(lit(1)).as("n"))
-      .select(col("l_returnflag"), col("approx_orders"), col("approx_parts"),
-        element_at(col("price_p50_p95"), 1).as("price_p50"),
-        element_at(col("price_p50_p95"), 2).as("price_p95"),
+      .select(col("l_returnflag"),
+        (abs(col("ao") - col("eo")).cast("double") / col("eo") <= 0.06)
+          .cast("int").as("orders_ok"),
+        (abs(col("ap") - col("ep")).cast("double") / col("ep") <= 0.06)
+          .cast("int").as("parts_ok"),
+        (element_at(col("pp"), 1) >= element_at(col("ex"), 1) &&
+          element_at(col("pp"), 1) <= element_at(col("ex"), 2))
+          .cast("int").as("p50_ok"),
+        (element_at(col("pp"), 2) >= element_at(col("ex"), 3) &&
+          element_at(col("pp"), 2) <= element_at(col("ex"), 4))
+          .cast("int").as("p95_ok"),
         col("n"))
       .orderBy(col("l_returnflag").asc)
+  val q57Oracle: String = """
+    SELECT l_returnflag, 1 AS orders_ok, 1 AS parts_ok, 1 AS p50_ok,
+           1 AS p95_ok, COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC"""
 
   // q82 — re-aggregatable sketch rollup: one DataSketches HLL per day
   // (the granularity a 100 TB pipeline would persist), then weekly
   // distinct-user estimates by UNIONING the daily sketches — no second
   // pass over raw events. The union is register-wise max: commutative and
   // associative, so any merge order/partitioning yields the same sketch.
-  // Estimates are engine-specific → rows-only check; SketchSpec bounds
-  // the error against exact weekly distincts.
-  def q82SketchRollup(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+  // The estimate is engine-specific, so the query emits a bound check the
+  // oracle predicts exactly: the rolled-up estimate within 5% of the
+  // exact weekly distinct (measured ≤ 0.8% across sf0.001-0.1); the
+  // exact side joins in from a distinct pass in the same job, and
+  // n_events/n_days stay exact on both engines.
+  def q82SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val rollup = Tables.events(spark, dir)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(expr("hll_sketch_agg(user_id)").as("sk"),
         count(lit(1)).as("n_events"))
@@ -230,29 +252,55 @@ object ExtendedQueries {
         .as("approx_users"),
         sum(col("n_events")).as("n_events"),
         count(lit(1)).as("n_days"))
+    val exact = Tables.events(spark, dir)
+      .select(date_trunc("week", to_date(col("ts"))).cast("date").as("week"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("exact_users"))
+    rollup.join(exact, Seq("week"))
       .select(unix_millis(col("week").cast("timestamp")).as("week_start_ms"),
-        col("approx_users"), col("n_events"), col("n_days"))
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).cast("int").as("users_ok"),
+        col("n_events"), col("n_days"))
       .orderBy(col("week_start_ms").asc)
+  }
+  val q82Oracle: String = """
+    SELECT epoch_ms(CAST(week AS TIMESTAMP)) AS week_start_ms, 1 AS users_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+    FROM (SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+                 CAST(ts AS DATE) AS day FROM events)
+    GROUP BY week ORDER BY week_start_ms ASC"""
 
   // q84 — Count-Min frequency sketch: one distributed pass builds an
   // eps=5e-4 CM sketch of the user_id stream (constant size, merge-order-
   // free — Spark merges per-partition sketches), then the 20 heaviest
-  // users' frequencies are estimated from the sketch alone. Output pairs
-  // the estimate with the exact count; CM guarantees est ≥ exact and
-  // est ≤ exact + eps·N w.p. ≥ 0.99 — SketchSpec asserts both bounds.
-  // Estimates are engine-specific → rows-only check.
+  // users' frequencies are estimated from the sketch alone. The estimate
+  // is engine-specific, so the query emits the CM guarantee as a bound
+  // check the oracle predicts exactly: est ≥ exact AND est ≤ exact+eps·N
+  // (w.p. ≥ 0.99 per user; deterministic here — fixed seed, fixed data).
+  // user_id and n_exact stay exact on both engines.
   def q84CountMinFreq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
     val cms = ev.stat.countMinSketch(col("user_id"), 0.0005, 0.99, 42)
+    val slack = math.ceil(0.0005 * cms.totalCount()).toLong
     val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("user_id").asc).limit(20)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     top.toSeq
-      .map { case (u, n) => (u, n, cms.estimateCount(java.lang.Long.valueOf(u))) }
-      .toDF("user_id", "n_exact", "n_approx")
+      .map { case (u, n) =>
+        val est = cms.estimateCount(java.lang.Long.valueOf(u))
+        (u, n, if (est >= n && est <= n + slack) 1 else 0)
+      }
+      .toDF("user_id", "n_exact", "cm_ok")
       .orderBy(col("n_exact").desc, col("user_id").asc)
   }
+  val q84Oracle: String = """
+    SELECT user_id, n_exact, 1 AS cm_ok FROM (
+      SELECT user_id, COUNT(*) AS n_exact FROM events
+      GROUP BY user_id ORDER BY n_exact DESC, user_id ASC LIMIT 20)
+    ORDER BY n_exact DESC, user_id ASC"""
 
   // q86 — sliding (hopping) windows: 2-hour windows advancing hourly, so
   // every event lands in exactly two windows. Same replayed file stream
@@ -375,6 +423,9 @@ object ExtendedQueries {
     "q55_stream_tumbling" -> (q55StreamTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "q57_approx_sketches" -> q57Oracle,
+    "q82_sketch_rollup" -> q82Oracle,
+    "q84_countmin_freq" -> q84Oracle,
     "q140_sample_quantile" -> q140Oracle,
     "q94_stream_update_mode" -> q94Oracle,
     "q86_stream_sliding" -> q86Oracle,

@@ -453,13 +453,29 @@ object InsightQueries {
     store.write("customer_tt", cust) // v0
     store.write("customer_tt",
       cust.withColumn("c_acctbal", $"c_acctbal" * 2.0d)) // v1 = live
-    spark.conf.set("spark.graft.store.root", root)
-    val parser = new graft.plans.TimeTravelParser(spark,
-      spark.sessionState.sqlParser)
-    val plan = parser.parsePlan(
-      "SELECT c_custkey, c_name, c_acctbal FROM customer_tt VERSION AS OF 0 " +
-        "ORDER BY c_custkey ASC")
-    org.apache.spark.sql.graftshim.PlanBridge.ofRows(spark, plan)
+    // Arm the textual VERSION AS OF rewrite only for this parse: the conf
+    // is restored in the finally so later SQL on a shared session never
+    // sees a stale store root.
+    val confKey = "spark.graft.store.root"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, root)
+    val plan =
+      try {
+        val parser = new graft.plans.TimeTravelParser(spark,
+          spark.sessionState.sqlParser)
+        parser.parsePlan(
+          "SELECT c_custkey, c_name, c_acctbal FROM customer_tt VERSION AS OF 0 " +
+            "ORDER BY c_custkey ASC")
+      } finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    // Materialize eagerly so the temp store can be deleted before return
+    // (each invocation used to leak a two-version parquet store to /tmp).
+    val df = org.apache.spark.sql.graftshim.PlanBridge.ofRows(spark, plan)
+    val rows = df.collect()
+    TableStore.deleteRecursively(java.nio.file.Paths.get(root))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
   val q149Oracle: String = """
     SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey ASC"""

@@ -78,7 +78,14 @@ object PipelineQueries {
     Files.write(Paths.get(replayDir, "cdc.json"),
       (batch1 ++ batch2).mkString("\n").getBytes)
 
-    Analytics.rewardsByMember(pipeline.memberQuest, pipeline.member)
+    // Materialize the (small) report eagerly so the four temp stores can
+    // be deleted before returning — bench runs this query ~5× per sweep
+    // set, and the leaked parquet stores used to accrete in /tmp.
+    val report = Analytics.rewardsByMember(pipeline.memberQuest, pipeline.member)
+    val rows = report.collect()
+    Seq(exportDir, cdcDir, ckptDir, storeRoot)
+      .foreach(d => graft.sync.TableStore.deleteRecursively(Paths.get(d)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
   }
 
   /** DuckDB replay of the full pipeline over the deposited envelope files.

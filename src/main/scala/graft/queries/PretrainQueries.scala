@@ -266,17 +266,48 @@ object PretrainQueries {
     ORDER BY user_id ASC, valid_from ASC, event_type ASC"""
 
   // ---------------------------------------------------------------------
-  // q136 — BPE vocabulary induction (no SQL oracle: the merge loop's
-  // argmax-then-rewrite iteration isn't SQL-expressible; BpeSpec pins the
-  // algorithm against the hand-traced Sennrich example instead). One
-  // corpus pass builds the word-frequency table; 8 merge rounds iterate
-  // over that table only. Output is the rank-ordered merge table — the
-  // model artifact a tokenizer ships.
+  // q136 — BPE vocabulary induction. One corpus pass builds the
+  // word-frequency table; 8 merge rounds iterate over that table only.
+  // Output is the rank-ordered merge table — the model artifact a
+  // tokenizer ships. The oracle replays the full argmax-then-rewrite
+  // loop: each round is a CTE triple (pair counts → argmax with the
+  // (cnt DESC, a, b) tiebreak → symbol rewrite), and the left-to-right
+  // non-overlapping mergePair is a list fold — folding is safe because a
+  // freshly merged symbol a||b can never equal the left symbol a, so the
+  // fold never re-merges into a just-created token. BpeSpec additionally
+  // pins the algorithm against the hand-traced Sennrich example.
   def q136BpeVocab(spark: SparkSession, dir: String): DataFrame = {
     val wf = graft.operators.BpeOps.wordFreq(
       Tables.documents(spark, dir), "text")
     val model = graft.operators.BpeOps.train(spark, wf, nMerges = 8)
     graft.operators.BpeOps.mergeTable(spark, model).orderBy(col("rank").asc)
+  }
+  val q136Oracle: String = {
+    val w0 = """w0 AS (
+      SELECT list_append(list_transform(generate_series(1, len(word)), i -> word[i]), '</w>') AS s,
+             freq
+      FROM (SELECT word, COUNT(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE len(word) > 0 GROUP BY word))"""
+    val rounds = (0 until 8).flatMap { r =>
+      Seq(
+        s"""p$r AS (
+      SELECT p.a AS a, p.b AS b, SUM(p.f) AS cnt FROM (
+        SELECT unnest(list_transform(generate_series(1, len(s)-1),
+          i -> {'a': s[i], 'b': s[i+1], 'f': freq})) AS p
+        FROM w$r) GROUP BY p.a, p.b)""",
+        s"""b$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""",
+        s"""w${r + 1} AS (
+      SELECT list_reduce(list_transform(w.s, x -> [x]),
+        (acc, x) -> CASE WHEN acc[len(acc)] = br.a AND x[1] = br.b
+                    THEN acc[1:len(acc)-1] || [br.a || br.b]
+                    ELSE acc || x END) AS s, w.freq AS freq
+      FROM w$r w CROSS JOIN b$r br)""")
+    }
+    val unions = (0 until 8)
+      .map(r => s"""SELECT ${r + 1} AS rank, a AS "left", b AS "right" FROM b$r""")
+      .mkString("\n    UNION ALL ")
+    "WITH " + (w0 +: rounds).mkString(",\n") + "\n" + unions + "\nORDER BY rank ASC"
   }
 
   // ---------------------------------------------------------------------
@@ -545,6 +576,7 @@ object PretrainQueries {
     "q137_scd2_build" -> (q137Scd2Build _))
 
   val oracles: Map[String, String] = Map(
+    "q136_bpe_vocab" -> q136Oracle,
     "q139_pack_pipeline" -> q139Oracle,
     "q142_negative_sampling" -> q142Oracle,
     "q145_vocab_encode" -> q145Oracle,

@@ -81,14 +81,27 @@ object VectorQueries {
           sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) > 0.3
     ORDER BY vec_a ASC, vec_b ASC"""
 
-  // q42 — LSH ANN (sign-random-projection buckets + exact re-rank):
-  // the scale path. Bucketing depends on xxhash64 → rows-only check;
-  // VectorSpec asserts recall against q40's exact baseline.
+  // q42 — LSH ANN (sign-random-projection buckets + exact re-rank): the
+  // scale path. Bucketing depends on xxhash64, so the neighbor list is
+  // engine-specific — the query instead emits a deterministic per-query
+  // recall bound vs the exact baseline computed in the same job, which
+  // the oracle predicts exactly (expected-true rows). Bound 0.5 clears
+  // the measured per-query minima (0.7 at sf0.01, 0.5 at sf0.001).
   def q42AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    VectorOps.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
-      .orderBy(col("query_id").asc, col("rank").asc)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
+    VectorOps.recallAgainst(VectorOps.lshTopK(q, emb, k = 10), exact)
+      .select(col("query_id"), (col("recall") >= 0.5).cast("int").as("recall_ok"))
+      .orderBy(col("query_id").asc)
   }
+  val q42Oracle: String = annRecallOracle
+  /** Shared oracle for the ANN recall-bound queries: the query-id set is
+    * exact; every recall check is expected to hold. (A def so declaration
+    * order can't null a forward val reference.) */
+  private def annRecallOracle: String = """
+    SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings
+    WHERE vec_id < 5 ORDER BY query_id ASC"""
 
   // q43 — k-NN label vote: classify each query vector by majority label of
   // its 10 exact neighbors (integer counts → exact oracle).
@@ -131,22 +144,33 @@ object VectorQueries {
       FROM votes) WHERE rn = 1 ORDER BY query_id ASC"""
 
   // q44 — IVF ANN: k-means cells + nprobe probing + exact re-rank. The
-  // coarse quantizer is engine-trained → rows-only check; OperatorSpec
-  // bounds recall against the exact baseline.
+  // coarse quantizer is engine-trained so the neighbor list is engine-
+  // specific — emitted as a per-query recall bound like q42 (measured
+  // minima: 0.7 at sf0.01, 0.6 at sf0.001 and sf0.1).
   def q44AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    VectorOps.ivfTopK(spark, emb.filter(col("vec_id") < 5), emb, k = 10)
-      .orderBy(col("query_id").asc, col("rank").asc)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
+    VectorOps.recallAgainst(VectorOps.ivfTopK(spark, q, emb, k = 10), exact)
+      .select(col("query_id"), (col("recall") >= 0.5).cast("int").as("recall_ok"))
+      .orderBy(col("query_id").asc)
   }
+  val q44Oracle: String = annRecallOracle
 
-  // q129 — product-quantization ANN: codebooks are engine-trained →
-  // rows-only check; OperatorSpec bounds recall against the exact
-  // baseline (the re-rank stage makes it the highest-recall ANN tier).
+  // q129 — product-quantization ANN: codebooks are engine-trained so the
+  // neighbor list is engine-specific — emitted as a per-query recall
+  // bound like q42. Bound 0.3 (not 0.5): PQ's measured per-query minimum
+  // dips to 0.3 at sf0.1 (8-byte codes over a 5k corpus); the gate runs
+  // at sf0.01 where the minimum is 0.7.
   def q129AnnPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    VectorOps.pqTopK(spark, emb.filter(col("vec_id") < 5), emb, k = 10)
-      .orderBy(col("query_id").asc, col("rank").asc)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
+    VectorOps.recallAgainst(VectorOps.pqTopK(spark, q, emb, k = 10), exact)
+      .select(col("query_id"), (col("recall") >= 0.3).cast("int").as("recall_ok"))
+      .orderBy(col("query_id").asc)
   }
+  val q129Oracle: String = annRecallOracle
 
   // q90 — mean-pooled label centroids: the embedding-pooling primitive
   // (cluster centers, class prototypes, chunk→doc pooling). posexplode →
@@ -247,5 +271,8 @@ object VectorQueries {
     "q91_nearest_centroid" -> q91Oracle,
     "q40_ann_bruteforce" -> q40Oracle,
     "q41_cosine_dedup" -> q41Oracle,
+    "q42_ann_lsh" -> q42Oracle,
+    "q44_ann_ivf" -> q44Oracle,
+    "q129_ann_pq" -> q129Oracle,
     "q43_knn_label_vote" -> q43Oracle)
 }

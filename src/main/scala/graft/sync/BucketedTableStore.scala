@@ -3,9 +3,25 @@ package graft.sync
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
+
+/** Per-bucket live state: the base snapshot version plus the ordered chain
+  * of delta commits layered on top (empty chain = clean bucket). `base`
+  * is -1 for a bucket that has only ever received delta commits. */
+final case class BucketState(base: Int, deltas: List[Int]) {
+  def isClean: Boolean = deltas.isEmpty
+  private[sync] def render: String = (base :: deltas).mkString("+")
+}
+
+private[sync] object BucketState {
+  def parse(s: String): BucketState = {
+    val parts = s.split('+')
+    BucketState(parts.head.toInt, parts.tail.map(_.toInt).toList)
+  }
+}
 
 /** Partition-level snapshot store — the 100 TB form of [[TableStore]].
   *
@@ -13,16 +29,36 @@ import scala.jdk.CollectionConverters._
   * simple but O(table) per batch: a 100 TB target with a 10 MB CDC batch
   * would rewrite 100 TB. This store hash-buckets rows by entity key:
   *
-  *   root/<table>/b<bucket>/v<N>/   — per-bucket parquet snapshots
-  *   root/<table>/_MANIFEST.<N>     — "bucket version" lines: the snapshot
+  *   root/<table>/b<bucket>/v<N>/   — per-bucket parquet BASE snapshots
+  *   root/<table>/b<bucket>/d<N>/   — per-bucket DELTA commits (see below)
+  *   root/<table>/_MANIFEST.<N>     — "bucket base[+delta...]" lines
   *   root/<table>/_CURRENT          — live manifest number (atomic move)
+  *   root/<table>/_KEY              — the entity key column (read-side
+  *                                    delta resolution needs it)
   *
-  * A merge only touches the buckets containing staged keys — cost
-  * O(batch ∕ table-fraction), not O(table). Readers resolve `_CURRENT` →
-  * manifest → per-bucket version dirs, so an in-flight merge is invisible
-  * until its single pointer move, exactly the [[TableStore]] protocol one
-  * directory deeper. Crash mid-merge leaves orphan v-dirs, never a torn
-  * snapshot.
+  * Two merge disciplines, selectable per store:
+  *
+  *   - '''copy-on-write''' ([[merge]]): delete-then-insert rewrite of ONLY
+  *     the buckets containing staged keys — cost O(touched bucket bytes).
+  *   - '''merge-on-read''' ([[mergeDelta]]): append ONE small delta file
+  *     per touched bucket (upsert rows + REMOVE tombstones, stamped with
+  *     the commit sequence) — cost O(batch), the shape a high-frequency
+  *     CDC stream needs at 100 TB. Reads resolve a dirty bucket by
+  *     latest-per-key over base ∪ deltas; clean buckets are returned
+  *     as-is with zero resolution cost, so read amplification is bounded
+  *     by the un-compacted fraction of the table.
+  *
+  * [[compact]] is the counterweight to [[mergeDelta]]: it rewrites every
+  * bucket whose delta chain reached a threshold back to a single-file base
+  * snapshot (small-file consolidation, manifest-committed). With
+  * `deltaMerges = true` the [[SyncStore]] verb [[applyMerge]] routes to
+  * [[mergeDelta]] and auto-compacts chains at `autoCompactAfter` — the
+  * write-fast/read-amortized loop Hudi-style MOR tables run in production.
+  *
+  * Readers resolve `_CURRENT` → manifest → per-bucket dirs, so an
+  * in-flight merge/compaction is invisible until its single pointer move,
+  * exactly the [[TableStore]] protocol one directory deeper. Crash
+  * mid-merge leaves orphan v/d-dirs, never a torn snapshot.
   *
   * Bucket count is fixed at table creation (like any hash-bucketed
   * layout); pick it so bucket size ≈ a few parquet row groups at target
@@ -30,15 +66,18 @@ import scala.jdk.CollectionConverters._
   * without path parsing and the merge's bucket routing is one codegen'd
   * `pmod(xxhash64(key))`.
   */
-final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
+final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
+    deltaMerges: Boolean = false, autoCompactAfter: Int = 8)
     extends SyncStore {
 
   require(nBuckets > 0)
+  require(autoCompactAfter >= 1)
 
   def bucketCol(key: String): Column = pmod(xxhash64(col(key)), lit(nBuckets))
 
   private def tableDir(name: String): Path = Paths.get(root, name)
   private def currentFile(name: String): Path = tableDir(name).resolve("_CURRENT")
+  private def keyFile(name: String): Path = tableDir(name).resolve("_KEY")
   private def manifestFile(name: String, v: Int): Path =
     tableDir(name).resolve(s"_MANIFEST.$v")
 
@@ -47,49 +86,95 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
     if (Files.exists(f)) Some(new String(Files.readAllBytes(f)).trim.toInt) else None
   }
 
-  private def parseManifest(name: String, v: Int): Map[Int, Int] =
+  private def parseStates(name: String, v: Int): Map[Int, BucketState] =
     Files.readAllLines(manifestFile(name, v)).asScala.filter(_.nonEmpty).map { line =>
-      val Array(b, bv) = line.trim.split(' ')
-      b.toInt -> bv.toInt
+      val Array(b, st) = line.trim.split(' ')
+      b.toInt -> BucketState.parse(st)
     }.toMap
 
-  /** bucket → live version for that bucket. */
+  /** bucket → live state (base version + delta chain). */
+  def bucketStates(name: String): Option[Map[Int, BucketState]] =
+    currentManifestVersion(name).map(parseStates(name, _))
+
+  /** bucket → live BASE version (delta chains not shown — the clean-bucket
+    * view older callers and the version-advance specs use). */
   def manifest(name: String): Option[Map[Int, Int]] =
-    currentManifestVersion(name).map(parseManifest(name, _))
+    bucketStates(name).map(_.view.mapValues(_.base).toMap)
+
+  private def storedKey(name: String): String = {
+    val f = keyFile(name)
+    if (!Files.exists(f)) throw new IllegalStateException(
+      s"$name has no _KEY file — writeAll must initialize the table")
+    new String(Files.readAllBytes(f)).trim
+  }
 
   private def bucketPath(name: String, bucket: Int, v: Int): Path =
     tableDir(name).resolve(s"b$bucket").resolve(s"v$v")
+  private def deltaPath(name: String, bucket: Int, v: Int): Path =
+    tableDir(name).resolve(s"b$bucket").resolve(s"d$v")
 
   def read(name: String): Option[DataFrame] = readBuckets(name, None)
 
   /** Time travel: read the snapshot a historical manifest described.
     * Manifests are immutable once written, so any retained manifest
-    * number reconstructs that exact table state. */
+    * number reconstructs that exact table state — including the delta
+    * chains as of that commit. */
   def readAtManifest(name: String, manifestVersion: Int): Option[DataFrame] = {
     val f = manifestFile(name, manifestVersion)
     if (!Files.exists(f)) None
-    else {
-      val m = Files.readAllLines(f).asScala.filter(_.nonEmpty).map { line =>
-        val Array(b, bv) = line.trim.split(' ')
-        b.toInt -> bv.toInt
-      }.toMap
-      val paths = m.map { case (b, v) => bucketPath(name, b, v).toString }.toSeq
-      if (paths.isEmpty) Some(spark.emptyDataFrame)
-      else Some(spark.read.parquet(paths: _*))
-    }
+    else Some(resolve(name, parseStates(name, manifestVersion)))
   }
 
   /** Read the live snapshot, optionally restricted to a bucket subset —
     * the merge's way of scanning only what it will rewrite. */
   def readBuckets(name: String, buckets: Option[Set[Int]]): Option[DataFrame] =
-    manifest(name).map { m =>
-      val wanted = buckets.fold(m)(bs => m.view.filterKeys(bs).toMap)
-      val paths = wanted.map { case (b, v) => bucketPath(name, b, v).toString }.toSeq
-      if (paths.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(paths: _*)
+    bucketStates(name).map { m =>
+      resolve(name, buckets.fold(m)(bs => m.view.filterKeys(bs).toMap))
     }
 
-  private def writeManifest(name: String, m: Map[Int, Int]): Unit =
+  /** Materialize the table state a bucket-state map describes. Clean
+    * buckets stream straight off their base files (no shuffle, no window);
+    * dirty buckets pay one bounded latest-per-key resolution: base rows at
+    * sequence -1 ∪ delta rows at their commit sequence, newest row per key
+    * wins, tombstones drop. The shuffle is sized by the DIRTY buckets
+    * only — with compaction keeping chains short, resolution cost stays a
+    * small fraction of the table no matter how large the table is. */
+  private def resolve(name: String, wanted: Map[Int, BucketState]): DataFrame = {
+    val cleanPaths = wanted.collect {
+      case (b, s) if s.isClean && s.base >= 0 => bucketPath(name, b, s.base).toString
+    }.toSeq
+    val dirty = wanted.filter(!_._2.isClean)
+    val clean =
+      if (cleanPaths.nonEmpty) Some(spark.read.parquet(cleanPaths: _*)) else None
+    val resolved = if (dirty.nonEmpty) {
+      val key = storedKey(name)
+      val basePaths = dirty.collect {
+        case (b, s) if s.base >= 0 => bucketPath(name, b, s.base).toString
+      }.toSeq
+      val deltaPaths = dirty.flatMap { case (b, s) =>
+        s.deltas.map(d => deltaPath(name, b, d).toString)
+      }.toSeq
+      val deltas = spark.read.parquet(deltaPaths: _*)
+      val layered =
+        if (basePaths.isEmpty) deltas
+        else deltas.unionByName(spark.read.parquet(basePaths: _*)
+          .withColumn("_seq", lit(-1L)).withColumn("_del", lit(false)))
+      // key → bucket is functional, so partitioning by key never mixes
+      // buckets; ties are impossible (one row per key per commit)
+      val w = Window.partitionBy(col(key)).orderBy(col("_seq").desc)
+      Some(layered.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && !col("_del"))
+        .drop("_rn", "_seq", "_del"))
+    } else None
+    (clean, resolved) match {
+      case (Some(c), Some(d)) => c.unionByName(d)
+      case (Some(c), None) => c
+      case (None, Some(d)) => d
+      case (None, None) => spark.emptyDataFrame
+    }
+  }
+
+  private def writeManifest(name: String, m: Map[Int, BucketState]): Unit =
     commitManifest(name, m, currentManifestVersion(name))
 
   /** Publish manifest `m` as the next state, REQUIRING that the live
@@ -102,7 +187,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
     * The check-then-move window is epsilon vs the merge runtime — the
     * same compare-and-swap discipline transactional table formats use,
     * minus a distributed lock this environment doesn't need. */
-  private[graft] def commitManifest(name: String, m: Map[Int, Int],
+  private[graft] def commitManifest(name: String, m: Map[Int, BucketState],
       expectedBase: Option[Int]): Unit = {
     val live = currentManifestVersion(name)
     if (live != expectedBase)
@@ -110,7 +195,8 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
         s"$name: manifest moved $expectedBase -> $live since this writer " +
           "read its base; re-read and re-merge (lost-update protection)")
     val next = live.getOrElse(-1) + 1
-    val body = m.toSeq.sorted.map { case (b, v) => s"$b $v" }.mkString("\n")
+    val body = m.toSeq.sortBy(_._1)
+      .map { case (b, st) => s"$b ${st.render}" }.mkString("\n")
     Files.createDirectories(tableDir(name))
     Files.write(manifestFile(name, next), body.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -147,18 +233,24 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
         val dest = bucketPath(name, b, next)
         Files.createDirectories(dest.getParent)
         Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
-        Some(b -> next)
+        Some(b -> BucketState(next, Nil))
       } else None
     }
     cleanupDir(staging)
+    Files.createDirectories(tableDir(name))
+    Files.write(keyFile(name), key.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     commitManifest(name, entries.toMap, base)
   }
 
   /** Partition-level merge: delete-then-insert upsert against ONLY the
     * buckets containing staged keys. `stage` must carry the target schema
     * plus `eventName` (REMOVEs are applied as deletes, like
-    * [[Merge.applyStage]]). Untouched buckets keep their live version —
-    * their bytes are never read, shuffled, or rewritten. */
+    * [[Merge.applyStage]]) and at most one row per key (the
+    * [[Merge.stageChanges]] contract). Untouched buckets keep their live
+    * version — their bytes are never read, shuffled, or rewritten. A
+    * touched bucket with a delta chain is resolved on read and rewritten
+    * clean: copy-on-write merge doubles as targeted compaction. */
   def merge(name: String, stage: DataFrame, key: String,
       syncTime: java.sql.Timestamp, sortBy: Option[String] = None): Unit =
     // base is captured once: the commit at the end is conditional on the
@@ -171,7 +263,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
   private[graft] def mergeAtBase(name: String, stage: DataFrame, key: String,
       syncTime: java.sql.Timestamp, base: Option[Int],
       sortBy: Option[String] = None): Unit = {
-    val m = base.map(parseManifest(name, _)).getOrElse(
+    val m = base.map(parseStates(name, _)).getOrElse(
       throw new IllegalStateException(s"$name not initialized — writeAll first"))
     val staged = stage.withColumn("_bucket", bucketCol(key))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -229,12 +321,124 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
           try Files.move(staging.resolve(s"_bp=$b"), dest,
             StandardCopyOption.ATOMIC_MOVE)
           catch { case _: java.nio.file.FileAlreadyExistsException => stale() }
-          b -> next
+          b -> BucketState(next, Nil) // rewritten clean: chain discharged
         }.toMap
         cleanupDir(staging)
         commitManifest(name, m ++ updated, base)
       }
     } finally staged.unpersist()
+  }
+
+  /** Merge-on-read commit: append ONE delta file per touched bucket and
+    * move the manifest pointer — the target's existing bytes are never
+    * read, shuffled, or rewritten, so a commit costs O(batch) regardless
+    * of table size. The delta rows are the staged upserts (REMOVEs kept
+    * as `_del` tombstones) stamped with the commit sequence `_seq`;
+    * [[resolve]] replays chains newest-wins at read time. Same `stage`
+    * contract as [[merge]]: target schema + `eventName`, at most one row
+    * per key per batch. The flip side is read amplification on dirty
+    * buckets — [[compact]] (or `deltaMerges = true` auto-compaction)
+    * bounds the chain length. */
+  def mergeDelta(name: String, stage: DataFrame, key: String,
+      syncTime: java.sql.Timestamp, sortBy: Option[String] = None): Unit = {
+    val base = currentManifestVersion(name)
+    val m = base.map(parseStates(name, _)).getOrElse(
+      throw new IllegalStateException(s"$name not initialized — writeAll first"))
+    val sk = storedKey(name)
+    require(sk == key, s"$name is keyed by '$sk', not '$key'")
+    val next = base.get + 1
+    val staged = stage
+      .withColumn("_bucket", bucketCol(key))
+      .withColumn("_del", col("eventName") === "REMOVE")
+      .drop("eventName")
+      .withColumn("syncTimestamp", lit(syncTime))
+      .withColumn("_seq", lit(next.toLong))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = staged.select(col("_bucket")).distinct()
+        .collect().map(_.getLong(0).toInt).toSet
+      if (touched.nonEmpty) {
+        val staging = tableDir(name).resolve(s"_dstaging$next")
+        val routed = staged.repartition(col("_bucket")) // one file per bucket
+        sortBy.fold(routed)(c =>
+            routed.sortWithinPartitions(col("_bucket"), col(c)))
+          .withColumn("_bp", col("_bucket"))
+          .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
+        def stale(): Nothing = {
+          cleanupDir(staging)
+          throw new java.util.ConcurrentModificationException(
+            s"$name: manifest moved past $base while delta-merging; " +
+              "re-read and re-merge (lost-update protection)")
+        }
+        if (currentManifestVersion(name) != base) stale()
+        val updated = touched.map { b =>
+          val dest = deltaPath(name, b, next)
+          Files.createDirectories(dest.getParent)
+          try Files.move(staging.resolve(s"_bp=$b"), dest,
+            StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => stale() }
+          val prev = m.getOrElse(b, BucketState(-1, Nil))
+          b -> prev.copy(deltas = prev.deltas :+ next)
+        }.toMap
+        cleanupDir(staging)
+        commitManifest(name, m ++ updated, base)
+      }
+    } finally staged.unpersist()
+  }
+
+  /** Small-file consolidation: rewrite every bucket whose delta chain
+    * reached `minDeltas` back to a single-file base snapshot at the next
+    * version, and clear its chain in the manifest — one CAS commit, same
+    * crash/stale-writer safety as the merges. Only the dirty buckets'
+    * bytes are read (chains resolved once, newest-wins) and rewritten;
+    * clean buckets are untouched, so a steady-state table pays
+    * O(dirty fraction), not O(table), per compaction sweep. History
+    * stays time-travelable: old manifests keep referencing the
+    * pre-compaction chains until [[vacuum]] retires them. Returns the
+    * number of buckets compacted. */
+  def compact(name: String, minDeltas: Int = 1,
+      sortBy: Option[String] = None): Int = {
+    require(minDeltas >= 1, "compacting clean buckets is a no-op")
+    val base = currentManifestVersion(name)
+    val m = base.map(parseStates(name, _)).getOrElse(
+      throw new IllegalStateException(s"$name not initialized — writeAll first"))
+    val targets = m.filter(_._2.deltas.size >= minDeltas)
+    if (targets.isEmpty) 0
+    else {
+      val next = base.get + 1
+      val staging = tableDir(name).resolve(s"_cstaging$next")
+      val resolved = resolve(name, targets).repartition(col("_bucket"))
+      sortBy.fold(resolved)(c =>
+          resolved.sortWithinPartitions(col("_bucket"), col(c)))
+        .withColumn("_bp", col("_bucket"))
+        .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
+      // a chain may resolve to nothing (every row deleted) — the bucket
+      // still compacts to an empty-but-valid base snapshot
+      val schema = resolve(name, Map(targets.head)).schema
+      targets.keys.foreach { b =>
+        val src = staging.resolve(s"_bp=$b")
+        if (!Files.exists(src))
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schema).write.mode("overwrite").parquet(src.toString)
+      }
+      def stale(): Nothing = {
+        cleanupDir(staging)
+        throw new java.util.ConcurrentModificationException(
+          s"$name: manifest moved past $base while compacting; re-run")
+      }
+      if (currentManifestVersion(name) != base) stale()
+      val updated = targets.keys.map { b =>
+        val dest = bucketPath(name, b, next)
+        Files.createDirectories(dest.getParent)
+        try Files.move(staging.resolve(s"_bp=$b"), dest,
+          StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => stale() }
+        b -> BucketState(next, Nil)
+      }.toMap
+      cleanupDir(staging)
+      commitManifest(name, m ++ updated, base)
+      updated.size
+    }
   }
 
   /** Point lookup: read only the buckets that can contain `values` of the
@@ -264,14 +468,15 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
   }
 
   /** Retention sweep: keep the `keepManifests` most recent manifests
-    * (always including the live one) and every bucket version any of them
-    * references; delete older manifests, unreferenced bucket v-dirs, and
-    * orphaned staging dirs from crashed merges. Without this, every merge
-    * leaks its superseded bucket versions forever — at 100 TB the leak,
-    * not the live data, dominates storage. Deletion order is crash-safe:
-    * manifests below the retention floor go first, so an interrupted
-    * sweep leaves unreferenced dirs (re-collectable) but never a manifest
-    * pointing at deleted data. Returns (manifests deleted, dirs deleted). */
+    * (always including the live one) and every bucket version — base OR
+    * delta — any of them references; delete older manifests, unreferenced
+    * v/d-dirs, and orphaned staging dirs from crashed merges. Without
+    * this, every merge leaks its superseded bucket versions forever — at
+    * 100 TB the leak, not the live data, dominates storage. Deletion
+    * order is crash-safe: manifests below the retention floor go first,
+    * so an interrupted sweep leaves unreferenced dirs (re-collectable)
+    * but never a manifest pointing at deleted data. Returns (manifests
+    * deleted, dirs deleted). */
   def vacuum(name: String, keepManifests: Int): (Int, Int) = {
     require(keepManifests >= 1, "must keep at least the live manifest")
     currentManifestVersion(name) match {
@@ -280,13 +485,13 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
         val floor = cur - keepManifests + 1
         val dropped = (0 until floor).filter(v => Files.exists(manifestFile(name, v)))
         dropped.foreach(v => Files.delete(manifestFile(name, v)))
-        // union of (bucket, version) pairs the retained manifests still need
-        val live: Set[(Int, Int)] = (math.max(0, floor) to cur).flatMap { v =>
-          val f = manifestFile(name, v)
-          if (!Files.exists(f)) Nil
-          else Files.readAllLines(f).asScala.filter(_.nonEmpty).map { line =>
-            val Array(b, bv) = line.trim.split(' ')
-            (b.toInt, bv.toInt)
+        // union of still-referenced per-bucket dirs ("v3" / "d5" names)
+        // across the retained manifests
+        val live: Set[(Int, String)] = (math.max(0, floor) to cur).flatMap { v =>
+          if (!Files.exists(manifestFile(name, v))) Nil
+          else parseStates(name, v).toSeq.flatMap { case (b, st) =>
+            (if (st.base >= 0) Seq(b -> s"v${st.base}") else Nil) ++
+              st.deltas.map(d => b -> s"d$d")
           }
         }.toSet
         var dirs = 0
@@ -294,15 +499,19 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
           val bDir = tableDir(name).resolve(s"b$b")
           if (Files.exists(bDir)) {
             scala.util.Using.resource(Files.list(bDir))(_.iterator().asScala.toSeq)
-              .filter(p => p.getFileName.toString.startsWith("v"))
+              .filter { p =>
+                val n = p.getFileName.toString
+                n.startsWith("v") || n.startsWith("d")
+              }
               .foreach { p =>
-                val v = p.getFileName.toString.drop(1).toInt
-                if (!live.contains((b, v))) { cleanupDir(p); dirs += 1 }
+                if (!live.contains((b, p.getFileName.toString))) {
+                  cleanupDir(p); dirs += 1
+                }
               }
           }
         }
         scala.util.Using.resource(Files.list(tableDir(name)))(_.iterator().asScala.toSeq)
-          .filter(_.getFileName.toString.startsWith("_staging"))
+          .filter(_.getFileName.toString.matches("_[dc]?staging.*"))
           // the live manifest's staging dir may still be mid-move only if a
           // merge is running; single-writer protocol says none is
           .foreach { p => cleanupDir(p); dirs += 1 }
@@ -310,14 +519,18 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int)
     }
   }
 
-  /** [[SyncStore]] verbs — [[writeAll]] / [[merge]] under the shared names,
-    * so [[graft.pipeline.Pipeline]] swaps this store in via config. */
+  /** [[SyncStore]] verbs — [[writeAll]] / [[merge]] (or [[mergeDelta]] +
+    * auto-[[compact]] when `deltaMerges` is on) under the shared names, so
+    * [[graft.pipeline.Pipeline]] swaps this store in via config. */
   def init(name: String, df: DataFrame, key: String,
       sortBy: Option[String] = None): Unit = writeAll(name, df, key, sortBy)
 
   def applyMerge(name: String, stage: DataFrame, key: String,
       syncTime: java.sql.Timestamp, sortBy: Option[String] = None): Unit =
-    merge(name, stage, key, syncTime, sortBy)
+    if (deltaMerges) {
+      mergeDelta(name, stage, key, syncTime, sortBy)
+      compact(name, minDeltas = autoCompactAfter, sortBy = sortBy)
+    } else merge(name, stage, key, syncTime, sortBy)
 
   /** [[SyncStore]] retention verb → [[vacuum]]. */
   def retain(name: String, keep: Int): Unit = vacuum(name, keep)

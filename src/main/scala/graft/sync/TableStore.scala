@@ -116,12 +116,8 @@ final class TableStore(spark: SparkSession, root: String) extends SyncStore {
     }
   }
 
-  private def deleteRecursively(dir: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.walk(dir)) { s =>
-      s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
-  }
+  private def deleteRecursively(dir: Path): Unit =
+    TableStore.deleteRecursively(dir)
 
   /** [[SyncStore]] retention verb → [[vacuum]]. */
   def retain(name: String, keep: Int): Unit = vacuum(name, keep)
@@ -144,5 +140,19 @@ final class TableStore(spark: SparkSession, root: String) extends SyncStore {
         throw new IllegalStateException(s"$name not initialized — init first"))
     writeIfBase(name, Merge.applyStage(target, stage, key, syncTime),
       base, sortBy)
+  }
+}
+
+object TableStore {
+  /** Recursive delete (children before parents); shared by the store's
+    * own vacuum/staging cleanup and by queries that materialize into a
+    * temp store and must remove it afterwards. */
+  private[graft] def deleteRecursively(dir: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(dir)) {
+      scala.util.Using.resource(Files.walk(dir)) { s =>
+        s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
   }
 }
