@@ -204,13 +204,13 @@ class BucketedStoreSpec extends SparkSpec {
     val stage = Seq(("m2", "bob2", t1, "MODIFY"))
       .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName")
     store.merge("member", stage, "memberId", t1) // manifest 1
-    val liveBefore = store.manifest("member").get
+    val liveBefore = store.bucketStates("member").get
 
     // A's publish against its stale base must refuse, not clobber B
     intercept[java.util.ConcurrentModificationException] {
-      store.commitManifest("member", Map(0 -> 99), Some(0))
+      store.commitManifest("member", Map(0 -> new graft.sync.BucketState(99, Nil)), Some(0))
     }
-    assert(store.manifest("member").get == liveBefore,
+    assert(store.bucketStates("member").get == liveBefore,
       "refused commit must leave the live manifest untouched")
 
     // the retry path — re-read the base, commit against it — succeeds
