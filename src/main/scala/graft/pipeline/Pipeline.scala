@@ -25,14 +25,28 @@ import graft.sync.{BucketedTableStore, Merge, SyncStore, TableStore}
   *                 states (store `vacuum`); None → keep all history.
   *                 A continuous deployment sets this, or the superseded
   *                 snapshots leak without bound.
+  * @param deltaMerges bucketed store only: true → merge-on-read commits
+  *                 ([[BucketedTableStore.mergeDelta]], O(batch) per sync,
+  *                 auto-compacted once a bucket's chain reaches
+  *                 `autoCompactAfter`) instead of copy-on-write bucket
+  *                 rewrites. The high-frequency-CDC configuration: commit
+  *                 cost stops scaling with bucket size entirely.
+  * @param maxFilesPerSync Some(n) → cap each CDC micro-batch at n input
+  *                 files so an outage backfill drains as bounded batches
+  *                 instead of one outage-sized merge
+  *                 ([[CdcStream.start]] has the full rationale).
   */
 final class Pipeline(spark: SparkSession, storeRoot: String,
     now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
     nBuckets: Option[Int] = None,
-    retainStates: Option[Int] = None) {
+    retainStates: Option[Int] = None,
+    deltaMerges: Boolean = false,
+    autoCompactAfter: Int = 8,
+    maxFilesPerSync: Option[Int] = None) {
 
   val store: SyncStore = nBuckets match {
-    case Some(n) => new BucketedTableStore(spark, storeRoot, n)
+    case Some(n) =>
+      new BucketedTableStore(spark, storeRoot, n, deltaMerges, autoCompactAfter)
     case None => new TableStore(spark, storeRoot)
   }
 
@@ -55,7 +69,8 @@ final class Pipeline(spark: SparkSession, storeRoot: String,
     * run the configured retention sweep. */
   def syncAvailable(cdcDir: String, checkpointDir: String): Unit = {
     val q = new CdcStream(spark, store, now).start(cdcDir, checkpointDir,
-      quarantineDir = Some(quarantinePath))
+      quarantineDir = Some(quarantinePath),
+      maxFilesPerTrigger = maxFilesPerSync)
     q.awaitTermination()
     retainStates.foreach { k =>
       Merge.entities.foreach(e => store.retain(e.name, k))

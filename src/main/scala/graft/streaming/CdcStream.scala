@@ -72,15 +72,31 @@ final class CdcStream(spark: SparkSession, store: SyncStore,
     * table instead of silently becoming an all-null envelope that the
     * merge would drop on the floor. The sync itself only ever sees clean
     * records, and one poison line never stalls the stream — the triage
-    * story a production CDC pipeline needs. */
+    * story a production CDC pipeline needs.
+    *
+    * `maxFilesPerTrigger` rate-limits backfill: after an outage the
+    * reference's scenario replays the whole Kinesis backlog (ref
+    * stack.ts:44-49 sizes the stream for it), and an unbounded file
+    * source would deliver that entire backlog as ONE micro-batch — a
+    * merge sized by the outage length, not by the trigger cadence, which
+    * is how replays OOM or blow past executor-memory sizing at 100 TB.
+    * Bounding files-per-trigger drains the backlog as a sequence of
+    * normal-sized batches; the target watermark keeps every batch
+    * idempotent, so the end state is identical (PipelineSpec proves it).
+    * None preserves drain-in-one-sweep for small directories. */
   def start(inputDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      quarantineDir: Option[String] = None) = {
+      quarantineDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None) = {
     val corrupt = "_corrupt_record"
-    val envelopes = spark.readStream
+    val reader = spark.readStream
       .schema(CdcSchemas.envelope.add(corrupt,
         org.apache.spark.sql.types.StringType))
       .option("columnNameOfCorruptRecord", corrupt)
+    // Trigger.AvailableNow respects the cap and still terminates after
+    // the backlog drains — it just takes multiple bounded batches
+    val envelopes = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .json(inputDir)
     envelopes.writeStream
       .queryName("cdc-sync")

@@ -318,6 +318,10 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
         val updated = touched.map { b =>
           val dest = bucketPath(name, b, next)
           Files.createDirectories(dest.getParent)
+          // an existing dest means a racing writer published v<next> in the
+          // check-then-move window — detect it explicitly: Linux rename()
+          // would silently REPLACE an empty dest dir rather than throw
+          if (Files.exists(dest)) stale()
           try Files.move(staging.resolve(s"_bp=$b"), dest,
             StandardCopyOption.ATOMIC_MOVE)
           catch { case _: java.nio.file.FileAlreadyExistsException => stale() }
@@ -374,6 +378,8 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
         val updated = touched.map { b =>
           val dest = deltaPath(name, b, next)
           Files.createDirectories(dest.getParent)
+          // see mergeAtBase: an existing dest is a racing writer's publish
+          if (Files.exists(dest)) stale()
           try Files.move(staging.resolve(s"_bp=$b"), dest,
             StandardCopyOption.ATOMIC_MOVE)
           catch { case _: java.nio.file.FileAlreadyExistsException => stale() }
@@ -430,6 +436,8 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       val updated = targets.keys.map { b =>
         val dest = bucketPath(name, b, next)
         Files.createDirectories(dest.getParent)
+        // see mergeAtBase: an existing dest is a racing writer's publish
+        if (Files.exists(dest)) stale()
         try Files.move(staging.resolve(s"_bp=$b"), dest,
           StandardCopyOption.ATOMIC_MOVE)
         catch { case _: java.nio.file.FileAlreadyExistsException => stale() }

@@ -263,6 +263,146 @@ class BucketedStoreSpec extends SparkSpec {
       "stale merge must not clobber the winner's published bucket versions")
   }
 
+  // --- merge-on-read (mergeDelta / compact) ---------------------------
+
+  private def stageBatch1 = Seq(
+    ("m2", "bob2", t1, "MODIFY"),   // update
+    ("m7", "grace", t1, "INSERT"),  // new key
+    ("m3", "carol", t1, "REMOVE"))  // delete → tombstone on the MOR path
+    .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName")
+
+  private def stageBatch2(t: Timestamp) = Seq(
+    ("m2", "bob3", t, "MODIFY"),    // second update of the same key
+    ("m7", "grace", t, "REMOVE"))   // delete a key that only exists in a delta
+    .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName")
+
+  private def snapshot(store: BucketedTableStore): Set[(String, String, Timestamp)] =
+    store.read("member").get
+      .select($"memberId", $"memberName", $"syncTimestamp")
+      .as[(String, String, Timestamp)].collect().toSet
+
+  test("mergeDelta matches copy-on-write merge on the same stage sequence") {
+    val t2 = new Timestamp(t1.getTime + 60000)
+    val cow = new BucketedTableStore(spark, tmpDir("mor-cow"), nBuckets = 4)
+    val mor = new BucketedTableStore(spark, tmpDir("mor-mor"), nBuckets = 4)
+    Seq(cow, mor).foreach(_.writeAll("member", target(), "memberId"))
+
+    cow.merge("member", stageBatch1, "memberId", t1)
+    cow.merge("member", stageBatch2(t2), "memberId", t2)
+    mor.mergeDelta("member", stageBatch1, "memberId", t1)
+    mor.mergeDelta("member", stageBatch2(t2), "memberId", t2)
+
+    assert(snapshot(mor) == snapshot(cow),
+      "delta chains must resolve to the copy-on-write result (incl. REMOVEs)")
+    // the MOR commits never rewrote a base: every touched bucket still
+    // points at its v0 base with a non-empty delta chain
+    val states = mor.bucketStates("member").get
+    assert(states.values.forall(_.base == 0), "mergeDelta must not rewrite bases")
+    assert(states.values.exists(_.deltas.nonEmpty), "touched buckets carry chains")
+    // point lookups resolve through dirty buckets too
+    val probe = mor.lookup("member", "memberId", Seq("m2")).get
+      .select($"memberName").as[String].collect().toSeq
+    assert(probe == Seq("bob3"))
+  }
+
+  test("compact discharges delta chains without changing the read") {
+    val t2 = new Timestamp(t1.getTime + 60000)
+    val store = new BucketedTableStore(spark, tmpDir("mor-compact"), nBuckets = 4)
+    store.writeAll("member", target(), "memberId")        // manifest 0
+    store.mergeDelta("member", stageBatch1, "memberId", t1) // manifest 1
+    store.mergeDelta("member", stageBatch2(t2), "memberId", t2) // manifest 2
+    val liveBefore = snapshot(store)
+    val deltaDirsBefore = store.bucketStates("member").get.values.map(_.deltas.size).sum
+    assert(deltaDirsBefore >= 2, "fixture must build real chains")
+
+    assert(store.compact("member", minDeltas = 1) > 0)    // manifest 3
+    val states = store.bucketStates("member").get
+    assert(states.values.forall(_.isClean), "compaction must clear every chain")
+    assert(snapshot(store) == liveBefore, "compaction must not change the read")
+    // compacted read touches no d-dirs: the resolve is pure base files now
+    assert(!store.read("member").get.inputFiles.exists(_.contains("/d")),
+      "post-compaction read must not open delta files")
+
+    // time travel ACROSS the compaction still resolves the old chains…
+    val atManifest2 = store.readAtManifest("member", 2).get
+      .select($"memberId", $"memberName", $"syncTimestamp")
+      .as[(String, String, Timestamp)].collect().toSet
+    assert(atManifest2 == liveBefore, "pre-compaction manifest must replay its chains")
+    // …and vacuum keeps the d-dirs that retained manifest still references
+    store.vacuum("member", keepManifests = 2)             // keeps manifests 2,3
+    assert(store.readAtManifest("member", 2).get.count() == liveBefore.size,
+      "retained delta manifest must stay readable after vacuum")
+    // dropping it sweeps the now-unreferenced delta dirs
+    val (_, dirs) = store.vacuum("member", keepManifests = 1)
+    assert(dirs >= deltaDirsBefore, "unreferenced d-dirs must be swept")
+    assert(snapshot(store) == liveBefore, "live read intact after full sweep")
+  }
+
+  test("applyMerge with deltaMerges auto-compacts at the chain threshold") {
+    val store = new BucketedTableStore(spark, tmpDir("mor-auto"), nBuckets = 2,
+      deltaMerges = true, autoCompactAfter = 2)
+    store.writeAll("member", target(), "memberId")
+    def modify(i: Int): Unit = {
+      val t = new Timestamp(t1.getTime + i * 60000L)
+      store.applyMerge("member",
+        Seq(("m2", s"bob$i", t, "MODIFY"))
+          .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName"),
+        "memberId", t)
+    }
+    modify(1)
+    val b2 = Seq("m2").toDF("memberId").select(store.bucketCol("memberId"))
+      .head().getLong(0).toInt
+    assert(store.bucketStates("member").get(b2).deltas.size == 1,
+      "below the threshold the chain must be left in place")
+    modify(2) // chain reaches 2 → auto-compaction discharges it
+    val st = store.bucketStates("member").get(b2)
+    assert(st.isClean, s"auto-compaction must clear the chain, got $st")
+    assert(st.base > 0, "compaction publishes a fresh base for the bucket")
+    val row = store.lookup("member", "memberId", Seq("m2")).get
+      .select($"memberName").as[String].collect().toSeq
+    assert(row == Seq("bob2"), "latest delta wins through the compacted base")
+  }
+
+  test("stale mergeDelta and compact refuse instead of clobbering (CAS)") {
+    val root = tmpDir("mor-occ")
+    val store = new BucketedTableStore(spark, root, nBuckets = 2)
+    store.writeAll("member", target(), "memberId")        // manifest 0
+    val b2 = Seq("m2").toDF("memberId").select(store.bucketCol("memberId"))
+      .head().getLong(0).toInt
+    val liveBefore = snapshot(store)
+
+    // a racing winner already published this bucket's d1 → the loser's
+    // ATOMIC_MOVE lands on an existing dest and must abandon its commit
+    val d1 = java.nio.file.Paths.get(root, "member", s"b$b2", "d1")
+    java.nio.file.Files.createDirectories(d1)
+    intercept[java.util.ConcurrentModificationException] {
+      store.mergeDelta("member",
+        Seq(("m2", "loser", t1, "MODIFY"))
+          .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName"),
+        "memberId", t1)
+    }
+    assert(store.bucketStates("member").get.values.forall(_.isClean) &&
+      snapshot(store) == liveBefore,
+      "refused delta commit must leave manifest and data untouched")
+    java.nio.file.Files.delete(d1)
+
+    // same discipline on the compaction rewrite: its dest v-dir already
+    // exists → refuse, chain stays, read stays
+    store.mergeDelta("member",
+      Seq(("m2", "bob2", t1, "MODIFY"))
+        .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName"),
+      "memberId", t1)                                      // manifest 1
+    val afterDelta = snapshot(store)
+    val v2 = java.nio.file.Paths.get(root, "member", s"b$b2", "v2")
+    java.nio.file.Files.createDirectories(v2)
+    intercept[java.util.ConcurrentModificationException] {
+      store.compact("member", minDeltas = 1)
+    }
+    assert(store.bucketStates("member").get(b2).deltas.nonEmpty &&
+      snapshot(store) == afterDelta,
+      "refused compaction must leave the chain and the read untouched")
+  }
+
   test("merge is idempotent: reapplying the same stage is a no-op") {
     val root = tmpDir("bstore4")
     val store = new BucketedTableStore(spark, root, nBuckets = 4)

@@ -217,8 +217,13 @@ class PipelineSpec extends SparkSpec {
   test("bucketed store pipeline matches snapshot store pipeline exactly") {
     // Same scenario (insert/modify/remove/stale-drop), run once per store
     // config; the final member/quest/member_quest contents must be
-    // identical — SyncStore only changes the physical layout.
-    def run(nBuckets: Option[Int], tag: String): Map[String, Seq[String]] = {
+    // identical — SyncStore only changes the physical layout. The third
+    // run drives the merge-on-read path: delta commits with auto-compaction
+    // at chain length 2, so the twice-touched member_quest bucket compacts
+    // mid-pipeline while the once-touched member buckets stay dirty — the
+    // final table reads resolve live delta chains.
+    def run(nBuckets: Option[Int], tag: String,
+        deltaMerges: Boolean = false): Map[String, Seq[String]] = {
       val gen = new CdcGen.Gen(11) // same seed both runs → same fixture data
       val exportDir = tmpDir(s"bexport-$tag")
       val cdcDir = tmpDir(s"bcdc-$tag")
@@ -228,7 +233,8 @@ class PipelineSpec extends SparkSpec {
       val mq0 = gen.memberQuest(m0.pk.stripPrefix("M_"), q0.pk.stripPrefix("Q_"))
       writeLines(exportDir, "data.json", Seq(m0, q0, mq0).map(gen.exportLine))
       var clock = t0
-      val pipeline = new Pipeline(spark, storeRoot, () => new Timestamp(clock), nBuckets)
+      val pipeline = new Pipeline(spark, storeRoot, () => new Timestamp(clock),
+        nBuckets, deltaMerges = deltaMerges, autoCompactAfter = 2)
       pipeline.initialLoad(exportDir)
       val m1 = gen.member()
       val mq1 = gen.memberQuest(m1.pk.stripPrefix("M_"), q0.pk.stripPrefix("Q_"))
@@ -252,8 +258,55 @@ class PipelineSpec extends SparkSpec {
     }
     val plain = run(None, "plain")
     val bucketed = run(Some(8), "bucketed")
+    val mor = run(Some(8), "mor", deltaMerges = true)
     assert(plain("member").nonEmpty && plain("member_quest").nonEmpty)
     assert(bucketed == plain, "bucketed store must produce identical tables")
+    assert(mor == plain, "merge-on-read store must produce identical tables")
+  }
+
+  test("rate-limited backfill drains a backlog in bounded micro-batches") {
+    // Outage-replay scenario: a 12-file CDC backlog is waiting when the
+    // sync starts. Uncapped, the file source delivers it as ONE
+    // outage-sized micro-batch; with maxFilesPerSync it must drain as a
+    // sequence of bounded batches and still reach the identical end state
+    // (the target watermark keeps per-batch application idempotent).
+    def run(cap: Option[Int], tag: String): (Seq[String], Int) = {
+      val gen = new CdcGen.Gen(17)
+      val exportDir = tmpDir(s"bf-export-$tag")
+      val cdcDir = tmpDir(s"bf-cdc-$tag")
+      val ckptDir = tmpDir(s"bf-ckpt-$tag")
+      val storeRoot = tmpDir(s"bf-store-$tag")
+      writeLines(exportDir, "data.json", Seq(gen.exportLine(gen.member())))
+      var clock = t0
+      val pipeline = new Pipeline(spark, storeRoot, () => new Timestamp(clock),
+        maxFilesPerSync = cap)
+      pipeline.initialLoad(exportDir)
+      (0 until 12).foreach { i =>
+        val name = f"backlog$i%02d.json"
+        writeLines(cdcDir, name,
+          Seq(gen.envelope("INSERT", gen.member(), t0 + 1000L * (i + 1))))
+        // the file source batches in modification-time order; pin it so the
+        // capped run applies batches in event-time order (the strict
+        // watermark would drop an out-of-order file's rows as stale —
+        // correct late-data semantics, but not what a replay produces)
+        Paths.get(cdcDir, name).toFile.setLastModified(t0 + 1000L * (i + 1))
+      }
+      clock = t0 + 60000
+      pipeline.syncAvailable(cdcDir, ckptDir)
+      val rows = pipeline.member.select($"memberId").as[String]
+        .collect().toSeq.sorted
+      val batches = Paths.get(ckptDir, "commits").toFile
+        .list().count(_.forall(_.isDigit))
+      (rows, batches)
+    }
+    val (unbounded, uncappedBatches) = run(None, "nolimit")
+    val (bounded, cappedBatches) = run(Some(3), "cap3")
+    assert(unbounded.size == 13, "initial member + 12 backfilled inserts")
+    assert(bounded == unbounded,
+      "rate-limited drain must reach the identical end state")
+    assert(uncappedBatches == 1, "uncapped: the whole backlog is one batch")
+    assert(cappedBatches >= 4, s"12 files at 3 per trigger need >=4 batches, " +
+      s"got $cappedBatches")
   }
 
   test("pipeline retention sweeps snapshot history after each sync") {
