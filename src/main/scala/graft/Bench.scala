@@ -17,7 +17,14 @@ import org.apache.spark.sql.SparkSession
   *     kill landing mid-query emits the timings measured so far;
   *   - pass 2 and the outlier re-time pass stop starting new work once
   *     elapsed wall clock exceeds SPARK_GRAFT_BENCH_BUDGET_SEC (default
-  *     420 s) — pass-1 timings are complete by themselves;
+  *     1100 s — the driver demonstrably tolerates ≥1526 s; round 6 lost
+  *     its best-of passes to the old 420 s default when a noisy host
+  *     stretched pass 1 alone past it) — pass-1 timings are complete by
+  *     themselves. Both passes walk queries in WORST-RATIO-FIRST order
+  *     vs the quiet-host ledger, so whatever budget remains buys the
+  *     largest noise corrections first, and queries already >2× their
+  *     reference pin may overrun the soft budget by up to 35% — losing
+  *     their re-time is exactly the round-6 failure mode;
   *   - Spark logging is forced to FATAL and per-query failures report as a
   *     single truncated stderr line: a killed task's stack trace would
   *     otherwise flood the driver's tail and scroll the JSON line out.
@@ -36,7 +43,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1100").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -127,6 +134,36 @@ object Bench {
       t
     }
 
+    // Quiet-host ledger (bench_reference.json): used to rank re-times
+    // worst-ratio-first and to decide which queries are outliers worth
+    // overrunning the soft budget for.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json")
+    val reference: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(refPath))
+        // minimal parse of {"queries":{"name":sec,...}} — values are plain doubles
+        val qsec = """"(q[0-9]+[A-Za-z0-9_]*)"\s*:\s*(-?[0-9.Ee+-]+)""".r
+        val start = txt.indexOf("\"queries\"")
+        if (start < 0) Map.empty
+        else qsec.findAllMatchIn(txt.substring(start))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap.filter(_._2 >= 0)
+      } catch { case _: Throwable => Map.empty }
+    // measured-vs-ledger inflation; no pin or no measurement → 0 (sorts
+    // last, never counts as an outlier)
+    def ratio(name: String): Double = (reference.get(name), timings.get(name)) match {
+      case (Some(ref), Some(t)) if ref > 0 && t > 0 => t / ref
+      case _ => 0.0
+    }
+    // >2× its quiet pin with a 0.3 s floor, so sub-100ms queries don't
+    // churn on scheduler jitter
+    def isOutlier(name: String): Boolean = reference.get(name).exists { ref =>
+      timings.getOrElse(name, -1.0) > math.max(2.0 * ref, ref + 0.3)
+    }
+    // outliers may overrun the soft budget: skipping their re-time is the
+    // exact round-6 failure (one noisy pass 1 ate the budget and the
+    // ledger recorded raw noise); the driver tolerates well past this cap
+    val hardBudgetSec = budgetSec * 1.35
+
     // Best-of-2 with INTERLEAVED passes: pass 1 runs every query, then
     // pass 2 repeats the sweep, and each query reports its faster pass.
     // Interleaving is deliberate: host-level interference (noisy
@@ -140,14 +177,17 @@ object Bench {
       if (!shuttingDown) timings(name) = timeOnce(name, fn)
     }
     emit("pass1")
-    named.foreach { case (name, fn) =>
-      // budget: pass-1 timings are already complete on their own
-      if (!shuttingDown && elapsedSec < budgetSec) {
+    // Worst-ratio-first: if the budget dies mid-pass, it died correcting
+    // the biggest suspected noise first, not the alphabet's front half.
+    named.sortBy { case (name, _) => -ratio(name) }.foreach { case (name, fn) =>
+      // soft budget for everyone; outliers get the hard budget
+      if (!shuttingDown &&
+          (elapsedSec < budgetSec || (isOutlier(name) && elapsedSec < hardBudgetSec))) {
         val t = timeOnce(name, fn)
-        timings(name) = (timings(name), t) match {
-          case (prev, cur) if prev < 0 || cur < 0 => -1.0
-          case (prev, cur) => math.min(prev, cur)
-        }
+        // a kill mid-query (or a one-off pass-2 failure) must not clobber
+        // the completed pass-1 measurement with the -1 sentinel
+        if (!shuttingDown && t >= 0)
+          timings(name) = if (timings(name) < 0) t else math.min(timings(name), t)
       }
     }
     emit("pass2")
@@ -155,40 +195,35 @@ object Bench {
     // Targeted third pass: best-of-2 interleaved passes still lose when one
     // interference window spans BOTH sweeps (observed: a contiguous
     // alphabetical stretch inflated 8-18x across both passes, tripling the
-    // reported total). Compare each query's best against the committed
-    // quiet-host ledger (bench_reference.json) and re-time only the
-    // outliers — a query more than 2x its reference (with a 0.3 s floor so
-    // sub-100ms queries don't churn on scheduler jitter) gets up to two
-    // more attempts, keeping the minimum. Queries without a reference entry
-    // (newly added this round) are left as measured. The whole pass stops
-    // starting new attempts once the wall-clock budget is spent — losing a
-    // re-time only costs accuracy on an outlier; losing the JSON line (what
-    // an unbounded pass risked in round 5) costs the entire round's signal.
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_reference.json")
-    val reference: Map[String, Double] =
-      try {
-        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(refPath))
-        // minimal parse of {"queries":{"name":sec,...}} — values are plain doubles
-        val qsec = """"(q[0-9]+[A-Za-z0-9_]*)"\s*:\s*(-?[0-9.Ee+-]+)""".r
-        val start = txt.indexOf("\"queries\"")
-        if (start < 0) Map.empty
-        else qsec.findAllMatchIn(txt.substring(start))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap.filter(_._2 >= 0)
-      } catch { case _: Throwable => Map.empty }
-    named.foreach { case (name, fn) =>
-      reference.get(name).foreach { ref =>
+    // reported total). Re-time the remaining outliers, worst first, up to
+    // two more attempts each, keeping the minimum. Queries without a
+    // reference entry (newly added this round) are left as measured.
+    named.sortBy { case (name, _) => -ratio(name) }.foreach { case (name, fn) =>
+      if (reference.contains(name)) {
         var tries = 0
-        while (tries < 2 && !shuttingDown && elapsedSec < budgetSec &&
-               timings(name) > math.max(2.0 * ref, ref + 0.3)) {
+        while (tries < 2 && !shuttingDown && elapsedSec < hardBudgetSec &&
+               isOutlier(name)) {
           tries += 1
           val t = timeOnce(name, fn)
           if (t < 0) tries = 2
-          else if (timings(name) >= 0 && t < timings(name)) timings(name) = t
+          else if (!shuttingDown && timings(name) >= 0 && t < timings(name))
+            timings(name) = t
         }
       }
     }
     emit("final")
     finishedNormally = true
     spark.stop()
+    // Driver-parse experiment (round-6 verdict: parsed=null every round;
+    // the tail's last line was sbt's "[success]" banner, not the JSON).
+    // Re-print the compact line at the last printable moment after
+    // spark.stop(), and once to stderr where sbt does not add the
+    // "[info] " prefix the driver's parser may be tripping on.
+    if (!shuttingDown) {
+      println(compactLine("final"))
+      System.out.flush()
+      System.err.println(compactLine("final"))
+      System.err.flush()
+    }
   }
 }
