@@ -141,11 +141,11 @@ object JoinOps {
     * bound (pairs colliding in no band are never considered — the knob is
     * numHashes/rowsPerBand, same trade q34 documents).
     *
-    * Caching contract: the hashed shingle frames (one per side) stay
-    * persisted after the result materializes — they are interior nodes of
-    * the returned lazy plan, so the operator cannot unpersist them
-    * itself. The Verify/Bench drivers clear the cache after every query;
-    * other library callers should `unpersist`/`clearCache()` once done.
+    * Caching contract: the hashed shingle frames (one per side) are
+    * persisted for the build only — the thresholded pair result is
+    * materialized eagerly and both frames released before returning
+    * ([[graft.operators.Materialize.thenRelease]]), so the operator
+    * leaves no cached blocks behind.
     *
     * Output: (left_id, right_id, inter, n_left, n_right, jaccard). */
   def setSimilarityJoin(left: DataFrame, right: DataFrame, idCol: String,
@@ -180,12 +180,13 @@ object JoinOps {
       .agg(count(lit(1)).as("inter"))
     val nL = shL.groupBy(col("left_id")).agg(count(lit(1)).as("n_left"))
     val nR = shR.groupBy(col("right_id")).agg(count(lit(1)).as("n_right"))
-    inter.join(nL, Seq("left_id")).join(nR, Seq("right_id"))
+    val verified = inter.join(nL, Seq("left_id")).join(nR, Seq("right_id"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_left") + col("n_right") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), col("inter"),
         col("n_left"), col("n_right"), col("jaccard"))
+    Materialize.thenRelease(verified, shL, shR)
   }
 
   /** Band/interval join: pair each point row with every range row whose

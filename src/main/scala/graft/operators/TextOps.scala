@@ -128,18 +128,23 @@ object TextOps {
     * is hash-partitioned — at scale only bucket-collisions shuffle, never
     * the corpus cross product.
     *
-    * The bands frame is persisted: it is tiny relative to the corpus
-    * (k rows of (long, int, hash) per doc), but both sides of the
-    * self-join consume it — without the persist each side would rerun the
-    * whole shingle+signature scan. */
+    * The bands frame is persisted during the build: it is tiny relative
+    * to the corpus (k rows of (long, int, hash) per doc), but both sides
+    * of the self-join consume it — without the persist each side would
+    * rerun the whole shingle+signature scan. The pair result is
+    * materialized eagerly and the bands released before returning
+    * ([[Materialize.thenRelease]]), so the operator leaves no cached
+    * blocks behind. */
   def lshCandidatePairs(bands: DataFrame): DataFrame = {
     val cached = bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = cached.as("a")
     val b = cached.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
+    Materialize.thenRelease(pairs, cached)
   }
 
   /** Directed LSH candidate pairs with a bucket-membership cap: the first
@@ -153,11 +158,12 @@ object TextOps {
     * (b,a)) because nearest-duplicate search scans from each doc's side;
     * distinct collapses multi-band collisions.
     *
-    * The capped bands frame is persisted — both self-join sides consume
-    * it, and the broadcast-side plan would otherwise rerun the md5-heavy
-    * signature scan (ReusedExchange never applies to a broadcast build
-    * side). Callers outside Verify/Bench (which clearCache per query)
-    * should clear the cache when done. */
+    * The capped bands frame is persisted during the build — both
+    * self-join sides consume it, and the broadcast-side plan would
+    * otherwise rerun the md5-heavy signature scan (ReusedExchange never
+    * applies to a broadcast build side). The capped pair set (≤
+    * buckets·m(m-1) rows) is materialized eagerly and the bands released
+    * before returning, so no cached blocks outlive the call. */
   def cappedLshCandidates(docs: DataFrame, n: Int, numHashes: Int,
       rowsPerBand: Int, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -167,11 +173,12 @@ object TextOps {
     val capped = bands.withColumn("rn", row_number().over(capW))
       .filter(col("rn") <= maxBucket).drop("rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    capped.as("a").join(capped.as("b"),
+    val pairs = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    Materialize.thenRelease(pairs, capped)
   }
 
   /** Exact n-gram Jaccard for pairs sharing ≥ minIntersect shingles:
@@ -190,11 +197,11 @@ object TextOps {
     * regardless of corpus size. Per-doc counts (n_a/n_b) use the same
     * capped set, keeping inter ≤ min(n_a, n_b) and jaccard ≤ 1 invariants.
     *
-    * Caching contract: the exploded shingle frames stay persisted after
-    * the result materializes (they are interior nodes of the returned lazy
-    * plan, so the operator cannot unpersist them itself). The Verify/Bench
-    * drivers clear the cache after every query; other library callers
-    * should `unpersist`/`clearCache()` once done with the result.
+    * Caching contract: the exploded shingle frames are persisted for the
+    * duration of the build only — the (filtered, small) pair result is
+    * materialized eagerly and the shingle frames released before the
+    * caller sees it ([[Materialize.thenRelease]]), so the operator leaves
+    * no cached blocks behind.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minIntersect: Int,
       maxDf: Int = Int.MaxValue): DataFrame = {
@@ -225,11 +232,12 @@ object TextOps {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter") >= minIntersect)
-    inter
+    val pairs = inter
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+    Materialize.thenRelease(pairs, Seq(raw, sh).distinct: _*)
   }
 
   private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")

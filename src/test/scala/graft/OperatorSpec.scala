@@ -78,6 +78,27 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
   }
 
+  test("pair operators leave no cached blocks behind") {
+    // Each of these persists an expensive interior frame (shingles, band
+    // buckets) during its build; the contract is that the result comes
+    // back materialized and the intermediates are already released — a
+    // library caller never has to clearCache() after them.
+    spark.sharedState.cacheManager.clearCache()
+    val docs = Seq((0L, "a b c d e f"), (1L, "a b c d e g"), (2L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    TextOps.ngramJaccardPairs(docs, n = 3, minIntersect = 1).count()
+    TextOps.cappedLshCandidates(docs, n = 3, numHashes = 8,
+      rowsPerBand = 2, maxBucket = 4).count()
+    TextOps.lshCandidatePairs(TextOps.lshBands(
+      TextOps.minhashSignatures(docs, n = 3, numHashes = 8),
+      numHashes = 8, rowsPerBand = 2)).count()
+    graft.operators.JoinOps.setSimilarityJoin(
+      docs.toDF("id", "text"), docs.toDF("id", "text"),
+      idCol = "id", textCol = "text", threshold = 0.5).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pair operators must release their persisted intermediates")
+  }
+
   test("winnowing fingerprint is stable under edits far from the minimum") {
     val core = "x" * 5 + "aaaaaaaaaaaaaaaaqqqq" + "z" * 40
     val df = Seq((0L, core), (1L, "PREFIX-" + core)).toDF("id", "text")
