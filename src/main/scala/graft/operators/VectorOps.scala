@@ -144,7 +144,7 @@ object VectorOps {
     */
   def ivfTopK(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 6, seed: Long = 42L): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 8, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
@@ -165,7 +165,7 @@ object VectorOps {
     // k-means|| init kept deliberately: random init was measured ~0.3 s
     // faster at sf0.1 but drops recall@10 from 0.64 to 0.48 — centroid
     // quality is worth more than index-build seconds here.
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .fit(train)
     val assigned = model.transform(corpusVec)
       .select(col("neighbor_id"),
@@ -284,12 +284,17 @@ object VectorOps {
     // stay distributed.
     val trainTarget = 65536L
     val corpusN = corpusVec.count()
+    // The sample is sorted by id on the driver before training:
+    // collect() order is partition order, which shifts with file splits
+    // and parallelism, and localKMeans's seeded init indexes into the
+    // array — sorting makes the codebooks (hence recall) a pure function
+    // of the data, invariant to the execution environment.
     val sample =
       (if (corpusN <= trainTarget) corpusVec
        else corpusVec.sample(withReplacement = false,
          trainTarget.toDouble / corpusN, seed))
-        .select(col("embedding").cast("array<double>"))
-        .collect().map(_.getSeq[Double](0).toArray)
+        .select(col("neighbor_id"), col("embedding").cast("array<double>"))
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
     // codebooks(b)(code) = centroid of block b (sub doubles)
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { b =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, b * sub, (b + 1) * sub))

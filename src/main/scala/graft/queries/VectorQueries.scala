@@ -92,7 +92,8 @@ object VectorQueries {
     val q = emb.filter(col("vec_id") < 5)
     val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
     VectorOps.recallAgainst(VectorOps.lshTopK(q, emb, k = 10), exact)
-      .select(col("query_id"), (col("recall") >= 0.5).cast("int").as("recall_ok"))
+      .select(col("query_id"), (col("recall") >= recallBound(dir, 0.65, 0.5))
+        .cast("int").as("recall_ok"))
       .orderBy(col("query_id").asc)
   }
   val q42Oracle: String = annRecallOracle
@@ -102,6 +103,23 @@ object VectorQueries {
   private def annRecallOracle: String = """
     SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings
     WHERE vec_id < 5 ORDER BY query_id ASC"""
+
+  /** Scale-factor-aware recall bound for the ANN gate queries. The
+    * correctness gate runs at sf0.01, where each index's per-query
+    * minimum recall is measured and stable (SRP and PQ are fully
+    * data-deterministic — hashed hyperplanes resp. driver-sorted
+    * training sample; IVF's k-means|| is seeded with 0.10 headroom) —
+    * so the gate asserts the TIGHT bound and a real recall regression
+    * trips the oracle. Other scale factors (bench at sf0.1, smoke at
+    * sf0.001) keep the loose floor: corpus size changes the geometry,
+    * and those runs check throughput, not recall quality.
+    *
+    * Measured minima (graft.AnnRecallProbe, re-run whenever an index or
+    * its training inputs change):
+    *   sf0.001 / sf0.01 / sf0.1 → SRP 0.50 0.70 0.70; IVF 0.80 0.80
+    *   0.70; PQ 0.90 0.90 0.30. Gate bounds: SRP 0.65, IVF 0.7, PQ 0.8. */
+  private def recallBound(dir: String, atGate: Double, floor: Double): Double =
+    if (dir.stripSuffix("/").endsWith("sf0.01")) atGate else floor
 
   // q43 — k-NN label vote: classify each query vector by majority label of
   // its 10 exact neighbors (integer counts → exact oracle).
@@ -145,29 +163,31 @@ object VectorQueries {
 
   // q44 — IVF ANN: k-means cells + nprobe probing + exact re-rank. The
   // coarse quantizer is engine-trained so the neighbor list is engine-
-  // specific — emitted as a per-query recall bound like q42 (measured
-  // minima: 0.7 at sf0.01, 0.6 at sf0.001 and sf0.1).
+  // specific — emitted as a per-query recall bound like q42 (minima in
+  // the recallBound scaladoc).
   def q44AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 5)
     val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
     VectorOps.recallAgainst(VectorOps.ivfTopK(spark, q, emb, k = 10), exact)
-      .select(col("query_id"), (col("recall") >= 0.5).cast("int").as("recall_ok"))
+      .select(col("query_id"), (col("recall") >= recallBound(dir, 0.7, 0.5))
+        .cast("int").as("recall_ok"))
       .orderBy(col("query_id").asc)
   }
   val q44Oracle: String = annRecallOracle
 
   // q129 — product-quantization ANN: codebooks are engine-trained so the
   // neighbor list is engine-specific — emitted as a per-query recall
-  // bound like q42. Bound 0.3 (not 0.5): PQ's measured per-query minimum
-  // dips to 0.3 at sf0.1 (8-byte codes over a 5k corpus); the gate runs
-  // at sf0.01 where the minimum is 0.7.
+  // bound like q42. Floor 0.3 away from the gate: PQ's measured per-query
+  // minimum dips to 0.3 at sf0.1 (8-byte codes over a 50k corpus); the
+  // sf0.01 gate asserts 0.7 against deterministic codebooks.
   def q129AnnPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 5)
     val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
     VectorOps.recallAgainst(VectorOps.pqTopK(spark, q, emb, k = 10), exact)
-      .select(col("query_id"), (col("recall") >= 0.3).cast("int").as("recall_ok"))
+      .select(col("query_id"), (col("recall") >= recallBound(dir, 0.8, 0.3))
+        .cast("int").as("recall_ok"))
       .orderBy(col("query_id").asc)
   }
   val q129Oracle: String = annRecallOracle
