@@ -25,12 +25,22 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Active only when `spark.graft.store.root` is set (checked per parse, so
   * one session can point at different stores over its lifetime); without
   * the conf every statement passes through untouched, including Spark's own
-  * DSv2 `VERSION AS OF` grammar for catalog tables. Known textual-rewrite
-  * limitation, documented rather than hidden: the pattern is also rewritten
-  * inside string literals containing the exact `ident VERSION AS OF n`
-  * sequence — though only when `ident` names a directory that exists under
-  * the store root (non-store identifiers, including the trailing segment
-  * of qualified names, pass through untouched).
+  * DSv2 `VERSION AS OF` grammar for catalog tables.
+  *
+  * Which names rewrite: if `spark.graft.store.tables` is set (comma-
+  * separated list), exactly those names — the explicit registration a
+  * session that also uses DSv2 catalog time travel should prefer. Unset,
+  * the parser falls back to names that exist as directories under the
+  * store root. Two hazards of the fallback, documented rather than
+  * hidden: (1) an UNQUALIFIED DSv2 catalog table whose name collides
+  * with a store directory is captured by the rewrite (qualify it, or set
+  * the table list); (2) the same query text parses differently before vs
+  * after the store directory appears — parse-time filesystem state is
+  * part of the grammar. Known textual-rewrite limitation: the pattern is
+  * also rewritten inside string literals containing the exact
+  * `ident VERSION AS OF n` sequence for a registered/existing `ident`
+  * (non-store identifiers, including the trailing segment of qualified
+  * names, pass through untouched).
   */
 class TimeTravelParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
@@ -46,12 +56,19 @@ class TimeTravelParser(session: SparkSession, delegate: ParserInterface)
     session.conf.getOption("spark.graft.store.root") match {
       case None => sqlText
       case Some(root) =>
+        // Explicit registration beats filesystem probing (scaladoc hazard
+        // (1)/(2)): when the conf is set, ONLY the listed names rewrite.
+        val registered = session.conf.getOption("spark.graft.store.tables")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
         TimeTravel.replaceAllIn(sqlText, m => {
-          // Rewrite only names that actually exist as store tables; any
-          // other `ident VERSION AS OF n` (e.g. a DSv2 catalog table)
-          // passes through to the delegate grammar untouched.
-          val isStoreTable =
-            java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, m.group(1)))
+          // Rewrite only registered/existing store tables; any other
+          // `ident VERSION AS OF n` (e.g. a DSv2 catalog table) passes
+          // through to the delegate grammar untouched.
+          val isStoreTable = registered match {
+            case Some(tables) => tables.contains(m.group(1))
+            case None =>
+              java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, m.group(1)))
+          }
           scala.util.matching.Regex.quoteReplacement(
             if (isStoreTable) s"parquet.`$root/${m.group(1)}/v${m.group(2)}`"
             else m.matched)

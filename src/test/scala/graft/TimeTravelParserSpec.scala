@@ -56,4 +56,28 @@ class TimeTravelParserSpec extends SparkSpec {
     }
     TableStore.deleteRecursively(java.nio.file.Paths.get(root))
   }
+
+  test("registered-table list overrides directory probing") {
+    val root = tmpDir("ttp")
+    val store = new TableStore(spark, root)
+    val s = spark
+    import s.implicits._
+    store.write("t", Seq((1L, "a")).toDF("id", "v"))   // exists on disk
+    val key = "spark.graft.store.tables"
+    withStoreRoot(root) { p =>
+      spark.conf.set(key, "other")
+      try {
+        // `t` exists under the root but is NOT registered → the conf
+        // shields it (the DSv2 name-collision escape hatch)
+        val shielded = p.parsePlan("SELECT * FROM t VERSION AS OF 0")
+        assert(!shielded.toString.contains("parquet."),
+          s"unregistered name was rewritten: $shielded")
+        // a registered name rewrites even with no directory present yet
+        val registered = p.parsePlan("SELECT * FROM other VERSION AS OF 2")
+        assert(registered.toString.contains(s"$root/other/v2"),
+          s"registered name was not rewritten: $registered")
+      } finally spark.conf.unset(key)
+    }
+    TableStore.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }
