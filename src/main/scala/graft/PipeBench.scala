@@ -103,6 +103,24 @@ object PipeBench {
     }.mkString("[", ",", "]")
     println(s"""{"metric":"bucketed_merge","target_rows":$bigN,"n_buckets":256,"batches":$bres}""")
 
+    // Merge-on-read on the same 10M-row bucketed target: a delta commit
+    // appends one small file per touched bucket and never reads the
+    // target, so its cost is O(batch) — flat in table size where the
+    // copy-on-write merge above pays touched-bucket bytes. compact()
+    // afterwards pays the rewrite ONCE for the accumulated chains (the
+    // amortization knob autoCompactAfter turns).
+    val dres = Seq(16L, 1000L).map { batch =>
+      val stage = syntheticStage(spark, batch, t0)
+      val start = System.nanoTime()
+      bstore.mergeDelta("member", stage, "memberId", new Timestamp(t0 + 60000))
+      val sec = (System.nanoTime() - start) / 1e9
+      f"""{"batch":$batch,"sec":$sec%.3f}"""
+    }.mkString("[", ",", "]")
+    val cstart = System.nanoTime()
+    val compacted = bstore.compact("member", minDeltas = 1)
+    val csec = (System.nanoTime() - cstart) / 1e9
+    println(s"""{"metric":"delta_merge","target_rows":$bigN,"n_buckets":256,"batches":$dres,"compact_buckets":$compacted,"compact_sec":${f"$csec%.3f"}}""")
+
     // Same 10M-row target, whole-table rewrite (TableStore protocol): the
     // baseline the bucketed store's touched-fraction cost compares against.
     syntheticTarget(spark, bigN, t0 - 1000)
