@@ -1,0 +1,136 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.sync.BucketedTableStore
+
+/** Dedup-on-ingest: admit/reject each arriving batch against a PERSISTED
+  * fingerprint index that grows with the admissions — the sequential form
+  * of q92's one-shot batch-vs-corpus screen (TextQueries.scala), and the
+  * shape a 100 TB training-corpus ingest actually runs: the corpus is
+  * never rescanned, batch k sees every admission from batches 1..k-1, and
+  * the index update is a merge-on-read delta commit (O(batch), not
+  * O(corpus)).
+  *
+  * ONE keyed [[BucketedTableStore]] table (`fp`) holds both fingerprint
+  * kinds, disambiguated by prefix — `"e:" + md5(text)` for exact content,
+  * `"b:" + band + ":" + bucket` for MinHash LSH band buckets
+  * ([[TextOps.lshBands]] machinery). A single table means one probe, one
+  * delta commit, and one manifest CAS per batch instead of two of each;
+  * the kind survives in the key so one semi-join answers both questions.
+  *
+  * Scale shape, per batch:
+  *   - PROBE: the batch's fingerprints touch at most `nBuckets` store
+  *     buckets; their ids (a bounded set of ints — collected, but never
+  *     rows) prune the index read to the touched buckets' files. The
+  *     semi-join shuffles batch fingerprints and the pruned slice only —
+  *     index size never enters the probe cost.
+  *   - DECIDE: a doc is an exact dup if its `e:` fingerprint is indexed,
+  *     a near dup if ANY of its `b:` fingerprints is (same banding
+  *     threshold as q34). Decisions within one batch are taken against
+  *     the index AS OF the batch start (snapshot semantics): two
+  *     identical new docs in the same batch are both admitted —
+  *     intra-batch dedup is a separate concern
+  *     ([[TextOps.exactDupGroups]]) with its own keep-first rule.
+  *   - UPDATE: admitted docs' fingerprints delta-merge into the table
+  *     ([[BucketedTableStore.mergeDelta]]) — one small file per touched
+  *     bucket, no index bytes read or rewritten; `autoCompactAfter`
+  *     bounds the read-side chain length. Rejected docs leave NO trace:
+  *     only admitted content guards future batches.
+  *
+  * Determinism: md5-based hashing end to end, so an oracle replays the
+  * whole sequential run (index growth included) in SQL.
+  */
+object DedupIngest {
+
+  /** Exact-content fingerprints: (doc_id, h) with h = md5 of the text. */
+  def exactFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+
+  /** LSH band fingerprints: (doc_id, bb) with bb = "band:bucket". Docs
+    * shorter than `shingleN` tokens have no shingles and thus no rows —
+    * they can never be near-dups (matches the minhash oracle's
+    * `len(t) >= n` guard). */
+  def bandFingerprints(docs: DataFrame, shingleN: Int, numHashes: Int,
+      rowsPerBand: Int): DataFrame =
+    TextOps.lshBands(
+        TextOps.minhashSignatures(docs, shingleN, numHashes),
+        numHashes, rowsPerBand)
+      .select(col("doc_id"),
+        concat(col("band").cast("string"), lit(":"), col("bucket")).as("bb"))
+
+  /** Both kinds as one keyed frame: (doc_id, fp), fp prefixed `e:`/`b:`. */
+  def fingerprints(docs: DataFrame, shingleN: Int, numHashes: Int,
+      rowsPerBand: Int): DataFrame =
+    exactFingerprints(docs)
+      .select(col("doc_id"), concat(lit("e:"), col("h")).as("fp"))
+      .unionByName(
+        bandFingerprints(docs, shingleN, numHashes, rowsPerBand)
+          .select(col("doc_id"), concat(lit("b:"), col("bb")).as("fp")))
+
+  /** Rows of `probes` whose `fp` is present in the index, reading only
+    * the store buckets the probes hash into. The collected set is bucket
+    * IDS (≤ nBuckets ints), never data. */
+  private def probeHits(store: BucketedTableStore, name: String,
+      probes: DataFrame): DataFrame = {
+    val touched = probes.select(store.bucketCol("fp").as("_b")).distinct()
+      .collect().map(_.getLong(0).toInt).toSet
+    store.readBuckets(name, Some(touched)) match {
+      case Some(idx) =>
+        probes.join(idx.select(col("fp")), Seq("fp"), "left_semi")
+      case None => probes.limit(0)
+    }
+  }
+
+  /** Seed the index from `corpus`, then ingest `batches` in order.
+    * Returns one decision row per batch doc:
+    * (doc_id, batch_id, exact_dup, near_dup, admitted), unordered.
+    *
+    * `t0` stamps the index commits (deterministic clock — batch i commits
+    * at t0 + i·60 s); it never influences the decisions. */
+  def run(spark: SparkSession, root: String, corpus: DataFrame,
+      batches: Seq[DataFrame], nBuckets: Int = 32, shingleN: Int = 3,
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      t0: Long = 1660000000000L): DataFrame = {
+    val store = new BucketedTableStore(spark, root, nBuckets,
+      deltaMerges = true, autoCompactAfter = 4)
+    store.writeAll("fp",
+      fingerprints(corpus, shingleN, numHashes, rowsPerBand)
+        .select(col("fp")).distinct()
+        .withColumn("syncTimestamp", lit(new Timestamp(t0))), "fp")
+
+    val decisions = batches.zipWithIndex.map { case (batch, i) =>
+      // the fingerprint frame feeds the probe AND (filtered) the index
+      // update — persist for the batch's scope, released before returning
+      val fps = fingerprints(batch, shingleN, numHashes, rowsPerBand)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val flags = probeHits(store, "fp", fps)
+        .groupBy(col("doc_id")).agg(
+          max(when(substring(col("fp"), 1, 2) === "e:", 1).otherwise(0)).as("e"),
+          max(when(substring(col("fp"), 1, 2) === "b:", 1).otherwise(0)).as("nd"))
+      val dec = batch.select(col("doc_id"))
+        .join(flags, Seq("doc_id"), "left")
+        .select(col("doc_id"), lit(i + 1).as("batch_id"),
+          coalesce(col("e"), lit(0)).as("exact_dup"),
+          coalesce(col("nd"), lit(0)).as("near_dup"))
+        .withColumn("admitted",
+          (col("exact_dup") === 0 && col("near_dup") === 0).cast("int"))
+      // materialize the decisions BEFORE the index moves: the probe plan
+      // holds the pre-merge manifest's file paths (valid until vacuum, but
+      // re-evaluating it during the merge below would redo the joins)
+      val decM = Materialize.thenRelease(dec)
+      val admitted = decM.filter(col("admitted") === 1).select(col("doc_id"))
+      store.mergeDelta("fp",
+        fps.join(admitted, Seq("doc_id"), "left_semi").select(col("fp"))
+          .distinct().withColumn("eventName", lit("INSERT")),
+        "fp", new Timestamp(t0 + (i + 1) * 60000L))
+      fps.unpersist()
+      decM
+    }
+    decisions.reduce(_.unionByName(_))
+  }
+}

@@ -1,11 +1,13 @@
 package graft.queries
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.TextOps
+import graft.operators.{DedupIngest, TextOps}
 import graft.tables.Tables
 
 /** Training-data text operators as driver-checkable queries over the
@@ -482,7 +484,72 @@ object TextQueries {
     ORDER BY left_id ASC, right_id ASC"""
   }
 
+  // q150 — dedup-on-ingest: sequential admit/reject of two batches against
+  // a PERSISTED fingerprint index (exact md5 + minhash band buckets in a
+  // BucketedTableStore) that grows with the admissions — batch 2's
+  // decisions see batch 1's admitted docs, the property q92's one-shot
+  // screen cannot express. Index updates are merge-on-read delta commits;
+  // probes read only the store buckets the batch's fingerprints hash
+  // into. The oracle replays the whole sequential run — index growth
+  // included — because every fingerprint is md5-derived on both engines.
+  def q150DedupOnIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) <= 1)
+    val batches = Seq(2, 3).map(r =>
+      docs.filter(pmod(col("doc_id"), lit(4)) === r))
+    val root = Files.createTempDirectory("graft-ingest").toString
+    // the decisions come back lineage-free (localCheckpoint), so the
+    // store directory can be deleted before the caller consumes them
+    try DedupIngest.run(spark, root, corpus, batches, nBuckets = 16)
+      .orderBy(col("doc_id").asc)
+    finally graft.sync.TableStore.deleteRecursively(Paths.get(root))
+  }
+  val q150Oracle: String = {
+    val mins = (0 until 8).map(s => s"MIN(md5(shingle || '|$s')) AS mh$s").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS bucket FROM mh")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    bands AS ($bandRows),
+    bb AS (SELECT doc_id, CAST(band AS VARCHAR) || ':' || bucket AS bb FROM bands),
+    hs AS (SELECT doc_id, md5(text) AS h FROM documents),
+    ceh AS (SELECT DISTINCT h FROM hs WHERE doc_id % 4 <= 1),
+    cbb AS (SELECT DISTINCT bb FROM bb WHERE doc_id % 4 <= 1),
+    b1 AS (
+      SELECT d.doc_id, 1 AS batch_id,
+        CASE WHEN d.h IN (SELECT h FROM ceh) THEN 1 ELSE 0 END AS exact_dup,
+        CASE WHEN EXISTS (SELECT 1 FROM bb x WHERE x.doc_id = d.doc_id
+                          AND x.bb IN (SELECT bb FROM cbb))
+             THEN 1 ELSE 0 END AS near_dup
+      FROM hs d WHERE d.doc_id % 4 = 2),
+    b1adm AS (SELECT doc_id FROM b1 WHERE exact_dup = 0 AND near_dup = 0),
+    eh1 AS (SELECT h FROM ceh UNION
+            SELECT h FROM hs WHERE doc_id IN (SELECT doc_id FROM b1adm)),
+    bb1 AS (SELECT bb FROM cbb UNION
+            SELECT bb FROM bb WHERE doc_id IN (SELECT doc_id FROM b1adm)),
+    b2 AS (
+      SELECT d.doc_id, 2 AS batch_id,
+        CASE WHEN d.h IN (SELECT h FROM eh1) THEN 1 ELSE 0 END AS exact_dup,
+        CASE WHEN EXISTS (SELECT 1 FROM bb x WHERE x.doc_id = d.doc_id
+                          AND x.bb IN (SELECT bb FROM bb1))
+             THEN 1 ELSE 0 END AS near_dup
+      FROM hs d WHERE d.doc_id % 4 = 3),
+    allb AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT doc_id, batch_id, exact_dup, near_dup,
+      CASE WHEN exact_dup = 0 AND near_dup = 0 THEN 1 ELSE 0 END AS admitted
+    FROM allb ORDER BY doc_id ASC"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_dedup_on_ingest" -> (q150DedupOnIngest _),
     "q148_setsim_join" -> (q148SetsimJoin _),
     "q125_regex_tokens" -> (q125RegexTokens _),
     "q93_dedup_clusters" -> (q93DedupClusters _),
@@ -499,6 +566,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q150_dedup_on_ingest" -> q150Oracle,
     "q148_setsim_join" -> q148Oracle,
     "q125_regex_tokens" -> q125Oracle,
     "q93_dedup_clusters" -> q93Oracle,
