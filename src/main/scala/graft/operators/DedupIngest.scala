@@ -74,17 +74,52 @@ object DedupIngest {
 
   /** Rows of `probes` whose `fp` is present in the index, reading only
     * the store buckets the probes hash into. The collected set is bucket
-    * IDS (≤ nBuckets ints), never data. */
+    * IDS (≤ nBuckets ints), never data. A probe touching only buckets
+    * the index has never written resolves to a schema-less empty frame —
+    * guarded to mean "no hits". */
   private def probeHits(store: BucketedTableStore, name: String,
       probes: DataFrame): DataFrame = {
     val touched = probes.select(store.bucketCol("fp").as("_b")).distinct()
       .collect().map(_.getLong(0).toInt).toSet
     store.readBuckets(name, Some(touched)) match {
-      case Some(idx) =>
+      case Some(idx) if idx.columns.contains("fp") =>
         probes.join(idx.select(col("fp")), Seq("fp"), "left_semi")
-      case None => probes.limit(0)
+      case _ => probes.limit(0)
     }
   }
+
+  /** Admit/reject decisions for ONE batch against the index AS OF now —
+    * pure read, no index mutation. `fps` must be [[fingerprints]] of
+    * `batch` (passed in so the caller can persist it across this and
+    * [[applyAdmissions]]). Returns
+    * (doc_id, batch_id, exact_dup, near_dup, admitted). */
+  def decide(store: BucketedTableStore, batch: DataFrame, fps: DataFrame,
+      batchId: Long): DataFrame = {
+    val flags = probeHits(store, "fp", fps)
+      .groupBy(col("doc_id")).agg(
+        max(when(substring(col("fp"), 1, 2) === "e:", 1).otherwise(0)).as("e"),
+        max(when(substring(col("fp"), 1, 2) === "b:", 1).otherwise(0)).as("nd"))
+    batch.select(col("doc_id"))
+      .join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"), lit(batchId).as("batch_id"),
+        coalesce(col("e"), lit(0)).as("exact_dup"),
+        coalesce(col("nd"), lit(0)).as("near_dup"))
+      .withColumn("admitted",
+        (col("exact_dup") === 0 && col("near_dup") === 0).cast("int"))
+  }
+
+  /** Delta-merge the admitted docs' fingerprints into the index.
+    * IDEMPOTENT under re-application: upserting the same keys again adds
+    * a delta layer whose resolution is unchanged (newest-wins over equal
+    * rows) — the property the streaming wrapper's crash-replay relies on. */
+  def applyAdmissions(store: BucketedTableStore, fps: DataFrame,
+      decisions: DataFrame, ts: Timestamp): Unit =
+    store.mergeDelta("fp",
+      fps.join(decisions.filter(col("admitted") === 1).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .select(col("fp")).distinct()
+        .withColumn("eventName", lit("INSERT")),
+      "fp", ts)
 
   /** Seed the index from `corpus`, then ingest `batches` in order.
     * Returns one decision row per batch doc:
@@ -108,26 +143,13 @@ object DedupIngest {
       // update — persist for the batch's scope, released before returning
       val fps = fingerprints(batch, shingleN, numHashes, rowsPerBand)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val flags = probeHits(store, "fp", fps)
-        .groupBy(col("doc_id")).agg(
-          max(when(substring(col("fp"), 1, 2) === "e:", 1).otherwise(0)).as("e"),
-          max(when(substring(col("fp"), 1, 2) === "b:", 1).otherwise(0)).as("nd"))
-      val dec = batch.select(col("doc_id"))
-        .join(flags, Seq("doc_id"), "left")
-        .select(col("doc_id"), lit(i + 1).as("batch_id"),
-          coalesce(col("e"), lit(0)).as("exact_dup"),
-          coalesce(col("nd"), lit(0)).as("near_dup"))
-        .withColumn("admitted",
-          (col("exact_dup") === 0 && col("near_dup") === 0).cast("int"))
       // materialize the decisions BEFORE the index moves: the probe plan
       // holds the pre-merge manifest's file paths (valid until vacuum, but
       // re-evaluating it during the merge below would redo the joins)
-      val decM = Materialize.thenRelease(dec)
-      val admitted = decM.filter(col("admitted") === 1).select(col("doc_id"))
-      store.mergeDelta("fp",
-        fps.join(admitted, Seq("doc_id"), "left_semi").select(col("fp"))
-          .distinct().withColumn("eventName", lit("INSERT")),
-        "fp", new Timestamp(t0 + (i + 1) * 60000L))
+      val decM = Materialize.thenRelease(
+        decide(store, batch, fps, batchId = i + 1L)
+          .withColumn("batch_id", col("batch_id").cast("int")))
+      applyAdmissions(store, fps, decM, new Timestamp(t0 + (i + 1) * 60000L))
       fps.unpersist()
       decM
     }

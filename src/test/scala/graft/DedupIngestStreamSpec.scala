@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.DedupIngestStream
+import graft.sync.BucketedTableStore
+
+/** Streaming dedup-on-ingest: micro-batches screen sequentially against
+  * the persisted index, and a re-delivered batch (crash replay) neither
+  * recomputes its decisions nor perturbs the index.
+  */
+class DedupIngestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpusA = "alpha beta gamma delta epsilon"
+  private val uniqueB = "lambda mu nu xi omicron"
+
+  private def jsonFile(dir: String, name: String, mtime: Long,
+      rows: (Long, String)*): Unit = {
+    val lines = rows.map { case (id, text) =>
+      s"""{"doc_id":$id,"text":"$text"}"""
+    }
+    val p = Paths.get(dir, name)
+    Files.write(p, lines.mkString("\n").getBytes)
+    p.toFile.setLastModified(mtime)
+  }
+
+  test("micro-batches screen sequentially and replays are inert") {
+    val root = tmpDir("ingest-stream")
+    val decDir = tmpDir("ingest-dec")
+    val inDir = tmpDir("ingest-in")
+    val ckpt = tmpDir("ingest-ckpt")
+
+    val stream = new DedupIngestStream(spark, root, decDir, nBuckets = 8)
+    stream.seed(Seq(0L -> corpusA).toDF("doc_id", "text"))
+
+    // two files, one per trigger (mtime orders them)
+    val t = System.currentTimeMillis()
+    jsonFile(inDir, "in1.json", t - 60000,
+      10L -> corpusA, 11L -> uniqueB)
+    jsonFile(inDir, "in2.json", t,
+      20L -> uniqueB, 21L -> "omega aleph bet gimel")
+    stream.start(inDir, ckpt, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+
+    // partition-dir naming gives batch_id back on read
+    def decisions(): Map[Long, (Int, Int)] =
+      spark.read.parquet(decDir).collect().map { r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("exact_dup"), r.getAs[Int]("admitted")))
+      }.toMap
+    val d = decisions()
+    assert(d(10L) == ((1, 0)), "batch 0: dup of corpus rejected")
+    assert(d(11L) == ((0, 1)), "batch 0: unique admitted")
+    assert(d(20L) == ((1, 0)), "batch 1: dup of batch-0 ADMISSION rejected")
+    assert(d(21L) == ((0, 1)), "batch 1: unique admitted")
+
+    // crash replay: re-deliver batch 0. Decisions must come from the WAL
+    // (a recompute against the mutated index would reject 11 as a dup of
+    // itself), and the index merge must be idempotent.
+    val store = new BucketedTableStore(spark, root, nBuckets = 8)
+    val before = store.read("fp").get.count()
+    stream.ingest(Seq(10L -> corpusA, 11L -> uniqueB).toDF("doc_id", "text"), 0L)
+    assert(decisions()(11L) == ((0, 1)), "replay must not flip the WAL decision")
+    assert(store.read("fp").get.count() == before,
+      "re-applying the same admissions must not change the index")
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+}
