@@ -108,13 +108,27 @@ object DedupIngest {
         (col("exact_dup") === 0 && col("near_dup") === 0).cast("int"))
   }
 
-  /** Delta-merge the admitted docs' fingerprints into the index.
-    * IDEMPOTENT under re-application: upserting the same keys again adds
-    * a delta layer whose resolution is unchanged (newest-wins over equal
-    * rows) — the property the streaming wrapper's crash-replay relies on. */
+  /** Seed the index table from an initial corpus (may be empty — the
+    * keyed table must exist before the first probe). Shared by the batch
+    * and streaming drivers so the fingerprint layout cannot drift. */
+  def seedIndex(store: BucketedTableStore, corpus: DataFrame, ts: Timestamp,
+      shingleN: Int, numHashes: Int, rowsPerBand: Int): Unit =
+    store.writeAll("fp",
+      fingerprints(corpus, shingleN, numHashes, rowsPerBand)
+        .select(col("fp")).distinct()
+        .withColumn("syncTimestamp", lit(ts)), "fp")
+
+  /** Merge the admitted docs' fingerprints into the index via the store's
+    * [[BucketedTableStore.applyMerge]] verb — with `deltaMerges = true`
+    * that is a merge-on-read delta commit PLUS auto-compaction once a
+    * chain reaches `autoCompactAfter`, so probe-side read amplification
+    * stays bounded over an unbounded ingest run. IDEMPOTENT under
+    * re-application: upserting the same keys again adds a layer whose
+    * resolution is unchanged (newest-wins over equal rows) — the property
+    * the streaming wrapper's crash-replay relies on. */
   def applyAdmissions(store: BucketedTableStore, fps: DataFrame,
       decisions: DataFrame, ts: Timestamp): Unit =
-    store.mergeDelta("fp",
+    store.applyMerge("fp",
       fps.join(decisions.filter(col("admitted") === 1).select(col("doc_id")),
           Seq("doc_id"), "left_semi")
         .select(col("fp")).distinct()
@@ -133,10 +147,7 @@ object DedupIngest {
       t0: Long = 1660000000000L): DataFrame = {
     val store = new BucketedTableStore(spark, root, nBuckets,
       deltaMerges = true, autoCompactAfter = 4)
-    store.writeAll("fp",
-      fingerprints(corpus, shingleN, numHashes, rowsPerBand)
-        .select(col("fp")).distinct()
-        .withColumn("syncTimestamp", lit(new Timestamp(t0))), "fp")
+    seedIndex(store, corpus, new Timestamp(t0), shingleN, numHashes, rowsPerBand)
 
     val decisions = batches.zipWithIndex.map { case (batch, i) =>
       // the fingerprint frame feeds the probe AND (filtered) the index

@@ -199,7 +199,9 @@ object VectorOps {
         qdot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .distinct()
-    topKByQuery(scored, k)
+    // bounded result (queries × k): materialize it, then drop the cached
+    // cell assignments so the operator leaves no cache-manager entries
+    Materialize.thenRelease(topKByQuery(scored, k), assigned)
   }
 
   /** Seeded driver-local Lloyd's k-means over a bounded sample: distinct
@@ -370,7 +372,9 @@ object VectorOps {
       .withColumn("cosine", cosineFromParts(
         qdot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
-    topKByQuery(scored, k)
+    // bounded result (queries × k): materialize, then release the cached
+    // PQ-encoded corpus — same no-leftover-cache contract as ivfTopK
+    Materialize.thenRelease(topKByQuery(scored, k), encoded)
   }
 
   /** Near-dup pairs by embedding cosine above a threshold, blocked by

@@ -44,6 +44,11 @@ final class Pipeline(spark: SparkSession, storeRoot: String,
     autoCompactAfter: Int = 8,
     maxFilesPerSync: Option[Int] = None) {
 
+  // merge-on-read exists only on the bucketed store: silently dropping
+  // the flag would hand a high-frequency-CDC config O(table) whole-table
+  // rewrites per sync while the operator believes delta commits are on
+  require(!deltaMerges || nBuckets.nonEmpty,
+    "deltaMerges requires a bucketed store - pass nBuckets")
   val store: SyncStore = nBuckets match {
     case Some(n) =>
       new BucketedTableStore(spark, storeRoot, n, deltaMerges, autoCompactAfter)

@@ -81,8 +81,21 @@ final class CdcStream(spark: SparkSession, store: SyncStore,
     * merge sized by the outage length, not by the trigger cadence, which
     * is how replays OOM or blow past executor-memory sizing at 100 TB.
     * Bounding files-per-trigger drains the backlog as a sequence of
-    * normal-sized batches; the target watermark keeps every batch
-    * idempotent, so the end state is identical (PipelineSpec proves it).
+    * normal-sized batches (PipelineSpec proves the bounded drain reaches
+    * the unbounded end state on an in-order backlog).
+    *
+    * ORDERING CAVEAT: the file source admits files oldest-mtime-first,
+    * and the merge drops rows older than the target's GLOBAL watermark
+    * (§2.8c reference semantics). A capped drain therefore requires the
+    * backlog's mtime order to respect event-time order — true for
+    * continuously produced CDC drops, NOT true after e.g. a `cp` restore
+    * that rewrites mtimes arbitrarily. On such a backlog an early batch
+    * can advance the watermark past rows a later batch carries for
+    * different keys, and those rows are dropped as late — where the
+    * unbounded single batch would have applied them. Re-stamp mtimes in
+    * event order (what PipelineSpec's fixture does) or drain uncapped
+    * when file order is untrusted.
+    *
     * None preserves drain-in-one-sweep for small directories. */
   def start(inputDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),

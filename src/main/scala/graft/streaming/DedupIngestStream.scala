@@ -52,11 +52,7 @@ final class DedupIngestStream(spark: SparkSession, root: String,
   /** Seed the index from an initial corpus (may be empty — the store
     * still needs its keyed table created before the stream starts). */
   def seed(corpus: DataFrame): Unit =
-    store.writeAll("fp",
-      DedupIngest.fingerprints(corpus, shingleN, numHashes, rowsPerBand)
-        .select(col("fp")).distinct()
-        .withColumn("syncTimestamp", org.apache.spark.sql.functions.lit(now())),
-      "fp")
+    DedupIngest.seedIndex(store, corpus, now(), shingleN, numHashes, rowsPerBand)
 
   private def batchDir(batchId: Long) =
     Paths.get(decisionsDir, s"batch_id=$batchId")
@@ -64,16 +60,29 @@ final class DedupIngestStream(spark: SparkSession, root: String,
   private def decided(batchId: Long): Boolean =
     Files.exists(batchDir(batchId).resolve("_SUCCESS"))
 
-  /** One micro-batch, replay-safe; exposed for direct spec drive. */
+  /** One micro-batch, replay-safe; exposed for direct spec drive.
+    *
+    * Rows the schema'd JSON reader could not fill (malformed line → all
+    * nulls) are dropped up front: a null text would otherwise plant a
+    * null-keyed fingerprint in the index (xxhash64 buckets nulls fine,
+    * but the key can never be probed back — dead weight), and a null
+    * doc_id would emit a meaningless decision row. CONTRACT CAVEAT: a
+    * well-formed line whose doc_id or text is explicit JSON null is
+    * dropped the same way — no decision row, no index entry. An upstream
+    * that needs dead-letter visibility for such rows should pre-split
+    * them into a quarantine table the way [[CdcStream.start]] does with
+    * its corrupt-record column; this screen only decides on complete
+    * documents. */
   def ingest(batch: DataFrame, batchId: Long): Unit = {
+    val clean = batch.filter(col("doc_id").isNotNull && col("text").isNotNull)
     val fps = DedupIngest
-      .fingerprints(batch, shingleN, numHashes, rowsPerBand)
+      .fingerprints(clean, shingleN, numHashes, rowsPerBand)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (!decided(batchId)) {
         // WAL: decisions durable before any index mutation. Overwrite
         // mode clears a torn dir from a previous crash.
-        DedupIngest.decide(store, batch, fps, batchId)
+        DedupIngest.decide(store, clean, fps, batchId)
           .drop("batch_id") // encoded by the directory, like a partition
           .write.mode("overwrite").parquet(batchDir(batchId).toString)
       }
@@ -89,6 +98,19 @@ final class DedupIngestStream(spark: SparkSession, root: String,
   def start(inputDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None) = {
+    // the WAL is keyed by the checkpoint's batchIds: a FRESH checkpoint
+    // restarts them at 0, and a leftover WAL would then serve a previous
+    // run's batch-0 decisions for new data (skipping decide entirely) —
+    // wrong docs admitted, none of the new docs decided. Refuse the
+    // mismatched pairing up front; rotate the two directories together.
+    val fresh = !Files.exists(Paths.get(checkpointDir, "offsets"))
+    val walUsed = Files.exists(Paths.get(decisionsDir)) &&
+      scala.util.Using.resource(Files.list(Paths.get(decisionsDir)))(
+        _.iterator().hasNext)
+    require(!(fresh && walUsed),
+      s"decisionsDir $decisionsDir holds a previous run's write-ahead " +
+        s"decisions but checkpointDir $checkpointDir is fresh (batchIds " +
+        "restart at 0) — rotate decisionsDir together with the checkpoint")
     val reader = spark.readStream.schema(docSchema)
     maxFilesPerTrigger.fold(reader)(n =>
         reader.option("maxFilesPerTrigger", n))

@@ -58,7 +58,11 @@ private[sync] object BucketState {
   * Readers resolve `_CURRENT` → manifest → per-bucket dirs, so an
   * in-flight merge/compaction is invisible until its single pointer move,
   * exactly the [[TableStore]] protocol one directory deeper. Crash
-  * mid-merge leaves orphan v/d-dirs, never a torn snapshot.
+  * mid-merge leaves orphan v/d-dirs, never a torn snapshot; every write
+  * path sweeps such orphans (dirs versioned ABOVE the live manifest —
+  * unreachable by any reader, and under the single-writer protocol
+  * nobody else's in-flight work) before staging, so a crashed merge's
+  * debris never wedges its own retry on the existing-dest check.
   *
   * Bucket count is fixed at table creation (like any hash-bucketed
   * layout); pick it so bucket size ≈ a few parquet row groups at target
@@ -177,6 +181,36 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
   private def writeManifest(name: String, m: Map[Int, BucketState]): Unit =
     commitManifest(name, m, currentManifestVersion(name))
 
+  /** Crash-debris sweep, run at the start of every write path: delete
+    * per-bucket v/d-dirs versioned ABOVE the live manifest. No manifest
+    * references them (manifests only cite versions ≤ their own number),
+    * so they are exactly the moved-but-never-committed leftovers of a
+    * predecessor that died between its dir moves and its CAS — which
+    * would otherwise trip the existing-dest staleness check on every
+    * retry of the same logical merge, forever (the manifest, unchanged,
+    * re-derives the same next version). The threshold is the LIVE
+    * version, never a caller's possibly-stale base: a committed winner's
+    * dirs are ≤ live and untouchable. Under a single-writer-protocol
+    * violation a second in-flight writer's moved dirs are
+    * indistinguishable from debris — the post-stage dest check and the
+    * commit CAS still refuse the lost update in that window, as before. */
+  private def sweepOrphans(name: String): Unit = {
+    val live = currentManifestVersion(name).getOrElse(-1)
+    (0 until nBuckets).foreach { b =>
+      val bDir = tableDir(name).resolve(s"b$b")
+      if (Files.exists(bDir)) {
+        scala.util.Using.resource(Files.list(bDir))(_.iterator().asScala.toSeq)
+          .foreach { p =>
+            val n = p.getFileName.toString
+            if ((n.startsWith("v") || n.startsWith("d")) &&
+                n.drop(1).forall(_.isDigit) && n.drop(1).toInt > live) {
+              cleanupDir(p)
+            }
+          }
+      }
+    }
+  }
+
   /** Publish manifest `m` as the next state, REQUIRING that the live
     * manifest is still `expectedBase` — optimistic concurrency for the
     * single-writer protocol. A merge builds its manifest as
@@ -212,6 +246,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     * routing is a partitionBy on the derived `_bucket` column. */
   def writeAll(name: String, df: DataFrame, key: String,
       sortBy: Option[String] = None): Unit = {
+    sweepOrphans(name)
     val base = currentManifestVersion(name)
     val next = base.getOrElse(-1) + 1
     val staging = tableDir(name).resolve(s"_staging$next")
@@ -263,6 +298,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
   private[graft] def mergeAtBase(name: String, stage: DataFrame, key: String,
       syncTime: java.sql.Timestamp, base: Option[Int],
       sortBy: Option[String] = None): Unit = {
+    sweepOrphans(name)
     val m = base.map(parseStates(name, _)).getOrElse(
       throw new IllegalStateException(s"$name not initialized — writeAll first"))
     val staged = stage.withColumn("_bucket", bucketCol(key))
@@ -345,6 +381,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     * bounds the chain length. */
   def mergeDelta(name: String, stage: DataFrame, key: String,
       syncTime: java.sql.Timestamp, sortBy: Option[String] = None): Unit = {
+    sweepOrphans(name)
     val base = currentManifestVersion(name)
     val m = base.map(parseStates(name, _)).getOrElse(
       throw new IllegalStateException(s"$name not initialized — writeAll first"))
@@ -405,6 +442,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
   def compact(name: String, minDeltas: Int = 1,
       sortBy: Option[String] = None): Int = {
     require(minDeltas >= 1, "compacting clean buckets is a no-op")
+    sweepOrphans(name)
     val base = currentManifestVersion(name)
     val m = base.map(parseStates(name, _)).getOrElse(
       throw new IllegalStateException(s"$name not initialized — writeAll first"))

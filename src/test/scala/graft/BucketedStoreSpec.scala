@@ -305,6 +305,38 @@ class BucketedStoreSpec extends SparkSpec {
     assert(probe == Seq("bob3"))
   }
 
+  test("a crashed predecessor's orphan dirs do not wedge the retry") {
+    val t2 = new Timestamp(t1.getTime + 60000)
+    val rootStr = tmpDir("mor-crash")
+    val store = new BucketedTableStore(spark, rootStr, nBuckets = 4)
+    store.writeAll("member", target(), "memberId") // manifest 0
+    // simulate a writer that died between its dir moves and its commit:
+    // moved-but-uncommitted v1/d1 debris in every bucket dir
+    val root = java.nio.file.Paths.get(rootStr)
+    (0 until 4).foreach { b =>
+      val junkV = root.resolve("member").resolve(s"b$b").resolve("v1")
+      val junkD = root.resolve("member").resolve(s"b$b").resolve("d1")
+      java.nio.file.Files.createDirectories(junkV)
+      java.nio.file.Files.createDirectories(junkD)
+      java.nio.file.Files.write(junkV.resolve("part-junk"), "junk".getBytes)
+    }
+    // the retry of the same logical merge must sweep the debris and land,
+    // not throw ConcurrentModificationException forever
+    store.mergeDelta("member", stageBatch1, "memberId", t1)   // manifest 1
+    store.merge("member", stageBatch2(t2), "memberId", t2)    // manifest 2
+    val expect = new BucketedTableStore(spark, tmpDir("mor-crash-ref"), nBuckets = 4)
+    expect.writeAll("member", target(), "memberId")
+    expect.merge("member", stageBatch1, "memberId", t1)
+    expect.merge("member", stageBatch2(t2), "memberId", t2)
+    assert(snapshot(store) == snapshot(expect),
+      "post-crash retry must produce the clean-path result")
+    // a committed WINNER's dirs are never treated as debris: a stale
+    // writer still refuses (its dest-version dirs are <= live manifest)
+    intercept[java.util.ConcurrentModificationException] {
+      store.mergeAtBase("member", stageBatch1, "memberId", t1, Some(0))
+    }
+  }
+
   test("compact discharges delta chains without changing the read") {
     val t2 = new Timestamp(t1.getTime + 60000)
     val store = new BucketedTableStore(spark, tmpDir("mor-compact"), nBuckets = 4)
@@ -363,44 +395,39 @@ class BucketedStoreSpec extends SparkSpec {
     assert(row == Seq("bob2"), "latest delta wins through the compacted base")
   }
 
-  test("stale mergeDelta and compact refuse instead of clobbering (CAS)") {
+  test("mergeDelta and compact sweep uncommitted dest debris and land") {
+    // An above-live v/d-dir with the manifest unchanged can only be a
+    // crashed (or protocol-violating) writer's moved-but-uncommitted
+    // leftovers: a real winner would have advanced the manifest, which
+    // the pre-move base re-check catches separately. Pre-sweep, this
+    // debris tripped the existing-dest check on EVERY retry of the same
+    // logical commit — a permanent wedge after one mid-merge crash.
     val root = tmpDir("mor-occ")
     val store = new BucketedTableStore(spark, root, nBuckets = 2)
     store.writeAll("member", target(), "memberId")        // manifest 0
     val b2 = Seq("m2").toDF("memberId").select(store.bucketCol("memberId"))
       .head().getLong(0).toInt
-    val liveBefore = snapshot(store)
 
-    // a racing winner already published this bucket's d1 → the loser's
-    // ATOMIC_MOVE lands on an existing dest and must abandon its commit
     val d1 = java.nio.file.Paths.get(root, "member", s"b$b2", "d1")
     java.nio.file.Files.createDirectories(d1)
-    intercept[java.util.ConcurrentModificationException] {
-      store.mergeDelta("member",
-        Seq(("m2", "loser", t1, "MODIFY"))
-          .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName"),
-        "memberId", t1)
-    }
-    assert(store.bucketStates("member").get.values.forall(_.isClean) &&
-      snapshot(store) == liveBefore,
-      "refused delta commit must leave manifest and data untouched")
-    java.nio.file.Files.delete(d1)
-
-    // same discipline on the compaction rewrite: its dest v-dir already
-    // exists → refuse, chain stays, read stays
+    java.nio.file.Files.write(d1.resolve("part-junk"), "junk".getBytes)
     store.mergeDelta("member",
       Seq(("m2", "bob2", t1, "MODIFY"))
         .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName"),
       "memberId", t1)                                      // manifest 1
+    assert(store.lookup("member", "memberId", Seq("m2")).get
+        .select($"memberName").as[String].collect().toSeq == Seq("bob2"),
+      "the retried delta commit must land over swept debris")
+
+    // same on the compaction rewrite: junk at its dest v-dir is swept
     val afterDelta = snapshot(store)
     val v2 = java.nio.file.Paths.get(root, "member", s"b$b2", "v2")
     java.nio.file.Files.createDirectories(v2)
-    intercept[java.util.ConcurrentModificationException] {
-      store.compact("member", minDeltas = 1)
-    }
-    assert(store.bucketStates("member").get(b2).deltas.nonEmpty &&
+    java.nio.file.Files.write(v2.resolve("part-junk"), "junk".getBytes)
+    assert(store.compact("member", minDeltas = 1) > 0)     // manifest 2
+    assert(store.bucketStates("member").get.values.forall(_.isClean) &&
       snapshot(store) == afterDelta,
-      "refused compaction must leave the chain and the read untouched")
+      "compaction over swept debris must publish the clean result")
   }
 
   test("merge is idempotent: reapplying the same stage is a no-op") {

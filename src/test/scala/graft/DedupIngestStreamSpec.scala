@@ -19,7 +19,7 @@ class DedupIngestStreamSpec extends SparkSpec {
       rows: (Long, String)*): Unit = {
     val lines = rows.map { case (id, text) =>
       s"""{"doc_id":$id,"text":"$text"}"""
-    }
+    } :+ "not json at all" // malformed line -> all-null row, must be dropped
     val p = Paths.get(dir, name)
     Files.write(p, lines.mkString("\n").getBytes)
     p.toFile.setLastModified(mtime)
@@ -50,6 +50,7 @@ class DedupIngestStreamSpec extends SparkSpec {
           ((r.getAs[Int]("exact_dup"), r.getAs[Int]("admitted")))
       }.toMap
     val d = decisions()
+    assert(d.size == 4, "malformed lines must not produce decision rows")
     assert(d(10L) == ((1, 0)), "batch 0: dup of corpus rejected")
     assert(d(11L) == ((0, 1)), "batch 0: unique admitted")
     assert(d(20L) == ((1, 0)), "batch 1: dup of batch-0 ADMISSION rejected")
@@ -65,5 +66,12 @@ class DedupIngestStreamSpec extends SparkSpec {
     assert(store.read("fp").get.count() == before,
       "re-applying the same admissions must not change the index")
     assert(spark.sharedState.cacheManager.isEmpty)
+
+    // a fresh checkpoint restarts batchIds at 0 — pairing it with this
+    // run's populated WAL would replay the OLD batch-0 decisions onto new
+    // data, so the mismatch is refused at start
+    intercept[IllegalArgumentException] {
+      stream.start(inDir, tmpDir("ingest-ckpt-fresh"))
+    }
   }
 }

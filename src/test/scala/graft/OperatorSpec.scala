@@ -95,6 +95,15 @@ class OperatorSpec extends SparkSpec {
     graft.operators.JoinOps.setSimilarityJoin(
       docs.toDF("id", "text"), docs.toDF("id", "text"),
       idCol = "id", textCol = "text", threshold = 0.5).count()
+    // the ANN index builders persist their assigned/encoded corpus frames
+    // under the same contract
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble().toFloat))).toDF("vec_id", "embedding")
+    graft.operators.VectorOps.ivfTopK(spark, vecs, vecs, k = 3,
+      nlist = 4, nprobe = 2).count()
+    graft.operators.VectorOps.pqTopK(spark, vecs, vecs, k = 3,
+      m = 2, kCodes = 4, rerank = 8).count()
     assert(spark.sharedState.cacheManager.isEmpty,
       "pair operators must release their persisted intermediates")
   }
