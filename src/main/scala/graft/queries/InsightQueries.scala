@@ -480,7 +480,68 @@ object InsightQueries {
   val q149Oracle: String = """
     SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey ASC"""
 
+  // ---------------------------------------------------------------------
+  // q151 — zone-map-pruned scan of a range-clustered CDC target: orders is
+  // written into a [[graft.sync.BucketedTableStore]] range-bucketed by
+  // o_orderkey with per-bucket min/max stats, a CDC batch is applied as a
+  // merge-on-read delta commit (keys ≡3 mod 10 re-prioritized, ≡7
+  // removed) and compacted, then a key-window scan goes through
+  // readRange — which reads ONLY the buckets whose zone maps admit the
+  // window (ZoneMapSpec proves the skipping; at 100 TB this is IO
+  // proportional to the window, not the table). The oracle replays the
+  // upsert/delete relationally and filters the same window — the pruned
+  // read must be indistinguishable from the full scan.
+  def q151StorePrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val root = Files.createTempDirectory("graft_zm").toString
+    val store = new graft.sync.BucketedTableStore(spark, root, nBuckets = 16)
+    try {
+      store.writeAll("orders",
+        orders.withColumn("syncTimestamp",
+          lit(new java.sql.Timestamp(1659999000000L))),
+        "o_orderkey",
+        statsCols = Seq("o_orderkey", "o_orderdate"), rangeBucket = true)
+      val stage = orders
+        .filter(pmod($"o_orderkey", lit(10)).isin(3L, 7L))
+        .withColumn("eventName",
+          when(pmod($"o_orderkey", lit(10)) === 3L, "MODIFY").otherwise("REMOVE"))
+        .withColumn("o_orderpriority",
+          when(pmod($"o_orderkey", lit(10)) === 3L, lit("X-BUMPED"))
+            .otherwise($"o_orderpriority"))
+      store.mergeDelta("orders", stage, "o_orderkey",
+        new java.sql.Timestamp(1660000000000L))
+      store.compact("orders")
+      val out = store.readRange("orders", "o_orderkey", 2000L, 12000L).get
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_orderkey").as("key_sum"),
+          min(unix_millis($"o_orderdate".cast("timestamp"))).as("min_ms"),
+          max(unix_millis($"o_orderdate".cast("timestamp"))).as("max_ms"))
+        .orderBy($"o_orderpriority".asc)
+      // lineage-free so the temp store can be deleted before the caller
+      // consumes the (tiny, grouped) result
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally TableStore.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+  val q151Oracle: String = """
+    WITH merged AS (
+      SELECT o_orderkey, o_orderdate,
+             CASE WHEN o_orderkey % 10 = 3 THEN 'X-BUMPED'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 10 <> 7)
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           MIN(epoch_ms(o_orderdate)) AS min_ms,
+           MAX(epoch_ms(o_orderdate)) AS max_ms
+    FROM merged
+    WHERE o_orderkey BETWEEN 2000 AND 12000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_store_prune" -> (q151StorePrune _),
     "q149_time_travel" -> (q149TimeTravel _),
     "q104_edit_distance" -> (q104EditDistance _),
     "q105_event_transitions" -> (q105EventTransitions _),
@@ -494,6 +555,7 @@ object InsightQueries {
     "q116_bitmap_intersect" -> (q116BitmapIntersect _))
 
   val oracles: Map[String, String] = Map(
+    "q151_store_prune" -> q151Oracle,
     "q149_time_travel" -> q149Oracle,
     "q104_edit_distance" -> q104Oracle,
     "q105_event_transitions" -> q105Oracle,

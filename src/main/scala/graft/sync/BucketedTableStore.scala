@@ -23,6 +23,92 @@ private[sync] object BucketState {
   }
 }
 
+/** Zone-map value domain: every stats column is normalized to one of three
+  * totally-ordered kinds so min/max survive a text manifest round-trip and
+  * the driver can compare query bounds against them without Spark types.
+  *   long   — integral, date (epoch day), timestamp (epoch micros)
+  *   double — float/double/decimal (outward-nudged at compare time so
+  *            binary64 rounding can only WIDEN a bucket's range, never
+  *            narrow it into a wrong skip)
+  *   string — lexicographic (matches Spark's UTF8String min/max ordering)
+  */
+private[sync] object StatKind {
+  import org.apache.spark.sql.types._
+
+  def of(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         DateType | TimestampType | TimestampNTZType => "long"
+    case FloatType | DoubleType | _: DecimalType => "double"
+    case StringType => "string"
+    case other => throw new IllegalArgumentException(
+      s"zone-map stats unsupported for ${other.catalogString}")
+  }
+
+  /** Normalized comparable expression for a column of kind `of(dt)`. */
+  def expr(c: String, dt: DataType): Column = dt match {
+    case DateType => datediff(col(c), to_date(lit("1970-01-01"))).cast("long")
+    case TimestampType => unix_micros(col(c))
+    // NTZ: session-zone epoch micros — the same interpretation `bound`
+    // gives a wall-clock java.sql.Timestamp, so pruning stays consistent
+    case TimestampNTZType => unix_micros(col(c).cast("timestamp"))
+    case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+    case FloatType | DoubleType | _: DecimalType => col(c).cast("double")
+    case StringType => col(c)
+    case other => throw new IllegalArgumentException(
+      s"zone-map stats unsupported for ${other.catalogString}")
+  }
+
+  /** A caller-supplied pruning bound, normalized to its kind's domain. */
+  def bound(kind: String, v: Any): Any = (kind, v) match {
+    case ("long", d: java.sql.Date) => d.toLocalDate.toEpochDay
+    case ("long", d: java.time.LocalDate) => d.toEpochDay
+    case ("long", t: java.sql.Timestamp) =>
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    case ("long", n: Number) => n.longValue()
+    case ("double", n: Number) => n.doubleValue()
+    case ("string", s) => s.toString
+    case (k, other) => throw new IllegalArgumentException(
+      s"cannot use ${other.getClass.getSimpleName} as a $kind bound")
+  }
+
+  /** stat-value <= bound, with stored doubles nudged outward (down for a
+    * min, up for a max — pass the direction) so rounding stays safe. */
+  def leq(kind: String, stat: String, b: Any, nudgeUp: Boolean): Boolean =
+    kind match {
+      case "long" => stat.toLong <= b.asInstanceOf[Long]
+      case "double" =>
+        val d = stat.toDouble
+        (if (nudgeUp) Math.nextUp(d) else Math.nextDown(d)) <=
+          b.asInstanceOf[Double]
+      case _ => stat <= b.asInstanceOf[String]
+    }
+
+  def geq(kind: String, stat: String, b: Any, nudgeUp: Boolean): Boolean =
+    kind match {
+      case "long" => stat.toLong >= b.asInstanceOf[Long]
+      case "double" =>
+        val d = stat.toDouble
+        (if (nudgeUp) Math.nextUp(d) else Math.nextDown(d)) >=
+          b.asInstanceOf[Double]
+      case _ => stat >= b.asInstanceOf[String]
+    }
+
+  def min(kind: String, a: String, b: String): String = kind match {
+    case "long" => if (a.toLong <= b.toLong) a else b
+    case "double" => if (a.toDouble <= b.toDouble) a else b
+    case _ => if (a <= b) a else b
+  }
+
+  def max(kind: String, a: String, b: String): String = kind match {
+    case "long" => if (a.toLong >= b.toLong) a else b
+    case "double" => if (a.toDouble >= b.toDouble) a else b
+    case _ => if (a >= b) a else b
+  }
+
+  def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+}
+
 /** Partition-level snapshot store — the 100 TB form of [[TableStore]].
   *
   * [[TableStore]] rewrites the whole table per merge, which is correct and
@@ -82,8 +168,198 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
   private def tableDir(name: String): Path = Paths.get(root, name)
   private def currentFile(name: String): Path = tableDir(name).resolve("_CURRENT")
   private def keyFile(name: String): Path = tableDir(name).resolve("_KEY")
+  private def bucketerFile(name: String): Path = tableDir(name).resolve("_BUCKETER")
+  private def statsColsFile(name: String): Path = tableDir(name).resolve("_STATSCOLS")
+  private def statsFile(name: String, v: Int): Path =
+    tableDir(name).resolve(s"_STATS.$v")
   private def manifestFile(name: String, v: Int): Path =
     tableDir(name).resolve(s"_MANIFEST.$v")
+
+  // ---- bucket routing ------------------------------------------------
+  //
+  // Hash routing (the default) gives uniform buckets and O(1) key→bucket
+  // for merges, but scatters every non-key attribute across all buckets —
+  // a zone map over a hash layout never prunes. A RANGE-clustered table
+  // instead routes by the key's position among persisted quantile
+  // boundaries: merge routing stays a pure function of the key (REMOVE
+  // events route correctly), and any column correlated with the key
+  // (auto-increment ids vs creation time is the canonical 100 TB case)
+  // gets genuinely disjoint per-bucket min/max — the layout Redshift sort
+  // keys / Delta OPTIMIZE buy. Boundaries are fixed at writeAll (like the
+  // bucket count); rebucket is the escape hatch when the key distribution
+  // drifts.
+
+  private def loadBoundaries(name: String): Option[(String, Array[String])] = {
+    val f = bucketerFile(name)
+    if (!Files.exists(f)) None
+    else {
+      val lines = Files.readAllLines(f).asScala.filter(_.nonEmpty).toSeq
+      if (lines.head == "hash") None
+      else Some((lines.head.stripPrefix("range "),
+        lines.tail.map(StatKind.dec).toArray))
+    }
+  }
+
+  /** bucket = |{boundaries < key}| — a chain of codegen'd `when`s (the
+    * bucket count is small by construction), no shuffle, no lookup table.
+    * `norm` is the key already normalized to the boundary kind's domain
+    * ([[StatKind.expr]]), so routing and pruning agree on the ordering. */
+  private def rangeRouting(kind: String, bs: Array[String], norm: Column): Column =
+    bs.foldLeft(lit(0L)) { (acc, b) =>
+      val lim = kind match {
+        case "long" => lit(b.toLong)
+        case "double" => lit(b.toDouble)
+        case _ => lit(b)
+      }
+      acc + when(norm > lim, 1L).otherwise(0L)
+    }
+
+  /** The routing expression live tables were written with: hash unless a
+    * `_BUCKETER` sidecar records range boundaries. LongType either way.
+    * `frame` supplies the key's type (a date key normalizes to epoch day
+    * on writes and merges alike). */
+  private def routingCol(name: String, key: String, frame: DataFrame): Column =
+    loadBoundaries(name) match {
+      case None => bucketCol(key)
+      case Some((kind, bs)) =>
+        rangeRouting(kind, bs, StatKind.expr(key, frame.schema(key).dataType))
+    }
+
+  // ---- zone-map stats ------------------------------------------------
+
+  /** stats columns → kind, as fixed at writeAll ([[StatKind]]). */
+  private def statsSpecs(name: String): Seq[(String, String)] = {
+    val f = statsColsFile(name)
+    if (!Files.exists(f)) Nil
+    else Files.readAllLines(f).asScala.filter(_.nonEmpty).map { line =>
+      val Array(c, k) = line.split('\t')
+      (StatKind.dec(c), k)
+    }.toSeq
+  }
+
+  /** Per-bucket min/max over the staged parquet just written — a columnar
+    * read-back of ONLY the touched buckets' new bytes (projection pruned
+    * to the stats columns), not a second pass over the merge lineage. */
+  private def statsFromStaging(staging: Path, specs: Seq[(String, String)],
+      excludeDel: Boolean): Map[Int, Map[String, (String, String)]] = {
+    if (specs.isEmpty) return Map.empty
+    val raw = spark.read.parquet(staging.toString)
+    val rows = if (excludeDel) raw.filter(!col("_del")) else raw
+    val schema = rows.schema
+    val aggs = specs.flatMap { case (c, _) =>
+      val e = StatKind.expr(c, schema(c).dataType)
+      Seq(min(e).cast("string").as(s"mn_$c"), max(e).cast("string").as(s"mx_$c"))
+    }
+    rows.groupBy(col("_bucket")).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val b = r.getLong(0).toInt
+        b -> specs.zipWithIndex.flatMap { case ((c, _), i) =>
+          val mn = r.getString(1 + 2 * i); val mx = r.getString(2 + 2 * i)
+          if (mn == null || mx == null) None else Some(c -> (mn, mx))
+        }.toMap
+      }.toMap
+  }
+
+  private def readStats(name: String, v: Int):
+      Map[Int, Map[String, (String, String)]] = {
+    val f = statsFile(name, v)
+    if (!Files.exists(f)) Map.empty
+    else Files.readAllLines(f).asScala.filter(_.nonEmpty)
+      .map { line =>
+        val Array(b, c, mn, mx) = line.split('\t')
+        (b.toInt, StatKind.dec(c), StatKind.dec(mn), StatKind.dec(mx))
+      }.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> (t._3, t._4)).toMap).toMap
+  }
+
+  /** The base manifest's stats, or None when its sidecar is missing (a
+    * crash between a stats write and its manifest commit). Absence must
+    * PROPAGATE: deriving new stats from nothing would claim bounds that
+    * cover only this batch's rows and wrongly prune the base's. A
+    * stats-less table degrades to unpruned reads, never wrong ones. */
+  private def carriedStats(name: String, base: Int):
+      Option[Map[Int, Map[String, (String, String)]]] =
+    if (Files.exists(statsFile(name, base))) Some(readStats(name, base)) else None
+
+  /** Union of two zone maps: min of mins, max of maxes, per bucket/col —
+    * the delta-commit path's conservative widening (REMOVEs never shrink
+    * bounds until a compaction recomputes them exactly). */
+  private def widenStats(specs: Seq[(String, String)],
+      prev: Map[Int, Map[String, (String, String)]],
+      add: Map[Int, Map[String, (String, String)]]):
+      Map[Int, Map[String, (String, String)]] = {
+    val kinds = specs.toMap
+    (prev.keySet ++ add.keySet).map { b =>
+      val p = prev.getOrElse(b, Map.empty[String, (String, String)])
+      val a = add.getOrElse(b, Map.empty[String, (String, String)])
+      b -> (p.keySet ++ a.keySet).map { c =>
+        val merged = (p.get(c), a.get(c)) match {
+          case (Some((mn1, mx1)), Some((mn2, mx2))) =>
+            (StatKind.min(kinds(c), mn1, mn2), StatKind.max(kinds(c), mx1, mx2))
+          case (Some(x), None) => x
+          case (None, Some(x)) => x
+          case (None, None) => throw new IllegalStateException("unreachable")
+        }
+        c -> merged
+      }.toMap
+    }.toMap
+  }
+
+  private def writeStats(name: String, v: Int,
+      m: Map[Int, Map[String, (String, String)]]): Unit = {
+    val body = m.toSeq.sortBy(_._1).flatMap { case (b, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"$b\t${StatKind.enc(c)}\t${StatKind.enc(mn)}\t${StatKind.enc(mx)}"
+      }
+    }.mkString("\n")
+    Files.write(statsFile(name, v), body.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Live zone maps: bucket → stats column → (min, max), rendered in the
+    * column's [[StatKind]] domain. Empty when the table keeps no stats. */
+  def zoneMaps(name: String): Map[Int, Map[String, (String, String)]] =
+    currentManifestVersion(name).map(readStats(name, _)).getOrElse(Map.empty)
+
+  /** The buckets that MAY hold rows with `colName` in [lo, hi] — a bucket
+    * survives unless its zone map PROVES exclusion, so missing stats (no
+    * sidecar, all-null bucket, never-configured column) degrade to a full
+    * read, never a wrong skip. Chains prune as a unit: if no file of a
+    * bucket's base∪deltas holds an in-range row, the resolved bucket
+    * cannot either (resolution only drops rows), so skipping a whole
+    * bucket can never resurrect or lose a version. */
+  def prunedBuckets(name: String, colName: String, lo: Any, hi: Any):
+      Option[Set[Int]] =
+    bucketStates(name).map { m =>
+      statsSpecs(name).find(_._1 == colName) match {
+        case None => m.keySet
+        case Some((_, kind)) =>
+          val stats = zoneMaps(name)
+          val loB = StatKind.bound(kind, lo); val hiB = StatKind.bound(kind, hi)
+          m.keySet.filter { b =>
+            stats.get(b).flatMap(_.get(colName)) match {
+              case None => true // no proof of exclusion
+              case Some((mn, mx)) =>
+                StatKind.geq(kind, mx, loB, nudgeUp = true) &&
+                  StatKind.leq(kind, mn, hiB, nudgeUp = false)
+            }
+          }
+      }
+    }
+
+  /** Zone-map-pruned range scan: read only the buckets whose stats admit
+    * `colName` ∈ [lo, hi], then apply the residual filter (stats are
+    * bucket-granular; the filter also reaches the parquet row groups via
+    * normal pushdown). At 100 TB with range clustering this turns a
+    * time-window query over a CDC target into IO proportional to the
+    * window, not the table. */
+  def readRange(name: String, colName: String, lo: Any, hi: Any):
+      Option[DataFrame] =
+    prunedBuckets(name, colName, lo, hi).flatMap { bs =>
+      if (bs.isEmpty)
+        read(name).map(_.limit(0))
+      else readBuckets(name, Some(bs))
+    }.map(_.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi)))
 
   private def currentManifestVersion(name: String): Option[Int] = {
     val f = currentFile(name)
@@ -243,25 +519,70 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
 
   /** Initial full write: every row routed to its bucket, one snapshot dir
     * per bucket, manifest v0. One distributed write job — the bucket
-    * routing is a partitionBy on the derived `_bucket` column. */
+    * routing is a partitionBy on the derived `_bucket` column.
+    *
+    * `statsCols` turns on zone maps: per-bucket min/max for each listed
+    * column, versioned with every manifest from here on ([[readRange]]
+    * prunes with them). `rangeBucket` replaces hash routing with key-range
+    * clustering (quantile boundaries persisted to `_BUCKETER`; numeric,
+    * date, or timestamp keys) — the layout under which those zone maps
+    * are disjoint instead of all-overlapping. Both are fixed at table
+    * creation, like the bucket count. */
   def writeAll(name: String, df: DataFrame, key: String,
-      sortBy: Option[String] = None): Unit = {
+      sortBy: Option[String] = None, statsCols: Seq[String] = Nil,
+      rangeBucket: Boolean = false): Unit = {
     sweepOrphans(name)
     val base = currentManifestVersion(name)
     val next = base.getOrElse(-1) + 1
     val staging = tableDir(name).resolve(s"_staging$next")
+    val boundaries: Option[(String, Array[String])] =
+      if (!rangeBucket) None
+      else {
+        val kind = StatKind.of(df.schema(key).dataType)
+        require(kind != "string",
+          "range bucketing needs a numeric/date/timestamp key")
+        // approximate quantiles are fine for LAYOUT: boundary error only
+        // skews bucket sizes a little, never correctness (routing is the
+        // same pure function on both the write and every later merge)
+        val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+        val q = df.select(StatKind.expr(key, df.schema(key).dataType).as("_k"))
+          .stat.approxQuantile("_k", probs, 0.001)
+        val rendered =
+          if (kind == "long") q.map(d => math.floor(d).toLong.toString)
+          else q.map(_.toString)
+        Some((kind, rendered.distinct))
+      }
+    val route = boundaries.fold(bucketCol(key)) { case (kind, bs) =>
+      rangeRouting(kind, bs, StatKind.expr(key, df.schema(key).dataType))
+    }
     // `_bucket` stays a DATA column (reads must recover it without path
     // parsing); `_bp` is its copy used only for the write-time routing —
     // partitionBy consumes the routing column, the data column survives.
     // repartition on the bucket: without it every write task emits a file
     // into every bucket dir (tasks × buckets tiny files); with it each
     // bucket is written by exactly one task as one file
-    val withBucket = df.withColumn("_bucket", bucketCol(key))
+    val withBucket = df.withColumn("_bucket", route)
       .repartition(col("_bucket"))
     val sorted = sortBy.fold(withBucket)(c =>
       withBucket.sortWithinPartitions(col("_bucket"), col(c)))
     sorted.withColumn("_bp", col("_bucket"))
       .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
+    Files.createDirectories(tableDir(name))
+    val specs = statsCols.map(c => (c, StatKind.of(df.schema(c).dataType)))
+    if (specs.nonEmpty) {
+      Files.write(statsColsFile(name),
+        specs.map { case (c, k) => s"${StatKind.enc(c)}\t$k" }
+          .mkString("\n").getBytes,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      writeStats(name, next, statsFromStaging(staging, specs, excludeDel = false))
+    }
+    boundaries match {
+      case Some((kind, bs)) =>
+        Files.write(bucketerFile(name),
+          (s"range $kind" +: bs.map(StatKind.enc)).mkString("\n").getBytes,
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      case None => Files.deleteIfExists(bucketerFile(name))
+    }
     val entries = (0 until nBuckets).flatMap { b =>
       val src = staging.resolve(s"_bp=$b")
       if (Files.exists(src)) {
@@ -272,7 +593,6 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       } else None
     }
     cleanupDir(staging)
-    Files.createDirectories(tableDir(name))
     Files.write(keyFile(name), key.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     commitManifest(name, entries.toMap, base)
@@ -301,7 +621,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     sweepOrphans(name)
     val m = base.map(parseStates(name, _)).getOrElse(
       throw new IllegalStateException(s"$name not initialized — writeAll first"))
-    val staged = stage.withColumn("_bucket", bucketCol(key))
+    val staged = stage.withColumn("_bucket", routingCol(name, key, stage))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = staged.select(col("_bucket")).distinct()
@@ -340,6 +660,14 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               target.schema).write.mode("overwrite").parquet(src.toString)
         }
+        // rewritten buckets get EXACT zone maps from the staged bytes
+        // (touched-and-now-empty buckets simply lose their entry)
+        val specs = statsSpecs(name)
+        val newStats =
+          if (specs.isEmpty) None
+          else carriedStats(name, base.get).map(prev =>
+            (prev -- touched) ++
+              statsFromStaging(staging, specs, excludeDel = false))
         // Re-check the base before any move: a stale writer must abandon
         // its staging dir, not clobber the winner's bucket versions. An
         // already-existing dest is the same staleness signal (a racing
@@ -364,6 +692,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
           b -> BucketState(next, Nil) // rewritten clean: chain discharged
         }.toMap
         cleanupDir(staging)
+        newStats.foreach(writeStats(name, next, _))
         commitManifest(name, m ++ updated, base)
       }
     } finally staged.unpersist()
@@ -389,7 +718,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     require(sk == key, s"$name is keyed by '$sk', not '$key'")
     val next = base.get + 1
     val staged = stage
-      .withColumn("_bucket", bucketCol(key))
+      .withColumn("_bucket", routingCol(name, key, stage))
       .withColumn("_del", col("eventName") === "REMOVE")
       .drop("eventName")
       .withColumn("syncTimestamp", lit(syncTime))
@@ -405,6 +734,15 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
             routed.sortWithinPartitions(col("_bucket"), col(c)))
           .withColumn("_bp", col("_bucket"))
           .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
+        // a delta commit can only WIDEN a bucket's zone map (tombstoned
+        // values stay inside the bounds until compaction retightens them);
+        // the delta's own rows are aggregated off the just-written staging
+        val specs = statsSpecs(name)
+        val newStats =
+          if (specs.isEmpty) None
+          else carriedStats(name, base.get).map(prev =>
+            widenStats(specs, prev,
+              statsFromStaging(staging, specs, excludeDel = true)))
         def stale(): Nothing = {
           cleanupDir(staging)
           throw new java.util.ConcurrentModificationException(
@@ -424,6 +762,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
           b -> prev.copy(deltas = prev.deltas :+ next)
         }.toMap
         cleanupDir(staging)
+        newStats.foreach(writeStats(name, next, _))
         commitManifest(name, m ++ updated, base)
       }
     } finally staged.unpersist()
@@ -465,6 +804,14 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schema).write.mode("overwrite").parquet(src.toString)
       }
+      // compaction is where widened zone maps retighten: the staged bytes
+      // are the exact resolved state of every compacted bucket
+      val specs = statsSpecs(name)
+      val newStats =
+        if (specs.isEmpty) None
+        else carriedStats(name, base.get).map(prev =>
+          (prev -- targets.keys) ++
+            statsFromStaging(staging, specs, excludeDel = false))
       def stale(): Nothing = {
         cleanupDir(staging)
         throw new java.util.ConcurrentModificationException(
@@ -482,6 +829,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
         b -> BucketState(next, Nil)
       }.toMap
       cleanupDir(staging)
+      newStats.foreach(writeStats(name, next, _))
       commitManifest(name, m ++ updated, base)
       updated.size
     }
@@ -494,8 +842,18 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     * The residual filter keeps correctness for hash collisions. */
   def lookup(name: String, key: String, values: Seq[String]): Option[DataFrame] = {
     import spark.implicits._
-    val buckets = values.toDF(key).select(bucketCol(key))
-      .collect().map(_.getLong(0).toInt).toSet
+    val vdf = values.toDF(key)
+    // probe with the same routing the table was written under; on a
+    // range-clustered table the probe strings are cast into the boundary
+    // domain (numeric keys — the only kind range bucketing accepts)
+    val probe = loadBoundaries(name) match {
+      case None => vdf.select(bucketCol(key))
+      case Some((kind, bs)) =>
+        val norm =
+          if (kind == "double") col(key).cast("double") else col(key).cast("long")
+        vdf.select(rangeRouting(kind, bs, norm))
+    }
+    val buckets = probe.collect().map(_.getLong(0).toInt).toSet
     readBuckets(name, Some(buckets)).map(_.filter(col(key).isin(values: _*)))
   }
 
@@ -530,7 +888,10 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       case Some(cur) =>
         val floor = cur - keepManifests + 1
         val dropped = (0 until floor).filter(v => Files.exists(manifestFile(name, v)))
-        dropped.foreach(v => Files.delete(manifestFile(name, v)))
+        dropped.foreach { v =>
+          Files.delete(manifestFile(name, v))
+          Files.deleteIfExists(statsFile(name, v)) // zone maps age out with their manifest
+        }
         // union of still-referenced per-bucket dirs ("v3" / "d5" names)
         // across the retained manifests
         val live: Set[(Int, String)] = (math.max(0, floor) to cur).flatMap { v =>
