@@ -434,4 +434,57 @@ object VectorOps {
       .filter(col("cosine") > threshold)
       .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
   }
+
+  /** Approximate kNN GRAPH over the whole corpus — every vector gets its
+    * top-k neighbors in one self-join, the batch shape semantic-dedup and
+    * diversity-sampling pipelines run over a full training corpus (the
+    * per-query scans of [[bruteForceTopK]] don't batch; this does).
+    *
+    * Same axis-aligned sign-band blocking as [[cosineDedupPairs]] (so a
+    * SQL oracle replays it verbatim — integer-exact, no trained state,
+    * no xxhash), minus the label restriction, plus symmetric candidate
+    * expansion: a banded pair (a<b) is a candidate edge in BOTH
+    * directions before the per-node top-k. The 16×4-dim bands keep each
+    * band's collision test loose enough for true neighbors (recall@3
+    * 0.91 at sf0.001 vs brute force; 8×8 bands drop it to 0.16) while
+    * the cap bounds any hot cell at maxBucket²/2 pairs — at corpus
+    * scale, widen dimsPerBand so the 2^dims bucket space keeps cells
+    * under the cap. Re-rank is exact quantized cosine;
+    * per-node top-k through the bounded-heap aggregator, so the shuffle
+    * carries ≤ k·tasks rows per node, never the full candidate set. */
+  def knnGraph(emb: DataFrame, k: Int, bands: Int = 16, dimsPerBand: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
+    val e = emb.repartition(col("vec_id"))
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+    val bandStructs = (0 until bands).map { b =>
+      val bits = concat((1 to dimsPerBand).map(i =>
+        when(element_at(col("q"), b * dimsPerBand + i) > 0, lit("1"))
+          .otherwise(lit("0"))): _*)
+      struct(lit(b).as("band"), bits.as("bucket"))
+    }
+    val banded = e
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val capW = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("vec_id").asc)
+    val capped = banded.withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= maxBucket).drop("rn")
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct() // a pair sharing several bands scores once
+    val sym = cand.select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"))
+      .unionAll(cand.select(col("vec_b").as("query_id"), col("vec_a").as("neighbor_id")))
+    val scored = sym
+      .join(e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("n2").as("na")),
+        Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("n2").as("nb")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", cosineFromParts(
+        qdot(col("qa"), col("qb")), col("na"), col("nb")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    topKByQuery(scored, k)
+  }
 }

@@ -276,7 +276,51 @@ object VectorQueries {
     FROM pred WHERE rn = 1
     GROUP BY label, clabel ORDER BY label ASC, pred_label ASC"""
 
+  // q152 — approximate kNN graph over the WHOLE corpus: every vector gets
+  // its top-3 neighbors from symmetric sign-band candidates + exact
+  // quantized re-rank (VectorOps.knnGraph). Unlike the per-query ANN
+  // tiers (q42/q44/q129), the blocking here is integer-deterministic, so
+  // the oracle replays bands, cap, symmetric expansion, and ranking
+  // verbatim — the full graph hash-checks, not just a recall bound.
+  // Nodes whose bands collide with nothing drop out on both engines.
+  def q152KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.knnGraph(Tables.embeddings(spark, dir), k = 3)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  val q152Oracle: String = s"""
+    WITH e AS (SELECT vec_id, ${oQuant("embedding")} AS q FROM embeddings),
+    n AS (SELECT vec_id, q,
+          list_sum(list_transform(generate_series(1, len(q)), i -> q[i]*q[i])) AS n2
+          FROM e),
+    bands AS (
+      SELECT vec_id, band,
+        array_to_string(list_transform(generate_series(1, 4),
+          i -> CASE WHEN q[band*4 + i] > 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM n CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) b),
+    capped AS (
+      SELECT vec_id, band, bucket FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) <= 64),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    sym AS (
+      SELECT vec_a AS query_id, vec_b AS neighbor_id FROM cand
+      UNION ALL
+      SELECT vec_b AS query_id, vec_a AS neighbor_id FROM cand),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i]*b.q[i])) AS DOUBLE) /
+        sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cosine
+      FROM sym JOIN n a ON a.vec_id = query_id JOIN n b ON b.vec_id = neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked
+    WHERE rank <= 3 ORDER BY query_id ASC, rank ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_knn_graph" -> (q152KnnGraph _),
     "q90_label_centroids" -> (q90LabelCentroids _),
     "q91_nearest_centroid" -> (q91NearestCentroid _),
     "q44_ann_ivf" -> (q44AnnIvf _),
@@ -287,6 +331,7 @@ object VectorQueries {
     "q43_knn_label_vote" -> (q43KnnLabelVote _))
 
   val oracles: Map[String, String] = Map(
+    "q152_knn_graph" -> q152Oracle,
     "q90_label_centroids" -> q90Oracle,
     "q91_nearest_centroid" -> q91Oracle,
     "q40_ann_bruteforce" -> q40Oracle,

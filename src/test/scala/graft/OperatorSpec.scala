@@ -131,6 +131,27 @@ class OperatorSpec extends SparkSpec {
     assert(top.head.getAs[Double]("cosine") > 0.99)
   }
 
+  test("knn graph: symmetric edges, bounded ranks, agrees with brute force") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val g = VectorOps.knnGraph(emb, k = 3).persist()
+    try {
+      // every node covered, exactly contiguous ranks 1..3
+      val perNode = g.groupBy($"query_id")
+        .agg(count(lit(1)).as("n"), max($"rank").as("mr"), min($"rank").as("lo"))
+      assert(perNode.filter($"n" =!= 3 || $"mr" =!= 3 || $"lo" =!= 1).count() == 0)
+      assert(perNode.count() == emb.count())
+      // the banded graph recovers most of the exact top-3 edges (the
+      // clustered synthetic embeddings collide within their label's cone)
+      val exact = VectorOps.bruteForceTopK(emb, emb, k = 3)
+        .select($"query_id", $"neighbor_id")
+      val hit = g.select($"query_id", $"neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id")).count()
+      val recall = hit.toDouble / exact.count()
+      info(s"knn-graph recall@3 = $recall")
+      assert(recall >= 0.8, s"knn-graph recall@3 $recall below 0.8")
+    } finally g.unpersist()
+  }
+
   test("connected components: hand graph converges, empty graph is empty") {
     import graft.operators.GraphOps
     // two components {1,2,3,7} (chain via transitivity) and {5,6}
