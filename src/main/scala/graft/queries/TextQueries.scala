@@ -354,6 +354,44 @@ object TextQueries {
     FROM documents d WHERE doc_id >= 400 ORDER BY doc_id ASC"""
   }
 
+  // q153 — benchmark decontamination: the train/eval n-gram overlap check
+  // every pretraining corpus runs (flag training docs sharing any 4-gram
+  // with the held-out benchmark set, with the shared-shingle count as the
+  // contamination score). Benchmark = doc_id ≡ 0 (mod 50). Both sides
+  // reduce to DISTINCT shingle fingerprints (md5 — the join shuffles
+  // 32-char hashes, never text); the benchmark side is tiny relative to
+  // the corpus at any scale (eval suites are MBs against TBs) and is
+  // broadcast, so the corpus is never shuffled at all: one scan, one
+  // broadcast-hash semi-count per doc. The oracle replays the same
+  // shingling relationally on the raw strings — identical sets.
+  def q153Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def sh(d: DataFrame) = d
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 4)).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("h"))
+    val bench = sh(docs.filter(pmod(col("doc_id"), lit(50)) === 0))
+      .select(col("h")).distinct()
+    sh(docs.filter(pmod(col("doc_id"), lit(50)) =!= 0))
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q153Oracle: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-3),
+          i -> array_to_string(t[i:i+3], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 4)),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+    SELECT s.doc_id, COUNT(*) AS n_hit
+    FROM sh s JOIN bench USING (shingle)
+    WHERE s.doc_id % 50 <> 0
+    GROUP BY s.doc_id ORDER BY s.doc_id ASC"""
+
   // q93 — dedup clusters: connected components over the minhash LSH
   // candidate-pair graph (q34's pairs), giving the transitive dedup GROUPS
   // pairwise matches alone miss (A~B, B~C ⇒ {A,B,C} even if A,C never
@@ -554,6 +592,7 @@ object TextQueries {
     "q125_regex_tokens" -> (q125RegexTokens _),
     "q93_dedup_clusters" -> (q93DedupClusters _),
     "q92_incremental_dedup" -> (q92IncrementalDedup _),
+    "q153_decontaminate" -> (q153Decontaminate _),
     "q88_sequence_packing" -> (q88SequencePacking _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_text_quality" -> (q31TextQuality _),
@@ -571,6 +610,7 @@ object TextQueries {
     "q125_regex_tokens" -> q125Oracle,
     "q93_dedup_clusters" -> q93Oracle,
     "q92_incremental_dedup" -> q92Oracle,
+    "q153_decontaminate" -> q153Oracle,
     "q88_sequence_packing" -> q88Oracle,
     "q30_dedup_exact" -> q30Oracle,
     "q31_text_quality" -> q31Oracle,
