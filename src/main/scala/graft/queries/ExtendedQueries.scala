@@ -152,10 +152,8 @@ object ExtendedQueries {
   // a memory sink. The oracle is the equivalent batch date_trunc grouping —
   // stream-equals-batch is exactly the guarantee Structured Streaming makes.
   def q55StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
-    // explicit raw schema (ts as int64 nanos) — no nanosAsLong conf mutation
-    val stream = spark.readStream.schema(Tables.eventsRawSchema)
-      .parquet(Tables.streamDir(s"$dir/events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    // physical-type-adaptive replay (Tables.eventsStream normalizes ts)
+    val stream = Tables.eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -307,9 +305,7 @@ object ExtendedQueries {
   // as q55; the oracle expands each event to its two window starts and
   // re-aggregates — stream-equals-batch again.
   def q86StreamSliding(spark: SparkSession, dir: String): DataFrame = {
-    val stream = spark.readStream.schema(Tables.eventsRawSchema)
-      .parquet(Tables.streamDir(s"$dir/events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = Tables.eventsStream(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "2 hours", "1 hour"))
       .agg(count(lit(1)).as("n"),
@@ -336,8 +332,7 @@ object ExtendedQueries {
   // MAX over the emitted rows per key reconstructs the final state no
   // matter how many micro-batches the drain splits into.
   def q94StreamUpdateMode(spark: SparkSession, dir: String): DataFrame = {
-    val stream = spark.readStream.schema(Tables.eventsRawSchema)
-      .parquet(Tables.streamDir(s"$dir/events.parquet"))
+    val stream = Tables.eventsStream(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
     StreamingQueries.drain(spark, stream, outputMode = "update")

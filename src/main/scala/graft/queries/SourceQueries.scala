@@ -145,7 +145,12 @@ object SourceQueries {
   // 1/30th and reading everything, and at 100 TB between a partition and
   // the lake.
   def q95PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratch("q95part", dir)
+    // the cached layout is keyed on the source file's mtime: if the
+    // harness regenerates testdata in place, a layout derived from the
+    // old bytes must not satisfy the marker check
+    val srcStamp = java.nio.file.Files
+      .getLastModifiedTime(Paths.get(dir, "events.parquet")).toMillis
+    val out = scratch(s"q95part$srcStamp", dir)
     val marker = Paths.get(out, "_SUCCESS")
     if (!java.nio.file.Files.exists(marker)) {
       Tables.events(spark, dir)

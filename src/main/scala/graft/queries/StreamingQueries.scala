@@ -20,9 +20,7 @@ import graft.tables.Tables
 object StreamingQueries {
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(Tables.eventsRawSchema)
-      .parquet(Tables.streamDir(s"$dir/events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    Tables.eventsStream(spark, dir)
 
   /** Drain a streaming frame into a memory sink and return the collected
     * result re-materialized as a local batch frame (the sink view is
@@ -159,7 +157,7 @@ object StreamingQueries {
     // final global watermark: min over sides of max event time, minus 1h
     val ev = Tables.events(spark, dir)
     def maxUs(t: String) = ev.filter(col("event_type") === t)
-      .agg(max(expr("ts_ns DIV 1000"))).head().getLong(0)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
     val cutoffUs = math.min(maxUs("purchase"), maxUs("click")) - 3600000000L
     drain(spark, joined)
       .select(col("p_id"), col("c_id"), col("user_id"),

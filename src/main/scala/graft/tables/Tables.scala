@@ -23,16 +23,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-    * read as a timestamp (PARQUET_TYPE_ILLEGAL on schema inference). An
-    * explicit user schema typing it as LongType reads the raw nanos
-    * without touching session config (no
+  /** The harness has shipped `events.ts` under two physical parquet types
+    * across data drops: TIMESTAMP(NANOS) — which Spark 4 refuses to infer
+    * (PARQUET_TYPE_ILLEGAL) — and plain TIMESTAMP(MICROS), which reads
+    * natively. The loader probes the footer once per path and adapts, so
+    * the rest of the engine always sees the same shape: a micros
+    * TimestampType `ts` plus a raw int64 `ts_ns` companion.
+    *
+    * Legacy-nanos handling: an explicit user schema types `ts` as LongType
+    * to read the raw nanos without touching session config (no
     * `spark.sql.legacy.parquet.nanosAsLong` mutation — that setting would
-    * leak to every other read sharing the SparkSession). The micros
-    * TimestampType `ts` is rebuilt via integer division (plain `/` would
-    * go through double and lose precision on int64 nanos). DuckDB keeps
-    * nanos; both engines floor-truncate identically, so any output derived
-    * at ms/us granularity hash-matches the oracle.
+    * leak to every other read sharing the SparkSession), then rebuilds the
+    * micros `ts` via integer division (plain `/` would go through double
+    * and lose precision on int64 nanos). Both engines floor-truncate
+    * identically, so ms/us-granularity outputs hash-match the oracle
+    * either way.
     */
   val eventsRawSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -44,10 +49,76 @@ object Tables {
       StructField("value", DoubleType),
       StructField("props", StringType)))
   }
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns DIV 1000)"))
+
+  /** Footer probe, cached per path: `None` = legacy nanos (schema
+    * inference refuses the file — Spark 4 throws on TIMESTAMP(NANOS));
+    * otherwise the inferred type of `ts`. A micros file written with
+    * `isAdjustedToUTC=false` infers as TimestampNTZType, one with `=true`
+    * as TimestampType — both are native reads that only need a cast to
+    * the session-zone TimestampType (identity wall-clock under the UTC
+    * session zone every entry point sets). */
+  private val eventsTsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[org.apache.spark.sql.types.DataType]]()
+  def eventsTsType(spark: SparkSession, path: String): Option[org.apache.spark.sql.types.DataType] =
+    eventsTsTypeCache.computeIfAbsent(path, { p =>
+      scala.util.Try(spark.read.parquet(p).schema).toOption
+        .flatMap(_.fields.find(_.name == "ts")).map(_.dataType)
+        .filter {
+          case org.apache.spark.sql.types.TimestampType => true
+          case org.apache.spark.sql.types.TimestampNTZType => true
+          case _ => false // raw int64 etc. → treat as legacy nanos
+        }
+    })
+  def eventsTsIsNanos(spark: SparkSession, path: String): Boolean =
+    eventsTsType(spark, path).isEmpty
+
+  /** Stream-reader schema for the current events file (readStream always
+    * needs one): the raw-long schema for legacy nanos, the inferred
+    * timestamp flavor otherwise. */
+  def eventsStreamSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    eventsTsType(spark, path) match {
+      case None => eventsRawSchema
+      case Some(t) =>
+        org.apache.spark.sql.types.StructType(eventsRawSchema.fields.map(f =>
+          if (f.name == "ts") f.copy(dataType = t) else f))
+    }
+
+  /** Normalize a raw events frame (batch or stream) to the canonical
+    * shape: micros TimestampType `ts` + int64-nanos `ts_ns`. */
+  private def normalizeEvents(df: DataFrame,
+      tsType: Option[org.apache.spark.sql.types.DataType]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    tsType match {
+      case None =>
+        df.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        df.withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      case Some(_) => // NTZ: same wall-clock instant under the UTC session zone
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val t = eventsTsType(spark, path)
+    val raw =
+      if (t.isEmpty) spark.read.schema(eventsRawSchema).parquet(path)
+      else spark.read.parquet(path)
+    normalizeEvents(raw, t)
+  }
+
+  /** The events table replayed as a file stream, normalized to the same
+    * shape the batch loader exposes — all streaming queries go through
+    * here so the physical-type adaptation lives in one place. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val t = eventsTsType(spark, path)
+    normalizeEvents(
+      spark.readStream.schema(eventsStreamSchema(spark, path))
+        .parquet(streamDir(path)), t)
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

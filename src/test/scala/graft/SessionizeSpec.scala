@@ -39,9 +39,8 @@ class SessionizeSpec extends SparkSpec {
 
   test("transformWithState sessionizer matches flatMapGroupsWithState on a stream") {
     val dir = "/root/testdata/sf0.001"
-    def streamEvents = spark.readStream.schema(graft.tables.Tables.eventsRawSchema)
-      .parquet(graft.tables.Tables.streamDir(s"$dir/events.parquet"))
-      .select($"user_id", $"event_id", expr("ts DIV 1000000").as("ms"))
+    def streamEvents = graft.tables.Tables.eventsStream(spark, dir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"))
       .as[Event]
     def drain(sessions: org.apache.spark.sql.Dataset[Session], name: String): Set[Session] = {
       val q = sessions.writeStream.outputMode("append")
@@ -69,9 +68,8 @@ class SessionizeSpec extends SparkSpec {
 
   test("stateful sessionizer works as a real stream with AvailableNow") {
     val dir = "/root/testdata/sf0.001"
-    val stream = spark.readStream.schema(graft.tables.Tables.eventsRawSchema)
-      .parquet(graft.tables.Tables.streamDir(s"$dir/events.parquet"))
-      .select($"user_id", $"event_id", expr("ts DIV 1000000").as("ms"))
+    val stream = graft.tables.Tables.eventsStream(spark, dir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"))
       .as[Event]
     val sessions = Sessionize.sessionize(stream, gapMs)
     val name = "sessions_out"
