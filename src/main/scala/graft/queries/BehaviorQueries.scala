@@ -20,9 +20,10 @@ import graft.tables.Tables
   * the join is on the already-partitioned user key).
   *
   * Determinism: timestamps are compared as `unix_micros` on both engines
-  * (events.parquet is TIMESTAMP(NANOS); DuckDB truncates ns→µs via
-  * epoch_us, Spark reads µs — identical longs). Raw `value` doubles pass
-  * through unaggregated or through exact integer paths only.
+  * (whatever physical type events.parquet ships — nanos or micros — the
+  * loader normalizes Spark to µs and DuckDB's epoch_us floors to the
+  * same longs). Raw `value` doubles pass through unaggregated or through
+  * exact integer paths only.
   */
 object BehaviorQueries {
 

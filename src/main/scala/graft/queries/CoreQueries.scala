@@ -16,9 +16,10 @@ import graft.tables.Tables
   *    Per-row double arithmetic is IEEE-identical in Spark and DuckDB; the
   *    decimal cast absorbs summation-order divergence.
   *  - Every result is fully ordered with unique tie-breaker columns.
-  *  - `events.ts` is nanosecond-precision in parquet; Spark truncates to
-  *    micros on read, so outputs only expose it via epoch_ms / date casts
-  *    (identical truncation on both engines).
+  *  - `events.ts` has shipped as both TIMESTAMP(NANOS) and
+  *    TIMESTAMP(MICROS) across testdata drops; [[Tables.events]]
+  *    normalizes to micros, so outputs only expose it via epoch_ms /
+  *    date casts (identical truncation on both engines either way).
   */
 object CoreQueries {
 

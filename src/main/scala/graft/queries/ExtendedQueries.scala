@@ -110,9 +110,9 @@ object ExtendedQueries {
   // a batch backfill would run, and is the SQL-expressible oracle.
   def q54Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val gapMs = 30 * 60 * 1000L
-    // order by (epoch_ms, event_id) — NOT raw ts: Spark truncates the
-    // parquet nanos to micros while DuckDB keeps them, so same-ms ties
-    // must break on event_id identically in both engines
+    // order by (epoch_ms, event_id) — NOT raw ts: on a nanos testdata
+    // drop Spark truncates to micros while DuckDB keeps nanos, so
+    // same-ms ties must break on event_id identically in both engines
     val w = Window.partitionBy(col("user_id"))
       .orderBy(unix_millis(col("ts")).asc, col("event_id").asc)
     Tables.events(spark, dir)

@@ -38,7 +38,7 @@ object SourceQueries {
     SELECT * FROM customer ORDER BY c_custkey ASC"""
 
   // q72 — ORC round trip: orders through ORC, timestamps reduced to epoch
-  // ms on output (the shared precision with the oracle's nanos).
+  // ms on output (the precision both engines share on every testdata drop).
   def q72OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val out = scratch("q72orc", dir)

@@ -14,8 +14,9 @@ import graft.tables.Tables
   * is the guarantee being exercised.
   *
   * Time comparisons run at microsecond precision: Spark timestamps ARE
-  * micros, and DuckDB's `epoch_us` floor-truncates its nanos the same
-  * way, so interval boundaries land identically on both engines.
+  * micros (the loader normalizes whatever precision the file ships), and
+  * DuckDB's `epoch_us` floors to the same longs, so interval boundaries
+  * land identically on both engines.
   */
 object StreamingQueries {
 

@@ -16,9 +16,10 @@ import graft.tables.Tables
   * ASOF JOIN / inequality joins, giving a genuinely independent
   * cross-engine check of the semantics.
   *
-  * All comparisons run on epoch-ms longs: Spark truncates the events
-  * table's nanosecond timestamps to micros while DuckDB keeps nanos, so
-  * ms is the shared precision both engines floor to identically.
+  * All comparisons run on epoch-ms longs: the events loader normalizes
+  * Spark to micros regardless of the file's physical precision (nanos or
+  * micros across testdata drops), so ms is the shared precision both
+  * engines floor to identically.
   */
 object TemporalQueries {
 
