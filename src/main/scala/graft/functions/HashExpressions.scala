@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels shared by eval and generated code. Public because
@@ -114,6 +114,28 @@ object HashKernels {
     }
     min
   }
+
+  /** The k bloom-filter bit positions of a value's canonical string
+    * form: double hashing over the fnv1a64 base,
+    * `position_i = mix(h ^ i·GOLDEN) mod m` (Kirsch–Mitzenmacher).
+    * One kernel serves both sides of the store's bloom sidecars: the
+    * codegen'd [[BloomBits]] expression on executors at build time and
+    * the driver-side probe at read time — identical bits by
+    * construction, no cross-API hashing drift possible. */
+  def bloomPositions(h: Long, m: Int, k: Int): Array[Int] = {
+    val out = new Array[Int](k)
+    var i = 0
+    while (i < k) {
+      out(i) = java.lang.Long.remainderUnsigned(
+        mix(h ^ (i.toLong * 0x9e3779b97f4a7c15L)), m.toLong).toInt
+      i += 1
+    }
+    out
+  }
+
+  def bloomBits(s: UTF8String, m: Int, k: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      bloomPositions(fnv1a64(s), m, k))
 
   /** Finalizer so raw polynomial hashes compare uniformly. */
   def mix(x: Long): Long = {
@@ -265,11 +287,36 @@ case class MinWindowMd5(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `bloom_bits(string, m, k) -> array<int>` — the k bloom bit positions
+  * of a value under an m-bit filter, codegen'd. `m`/`k` are compile-time
+  * filter geometry (fixed per table column at writeAll, like the bucket
+  * count). Build side of [[graft.sync.BucketedTableStore]]'s per-bucket
+  * bloom sidecars; the probe side calls [[HashKernels.bloomPositions]]
+  * on the driver with the same geometry. */
+case class BloomBits(child: Expression, m: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_bits needs string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bloomBits(input.asInstanceOf[UTF8String], m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bloomBits($c, $m, $k)")
+  override protected def withNewChildInternal(newChild: Expression): BloomBits =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
   def simhash(c: Column): Column =
     ColumnBridge.column(SimHash(ColumnBridge.expression(c)))
+  def bloom_bits(c: Column, m: Int, k: Int): Column =
+    ColumnBridge.column(BloomBits(ColumnBridge.expression(c), m, k))
   def min_rolling_hash(c: Column, k: Int): Column =
     ColumnBridge.column(MinRollingHash(ColumnBridge.expression(c), k))
   def min_window_md5(c: Column, k: Int): Column =

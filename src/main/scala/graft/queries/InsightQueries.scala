@@ -540,7 +540,59 @@ object InsightQueries {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority ASC"""
 
+  // ---------------------------------------------------------------------
+  // q154 — bloom-pruned fingerprint lookup on the bucketed store: the
+  // documents corpus is written into a [[graft.sync.BucketedTableStore]]
+  // hash-bucketed by doc_id with a per-bucket bloom sidecar over the
+  // content fingerprint md5(text) — a column the layout scatters, so
+  // neither key routing (lookup) nor zone maps (readRange) can prune it.
+  // A CDC delta batch REMOVEs doc_id ≡ 3 (mod 100), then a probe asks for
+  // the fingerprints of three known docs (one of them removed — its stale
+  // bloom bits still admit the bucket, the resolved read drops the rows)
+  // plus two absent fingerprints (bloom-rejected before any IO).
+  // BloomSidecarSpec proves the bucket skipping; at 100 TB this is the
+  // "is this content already in the corpus?" probe reading a few buckets
+  // instead of the table. The oracle replays the removal and the IN
+  // filter relationally — the pruned read must be indistinguishable from
+  // the full scan.
+  def q154BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("fp", md5($"text"))
+    val root = Files.createTempDirectory("graft_bloom").toString
+    val store = new graft.sync.BucketedTableStore(spark, root, nBuckets = 16)
+    try {
+      store.writeAll("docs",
+        docs.withColumn("syncTimestamp",
+          lit(new java.sql.Timestamp(1659999000000L))),
+        "doc_id", bloomCols = Seq("fp"))
+      val removals = docs.filter(pmod($"doc_id", lit(100)) === 3L)
+        .withColumn("eventName", lit("REMOVE"))
+      store.mergeDelta("docs", removals, "doc_id",
+        new java.sql.Timestamp(1660000000000L))
+      // fingerprints resolved driver-side from the PRE-removal corpus
+      // (doc 3's fp probes the stale-bit path), plus two absent values
+      val present = docs.filter($"doc_id".isin(3L, 7L, 23L))
+        .select($"fp").as[String].collect().toSeq.distinct.sorted
+      val probes = present ++ Seq(
+        "00000000000000000000000000000000", "ffffffffffffffffffffffffffffffff")
+      val out = store.readWhereIn("docs", "fp", probes).get
+        .select($"doc_id", $"lang", $"source", $"n_chars", $"fp")
+        .orderBy($"doc_id".asc)
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally TableStore.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+  val q154Oracle: String = """
+    SELECT doc_id, lang, source, n_chars, md5(text) AS fp
+    FROM documents
+    WHERE doc_id % 100 <> 3
+      AND md5(text) IN (SELECT md5(text) FROM documents
+                        WHERE doc_id IN (3, 7, 23))
+    ORDER BY doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_bloom_lookup" -> (q154BloomLookup _),
     "q151_store_prune" -> (q151StorePrune _),
     "q149_time_travel" -> (q149TimeTravel _),
     "q104_edit_distance" -> (q104EditDistance _),
@@ -555,6 +607,7 @@ object InsightQueries {
     "q116_bitmap_intersect" -> (q116BitmapIntersect _))
 
   val oracles: Map[String, String] = Map(
+    "q154_bloom_lookup" -> q154Oracle,
     "q151_store_prune" -> q151Oracle,
     "q149_time_travel" -> q149Oracle,
     "q104_edit_distance" -> q104Oracle,

@@ -172,6 +172,9 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
   private def statsColsFile(name: String): Path = tableDir(name).resolve("_STATSCOLS")
   private def statsFile(name: String, v: Int): Path =
     tableDir(name).resolve(s"_STATS.$v")
+  private def bloomColsFile(name: String): Path = tableDir(name).resolve("_BLOOMCOLS")
+  private def bloomFile(name: String, v: Int): Path =
+    tableDir(name).resolve(s"_BLOOM.$v")
   private def manifestFile(name: String, v: Int): Path =
     tableDir(name).resolve(s"_MANIFEST.$v")
 
@@ -361,6 +364,168 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       else readBuckets(name, Some(bs))
     }.map(_.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi)))
 
+  // ---- bloom sidecars ------------------------------------------------
+  //
+  // Zone maps answer RANGE questions; these answer POINT-MEMBERSHIP ones
+  // — "which buckets may hold this content fingerprint?" — on columns
+  // the layout does not cluster by. Per bucket and column, an m-bit
+  // bloom over the column's canonical string rendering (k positions
+  // from the shared HashKernels.bloomPositions kernel; the codegen'd
+  // BloomBits expression builds distributedly, the driver probes with
+  // the same kernel). Lifecycle mirrors the zone maps exactly: exact at
+  // writeAll, exact-per-touched-bucket at copy-on-write merge, OR-widen
+  // at delta commits (tombstoned values keep their bits — false
+  // positives only, never false negatives), retightened by compact,
+  // absence propagates so a lost sidecar degrades to full reads, and
+  // vacuum ages sidecars out with their manifests. Sidecar size is
+  // nBuckets × m bits per column — 1024 buckets × 128 Ki bits = 16 MiB,
+  // the price of skipping whole buckets on point probes over 100 TB.
+
+  /** bloom columns → (m bits, k hashes), fixed at writeAll. */
+  private def bloomSpecs(name: String): Seq[(String, Int, Int)] = {
+    val f = bloomColsFile(name)
+    if (!Files.exists(f)) Nil
+    else Files.readAllLines(f).asScala.filter(_.nonEmpty).map { line =>
+      val Array(c, m, k) = line.split('\t')
+      (StatKind.dec(c), m.toInt, k.toInt)
+    }.toSeq
+  }
+
+  /** Per-bucket bloom bitsets over the staged parquet just written — like
+    * [[statsFromStaging]], a columnar read-back of only the touched
+    * buckets' new bytes. The shuffle carries (bucket, bit position)
+    * pairs, bounded by nBuckets × m regardless of row count. */
+  private def bloomFromStaging(staging: Path, specs: Seq[(String, Int, Int)],
+      excludeDel: Boolean): Map[Int, Map[String, Array[Long]]] = {
+    if (specs.isEmpty) return Map.empty
+    val raw = spark.read.parquet(staging.toString)
+    val rows = if (excludeDel) raw.filter(!col("_del")) else raw
+    val perCol = specs.map { case (c, m, k) =>
+      val sets = rows.select(col("_bucket"),
+          explode(graft.functions.GraftFunctions.bloom_bits(
+            col(c).cast("string"), m, k)).as("_pos"))
+        .groupBy(col("_bucket"))
+        .agg(collect_set(col("_pos")).as("_ps"))
+        .collect()
+      c -> sets.map { r =>
+        val bits = new Array[Long]((m + 63) >>> 6)
+        r.getSeq[Int](1).foreach(p => bits(p >>> 6) |= 1L << (p & 63))
+        r.getLong(0).toInt -> bits
+      }.toMap
+    }
+    val buckets = perCol.iterator.flatMap(_._2.keys).toSet
+    buckets.map { b =>
+      b -> perCol.flatMap { case (c, m) => m.get(b).map(c -> _) }.toMap
+    }.toMap
+  }
+
+  private def renderBits(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array)
+  }
+  private def parseBitsB64(s: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  private def readBloom(name: String, v: Int): Map[Int, Map[String, Array[Long]]] = {
+    val f = bloomFile(name, v)
+    if (!Files.exists(f)) Map.empty
+    else Files.readAllLines(f).asScala.filter(_.nonEmpty)
+      .map { line =>
+        val Array(b, c, bits) = line.split('\t')
+        (b.toInt, StatKind.dec(c), parseBitsB64(bits))
+      }.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+  }
+
+  /** Like [[carriedStats]]: a missing base sidecar PROPAGATES (claiming
+    * membership knowledge we don't have would wrongly skip buckets). */
+  private def carriedBloom(name: String, base: Int):
+      Option[Map[Int, Map[String, Array[Long]]]] =
+    if (Files.exists(bloomFile(name, base))) Some(readBloom(name, base)) else None
+
+  /** OR-union of two bloom maps — the delta-commit widening (a superset
+    * of base ∪ delta membership: no false negatives by construction). */
+  private def orBloom(prev: Map[Int, Map[String, Array[Long]]],
+      add: Map[Int, Map[String, Array[Long]]]):
+      Map[Int, Map[String, Array[Long]]] =
+    (prev.keySet ++ add.keySet).map { b =>
+      val p = prev.getOrElse(b, Map.empty[String, Array[Long]])
+      val a = add.getOrElse(b, Map.empty[String, Array[Long]])
+      b -> (p.keySet ++ a.keySet).map { c =>
+        c -> ((p.get(c), a.get(c)) match {
+          case (Some(x), Some(y)) =>
+            val out = new Array[Long](math.max(x.length, y.length))
+            var i = 0
+            while (i < out.length) {
+              out(i) = (if (i < x.length) x(i) else 0L) |
+                (if (i < y.length) y(i) else 0L)
+              i += 1
+            }
+            out
+          case (Some(x), None) => x
+          case (None, Some(y)) => y
+          case (None, None) => throw new IllegalStateException("unreachable")
+        })
+      }.toMap
+    }.toMap
+
+  private def writeBloom(name: String, v: Int,
+      m: Map[Int, Map[String, Array[Long]]]): Unit = {
+    val body = m.toSeq.sortBy(_._1).flatMap { case (b, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, bits) =>
+        s"$b\t${StatKind.enc(c)}\t${renderBits(bits)}"
+      }
+    }.mkString("\n")
+    Files.write(bloomFile(name, v), body.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** The buckets that MAY hold rows whose `colName` (string-rendered)
+    * equals any of `values` — a bucket survives unless its bloom PROVES
+    * exclusion of every probe value, so a missing sidecar, untracked
+    * column, or bloom-less bucket degrades to a full read, never a wrong
+    * skip. REMOVEd values may keep admitting their bucket until a
+    * compaction rebuilds it exactly — false positives cost IO, not
+    * correctness. */
+  def bloomAdmittedBuckets(name: String, colName: String,
+      values: Seq[String]): Option[Set[Int]] =
+    bucketStates(name).map { m =>
+      (bloomSpecs(name).find(_._1 == colName),
+        currentManifestVersion(name).filter(v => Files.exists(bloomFile(name, v)))) match {
+        case (Some((_, mBits, k)), Some(v)) =>
+          val blooms = readBloom(name, v)
+          val probes = values.map(s => graft.functions.HashKernels.bloomPositions(
+            graft.functions.HashKernels.fnv1a64(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s)), mBits, k))
+          m.keySet.filter { b =>
+            blooms.get(b).flatMap(_.get(colName)) match {
+              case None => true // no proof of exclusion
+              case Some(bits) => probes.exists(_.forall(p =>
+                (bits(p >>> 6) & (1L << (p & 63))) != 0L))
+            }
+          }
+        case _ => m.keySet
+      }
+    }
+
+  /** Bloom-pruned point-membership scan: read only the buckets whose
+    * blooms admit at least one probe value, then apply the exact residual
+    * `IN` filter. The point-lookup complement of [[readRange]] for
+    * columns the bucketing does NOT key on — content fingerprints, join
+    * keys of a secondary entity — where [[lookup]]'s key routing cannot
+    * help. At 100 TB a fingerprint probe reads the few buckets whose
+    * 16 KiB sidecar admits it instead of the table. */
+  def readWhereIn(name: String, colName: String, values: Seq[String]):
+      Option[DataFrame] =
+    bloomAdmittedBuckets(name, colName, values).flatMap { bs =>
+      if (bs.isEmpty) read(name).map(_.limit(0))
+      else readBuckets(name, Some(bs))
+    }.map(_.filter(col(colName).cast("string").isin(values: _*)))
+
   private def currentManifestVersion(name: String): Option[Int] = {
     val f = currentFile(name)
     if (Files.exists(f)) Some(new String(Files.readAllBytes(f)).trim.toInt) else None
@@ -530,7 +695,8 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     * creation, like the bucket count. */
   def writeAll(name: String, df: DataFrame, key: String,
       sortBy: Option[String] = None, statsCols: Seq[String] = Nil,
-      rangeBucket: Boolean = false): Unit = {
+      rangeBucket: Boolean = false, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 17, bloomHashes: Int = 7): Unit = {
     sweepOrphans(name)
     val base = currentManifestVersion(name)
     val next = base.getOrElse(-1) + 1
@@ -575,6 +741,18 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
           .mkString("\n").getBytes,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       writeStats(name, next, statsFromStaging(staging, specs, excludeDel = false))
+    }
+    // bloom geometry is fixed at table creation like the bucket count:
+    // size m for the expected distinct values per bucket per column
+    // (~m/10 at 1% false-positive with k=7; the 128 Ki-bit default covers
+    // ~13k distinct values per bucket)
+    val bSpecs = bloomCols.map(c => (c, bloomBits, bloomHashes))
+    if (bSpecs.nonEmpty) {
+      Files.write(bloomColsFile(name),
+        bSpecs.map { case (c, m2, k2) => s"${StatKind.enc(c)}\t$m2\t$k2" }
+          .mkString("\n").getBytes,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      writeBloom(name, next, bloomFromStaging(staging, bSpecs, excludeDel = false))
     }
     boundaries match {
       case Some((kind, bs)) =>
@@ -668,6 +846,13 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
           else carriedStats(name, base.get).map(prev =>
             (prev -- touched) ++
               statsFromStaging(staging, specs, excludeDel = false))
+        // rewritten buckets likewise get EXACT blooms from the staged bytes
+        val bSpecs = bloomSpecs(name)
+        val newBloom =
+          if (bSpecs.isEmpty) None
+          else carriedBloom(name, base.get).map(prev =>
+            (prev -- touched) ++
+              bloomFromStaging(staging, bSpecs, excludeDel = false))
         // Re-check the base before any move: a stale writer must abandon
         // its staging dir, not clobber the winner's bucket versions. An
         // already-existing dest is the same staleness signal (a racing
@@ -693,6 +878,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
         }.toMap
         cleanupDir(staging)
         newStats.foreach(writeStats(name, next, _))
+        newBloom.foreach(writeBloom(name, next, _))
         commitManifest(name, m ++ updated, base)
       }
     } finally staged.unpersist()
@@ -743,6 +929,13 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
           else carriedStats(name, base.get).map(prev =>
             widenStats(specs, prev,
               statsFromStaging(staging, specs, excludeDel = true)))
+        // blooms OR-widen: base ∪ delta membership, tombstones keep their
+        // bits (false positives only) until compaction rebuilds exactly
+        val bSpecs = bloomSpecs(name)
+        val newBloom =
+          if (bSpecs.isEmpty) None
+          else carriedBloom(name, base.get).map(prev =>
+            orBloom(prev, bloomFromStaging(staging, bSpecs, excludeDel = true)))
         def stale(): Nothing = {
           cleanupDir(staging)
           throw new java.util.ConcurrentModificationException(
@@ -763,6 +956,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
         }.toMap
         cleanupDir(staging)
         newStats.foreach(writeStats(name, next, _))
+        newBloom.foreach(writeBloom(name, next, _))
         commitManifest(name, m ++ updated, base)
       }
     } finally staged.unpersist()
@@ -812,6 +1006,13 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
         else carriedStats(name, base.get).map(prev =>
           (prev -- targets.keys) ++
             statsFromStaging(staging, specs, excludeDel = false))
+      // ... and where delta-widened blooms shed their tombstoned bits
+      val bSpecs = bloomSpecs(name)
+      val newBloom =
+        if (bSpecs.isEmpty) None
+        else carriedBloom(name, base.get).map(prev =>
+          (prev -- targets.keys) ++
+            bloomFromStaging(staging, bSpecs, excludeDel = false))
       def stale(): Nothing = {
         cleanupDir(staging)
         throw new java.util.ConcurrentModificationException(
@@ -830,6 +1031,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       }.toMap
       cleanupDir(staging)
       newStats.foreach(writeStats(name, next, _))
+      newBloom.foreach(writeBloom(name, next, _))
       commitManifest(name, m ++ updated, base)
       updated.size
     }
@@ -891,6 +1093,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
         dropped.foreach { v =>
           Files.delete(manifestFile(name, v))
           Files.deleteIfExists(statsFile(name, v)) // zone maps age out with their manifest
+          Files.deleteIfExists(bloomFile(name, v)) // bloom sidecars likewise
         }
         // union of still-referenced per-bucket dirs ("v3" / "d5" names)
         // across the retained manifests

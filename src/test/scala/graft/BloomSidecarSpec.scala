@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.sync.BucketedTableStore
+
+/** Per-bucket bloom sidecars on the bucketed store: point-membership
+  * pruning on columns the bucketing does NOT key on. A pruned read must
+  * never change a result (every test pairs it with the full-scan IN
+  * filter); the sidecars follow the table through every write discipline
+  * — exact on writeAll/copy-on-write/compact, OR-widened on delta
+  * commits — and a missing sidecar degrades to a full read, never a
+  * wrong skip.
+  */
+class BloomSidecarSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = new Timestamp(1660000000000L)
+  private val t1 = new Timestamp(1660000060000L)
+
+  /** id 1..n hash-bucketed; `fp` is a content fingerprint the layout
+    * scatters across buckets — exactly the column bloom sidecars exist
+    * for. */
+  private def rows(n: Int) = (1 to n).map(i => (i.toLong, s"fp-${i * 37}", s"n$i"))
+    .toDF("id", "fp", "name")
+    .withColumn("syncTimestamp", lit(t0))
+
+  private def got(df: org.apache.spark.sql.DataFrame) =
+    df.select($"id", $"fp", $"name").as[(Long, String, String)].collect().toSet
+
+  test("bloom probe skips buckets and matches the full-scan IN filter") {
+    val store = new BucketedTableStore(spark, tmpDir("bloom1"), nBuckets = 16)
+    store.writeAll("t", rows(400), "id", bloomCols = Seq("fp"))
+
+    val probes = Seq("fp-37", "fp-3700", "fp-7400") // ids 1, 100, 200
+    val pruned = store.readWhereIn("t", "fp", probes).get
+    val full = store.read("t").get.filter($"fp".isin(probes: _*))
+    assert(got(pruned) == got(full) && got(pruned).size == 3)
+
+    val admitted = store.bloomAdmittedBuckets("t", "fp", probes).get
+    val all = store.bucketStates("t").get.keySet
+    assert(admitted.size < all.size,
+      s"probe must skip buckets (kept ${admitted.size} of ${all.size})")
+    // the scan itself must only open the admitted buckets' files
+    val touched = pruned.inputFiles.map(_.split('/').find(_.matches("b\\d+")).get).toSet
+    assert(touched.subsetOf(admitted.map(b => s"b$b")),
+      s"scan opened $touched beyond admitted $admitted")
+  }
+
+  test("absent values admit (almost) no buckets; result is empty either way") {
+    val store = new BucketedTableStore(spark, tmpDir("bloom2"), nBuckets = 16)
+    store.writeAll("t", rows(400), "id", bloomCols = Seq("fp"))
+    val absent = Seq("nope-1", "nope-2")
+    assert(got(store.readWhereIn("t", "fp", absent).get).isEmpty)
+    // with 128Ki bits over ≤25 values/bucket the false-positive rate is
+    // ~0: the admitted set must be empty on this fixed data
+    assert(store.bloomAdmittedBuckets("t", "fp", absent).get.isEmpty)
+  }
+
+  test("delta commits widen membership; REMOVEs stay admitted until compact") {
+    val store = new BucketedTableStore(spark, tmpDir("bloom3"), nBuckets = 8)
+    store.writeAll("t", rows(100), "id", bloomCols = Seq("fp"))
+
+    // upsert a NEW fingerprint and REMOVE id=50 in one delta batch
+    val stage = Seq(
+      (101L, "fp-fresh", "new", "INSERT"),
+      (50L, "fp-1850", "bob", "REMOVE"))
+      .toDF("id", "fp", "name", "eventName")
+    store.mergeDelta("t", stage, "id", t1)
+
+    // new value admitted and found through the pruned read
+    val fresh = store.readWhereIn("t", "fp", Seq("fp-fresh")).get
+    assert(got(fresh).map(r => (r._1, r._2)) == Set(101L -> "fp-fresh"))
+    // removed value still admits its bucket (stale bit - false positive
+    // only), but the resolved read returns nothing
+    assert(store.bloomAdmittedBuckets("t", "fp", Seq("fp-1850")).get.nonEmpty)
+    assert(got(store.readWhereIn("t", "fp", Seq("fp-1850")).get).isEmpty)
+
+    // compaction rebuilds exactly: the tombstoned bits disappear
+    assert(store.compact("t") > 0)
+    assert(store.bloomAdmittedBuckets("t", "fp", Seq("fp-1850")).get.isEmpty)
+    assert(got(store.readWhereIn("t", "fp", Seq("fp-fresh")).get).nonEmpty)
+  }
+
+  test("copy-on-write merge keeps blooms exact") {
+    val store = new BucketedTableStore(spark, tmpDir("bloom4"), nBuckets = 8)
+    store.writeAll("t", rows(100), "id", bloomCols = Seq("fp"))
+    val stage = Seq((10L, "fp-rewritten", "moved", "MODIFY"))
+      .toDF("id", "fp", "name", "eventName")
+    store.merge("t", stage, "id", t1)
+    // the rewritten bucket's bloom is rebuilt from its new bytes: the old
+    // fingerprint of id=10 no longer admits anywhere
+    assert(store.bloomAdmittedBuckets("t", "fp", Seq("fp-370")).get.isEmpty)
+    val hit = store.readWhereIn("t", "fp", Seq("fp-rewritten")).get
+    assert(got(hit).map(_._1) == Set(10L))
+  }
+
+  test("a lost sidecar degrades to a full read, never a wrong skip") {
+    val root = tmpDir("bloom5")
+    val store = new BucketedTableStore(spark, root, nBuckets = 8)
+    store.writeAll("t", rows(100), "id", bloomCols = Seq("fp"))
+    // simulate a crash that lost the sidecar but kept the manifest
+    Files.delete(java.nio.file.Paths.get(root, "t", "_BLOOM.0"))
+    val admitted = store.bloomAdmittedBuckets("t", "fp", Seq("fp-37")).get
+    assert(admitted == store.bucketStates("t").get.keySet,
+      "missing sidecar must admit every bucket")
+    assert(got(store.readWhereIn("t", "fp", Seq("fp-37")).get).map(_._1) == Set(1L))
+    // ... and the absence PROPAGATES through the next delta commit: the
+    // new sidecar (if any) must not claim exclusion it cannot prove
+    val stage = Seq((102L, "fp-later", "x", "INSERT"))
+      .toDF("id", "fp", "name", "eventName")
+    store.mergeDelta("t", stage, "id", t1)
+    assert(store.bloomAdmittedBuckets("t", "fp", Seq("fp-37")).get ==
+      store.bucketStates("t").get.keySet)
+  }
+
+  test("untracked columns and bloom-less tables admit everything") {
+    val store = new BucketedTableStore(spark, tmpDir("bloom6"), nBuckets = 4)
+    store.writeAll("t", rows(50), "id") // no bloomCols
+    assert(store.bloomAdmittedBuckets("t", "fp", Seq("fp-37")).get ==
+      store.bucketStates("t").get.keySet)
+    assert(got(store.readWhereIn("t", "fp", Seq("fp-37")).get).map(_._1) == Set(1L))
+  }
+}
