@@ -113,6 +113,21 @@ class PlanSpec extends SparkSpec {
       "post-join countDistinct must reuse the doc_id partitioning, not re-shuffle")
   }
 
+  test("q153: benchmark shingles broadcast; the training corpus never pre-shuffles") {
+    val s = finalPlan("q153_decontaminate")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "the held-out benchmark side (MBs at scale) must broadcast — a " +
+        "shuffled join would move the TB-scale corpus to find KBs")
+    // the STREAMED child (printed between the join marker and the
+    // broadcast subtree) is the corpus side: scan→shingle→project with
+    // NO exchange. The bench side's distinct and the per-doc count above
+    // the join may shuffle — they move MBs; the corpus moves nothing.
+    val corpusSide = s.split("BroadcastHashJoin")(1)
+      .split("Broadcast(QueryStage|Exchange)")(0)
+    assert(!corpusSide.contains("Exchange hashpartitioning"),
+      "corpus shingles must stream into the broadcast join unshuffled")
+  }
+
   test("q95: day filter prunes partition directories at the source") {
     val s = finalPlan("q95_partition_pruning")
     assert(s.contains("PartitionFilters:"),
