@@ -586,7 +586,54 @@ object TextQueries {
     FROM allb ORDER BY doc_id ASC"""
   }
 
+  // q155 — model-based quality scoring (the fastText-shaped step every
+  // production corpus runs after the heuristic filters of q31): a linear
+  // model over hashed bag-of-words features, applied as the operator
+  // shape a trained model needs at 100 TB — a broadcast-joined weight
+  // table (vocab = MBs) against streamed token rows (the corpus = TBs),
+  // one per-doc aggregation. The "trained" weights are seeded
+  // deterministically from each token's md5 hash so both engines derive
+  // the identical model without shipping one: w(tok) ∈ [-1000, 1000].
+  // Integer weight sums keep the hash exact; the logistic probability is
+  // one per-row double op (IEEE-identical cross-engine). At scale the
+  // weight table swaps for real learned weights — the plan is the same.
+  def q155QualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val weights = toks.select(col("tok")).distinct()
+      .withColumn("w",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 2001L - 1000L)
+    toks.join(broadcast(weights), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("score_sum"))
+      .withColumn("quality",
+        lit(1.0) / (lit(1.0) +
+          exp(-col("score_sum").cast("double") / (col("n_tok") * 1000.0))))
+      .withColumn("verdict",
+        when(col("score_sum") > 0, lit("keep")).otherwise(lit("drop")))
+      .select(col("doc_id"), col("n_tok"), col("score_sum"),
+        col("quality"), col("verdict"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q155Oracle: String = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    w AS (
+      SELECT tok,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS w
+      FROM (SELECT DISTINCT tok FROM toks)),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_tok, SUM(w.w) AS score_sum
+      FROM toks JOIN w USING (tok) GROUP BY doc_id)
+    SELECT doc_id, n_tok, CAST(score_sum AS BIGINT) AS score_sum,
+           1.0 / (1.0 + exp(-CAST(score_sum AS DOUBLE) / (n_tok * 1000.0)))
+             AS quality,
+           CASE WHEN score_sum > 0 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM scored ORDER BY doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_quality_model" -> (q155QualityModel _),
     "q150_dedup_on_ingest" -> (q150DedupOnIngest _),
     "q148_setsim_join" -> (q148SetsimJoin _),
     "q125_regex_tokens" -> (q125RegexTokens _),
@@ -605,6 +652,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q155_quality_model" -> q155Oracle,
     "q150_dedup_on_ingest" -> q150Oracle,
     "q148_setsim_join" -> q148Oracle,
     "q125_regex_tokens" -> q125Oracle,

@@ -286,8 +286,10 @@ object VectorQueries {
   def q152KnnGraph(spark: SparkSession, dir: String): DataFrame =
     VectorOps.knnGraph(Tables.embeddings(spark, dir), k = 3)
       .orderBy(col("query_id").asc, col("rank").asc)
-  val q152Oracle: String = s"""
-    WITH e AS (SELECT vec_id, ${oQuant("embedding")} AS q FROM embeddings),
+  /** The kNN-graph CTE chain (bands → cap → candidates → symmetric
+    * expansion → exact cosine → per-node rank), shared by the q152 and
+    * q156 oracles so both replay the identical graph. */
+  private val knnGraphCtes: String = s"""e AS (SELECT vec_id, ${oQuant("embedding")} AS q FROM embeddings),
     n AS (SELECT vec_id, q,
           list_sum(list_transform(generate_series(1, len(q)), i -> q[i]*q[i])) AS n2
           FROM e),
@@ -315,11 +317,56 @@ object VectorQueries {
     ranked AS (
       SELECT *, row_number() OVER
         (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-      FROM scored)
+      FROM scored)"""
+  val q152Oracle: String = s"""
+    WITH $knnGraphCtes
     SELECT query_id, neighbor_id, cosine, rank FROM ranked
     WHERE rank <= 3 ORDER BY query_id ASC, rank ASC"""
 
+  // q156 — semantic dedup end-to-end: the composition a production corpus
+  // actually runs — kNN graph (q152's machinery) → near-dup edges above a
+  // cosine threshold → connected components (q93's machinery) → one
+  // representative elected per cluster (min id = the component label, so
+  // election is free). Everything upstream is integer-deterministic
+  // blocking + exact quantized cosines, so the FULL cluster assignment
+  // hash-checks against the oracle's recursive-CTE closure — the scale
+  // path (banded candidates, capped cells, O(log d) pointer doubling) is
+  // exactly what the oracle's O(nodes·edges) formulation cannot do.
+  def q156SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val graph = VectorOps.knnGraph(Tables.embeddings(spark, dir), k = 3)
+    val edges = graph.filter(col("cosine") >= 0.45)
+      .select(least(col("query_id"), col("neighbor_id")).as("src"),
+        greatest(col("query_id"), col("neighbor_id")).as("dst"))
+      .distinct()
+    val comp = graft.operators.GraphOps.connectedComponents(edges)
+    val w = Window.partitionBy(col("cluster"))
+    comp.select(col("node").as("vec_id"), col("label").as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
+      .withColumn("keep", (col("vec_id") === col("cluster")).cast("int"))
+      .orderBy(col("vec_id").asc)
+  }
+  val q156Oracle: String = s"""
+    WITH RECURSIVE $knnGraphCtes,
+    knn AS (SELECT query_id, neighbor_id, cosine FROM ranked WHERE rank <= 3),
+    edges AS (
+      SELECT DISTINCT LEAST(query_id, neighbor_id) AS src,
+             GREATEST(query_id, neighbor_id) AS dst
+      FROM knn WHERE cosine >= 0.45),
+    usym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    nodes AS (SELECT DISTINCT src AS node FROM usym),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT usym.src AS node, reach.r
+      FROM usym JOIN reach ON usym.dst = reach.node),
+    comp AS (SELECT node AS vec_id, MIN(r) AS cluster FROM reach GROUP BY node)
+    SELECT vec_id, cluster,
+           CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size,
+           CASE WHEN vec_id = cluster THEN 1 ELSE 0 END AS keep
+    FROM comp ORDER BY vec_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_semantic_dedup" -> (q156SemanticDedup _),
     "q152_knn_graph" -> (q152KnnGraph _),
     "q90_label_centroids" -> (q90LabelCentroids _),
     "q91_nearest_centroid" -> (q91NearestCentroid _),
@@ -331,6 +378,7 @@ object VectorQueries {
     "q43_knn_label_vote" -> (q43KnnLabelVote _))
 
   val oracles: Map[String, String] = Map(
+    "q156_semantic_dedup" -> q156Oracle,
     "q152_knn_graph" -> q152Oracle,
     "q90_label_centroids" -> q90Oracle,
     "q91_nearest_centroid" -> q91Oracle,
