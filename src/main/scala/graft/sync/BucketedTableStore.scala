@@ -331,24 +331,29 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     * bucket's base∪deltas holds an in-range row, the resolved bucket
     * cannot either (resolution only drops rows), so skipping a whole
     * bucket can never resurrect or lose a version. */
+  private def zoneAdmitted(name: String, v: Int, buckets: Set[Int],
+      colName: String, lo: Any, hi: Any): Set[Int] =
+    statsSpecs(name).find(_._1 == colName) match {
+      case None => buckets
+      case Some((_, kind)) =>
+        val stats = readStats(name, v)
+        val loB = StatKind.bound(kind, lo); val hiB = StatKind.bound(kind, hi)
+        buckets.filter { b =>
+          stats.get(b).flatMap(_.get(colName)) match {
+            case None => true // no proof of exclusion
+            case Some((mn, mx)) =>
+              StatKind.geq(kind, mx, loB, nudgeUp = true) &&
+                StatKind.leq(kind, mn, hiB, nudgeUp = false)
+          }
+        }
+    }
+
   def prunedBuckets(name: String, colName: String, lo: Any, hi: Any):
       Option[Set[Int]] =
-    bucketStates(name).map { m =>
-      statsSpecs(name).find(_._1 == colName) match {
-        case None => m.keySet
-        case Some((_, kind)) =>
-          val stats = zoneMaps(name)
-          val loB = StatKind.bound(kind, lo); val hiB = StatKind.bound(kind, hi)
-          m.keySet.filter { b =>
-            stats.get(b).flatMap(_.get(colName)) match {
-              case None => true // no proof of exclusion
-              case Some((mn, mx)) =>
-                StatKind.geq(kind, mx, loB, nudgeUp = true) &&
-                  StatKind.leq(kind, mn, hiB, nudgeUp = false)
-            }
-          }
-      }
-    }
+    for {
+      m <- bucketStates(name)
+      v <- currentManifestVersion(name)
+    } yield zoneAdmitted(name, v, m.keySet, colName, lo, hi)
 
   /** Zone-map-pruned range scan: read only the buckets whose stats admit
     * `colName` ∈ [lo, hi], then apply the residual filter (stats are
@@ -363,6 +368,25 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
         read(name).map(_.limit(0))
       else readBuckets(name, Some(bs))
     }.map(_.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi)))
+
+  /** [[readRange]] against a historical manifest: sidecars are versioned
+    * with their manifest, so a time-travel read prunes with the stats AS
+    * OF that commit — a widened map stays conservative for the chains it
+    * described, and a missing historical sidecar (vacuumed, crashed)
+    * degrades to a full read of that snapshot, never a wrong skip. */
+  def readRangeAt(name: String, manifestVersion: Int, colName: String,
+      lo: Any, hi: Any): Option[DataFrame] = {
+    if (!Files.exists(manifestFile(name, manifestVersion))) None
+    else {
+      val states = parseStates(name, manifestVersion)
+      val admitted = zoneAdmitted(name, manifestVersion, states.keySet,
+        colName, lo, hi)
+      val base =
+        if (admitted.isEmpty) resolve(name, states).limit(0)
+        else resolve(name, states.view.filterKeys(admitted).toMap)
+      Some(base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi)))
+    }
+  }
 
   // ---- bloom sidecars ------------------------------------------------
   //
@@ -491,26 +515,30 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     * skip. REMOVEd values may keep admitting their bucket until a
     * compaction rebuilds it exactly — false positives cost IO, not
     * correctness. */
+  private def bloomAdmitted(name: String, v: Int, buckets: Set[Int],
+      colName: String, values: Seq[String]): Set[Int] =
+    bloomSpecs(name).find(_._1 == colName) match {
+      case Some((_, mBits, k)) if Files.exists(bloomFile(name, v)) =>
+        val blooms = readBloom(name, v)
+        val probes = values.map(s => graft.functions.HashKernels.bloomPositions(
+          graft.functions.HashKernels.fnv1a64(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)), mBits, k))
+        buckets.filter { b =>
+          blooms.get(b).flatMap(_.get(colName)) match {
+            case None => true // no proof of exclusion
+            case Some(bits) => probes.exists(_.forall(p =>
+              (bits(p >>> 6) & (1L << (p & 63))) != 0L))
+          }
+        }
+      case _ => buckets
+    }
+
   def bloomAdmittedBuckets(name: String, colName: String,
       values: Seq[String]): Option[Set[Int]] =
-    bucketStates(name).map { m =>
-      (bloomSpecs(name).find(_._1 == colName),
-        currentManifestVersion(name).filter(v => Files.exists(bloomFile(name, v)))) match {
-        case (Some((_, mBits, k)), Some(v)) =>
-          val blooms = readBloom(name, v)
-          val probes = values.map(s => graft.functions.HashKernels.bloomPositions(
-            graft.functions.HashKernels.fnv1a64(
-              org.apache.spark.unsafe.types.UTF8String.fromString(s)), mBits, k))
-          m.keySet.filter { b =>
-            blooms.get(b).flatMap(_.get(colName)) match {
-              case None => true // no proof of exclusion
-              case Some(bits) => probes.exists(_.forall(p =>
-                (bits(p >>> 6) & (1L << (p & 63))) != 0L))
-            }
-          }
-        case _ => m.keySet
-      }
-    }
+    for {
+      m <- bucketStates(name)
+      v <- currentManifestVersion(name)
+    } yield bloomAdmitted(name, v, m.keySet, colName, values)
 
   /** Bloom-pruned point-membership scan: read only the buckets whose
     * blooms admit at least one probe value, then apply the exact residual
@@ -525,6 +553,22 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       if (bs.isEmpty) read(name).map(_.limit(0))
       else readBuckets(name, Some(bs))
     }.map(_.filter(col(colName).cast("string").isin(values: _*)))
+
+  /** [[readWhereIn]] against a historical manifest — see [[readRangeAt]]
+    * for the sidecar-versioning contract. */
+  def readWhereInAt(name: String, manifestVersion: Int, colName: String,
+      values: Seq[String]): Option[DataFrame] = {
+    if (!Files.exists(manifestFile(name, manifestVersion))) None
+    else {
+      val states = parseStates(name, manifestVersion)
+      val admitted = bloomAdmitted(name, manifestVersion, states.keySet,
+        colName, values)
+      val base =
+        if (admitted.isEmpty) resolve(name, states).limit(0)
+        else resolve(name, states.view.filterKeys(admitted).toMap)
+      Some(base.filter(col(colName).cast("string").isin(values: _*)))
+    }
+  }
 
   private def currentManifestVersion(name: String): Option[Int] = {
     val f = currentFile(name)

@@ -58,9 +58,15 @@ object Tables {
     * the session-zone TimestampType (identity wall-clock under the UTC
     * session zone every entry point sets). */
   private val eventsTsTypeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[org.apache.spark.sql.types.DataType]]()
-  def eventsTsType(spark: SparkSession, path: String): Option[org.apache.spark.sql.types.DataType] =
-    eventsTsTypeCache.computeIfAbsent(path, { p =>
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[org.apache.spark.sql.types.DataType]]()
+  def eventsTsType(spark: SparkSession, path: String): Option[org.apache.spark.sql.types.DataType] = {
+    // keyed on (path, mtime): the harness has regenerated testdata in
+    // place mid-round with a DIFFERENT physical type once already — a
+    // probe cached across that boundary would silently misread
+    val mtime = scala.util.Try(
+      java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+    ).getOrElse(0L)
+    eventsTsTypeCache.computeIfAbsent((path, mtime), { case (p, _) =>
       scala.util.Try(spark.read.parquet(p).schema).toOption
         .flatMap(_.fields.find(_.name == "ts")).map(_.dataType)
         .filter {
@@ -69,6 +75,7 @@ object Tables {
           case _ => false // raw int64 etc. → treat as legacy nanos
         }
     })
+  }
   def eventsTsIsNanos(spark: SparkSession, path: String): Boolean =
     eventsTsType(spark, path).isEmpty
 

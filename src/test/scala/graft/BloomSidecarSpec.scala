@@ -117,6 +117,30 @@ class BloomSidecarSpec extends SparkSpec {
       store.bucketStates("t").get.keySet)
   }
 
+  test("time-travel probes use the sidecar AS OF that manifest") {
+    val store = new BucketedTableStore(spark, tmpDir("bloom7"), nBuckets = 8)
+    store.writeAll("t", rows(100), "id", bloomCols = Seq("fp")) // manifest 0
+    val stage = Seq((50L, "fp-1850", "bob", "REMOVE"))
+      .toDF("id", "fp", "name", "eventName")
+    store.mergeDelta("t", stage, "id", t1)                      // manifest 1
+    assert(store.compact("t") > 0)                              // manifest 2
+
+    // live: compaction rebuilt exactly, the removed fp admits nothing
+    assert(store.bloomAdmittedBuckets("t", "fp", Seq("fp-1850")).get.isEmpty)
+    // manifest 1 (tombstone in the chain): widened bloom admits, the
+    // resolved read drops the row — stale bits, correct answer
+    assert(got(store.readWhereInAt("t", 1, "fp", Seq("fp-1850")).get).isEmpty)
+    // manifest 0 (pre-removal): the since-removed fingerprint is FOUND —
+    // a time-traveled probe reads the corpus as it was
+    assert(got(store.readWhereInAt("t", 0, "fp", Seq("fp-1850")).get)
+      .map(_._1) == Set(50L))
+    // a pruned historical probe returns the same rows as the full
+    // historical scan
+    val full = store.readAtManifest("t", 0).get
+      .filter($"fp" === "fp-1850")
+    assert(got(store.readWhereInAt("t", 0, "fp", Seq("fp-1850")).get) == got(full))
+  }
+
   test("untracked columns and bloom-less tables admit everything") {
     val store = new BucketedTableStore(spark, tmpDir("bloom6"), nBuckets = 4)
     store.writeAll("t", rows(50), "id") // no bloomCols

@@ -117,6 +117,35 @@ class ZoneMapSpec extends SparkSpec {
       !want.exists(_._1 == 10L))
   }
 
+  test("time-travel range reads prune with the stats AS OF that manifest") {
+    val store = new BucketedTableStore(spark, tmpDir("zm-tt"), nBuckets = 4)
+    store.writeAll("t", rows(100), "id",
+      statsCols = Seq("day"), rangeBucket = true)               // manifest 0
+    val up = Seq((10L, 1000L, "moved", "MODIFY"))
+      .toDF("id", "day", "name", "eventName")
+      .withColumn("d", date_add(to_date(lit("2020-01-01")), lit(10)))
+    store.mergeDelta("t", up, "id", t1)                        // manifest 1
+    assert(store.compact("t") >= 1)                            // manifest 2
+    val rm = Seq((10L, 1000L, "moved", "REMOVE"))
+      .toDF("id", "day", "name", "eventName")
+      .withColumn("d", date_add(to_date(lit("2020-01-01")), lit(10)))
+    store.mergeDelta("t", rm, "id", t1)                        // manifest 3
+    assert(store.compact("t") >= 1)                            // manifest 4
+
+    // live: the outlier is gone and its bucket pruned out
+    assert(store.readRange("t", "day", 900L, 1100L).get.count() == 0)
+    // manifest 2 (outlier compacted in): the historical pruned read
+    // finds it, and matches the full historical scan
+    val at2 = sortedRows(store.readRangeAt("t", 2, "day", 900L, 1100L).get)
+    assert(at2 == Set((10L, 1000L, "moved")))
+    val full2 = sortedRows(store.readAtManifest("t", 2).get
+      .filter($"day" >= 900L && $"day" <= 1100L))
+    assert(at2 == full2)
+    // manifest 0 (before the move): day=10 still in its original window
+    assert(sortedRows(store.readRangeAt("t", 0, "day", 9L, 11L).get)
+      .map(_._1) == Set(9L, 10L, 11L))
+  }
+
   test("lookup routes probes through persisted range boundaries") {
     val store = new BucketedTableStore(spark, tmpDir("zm-lookup"), nBuckets = 8)
     store.writeAll("t", rows(200), "id",
