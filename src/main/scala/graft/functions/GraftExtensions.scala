@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("srp_bits"),
       info("srp_bits", "srp_bits(array<float>) - 16-plane sign-random-projection signature"),
       (exprs: Seq[Expression]) => SrpSig(exprs.head, 16)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_bits"),
+      info("bloom_bits", "bloom_bits(string, m, k) - the k bloom bit positions of a value under an m-bit filter (m/k must be integer literals)"),
+      (exprs: Seq[Expression]) => BloomBits(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue)))
     // plan rewrite: naive interval joins → bucketed equi-joins (active
     // only when spark.graft.rangeJoin.bucketWidth is set)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())

@@ -34,6 +34,17 @@ class GraftSessionSpec extends AnyFunSuite {
       assert(dot == 32L)
       assert(s.catalog.functionExists("min_rolling_hash"))
       assert(s.catalog.functionExists("srp_bits"))
+      // bloom_bits: k in-range positions, identical to the driver-side
+      // probe kernel (the property the store's sidecars depend on)
+      val bb = s.sql(
+        "SELECT bloom_bits('fp-37', 1024, 5) AS p").head()
+        .getSeq[Int](0)
+      assert(bb.length == 5 && bb.forall(p => p >= 0 && p < 1024))
+      assert(bb.toArray.sameElements(
+        graft.functions.HashKernels.bloomPositions(
+          graft.functions.HashKernels.fnv1a64(
+            org.apache.spark.unsafe.types.UTF8String.fromString("fp-37")),
+          1024, 5)))
 
       // optimizer rule and planner strategy rode in with the extensions
       assert(s.sessionState.optimizer.extendedOperatorOptimizationRules
