@@ -199,6 +199,44 @@ object PretrainQueries {
     GROUP BY shard ORDER BY shard ASC"""
 
   // ---------------------------------------------------------------------
+  // q157 — shard integrity manifest: the validation artifact a corpus
+  // build ships with its output so downstream training jobs can verify
+  // transfer and retry integrity without re-reading the data. Per shard
+  // (q134's deterministic routing): row count, byte count, an XOR of
+  // content hashes and an XOR of doc ids — XOR is order- and
+  // partition-invariant, so the checksum is identical however Spark
+  // schedules or retries the tasks that produced it, and a single
+  // flipped/missing/duplicated document changes it. One scan, partial
+  // aggregation before the one 8-row shuffle; at 100 TB the manifest is
+  // 8 rows describing the corpus.
+  def q157ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit("|shuf")).cast("binary"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        conv(substring(h, 1, 12), 16, 10).cast("long").as("hnum"),
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("chash"))
+      .withColumn("shard", pmod(col("hnum"), lit(8L)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("bit_xor(chash)").as("content_checksum"),
+        expr("bit_xor(doc_id)").as("id_checksum"))
+      .orderBy(col("shard").asc)
+  }
+  val q157Oracle: String = """
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           bit_xor(chash) AS content_checksum,
+           bit_xor(doc_id) AS id_checksum
+    FROM (SELECT doc_id, n_chars,
+            ('0x' || substr(md5(text), 1, 15))::BIGINT AS chash,
+            CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|shuf'),
+              1, 12)) AS BIGINT) % 8 AS INT) AS shard
+          FROM documents)
+    GROUP BY shard ORDER BY shard ASC"""
+
+  // ---------------------------------------------------------------------
   // q135 — corpus-wide adjacent-pair statistics (the counting kernel
   // inside BPE vocabulary induction — TextOps.bpeTrain iterates exactly
   // this shape): explode bigrams via sequence+element_at (stays in
@@ -572,6 +610,7 @@ object PretrainQueries {
     "q132_segment_dedup" -> (q132SegmentDedup _),
     "q133_mixture_resample" -> (q133MixtureResample _),
     "q134_shard_dispatch" -> (q134ShardDispatch _),
+    "q157_shard_manifest" -> (q157ShardManifest _),
     "q135_pair_counts" -> (q135PairCounts _),
     "q137_scd2_build" -> (q137Scd2Build _))
 
@@ -587,6 +626,7 @@ object PretrainQueries {
     "q132_segment_dedup" -> q132Oracle,
     "q133_mixture_resample" -> q133Oracle,
     "q134_shard_dispatch" -> q134Oracle,
+    "q157_shard_manifest" -> q157Oracle,
     "q135_pair_counts" -> q135Oracle,
     "q137_scd2_build" -> q137Oracle)
 }
