@@ -36,9 +36,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("bloom_bits"),
       info("bloom_bits", "bloom_bits(string, m, k) - the k bloom bit positions of a value under an m-bit filter (m/k must be integer literals)"),
-      (exprs: Seq[Expression]) => BloomBits(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue)))
+      (exprs: Seq[Expression]) => {
+        // The builder runs at resolution time, so bad arity / a non-literal
+        // m or k must surface as a clean AnalysisException (the documented
+        // contract), not an IndexOutOfBounds / opaque eval cast failure.
+        def litInt(e: Expression, pos: String): Int = {
+          val v = if (e.foldable) e.eval() else null
+          v match {
+            case n: Number => n.intValue
+            case _ =>
+              throw new org.apache.spark.sql.AnalysisException(
+                errorClass = "NON_FOLDABLE_ARGUMENT",
+                messageParameters = Map(
+                  "funcName" -> "`bloom_bits`",
+                  "paramName" -> s"`$pos`",
+                  "paramType" -> "\"INT\""))
+          }
+        }
+        if (exprs.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`bloom_bits`",
+              "expectedNum" -> "3",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        BloomBits(exprs.head, litInt(exprs(1), "m"), litInt(exprs(2), "k"))
+      }))
     // plan rewrite: naive interval joins → bucketed equi-joins (active
     // only when spark.graft.rangeJoin.bucketWidth is set)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())

@@ -137,6 +137,38 @@ object HashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       bloomPositions(fnv1a64(s), m, k))
 
+  /** Probe side of [[bloomPositions]]: true iff every one of the value's
+    * k positions is set in the m-bit bitset. Same double-hash schedule as
+    * the build side by construction — used by the store's driver-side
+    * bucket admission and by the codegen'd [[BloomMightContain]]
+    * expression (executor-side row prefiltering). */
+  def bloomMightContain(h: Long, bits: Array[Long], m: Int, k: Int): Boolean = {
+    var i = 0
+    while (i < k) {
+      val p = java.lang.Long.remainderUnsigned(
+        mix(h ^ (i.toLong * 0x9e3779b97f4a7c15L)), m.toLong).toInt
+      if ((bits(p >>> 6) & (1L << (p & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def bloomMightContain(s: UTF8String, bits: Array[Long], m: Int, k: Int): Boolean =
+    bloomMightContain(fnv1a64(s), bits, m, k)
+
+  /** Little-endian word assembly matching [[BloomPackAgg]]'s byte layout:
+    * the unpacked long[] answers `bits(p >>> 6) & (1L << (p & 63))` for
+    * exactly the positions the packed bytes had set. */
+  def packedBytesToLongs(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long]((bytes.length + 7) >>> 3)
+    var i = 0
+    while (i < bytes.length) {
+      out(i >>> 3) |= (bytes(i) & 0xffL) << ((i & 7) << 3)
+      i += 1
+    }
+    out
+  }
+
   /** Finalizer so raw polynomial hashes compare uniformly. */
   def mix(x: Long): Long = {
     var h = x
@@ -310,6 +342,34 @@ case class BloomBits(child: Expression, m: Int, k: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** Executor-side bloom membership probe against a driver-built bitset —
+  * the codegen replacement for a `udf(k => bloom.mightContain(k))`
+  * closure: the bitset rides the plan as a reference object (16 KiB at
+  * the default geometry), the per-row work is k hash-mixes inside
+  * whole-stage codegen, and the hash schedule is byte-identical to the
+  * store's sidecar build ([[HashKernels.bloomPositions]]), so one kernel
+  * serves bucket admission AND row prefiltering. */
+case class BloomMightContain(child: Expression, bits: Array[Long], m: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain needs string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bloomMightContain(input.asInstanceOf[UTF8String], bits, m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBitset", bits, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.bloomMightContain($c, $ref, $m, $k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -317,6 +377,8 @@ object GraftFunctions {
     ColumnBridge.column(SimHash(ColumnBridge.expression(c)))
   def bloom_bits(c: Column, m: Int, k: Int): Column =
     ColumnBridge.column(BloomBits(ColumnBridge.expression(c), m, k))
+  def bloom_might_contain(c: Column, bits: Array[Long], m: Int, k: Int): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(c), bits, m, k))
   def min_rolling_hash(c: Column, k: Int): Column =
     ColumnBridge.column(MinRollingHash(ColumnBridge.expression(c), k))
   def min_window_md5(c: Column, k: Int): Column =

@@ -472,6 +472,9 @@ object InsightQueries {
       }
     // Materialize eagerly so the temp store can be deleted before return
     // (each invocation used to leak a two-version parquet store to /tmp).
+    // BOUNDED collect: ≤ the sf-dir's customer rows (1.5k at sf0.1) —
+    // the freeze-via-driver idiom is safe only because the result is
+    // small; do NOT copy it onto an unbounded frame.
     val df = org.apache.spark.sql.graftshim.PlanBridge.ofRows(spark, plan)
     val rows = df.collect()
     TableStore.deleteRecursively(java.nio.file.Paths.get(root))
@@ -520,7 +523,8 @@ object InsightQueries {
           max(unix_millis($"o_orderdate".cast("timestamp"))).as("max_ms"))
         .orderBy($"o_orderpriority".asc)
       // lineage-free so the temp store can be deleted before the caller
-      // consumes the (tiny, grouped) result
+      // consumes the result. BOUNDED collect: one row per order priority
+      // (5) — safe only because the group-by output is O(priorities).
       val rows = out.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally TableStore.deleteRecursively(java.nio.file.Paths.get(root))
@@ -579,6 +583,9 @@ object InsightQueries {
       val out = store.readWhereIn("docs", "fp", probes).get
         .select($"doc_id", $"lang", $"source", $"n_chars", $"fp")
         .orderBy($"doc_id".asc)
+      // BOUNDED collect: ≤ probes.size fingerprint hits (≤5 here) —
+      // freezing via the driver is safe only at this row bound; an
+      // unbounded result must keep its lineage instead.
       val rows = out.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally TableStore.deleteRecursively(java.nio.file.Paths.get(root))

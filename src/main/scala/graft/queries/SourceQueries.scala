@@ -81,11 +81,26 @@ object SourceQueries {
     val orders = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 400000.0)
       .select(col("o_orderkey"), col("o_orderpriority"))
-    val bloom = orders.stat.bloomFilter("o_orderkey", 100000L, 0.01)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+    // Build with the store sidecars' own kernel: bloom_bits emits each
+    // key's k positions in codegen, BloomPackAgg packs them into the
+    // m-bit bitset executor-side (partial buffers are the packed bytes,
+    // merged by OR), so the driver collects ONE m/8-byte array — 16 KiB
+    // at this geometry — never a position set.
+    val mBits = 1 << 17
+    val kHashes = 7
+    val pack = udaf(new graft.functions.BloomPackAgg(mBits))
+    val packed = orders
+      .select(explode(graft.functions.GraftFunctions.bloom_bits(
+        col("o_orderkey").cast("string"), mBits, kHashes)).as("_pos"))
+      .agg(pack(col("_pos")).as("_bits"))
+      .head.getAs[Array[Byte]](0)
+    val bits = graft.functions.HashKernels.packedBytesToLongs(packed)
+    // Probe with the codegen'd twin of the build kernel — the bitset is a
+    // plan reference object, the per-row cost is k hash-mixes inside
+    // whole-stage codegen, no ScalaUDF row-boxing (pinned by PlanSpec).
     Tables.lineitem(spark, dir)
-      .filter(mightContain(col("l_orderkey")))
+      .filter(graft.functions.GraftFunctions.bloom_might_contain(
+        col("l_orderkey").cast("string"), bits, mBits, kHashes))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
@@ -151,6 +166,21 @@ object SourceQueries {
     val srcStamp = java.nio.file.Files
       .getLastModifiedTime(Paths.get(dir, "events.parquet")).toMillis
     val out = scratch(s"q95part$srcStamp", dir)
+    // superseded stamps are garbage: regenerated testdata would otherwise
+    // leave orphaned partitioned copies of events accumulating in /tmp
+    val dirHash = Integer.toHexString(dir.hashCode)
+    val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir")).toFile
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      if (n.startsWith("graft-q95part") && n.endsWith(s"-$dirHash") &&
+          f.getPath != out && f.isDirectory) {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete(): Unit
+        }
+        rm(f)
+      }
+    }
     val marker = Paths.get(out, "_SUCCESS")
     if (!java.nio.file.Files.exists(marker)) {
       Tables.events(spark, dir)

@@ -11,6 +11,10 @@ import scala.jdk.CollectionConverters._
 /** Per-bucket live state: the base snapshot version plus the ordered chain
   * of delta commits layered on top (empty chain = clean bucket). `base`
   * is -1 for a bucket that has only ever received delta commits. */
+/** One bucket/column bloom sidecar: the bitset and the (m, k) geometry it
+  * was built with — see the versioning note at the sidecar build site. */
+private[sync] final case class BloomSide(m: Int, k: Int, bits: Array[Long])
+
 final case class BucketState(base: Int, deltas: List[Int]) {
   def isClean: Boolean = deltas.isEmpty
   private[sync] def render: String = (base :: deltas).mkString("+")
@@ -415,26 +419,42 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     }.toSeq
   }
 
+  /** One bucket/column bloom sidecar: the bitset AND the (m, k) geometry
+    * it was built with. Geometry is versioned WITH the bitset — probing a
+    * historical sidecar with the live `_BLOOMCOLS` geometry after a
+    * re-`writeAll` changed m or k would compute positions mod the new m
+    * against old bits: a wrong skip (false negative) or an index
+    * overflow. Carrying (m, k) per entry makes every probe self-
+    * describing regardless of what the live config says. */
+  private type BloomSide = graft.sync.BloomSide
+  private def BloomSide(m: Int, k: Int, bits: Array[Long]) =
+    graft.sync.BloomSide(m, k, bits)
+
   /** Per-bucket bloom bitsets over the staged parquet just written — like
     * [[statsFromStaging]], a columnar read-back of only the touched
-    * buckets' new bytes. The shuffle carries (bucket, bit position)
-    * pairs, bounded by nBuckets × m regardless of row count. */
+    * buckets' new bytes. Positions are packed into the m-bit bitset
+    * EXECUTOR-side ([[graft.functions.BloomPackAgg]]): both the shuffle
+    * (partial buffers, merged by OR) and the driver collect are
+    * buckets × m/8 bytes — the 1024 × 128 Ki default is 16 MiB — where a
+    * `collect_set(position)` would ship up to ~134M boxed ints for the
+    * same near-full sidecar. */
   private def bloomFromStaging(staging: Path, specs: Seq[(String, Int, Int)],
-      excludeDel: Boolean): Map[Int, Map[String, Array[Long]]] = {
+      excludeDel: Boolean): Map[Int, Map[String, BloomSide]] = {
     if (specs.isEmpty) return Map.empty
     val raw = spark.read.parquet(staging.toString)
     val rows = if (excludeDel) raw.filter(!col("_del")) else raw
     val perCol = specs.map { case (c, m, k) =>
-      val sets = rows.select(col("_bucket"),
+      val pack = udaf(new graft.functions.BloomPackAgg(m))
+      val packed = rows.select(col("_bucket"),
           explode(graft.functions.GraftFunctions.bloom_bits(
             col(c).cast("string"), m, k)).as("_pos"))
         .groupBy(col("_bucket"))
-        .agg(collect_set(col("_pos")).as("_ps"))
+        .agg(pack(col("_pos")).as("_bits"))
         .collect()
-      c -> sets.map { r =>
-        val bits = new Array[Long]((m + 63) >>> 6)
-        r.getSeq[Int](1).foreach(p => bits(p >>> 6) |= 1L << (p & 63))
-        r.getLong(0).toInt -> bits
+      c -> packed.map { r =>
+        r.getLong(0).toInt -> BloomSide(m, k,
+          graft.functions.HashKernels.packedBytesToLongs(
+            r.getAs[Array[Byte]](1)))
       }.toMap
     }
     val buckets = perCol.iterator.flatMap(_._2.keys).toSet
@@ -454,13 +474,27 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     Array.fill(bytes.length / 8)(bb.getLong)
   }
 
-  private def readBloom(name: String, v: Int): Map[Int, Map[String, Array[Long]]] = {
+  private def readBloom(name: String, v: Int): Map[Int, Map[String, BloomSide]] = {
     val f = bloomFile(name, v)
     if (!Files.exists(f)) Map.empty
     else Files.readAllLines(f).asScala.filter(_.nonEmpty)
-      .map { line =>
-        val Array(b, c, bits) = line.split('\t')
-        (b.toInt, StatKind.dec(c), parseBitsB64(bits))
+      .flatMap { line =>
+        line.split('\t') match {
+          case Array(b, c, m, k, bits) => // current format: geometry per line
+            Some((b.toInt, StatKind.dec(c), BloomSide(m.toInt, k.toInt,
+              parseBitsB64(bits))))
+          case Array(b, c, bits) =>
+            // legacy geometry-less line: only trustworthy while the live
+            // _BLOOMCOLS still describes the geometry it was built with;
+            // a column no longer listed there has no recoverable geometry
+            // and the entry must DROP (absence admits the bucket — a full
+            // read, never a wrong skip)
+            val col = StatKind.dec(c)
+            bloomSpecs(name).find(_._1 == col).map { case (_, m, k) =>
+              (b.toInt, col, BloomSide(m, k, parseBitsB64(bits)))
+            }
+          case _ => None
+        }
       }.groupBy(_._1).view
       .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
   }
@@ -468,40 +502,45 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
   /** Like [[carriedStats]]: a missing base sidecar PROPAGATES (claiming
     * membership knowledge we don't have would wrongly skip buckets). */
   private def carriedBloom(name: String, base: Int):
-      Option[Map[Int, Map[String, Array[Long]]]] =
+      Option[Map[Int, Map[String, BloomSide]]] =
     if (Files.exists(bloomFile(name, base))) Some(readBloom(name, base)) else None
 
   /** OR-union of two bloom maps — the delta-commit widening (a superset
-    * of base ∪ delta membership: no false negatives by construction). */
-  private def orBloom(prev: Map[Int, Map[String, Array[Long]]],
-      add: Map[Int, Map[String, Array[Long]]]):
-      Map[Int, Map[String, Array[Long]]] =
+    * of base ∪ delta membership: no false negatives by construction).
+    * Bitsets built under DIFFERENT geometries cannot be unioned
+    * meaningfully — position p means different values under different m —
+    * so a geometry mismatch drops the entry: absence admits the bucket
+    * (full read), never a wrong skip. */
+  private def orBloom(prev: Map[Int, Map[String, BloomSide]],
+      add: Map[Int, Map[String, BloomSide]]):
+      Map[Int, Map[String, BloomSide]] =
     (prev.keySet ++ add.keySet).map { b =>
-      val p = prev.getOrElse(b, Map.empty[String, Array[Long]])
-      val a = add.getOrElse(b, Map.empty[String, Array[Long]])
-      b -> (p.keySet ++ a.keySet).map { c =>
-        c -> ((p.get(c), a.get(c)) match {
-          case (Some(x), Some(y)) =>
-            val out = new Array[Long](math.max(x.length, y.length))
+      val p = prev.getOrElse(b, Map.empty[String, BloomSide])
+      val a = add.getOrElse(b, Map.empty[String, BloomSide])
+      b -> (p.keySet ++ a.keySet).flatMap { c =>
+        ((p.get(c), a.get(c)) match {
+          case (Some(x), Some(y)) if x.m == y.m && x.k == y.k =>
+            val out = new Array[Long](math.max(x.bits.length, y.bits.length))
             var i = 0
             while (i < out.length) {
-              out(i) = (if (i < x.length) x(i) else 0L) |
-                (if (i < y.length) y(i) else 0L)
+              out(i) = (if (i < x.bits.length) x.bits(i) else 0L) |
+                (if (i < y.bits.length) y.bits(i) else 0L)
               i += 1
             }
-            out
-          case (Some(x), None) => x
-          case (None, Some(y)) => y
+            Some(BloomSide(x.m, x.k, out))
+          case (Some(_), Some(_)) => None // geometry changed mid-chain
+          case (Some(x), None) => Some(x)
+          case (None, Some(y)) => Some(y)
           case (None, None) => throw new IllegalStateException("unreachable")
-        })
+        }).map(c -> _)
       }.toMap
     }.toMap
 
   private def writeBloom(name: String, v: Int,
-      m: Map[Int, Map[String, Array[Long]]]): Unit = {
+      m: Map[Int, Map[String, BloomSide]]): Unit = {
     val body = m.toSeq.sortBy(_._1).flatMap { case (b, cols) =>
-      cols.toSeq.sortBy(_._1).map { case (c, bits) =>
-        s"$b\t${StatKind.enc(c)}\t${renderBits(bits)}"
+      cols.toSeq.sortBy(_._1).map { case (c, side) =>
+        s"$b\t${StatKind.enc(c)}\t${side.m}\t${side.k}\t${renderBits(side.bits)}"
       }
     }.mkString("\n")
     Files.write(bloomFile(name, v), body.getBytes,
@@ -517,20 +556,27 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     * correctness. */
   private def bloomAdmitted(name: String, v: Int, buckets: Set[Int],
       colName: String, values: Seq[String]): Set[Int] =
-    bloomSpecs(name).find(_._1 == colName) match {
-      case Some((_, mBits, k)) if Files.exists(bloomFile(name, v)) =>
-        val blooms = readBloom(name, v)
-        val probes = values.map(s => graft.functions.HashKernels.bloomPositions(
-          graft.functions.HashKernels.fnv1a64(
-            org.apache.spark.unsafe.types.UTF8String.fromString(s)), mBits, k))
-        buckets.filter { b =>
-          blooms.get(b).flatMap(_.get(colName)) match {
-            case None => true // no proof of exclusion
-            case Some(bits) => probes.exists(_.forall(p =>
-              (bits(p >>> 6) & (1L << (p & 63))) != 0L))
-          }
+    if (!Files.exists(bloomFile(name, v))) buckets
+    else {
+      val blooms = readBloom(name, v)
+      // probe positions depend on the sidecar's OWN (m, k) — computed per
+      // geometry actually present (one per column in the steady state;
+      // more only across a geometry-changing rewrite's history), so a
+      // historical manifest probes with the bits it was built with, not
+      // whatever the live _BLOOMCOLS says today
+      val hashes = values.map(s => graft.functions.HashKernels.fnv1a64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+      val probeCache = collection.mutable.Map.empty[(Int, Int), Seq[Array[Int]]]
+      def probes(m: Int, k: Int): Seq[Array[Int]] =
+        probeCache.getOrElseUpdate((m, k),
+          hashes.map(graft.functions.HashKernels.bloomPositions(_, m, k)))
+      buckets.filter { b =>
+        blooms.get(b).flatMap(_.get(colName)) match {
+          case None => true // no proof of exclusion
+          case Some(side) => probes(side.m, side.k).exists(_.forall(p =>
+            (side.bits(p >>> 6) & (1L << (p & 63))) != 0L))
         }
-      case _ => buckets
+      }
     }
 
   def bloomAdmittedBuckets(name: String, colName: String,

@@ -141,6 +141,32 @@ class BloomSidecarSpec extends SparkSpec {
     assert(got(store.readWhereInAt("t", 0, "fp", Seq("fp-1850")).get) == got(full))
   }
 
+  test("geometry-changing rewrite: historical probes keep their own (m,k)") {
+    val store = new BucketedTableStore(spark, tmpDir("bloom8"), nBuckets = 8)
+    // manifest 0 under the default 128Ki-bit / 7-hash geometry
+    store.writeAll("t", rows(100), "id", bloomCols = Seq("fp"))
+    // manifest 1: same table re-written under a much smaller geometry —
+    // _BLOOMCOLS now describes (2^12, 3), but the _BLOOM.0 sidecar was
+    // built at (2^17, 7). Probing manifest 0 with the live geometry
+    // would compute positions mod the new m against the old bits: a
+    // wrong skip, or an index overflow when the new m exceeded the old.
+    store.writeAll("t", rows(100).filter($"id" <= 50), "id",
+      bloomCols = Seq("fp"), bloomBits = 1 << 12, bloomHashes = 3)
+
+    // historical probe: fp of id=80 exists ONLY in manifest 0 and must be
+    // found there (the sidecar's own geometry decides the positions)
+    assert(got(store.readWhereInAt("t", 0, "fp", Seq("fp-2960")).get)
+      .map(_._1) == Set(80L))
+    val full0 = store.readAtManifest("t", 0).get.filter($"fp" === "fp-2960")
+    assert(got(store.readWhereInAt("t", 0, "fp", Seq("fp-2960")).get) == got(full0))
+    // ... and still prunes: an absent value admits no buckets at manifest 0
+    assert(got(store.readWhereInAt("t", 0, "fp", Seq("nope")).get).isEmpty)
+
+    // live probe under the new geometry stays exact too
+    assert(got(store.readWhereIn("t", "fp", Seq("fp-370")).get).map(_._1) == Set(10L))
+    assert(got(store.readWhereIn("t", "fp", Seq("fp-2960")).get).isEmpty)
+  }
+
   test("untracked columns and bloom-less tables admit everything") {
     val store = new BucketedTableStore(spark, tmpDir("bloom6"), nBuckets = 4)
     store.writeAll("t", rows(50), "id") // no bloomCols

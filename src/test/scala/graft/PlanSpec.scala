@@ -252,4 +252,12 @@ class PlanSpec extends SparkSpec {
       "staleness bound must stay a post-window projection")
     assert(windows("q141_point_in_time_join") == windows("q63_asof_join"))
   }
+
+  test("q74: bloom probe stays in codegen (no ScalaUDF in the plan)") {
+    val s = planString("q74_bloom_prefilter_join")
+    assert(!s.contains("ScalaUDF") && !s.contains("BatchEvalPython"),
+      s"probe must be the codegen'd BloomMightContain kernel, not a UDF:\n$s")
+    assert(s.contains("bloommightcontain") || s.contains("BloomMightContain"),
+      s"expected the native bloom probe expression in the plan:\n$s")
+  }
 }

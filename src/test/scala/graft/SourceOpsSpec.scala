@@ -12,13 +12,26 @@ class SourceOpsSpec extends SparkSpec {
     val li = graft.tables.Tables.lineitem(spark, dir)
     val orders = graft.tables.Tables.orders(spark, dir)
       .filter($"o_totalprice" > 400000.0).select($"o_orderkey")
-    val bloom = orders.stat.bloomFilter("o_orderkey", 100000L, 0.01)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    // the q74 path: build with bloom_bits + executor-side packing, probe
+    // with the codegen'd twin kernel — no false negative is tolerable
+    // (a dropped true match silently corrupts the join result)
+    val mBits = 1 << 17
+    val kHashes = 7
+    val pack = udaf(new graft.functions.BloomPackAgg(mBits))
+    val packed = orders
+      .select(explode(graft.functions.GraftFunctions.bloom_bits(
+        $"o_orderkey".cast("string"), mBits, kHashes)).as("_pos"))
+      .agg(pack($"_pos")).head.getAs[Array[Byte]](0)
+    val bits = graft.functions.HashKernels.packedBytesToLongs(packed)
 
     val total = li.count()
-    val kept = li.filter(mightContain($"l_orderkey")).count()
+    val kept = li.filter(graft.functions.GraftFunctions.bloom_might_contain(
+      $"l_orderkey".cast("string"), bits, mBits, kHashes)).count()
     val exact = li.join(orders, $"l_orderkey" === $"o_orderkey", "left_semi").count()
+    val missed = li.join(orders, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .filter(!graft.functions.GraftFunctions.bloom_might_contain(
+        $"l_orderkey".cast("string"), bits, mBits, kHashes)).count()
+    assert(missed == 0, s"bloom filter dropped $missed true matches")
     assert(kept >= exact, "bloom filter dropped a true match")
     assert(kept < total / 2,
       s"bloom filter pruned almost nothing: kept $kept of $total")
