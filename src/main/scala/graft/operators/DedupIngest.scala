@@ -92,20 +92,31 @@ object DedupIngest {
     * pure read, no index mutation. `fps` must be [[fingerprints]] of
     * `batch` (passed in so the caller can persist it across this and
     * [[applyAdmissions]]). Returns
-    * (doc_id, batch_id, exact_dup, near_dup, admitted). */
+    * (doc_id, batch_id, exact_dup, near_dup, admitted).
+    *
+    * The result is MATERIALIZED at call time (bounded: one row per batch
+    * doc) and lineage-free: the probe plan reads the current manifest's
+    * file paths, and a merge + compaction + [[BucketedTableStore.vacuum]]
+    * racing a still-lazy plan would delete those files out from under it —
+    * at best a FileNotFound task failure, at worst (with
+    * `spark.sql.files.ignoreMissingFiles=true`) silently missing index
+    * hits, i.e. ADMITTING duplicates. Freezing here makes the decision
+    * frame valid no matter what happens to the store afterwards
+    * (DedupIngestSpec pins the vacuum race). */
   def decide(store: BucketedTableStore, batch: DataFrame, fps: DataFrame,
       batchId: Long): DataFrame = {
     val flags = probeHits(store, "fp", fps)
       .groupBy(col("doc_id")).agg(
         max(when(substring(col("fp"), 1, 2) === "e:", 1).otherwise(0)).as("e"),
         max(when(substring(col("fp"), 1, 2) === "b:", 1).otherwise(0)).as("nd"))
-    batch.select(col("doc_id"))
-      .join(flags, Seq("doc_id"), "left")
-      .select(col("doc_id"), lit(batchId).as("batch_id"),
-        coalesce(col("e"), lit(0)).as("exact_dup"),
-        coalesce(col("nd"), lit(0)).as("near_dup"))
-      .withColumn("admitted",
-        (col("exact_dup") === 0 && col("near_dup") === 0).cast("int"))
+    Materialize.thenRelease(
+      batch.select(col("doc_id"))
+        .join(flags, Seq("doc_id"), "left")
+        .select(col("doc_id"), lit(batchId).as("batch_id"),
+          coalesce(col("e"), lit(0)).as("exact_dup"),
+          coalesce(col("nd"), lit(0)).as("near_dup"))
+        .withColumn("admitted",
+          (col("exact_dup") === 0 && col("near_dup") === 0).cast("int")))
   }
 
   /** Seed the index table from an initial corpus (may be empty — the
@@ -154,12 +165,11 @@ object DedupIngest {
       // update — persist for the batch's scope, released before returning
       val fps = fingerprints(batch, shingleN, numHashes, rowsPerBand)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // materialize the decisions BEFORE the index moves: the probe plan
-      // holds the pre-merge manifest's file paths (valid until vacuum, but
-      // re-evaluating it during the merge below would redo the joins)
-      val decM = Materialize.thenRelease(
-        decide(store, batch, fps, batchId = i + 1L)
-          .withColumn("batch_id", col("batch_id").cast("int")))
+      // decide() freezes its decisions at call time, so the index merge
+      // below (and any compaction/vacuum it triggers) cannot perturb or
+      // invalidate them
+      val decM = decide(store, batch, fps, batchId = i + 1L)
+        .withColumn("batch_id", col("batch_id").cast("int"))
       applyAdmissions(store, fps, decM, new Timestamp(t0 + (i + 1) * 60000L))
       fps.unpersist()
       decM

@@ -169,7 +169,8 @@ object VectorQueries {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 5)
     val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
-    VectorOps.recallAgainst(VectorOps.ivfTopK(spark, q, emb, k = 10), exact)
+    VectorOps.recallAgainst(
+      VectorOps.ivfTopK(spark, q, emb, k = 10, indexKey = Some(dir)), exact)
       .select(col("query_id"), (col("recall") >= recallBound(dir, 0.7, 0.5))
         .cast("int").as("recall_ok"))
       .orderBy(col("query_id").asc)
@@ -185,7 +186,8 @@ object VectorQueries {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 5)
     val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
-    VectorOps.recallAgainst(VectorOps.pqTopK(spark, q, emb, k = 10), exact)
+    VectorOps.recallAgainst(
+      VectorOps.pqTopK(spark, q, emb, k = 10, indexKey = Some(dir)), exact)
       .select(col("query_id"), (col("recall") >= recallBound(dir, 0.8, 0.3))
         .cast("int").as("recall_ok"))
       .orderBy(col("query_id").asc)

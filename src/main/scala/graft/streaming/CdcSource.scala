@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, from_json, when}
+import org.apache.spark.sql.types.StringType
+
+import graft.model.CdcSchemas
+
+/** Pluggable CDC transport: anything that can surface a STREAMING
+  * DataFrame of change-record envelopes.
+  *
+  * Contract (what [[CdcStream]] relies on, nothing more):
+  *   - `load` returns a streaming frame with [[CdcSchemas.envelope]]'s
+  *     columns plus a nullable `_corrupt_record` string column;
+  *   - a record whose payload failed to parse carries its raw payload in
+  *     `_corrupt_record` (envelope columns null) — the stream quarantines
+  *     it; clean records have `_corrupt_record` null;
+  *   - replay/exactly-once bookkeeping is the SOURCE's concern (file
+  *     offsets, Kinesis sequence numbers…); the merge is additionally
+  *     idempotent under replays via the target watermark (§2.8c), so an
+  *     at-least-once source is sufficient.
+  *
+  * The reference binds this seam to Kinesis (ref scripts/setup_redshift.sh
+  * :79-104 — the external-schema + MV binding); this repo ships two
+  * transports and a production Kinesis connector is a third implementation
+  * of the same trait: wrap the connector's streaming frame (payload bytes →
+  * string) in [[PayloadCdcSource.parse]] and done — the merge, quarantine,
+  * and watermark machinery never change.
+  */
+trait CdcSource {
+  def load(spark: SparkSession): DataFrame
+}
+
+object CdcSource {
+  /** Column carrying the raw payload of unparseable records. */
+  val CorruptCol = "_corrupt_record"
+
+  private[streaming] def envelopeWithCorrupt =
+    CdcSchemas.envelope.add(CorruptCol, StringType)
+}
+
+/** Envelope-JSON files in a directory — the sandbox stand-in for the
+  * Kinesis stream (same envelope, file-offset bookkeeping instead of
+  * shard iterators).
+  *
+  * `maxFilesPerTrigger` rate-limits backfill: an unbounded file source
+  * would deliver a whole outage's backlog as ONE micro-batch (see
+  * [[CdcStream.start]]'s ordering caveat for when capping is safe).
+  */
+final case class FileCdcSource(inputDir: String,
+    maxFilesPerTrigger: Option[Int] = None) extends CdcSource {
+  def load(spark: SparkSession): DataFrame = {
+    val reader = spark.readStream
+      .schema(CdcSource.envelopeWithCorrupt)
+      .option("columnNameOfCorruptRecord", CdcSource.CorruptCol)
+    maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .json(inputDir)
+  }
+}
+
+/** Raw-payload stream source: any streaming Dataset[String] of JSON
+  * payloads, parsed in the plan. This is the structural shape of a real
+  * Kinesis/Kafka connector — records arrive as opaque payloads
+  * (`data: binary` → cast string) and the envelope parse is a projection,
+  * not a file-reader option. Backed by a MemoryStream in tests, which is
+  * what proves the [[CdcSource]] seam is pluggable rather than rhetorical.
+  */
+final case class PayloadCdcSource(payloads: Dataset[String]) extends CdcSource {
+  def load(spark: SparkSession): DataFrame =
+    PayloadCdcSource.parse(payloads.toDF("payload"), "payload")
+}
+
+object PayloadCdcSource {
+  /** Parse a payload-string column into the envelope-plus-corrupt contract.
+    * `from_json` in PERMISSIVE mode yields a null struct (or a struct with
+    * the corrupt field set, version-dependent) on malformed input — both
+    * are normalized to "envelope columns null, raw payload in
+    * `_corrupt_record`". A production connector reuses this verbatim on
+    * its own frame. */
+  def parse(df: DataFrame, payloadCol: String): DataFrame = {
+    val parsed = df.select(
+      from_json(col(payloadCol), CdcSource.envelopeWithCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> CdcSource.CorruptCol)).as("e"),
+      col(payloadCol).as("_raw"))
+    val envCols = CdcSchemas.envelope.fieldNames.toSeq.map(f => col(s"e.$f"))
+    parsed.select(envCols :+
+      coalesce(col(s"e.${CdcSource.CorruptCol}"),
+        when(col("e").isNull, col("_raw"))).as(CdcSource.CorruptCol): _*)
+  }
+}

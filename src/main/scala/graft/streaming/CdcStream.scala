@@ -8,15 +8,16 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.storage.StorageLevel
 
 import graft.ingest.Extraction
-import graft.model.CdcSchemas
 import graft.sync.{Merge, SyncStore}
 
 /** Structured-Streaming wrapper around the incremental merge — the
   * continuous form of the reference's REFRESH-then-CALL loop
   * (ref scripts/test_sync_time.sh:69-106; SURVEY.md §2.6 ST7).
   *
-  * `readStream` over envelope JSON files stands in for the Kinesis source
-  * (same schema; a Kinesis connector drops in without touching the merge).
+  * The transport is a pluggable [[CdcSource]]: [[FileCdcSource]] (envelope
+  * JSON files) stands in for Kinesis in the sandbox, [[PayloadCdcSource]]
+  * carries the payload-string shape a real Kinesis/Kafka connector has —
+  * either way the merge below the seam is untouched.
   * Each micro-batch runs the extraction projection (≈ one MV refresh) and
   * the three entity merges (≈ the three CALLs) inside `foreachBatch`.
   *
@@ -100,17 +101,20 @@ final class CdcStream(spark: SparkSession, store: SyncStore,
   def start(inputDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       quarantineDir: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None) = {
-    val corrupt = "_corrupt_record"
-    val reader = spark.readStream
-      .schema(CdcSchemas.envelope.add(corrupt,
-        org.apache.spark.sql.types.StringType))
-      .option("columnNameOfCorruptRecord", corrupt)
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
     // Trigger.AvailableNow respects the cap and still terminates after
     // the backlog drains — it just takes multiple bounded batches
-    val envelopes = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .json(inputDir)
+    start(FileCdcSource(inputDir, maxFilesPerTrigger), checkpointDir,
+      trigger, quarantineDir)
+
+  /** Start the stream over any [[CdcSource]] transport — the seam a
+    * production Kinesis connector drops into (see the trait's contract;
+    * everything below the source is transport-agnostic). */
+  def start(source: CdcSource, checkpointDir: String,
+      trigger: Trigger,
+      quarantineDir: Option[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    val corrupt = CdcSource.CorruptCol
+    val envelopes = source.load(spark)
     envelopes.writeStream
       .queryName("cdc-sync")
       .option("checkpointLocation", checkpointDir)

@@ -90,4 +90,40 @@ class DedupIngestSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "fingerprint persists must be released before returning")
   }
+
+  test("vacuum racing an in-flight probe: decisions are frozen at decide() time") {
+    val root = tmpDir("ingest-vacuum")
+    val store = new BucketedTableStore(spark, root, nBuckets = 8,
+      deltaMerges = true, autoCompactAfter = 1)
+    val ts = new java.sql.Timestamp(1660000000000L)
+    DedupIngest.seedIndex(store, docs(0L -> corpusA, 1L -> corpusB), ts, 3, 8, 2)
+    val preRaceFiles = store.read("fp").get.inputFiles.toSeq
+    assert(preRaceFiles.nonEmpty)
+
+    val batch = docs(10L -> corpusA, 11L -> "lambda mu nu xi omicron")
+    val fps = DedupIngest.fingerprints(batch, 3, 8, 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dec = DedupIngest.decide(store, batch, fps, 1L)
+
+    // the race: the index moves on (merge + compaction) and a retention
+    // sweep deletes the superseded files the probe's plan referenced
+    DedupIngest.applyAdmissions(store, fps, dec, ts)
+    store.compact("fp", minDeltas = 1)
+    store.vacuum("fp", keepManifests = 1)
+    fps.unpersist()
+    val gone = preRaceFiles.filterNot(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(
+        f.stripPrefix("file:"))))
+    assert(gone.nonEmpty,
+      s"race not exercised: vacuum retired none of the probed files")
+
+    // a lazy probe plan would now hit FileNotFound (or, with
+    // ignoreMissingFiles, silently admit duplicates); the frozen decisions
+    // still read correctly
+    val d = dec.collect().map { r =>
+      r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4))
+    }.toMap
+    assert(d(10L)._1 == 1 && d(10L)._3 == 0, "corpus dup stays rejected")
+    assert(d(11L) == ((0, 0, 1)), "unique doc stays admitted")
+  }
 }

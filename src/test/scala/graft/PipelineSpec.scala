@@ -370,6 +370,45 @@ class PipelineSpec extends SparkSpec {
       "quarantine must keep the raw text for triage")
   }
 
+  test("CdcSource seam: a payload-string (Kinesis-shaped) source drives the same merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{CdcStream, PayloadCdcSource}
+
+    val gen = new CdcGen.Gen(23)
+    val exportDir = tmpDir("msexport")
+    val ckptDir = tmpDir("msckpt")
+    val storeRoot = tmpDir("msstore")
+    val quarantineDir = tmpDir("msquarantine") + "/q"
+    val m0 = gen.member(); val q0 = gen.quest()
+    val mq0 = gen.memberQuest(m0.pk.stripPrefix("M_"), q0.pk.stripPrefix("Q_"))
+    writeLines(exportDir, "data.json", Seq(m0, q0, mq0).map(gen.exportLine))
+
+    var clock = t0
+    val pipeline = new Pipeline(spark, storeRoot, () => new Timestamp(clock))
+    pipeline.initialLoad(exportDir)
+
+    // records arrive as opaque payload STRINGS (the Kinesis `data` shape),
+    // not as files — same envelopes, same poison-line triage
+    val poison = "this is {{{ not json"
+    val ms = MemoryStream[String](spark)
+    ms.addData(
+      gen.envelope("INSERT", gen.member(), t0 + 10000),
+      poison,
+      gen.envelope("INSERT", gen.member(), t0 + 11000))
+    clock = t0 + 60000
+    val stream = new CdcStream(spark, pipeline.store, () => new Timestamp(clock))
+    val q = stream.start(PayloadCdcSource(ms.toDS()), ckptDir,
+      Trigger.AvailableNow(), Some(quarantineDir))
+    q.awaitTermination()
+
+    assert(pipeline.member.count() == 3,
+      "both clean payload inserts must merge through the trait")
+    val quarantined = spark.read.parquet(quarantineDir)
+    assert(quarantined.count() == 1, "exactly the poison payload is quarantined")
+    assert(quarantined.select($"raw_line").as[String].head() == poison)
+  }
+
   test("merge is idempotent: re-applying a batch is a no-op") {
     val gen = new CdcGen.Gen(4)
     val m = gen.member()
