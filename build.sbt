@@ -11,9 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// The bench driver parses the LAST stdout line of `sbt runMain` as JSON;
-// sbt's trailing "[success] Total time: ..." banner otherwise lands after
-// Bench's compact JSON line and breaks that parse (BENCH_r07 parsed:null).
+// The bench driver parses the LAST stdout line of `sbt runMain` as JSON.
+// Two separate sbt behaviors used to break that parse:
+//   1. the trailing "[success] Total time: ..." banner printed AFTER the
+//      JSON line (BENCH_r07 parsed:null) — suppressed via showSuccess;
+//   2. sbt's default LoggedOutput strategy prefixes every forked-stdout
+//      line with "[info] ", so even with the banner gone the tail's last
+//      line was `[info] {...}` and still failed the parse (BENCH_r08
+//      parsed:null). StdoutOutput passes the forked process's stdout and
+//      stderr through verbatim, so the JSON line lands prefix-free.
+// Bench additionally writes the same compact line to bench_compact.json
+// as a file artifact, so parseability no longer depends on stream
+// interleaving at all.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -76,10 +76,25 @@ object Bench {
     // ANN index-build seconds for THIS dataset (AnnIndexCache memo misses),
     // reported apart from the per-query probe timings: a deployment trains
     // an index once and amortizes it, so build must not ride the pins.
-    def annBuild: Seq[(String, Double)] =
-      graft.operators.AnnIndexCache.buildSeconds.toSeq.collect {
-        case (k, v) if k.contains(sfDir) => k.takeWhile(_ != ':') -> v
+    // Keys are `type:dataset[:v=..]:param=..`: the dataset is matched as an
+    // exact ':'-segment (a substring match would let sf0.1 claim an
+    // sf0.1x dir's builds), and when one dataset has several builds of the
+    // same index type the emitted key keeps the distinguishing params so
+    // the compact JSON object never carries duplicate keys.
+    def annBuild: Seq[(String, Double)] = {
+      val mine = graft.operators.AnnIndexCache.buildSeconds.toSeq.flatMap {
+        case (k, v) =>
+          val segs = k.split(':').toSeq
+          if (segs.drop(1).headOption.contains(sfDir)) {
+            val params = segs.drop(2).filterNot(_.startsWith("v=")).mkString(":")
+            Some((segs.head, params, v))
+          } else None
+      }
+      val perType = mine.groupBy(_._1).view.mapValues(_.size).toMap
+      mine.map { case (tpe, params, v) =>
+        (if (perType(tpe) > 1 && params.nonEmpty) s"$tpe:$params" else tpe) -> v
       }.sortBy(_._1)
+    }
     def compactLine(phase: String): String = {
       val results = named.map { case (n, _) => n -> timings.getOrElse(n, -1.0) }
       val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
@@ -105,10 +120,23 @@ object Bench {
         System.err.println(s"[bench] failed to write $outPath: ${oneLine(e)}")
       }
     }
+    // The compact line ALSO goes to a file artifact after every phase: the
+    // driver can read bench_compact.json instead of scraping the process
+    // tail, so a parseable result no longer depends on what sbt's logger
+    // does to stdout (see build.sbt's outputStrategy note).
+    def writeCompact(phase: String): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPACT", "bench_compact.json")),
+        compactLine(phase) + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] failed to write bench_compact.json: ${oneLine(e)}")
+      }
     def emit(phase: String): Unit = if (!shuttingDown) {
       println(compactLine(phase))
       System.out.flush()
       writeFull(phase)
+      writeCompact(phase)
     }
     // Abnormal-exit safety net: the driver's timeout sends SIGTERM; print
     // whatever has been measured so far — even mid-pass-1 a partial line
@@ -122,6 +150,7 @@ object Bench {
         println(compactLine("killed"))
         System.out.flush()
         try writeFull("killed") catch { case _: Throwable => () }
+        try writeCompact("killed") catch { case _: Throwable => () }
       }
     }))
 
@@ -259,12 +288,14 @@ object Bench {
     emit("final")
     finishedNormally = true
     spark.stop()
-    // The driver parses the LAST stdout line as JSON (BENCH_r07 parsed:null
-    // because sbt's "[success]" banner — now suppressed via
-    // `Global / showSuccess := false` in build.sbt — used to print after
-    // this). Stderr copy first (streams interleave; it must not land after
-    // the stdout line in the captured tail), then the stdout JSON line as
-    // the very last output of the run.
+    // The driver parses the LAST stdout line as JSON. Two historical
+    // breakages, both fixed in build.sbt: the "[success]" banner printing
+    // after this line (BENCH_r07, showSuccess := false) and sbt's
+    // LoggedOutput "[info] " prefix on forked stdout (BENCH_r08,
+    // outputStrategy := StdoutOutput). bench_compact.json (writeCompact)
+    // is the belt-and-braces file artifact either way. Stderr copy first
+    // (streams interleave; it must not land after the stdout line in the
+    // captured tail), then the stdout JSON line as the very last output.
     if (!shuttingDown) {
       System.err.println(compactLine("final"))
       System.err.flush()

@@ -2,12 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc subset benchmark: times the named queries (args) best-of-2 at
-  * SPARK_GRAFT_SF_DIR — the local iteration loop behind Bench. */
+/** Ad-hoc subset benchmark: times the named queries (args) best-of-N at
+  * SPARK_GRAFT_SF_DIR — the local iteration loop behind Bench. Set
+  * SPARK_GRAFT_MB_RUNS (default 2) for re-pinning sessions: 5 runs with
+  * the median reported is the ledger's re-pin protocol (BENCHMARKS.md). */
 object MiniBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_MB_RUNS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,16 +19,28 @@ object MiniBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup sweep of the requested queries at sf0.001 so JIT/codegen
+    // isn't billed to run 1 (same rationale as Bench's warmup pass)
+    val warmupDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
+      args.foreach { name =>
+        try SparkEntry.queries(name)(spark, warmupDir).count()
+        catch { case _: Throwable => () }
+      }
+    spark.sharedState.cacheManager.clearCache()
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val t = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         t
       }
-      println(f"[minibench] $name%-30s ${times.min}%.2f s (passes: ${times.map(t => f"$t%.2f").mkString(", ")})")
+      val sorted = times.sorted
+      val median = sorted((nRuns - 1) / 2)
+      println(f"[minibench] $name%-30s min ${sorted.head}%.2f s  median $median%.2f s" +
+        f" (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
     }
     spark.stop()
   }

@@ -14,14 +14,42 @@ import scala.collection.concurrent.TrieMap
   * index-build cost separately from probe cost ([[buildSeconds]] →
   * bench_full.json's "ann_build" section).
   *
-  * The key deliberately omits a content fingerprint of the corpus: within
-  * one JVM the test datasets are immutable, and hashing 100 TB to detect
-  * a swap underneath a live session is not this layer's job. Call
-  * [[invalidate]] after rewriting a dataset in-place in a long session.
+  * The key carries a cheap dataset VERSION marker ([[datasetVersion]]:
+  * max mtime + file count + total bytes from a driver-side metadata walk,
+  * the same trick the q95 scratch layout uses) rather than a content
+  * fingerprint — hashing 100 TB to detect a swap underneath a live
+  * session is not this layer's job, but an in-place REWRITE of a dataset
+  * dir changes mtimes/sizes and must not serve the stale index, so
+  * staleness now fails closed without the caller remembering
+  * [[invalidate]] (which remains available for exotic transports where
+  * the key isn't a filesystem path).
   */
 object AnnIndexCache {
   private val cache = TrieMap.empty[String, Any]
   private val buildSec = TrieMap.empty[String, Double]
+
+  /** Cheap version marker for a dataset directory: hex(max lastModified),
+    * file count, and total bytes from a recursive metadata-only walk. A
+    * rewrite in place (new part files, new mtimes, usually new sizes)
+    * yields a new marker; a non-existent or non-path key yields "na" so
+    * non-filesystem index keys degrade to plain memoization. Driver-side
+    * listing only — never reads data, so cost is metadata ops, not bytes.
+    */
+  def datasetVersion(path: String): String = {
+    val root = new java.io.File(path)
+    if (!root.exists) "na"
+    else {
+      var maxM = 0L; var n = 0L; var bytes = 0L
+      def walk(f: java.io.File): Unit = {
+        val m = f.lastModified(); if (m > maxM) maxM = m
+        n += 1
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+        else bytes += f.length()
+      }
+      walk(root)
+      s"${maxM.toHexString}-$n-${bytes.toHexString}"
+    }
+  }
 
   /** Memoized build: on miss, runs `build`, records its wall-time, caches
     * the result. Thread-safe; concurrent first calls may both build (last

@@ -174,7 +174,10 @@ object VectorOps {
     }
     val model = indexKey match {
       case Some(key) =>
-        AnnIndexCache.memo(s"ivf:$key:nlist=$nlist:seed=$seed")(train())
+        // v= is the dataset's mtime/size marker: an in-place rewrite of
+        // the corpus dir retrains instead of serving the stale quantizer
+        AnnIndexCache.memo(s"ivf:$key:v=${AnnIndexCache.datasetVersion(key)}" +
+          s":nlist=$nlist:seed=$seed")(train())
       case None => train()
     }
     val assigned = model.transform(corpusVec)
@@ -317,7 +320,9 @@ object VectorOps {
     }
     val (dim, codebooks) = indexKey match {
       case Some(key) =>
-        AnnIndexCache.memo(s"pq:$key:m=$m:kCodes=$kCodes:seed=$seed")(train())
+        // same staleness guard as ivfTopK: rewrite → new v= → retrain
+        AnnIndexCache.memo(s"pq:$key:v=${AnnIndexCache.datasetVersion(key)}" +
+          s":m=$m:kCodes=$kCodes:seed=$seed")(train())
       case None => train()
     }
     val sub = dim / m

@@ -73,11 +73,15 @@ final case class PayloadCdcSource(payloads: Dataset[String]) extends CdcSource {
 
 object PayloadCdcSource {
   /** Parse a payload-string column into the envelope-plus-corrupt contract.
-    * `from_json` in PERMISSIVE mode yields a null struct (or a struct with
-    * the corrupt field set, version-dependent) on malformed input — both
-    * are normalized to "envelope columns null, raw payload in
-    * `_corrupt_record`". A production connector reuses this verbatim on
-    * its own frame. */
+    * `from_json` in PERMISSIVE mode signals malformed input in one of
+    * THREE version-dependent shapes (SPARK-25243 lineage): a null struct,
+    * a struct with the corrupt field populated, or — the trap — a
+    * non-null struct with every field null and the corrupt field EMPTY.
+    * All three are normalized to "envelope columns null, raw payload in
+    * `_corrupt_record`": a payload that produced no envelope data at all
+    * is quarantined rather than silently dropped by the merge, regardless
+    * of which shape this Spark version emits. A production connector
+    * reuses this verbatim on its own frame. */
   def parse(df: DataFrame, payloadCol: String): DataFrame = {
     val parsed = df.select(
       from_json(col(payloadCol), CdcSource.envelopeWithCorrupt,
@@ -85,8 +89,10 @@ object PayloadCdcSource {
           "columnNameOfCorruptRecord" -> CdcSource.CorruptCol)).as("e"),
       col(payloadCol).as("_raw"))
     val envCols = CdcSchemas.envelope.fieldNames.toSeq.map(f => col(s"e.$f"))
+    val allEnvNull = envCols.map(_.isNull).reduce(_ && _)
     parsed.select(envCols :+
       coalesce(col(s"e.${CdcSource.CorruptCol}"),
-        when(col("e").isNull, col("_raw"))).as(CdcSource.CorruptCol): _*)
+        when(col("e").isNull || allEnvNull, col("_raw")))
+        .as(CdcSource.CorruptCol): _*)
   }
 }

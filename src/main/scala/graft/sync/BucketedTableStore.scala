@@ -653,7 +653,15 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
   /** Time travel: read the snapshot a historical manifest described.
     * Manifests are immutable once written, so any retained manifest
     * number reconstructs that exact table state — including the delta
-    * chains as of that commit. */
+    * chains as of that commit.
+    *
+    * Vacuum-race contract: requesting a version already dropped by
+    * [[vacuum]] is refused up front (None — retention is the authority on
+    * what is addressable); a frame obtained BEFORE a racing sweep fails
+    * loudly at execution (`ignoreMissingFiles` pinned off in resolve) and
+    * can never silently return a partial snapshot. Callers that must hold
+    * a historical view across retention sweeps should materialize it
+    * (collect/persist/write) while the manifest is retained. */
   def readAtManifest(name: String, manifestVersion: Int): Option[DataFrame] = {
     val f = manifestFile(name, manifestVersion)
     if (!Files.exists(f)) None
@@ -679,8 +687,19 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       case (b, s) if s.isClean && s.base >= 0 => bucketPath(name, b, s.base).toString
     }.toSeq
     val dirty = wanted.filter(!_._2.isClean)
+    // ignoreMissingFiles pinned OFF per-read: a vacuum racing a LAZY
+    // historical read (readAtManifest/readRangeAt/readWhereInAt frames
+    // held across a retention sweep) must fail loudly at execution, never
+    // silently return the subset of buckets that survived — even if the
+    // session globally enables spark.sql.files.ignoreMissingFiles. Live
+    // reads can't race (vacuum always retains the live manifest and the
+    // single-writer protocol serializes merges), so pinning it here too
+    // costs nothing. Same freeze-or-fail contract DedupIngest gives its
+    // in-flight probe decisions.
+    def pread(paths: Seq[String]) =
+      spark.read.option("ignoreMissingFiles", "false").parquet(paths: _*)
     val clean =
-      if (cleanPaths.nonEmpty) Some(spark.read.parquet(cleanPaths: _*)) else None
+      if (cleanPaths.nonEmpty) Some(pread(cleanPaths)) else None
     val resolved = if (dirty.nonEmpty) {
       val key = storedKey(name)
       val basePaths = dirty.collect {
@@ -689,10 +708,10 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       val deltaPaths = dirty.flatMap { case (b, s) =>
         s.deltas.map(d => deltaPath(name, b, d).toString)
       }.toSeq
-      val deltas = spark.read.parquet(deltaPaths: _*)
+      val deltas = pread(deltaPaths)
       val layered =
         if (basePaths.isEmpty) deltas
-        else deltas.unionByName(spark.read.parquet(basePaths: _*)
+        else deltas.unionByName(pread(basePaths)
           .withColumn("_seq", lit(-1L)).withColumn("_del", lit(false)))
       // key → bucket is functional, so partitioning by key never mixes
       // buckets; ties are impossible (one row per key per commit)
@@ -1171,8 +1190,11 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     * 100 TB the leak, not the live data, dominates storage. Deletion
     * order is crash-safe: manifests below the retention floor go first,
     * so an interrupted sweep leaves unreferenced dirs (re-collectable)
-    * but never a manifest pointing at deleted data. Returns (manifests
-    * deleted, dirs deleted). */
+    * but never a manifest pointing at deleted data. Historical readers
+    * race under the [[readAtManifest]] contract: refused up front once
+    * their manifest is dropped, loud execution failure (never a silent
+    * partial result) if the sweep lands under an already-planned frame.
+    * Returns (manifests deleted, dirs deleted). */
   def vacuum(name: String, keepManifests: Int): (Int, Int) = {
     require(keepManifests >= 1, "must keep at least the live manifest")
     currentManifestVersion(name) match {

@@ -147,6 +147,47 @@ class BucketedStoreSpec extends SparkSpec {
     assert(store.vacuum("member", keepManifests = 1) == ((0, 0)))
   }
 
+  test("vacuum racing a lazy historical read fails loudly, never partially") {
+    // Same freeze-or-fail contract DedupIngest gives in-flight decisions:
+    // a time-travel frame planned BEFORE a retention sweep must either
+    // error at execution or have been refused up front — silently
+    // returning whichever buckets survived the sweep would be a wrong
+    // answer wearing a green checkmark.
+    val root = tmpDir("bstore-vrace")
+    val store = new BucketedTableStore(spark, root, nBuckets = 4)
+    store.writeAll("member", target(), "memberId")
+    val stage = Seq(("m2", "bob2", t1, "MODIFY"))
+      .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName")
+    store.merge("member", stage, "memberId", t1)
+
+    // plan (lazily, no action yet) two historical reads of manifest 0
+    val held = store.readAtManifest("member", 0).get
+    val heldProbe = store.readWhereInAt("member", 0, "memberId", Seq("m2")).get
+
+    // force staleness detection even if the session flips the global
+    // ignore-missing switch — the store pins it off per-read
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try {
+      store.vacuum("member", keepManifests = 1)
+
+      // refused by retention: the dropped manifest is no longer addressable
+      assert(store.readAtManifest("member", 0).isEmpty)
+      assert(store.readWhereInAt("member", 0, "memberId", Seq("m2")).isEmpty)
+
+      def causes(t: Throwable, seen: Int = 0): Seq[Throwable] =
+        if (t == null || seen > 10) Nil else t +: causes(t.getCause, seen + 1)
+      def failsLoudly(df: org.apache.spark.sql.DataFrame): Unit = {
+        val e = intercept[Exception](df.count())
+        assert(causes(e).exists(c => c.isInstanceOf[java.io.FileNotFoundException]
+            || String.valueOf(c.getMessage).toLowerCase.contains("does not exist")
+            || String.valueOf(c.getMessage).toLowerCase.contains("file not found")),
+          s"expected a missing-file failure, got: $e")
+      }
+      failsLoudly(held)
+      failsLoudly(heldProbe)
+    } finally spark.conf.unset("spark.sql.files.ignoreMissingFiles")
+  }
+
   test("TableStore vacuum: versions below the floor gone, live + retained readable") {
     val root = tmpDir("tstore-vac")
     val store = new graft.sync.TableStore(spark, root)

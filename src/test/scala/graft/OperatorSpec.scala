@@ -232,6 +232,38 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.7, s"PQ recall collapsed: $recall")
   }
 
+  test("ANN index cache retrains after an in-place dataset rewrite") {
+    // The memo key carries datasetVersion(dir) — mtime/count/bytes — so a
+    // long session that rewrites a corpus dir in place gets a fresh index
+    // without anyone calling invalidate() (round-8 advice: staleness must
+    // fail closed, not depend on caller discipline).
+    import graft.operators.AnnIndexCache
+    val dir = tmpDir("annstale")
+    def writeCorpus(shift: Float): Unit =
+      (0L until 40L).map(i =>
+          (i, Array.tabulate(8)(j => ((i % 4) * 3 + j).toFloat + shift)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(dir + "/embeddings.parquet")
+    def corpus = spark.read.parquet(dir + "/embeddings.parquet")
+    def builds = AnnIndexCache.buildSeconds.keys
+      .count(k => k.split(':').lift(1).contains(dir))
+
+    writeCorpus(0f)
+    def probe(): Unit = VectorOps.ivfTopK(spark, corpus.filter($"vec_id" < 2),
+      corpus, k = 3, nlist = 4, nprobe = 4, indexKey = Some(dir)).count()
+    probe()
+    val after1 = builds
+    assert(after1 >= 1, "first probe trains and records a build")
+    probe()
+    assert(builds == after1, "unchanged dataset: memo hit, no retrain")
+
+    Thread.sleep(10) // mtime has millisecond resolution
+    writeCorpus(100f)
+    probe()
+    assert(builds == after1 + 1,
+      "in-place rewrite changes datasetVersion → a fresh build key")
+  }
+
   test("multimodal decode stub is deterministic and kind-aware") {
     val docs = Seq((0L, "hello world"), (2L, "a video payload " * 20))
       .toDF("doc_id", "text").withColumn("n_chars", length($"text"))

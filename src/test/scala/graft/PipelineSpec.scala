@@ -409,6 +409,72 @@ class PipelineSpec extends SparkSpec {
     assert(quarantined.select($"raw_line").as[String].head() == poison)
   }
 
+  test("payload seam replay: re-delivering the same payload is a no-op") {
+    // The at-least-once contract in CdcSource.scala: a Kinesis-shaped
+    // connector may re-deliver records after a failover; the merge's
+    // `>`-watermark (ref incremental_sync_members.sql:31) must make the
+    // duplicate delivery a no-op THROUGH the payload seam, not just on the
+    // batch merge (which "merge is idempotent" below already pins).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{CdcStream, PayloadCdcSource}
+
+    val gen = new CdcGen.Gen(29)
+    val exportDir = tmpDir("rpexport")
+    val ckptDir = tmpDir("rpckpt")
+    val storeRoot = tmpDir("rpstore")
+    val m0 = gen.member(); val q0 = gen.quest()
+    val mq0 = gen.memberQuest(m0.pk.stripPrefix("M_"), q0.pk.stripPrefix("Q_"))
+    writeLines(exportDir, "data.json", Seq(m0, q0, mq0).map(gen.exportLine))
+
+    var clock = t0
+    val pipeline = new Pipeline(spark, storeRoot, () => new Timestamp(clock))
+    pipeline.initialLoad(exportDir)
+
+    val envelope = gen.envelope("INSERT", gen.member(), t0 + 10000)
+    val ms = MemoryStream[String](spark)
+    val stream = new CdcStream(spark, pipeline.store, () => new Timestamp(clock))
+
+    ms.addData(envelope)
+    clock = t0 + 60000
+    stream.start(PayloadCdcSource(ms.toDS()), ckptDir, Trigger.AvailableNow(),
+      None).awaitTermination()
+    val afterFirst = pipeline.member.collect().map(_.toSeq).sortBy(_.toString)
+    assert(afterFirst.length == 2, "initial member + the new insert")
+
+    // the SAME payload string arrives again in a later trigger (replay)
+    ms.addData(envelope)
+    clock = t0 + 120000
+    stream.start(PayloadCdcSource(ms.toDS()), ckptDir, Trigger.AvailableNow(),
+      None).awaitTermination()
+    val afterReplay = pipeline.member.collect().map(_.toSeq).sortBy(_.toString)
+    assert(afterReplay.toSeq == afterFirst.toSeq,
+      "replayed payload is at-or-below the watermark: every column of the " +
+        "target, syncTimestamp included, must be byte-identical")
+  }
+
+  test("payload parse quarantines an all-null envelope, not just null structs") {
+    // PERMISSIVE from_json signals malformed input in version-dependent
+    // shapes (SPARK-25243 lineage); on some versions a poison payload
+    // parses to a NON-null struct whose fields are all null with the
+    // corrupt column unset. Such a record carries zero envelope data and
+    // must land in quarantine with its raw payload, never pass as "clean".
+    import graft.streaming.PayloadCdcSource
+    import graft.streaming.CdcSource.CorruptCol
+
+    val emptyObj = "{}" // valid JSON, zero envelope fields, no corrupt field
+    val unrelated = """{"somethingElse":42}"""
+    val clean = new CdcGen.Gen(31).envelope("INSERT", new CdcGen.Gen(31).member(), t0)
+    val out = PayloadCdcSource.parse(
+      Seq(emptyObj, unrelated, clean).toDF("payload"), "payload")
+    val corrupt = out.filter(col(CorruptCol).isNotNull)
+      .select(col(CorruptCol)).as[String].collect().sorted
+    assert(corrupt.toSeq == Seq(emptyObj, unrelated).sorted,
+      "payloads yielding no envelope data are quarantined with their raw text")
+    assert(out.filter(col(CorruptCol).isNull).count() == 1,
+      "the clean envelope still parses as clean")
+  }
+
   test("merge is idempotent: re-applying a batch is a no-op") {
     val gen = new CdcGen.Gen(4)
     val m = gen.member()
