@@ -333,7 +333,81 @@ object CurationQueries {
     GROUP BY d.lang, b.p25, b.p75, b.n_docs
     ORDER BY d.lang ASC"""
 
+  // q158 — DSIR-shaped data selection (Xie et al. 2023, "Data Selection
+  // for Language Models via Importance Resampling"): score every pool
+  // document by how much its hashed-bigram profile resembles a TARGET
+  // distribution (here: the corpus's English slice), then keep the top
+  // 100 by mean per-feature importance. The plan is exactly the 100 TB
+  // shape DSIR exists for: bigrams hash into B=512 feature buckets, the
+  // per-feature importance table is O(B) and BROADCAST, scoring is one
+  // hash aggregation per doc, and selection is TakeOrderedAndProject —
+  // the corpus is scanned, never shuffled (only agg partials move).
+  // Deviation from the paper, deliberate and repo-convention-bound: the
+  // per-feature weight is an integer MILLI-RATIO of add-one-smoothed
+  // probabilities, (tcnt+1)(Np+B)·1000 div (pcnt+1)(Nt+B), not a
+  // log-ratio — q75's rule ("no log() whose libm could differ") keeps
+  // every weight integer-exact cross-engine; the per-doc mean is then a
+  // single correctly-rounded IEEE divide of exact ints, so even the
+  // DESC-sort on it is deterministic. Swap log-ratio weights in at
+  // production scale — the plan is unchanged (the weight table stays B
+  // rows, broadcast).
+  def q158DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val B = 512L
+    val docs = Tables.documents(spark, dir)
+    val feats = docs
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat_ws(" ",
+          element_at(col("t"), col("i")),
+          element_at(col("t"), col("i") + 1))), 1, 12), 16, 10)
+          .cast("long") % B).as("f"))
+    // one aggregation yields pool AND target counts per feature; totals
+    // re-aggregate the ≤B-row counts frame (NOT the corpus — the corpus
+    // is scanned exactly twice: once for counts, once for scoring)
+    val counts = feats.groupBy(col("f")).agg(
+      count(lit(1)).as("pcnt"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
+    val totals = counts.agg(
+      sum(col("pcnt")).as("np"), sum(col("tcnt")).as("nt"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("f"),
+        expr(s"((tcnt + 1) * (np + $B) * 1000) div ((pcnt + 1) * (nt + $B))")
+          .as("iw"))
+    feats.join(broadcast(weights), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("iw")).as("iw_sum"))
+      .withColumn("avg_iw",
+        col("iw_sum").cast("double") / col("n_feat").cast("double"))
+      .select(col("doc_id"), col("n_feat"), col("iw_sum"), col("avg_iw"))
+      .orderBy(col("avg_iw").desc, col("doc_id").asc)
+      .limit(100)
+  }
+  val q158Oracle: String = """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    bg AS (SELECT doc_id, lang,
+             unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS pair
+           FROM t WHERE len(toks) >= 2),
+    f AS (SELECT doc_id, lang,
+            ('0x' || substr(md5(pair), 1, 12))::BIGINT % 512 AS f FROM bg),
+    counts AS (SELECT f, COUNT(*) AS pcnt,
+                 SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tcnt
+               FROM f GROUP BY f),
+    tot AS (SELECT COUNT(*) AS np,
+              SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM f),
+    w AS (SELECT f, ((tcnt + 1) * (np + 512) * 1000) // ((pcnt + 1) * (nt + 512)) AS iw
+          FROM counts CROSS JOIN tot),
+    scored AS (SELECT doc_id, COUNT(*) AS n_feat, SUM(iw) AS iw_sum
+               FROM f JOIN w USING (f) GROUP BY doc_id)
+    SELECT doc_id, n_feat, CAST(iw_sum AS BIGINT) AS iw_sum,
+           CAST(iw_sum AS DOUBLE) / CAST(n_feat AS DOUBLE) AS avg_iw
+    FROM scored
+    ORDER BY avg_iw DESC, doc_id ASC LIMIT 100"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_dsir_select" -> (q158DsirSelect _),
     "q128_quantile_trim" -> (q128QuantileTrim _),
     "q126_repetition_metrics" -> (q126RepetitionMetrics _),
     "q127_contamination_screen" -> (q127ContaminationScreen _),
@@ -345,6 +419,7 @@ object CurationQueries {
     "q89_curation_pipeline" -> (q89CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "q158_dsir_select" -> q158Oracle,
     "q128_quantile_trim" -> q128Oracle,
     "q126_repetition_metrics" -> q126Oracle,
     "q127_contamination_screen" -> q127Oracle,

@@ -19,6 +19,16 @@ class PlanSpec extends SparkSpec {
   }
   private def planString(name: String): String = plan(name).toString
 
+  test("q158: DSIR weight table broadcasts; selection is top-k, not full sort") {
+    val s = planString("q158_dsir_select")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "the O(B)-row importance-weight table must broadcast onto the corpus")
+    assert(!s.contains("SortMergeJoin"),
+      "the corpus-sized feature frame must never shuffle for the weight join")
+    assert(s.contains("TakeOrderedAndProject"),
+      "top-100 selection must be TakeOrderedAndProject, not a global sort")
+  }
+
   test("q06: selective filters reach the parquet scan (pushdown)") {
     val s = planString("q06_forecast_revenue")
     // the rendered plan truncates long filter lists, so match the prefix
