@@ -244,27 +244,62 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     }.toSeq
   }
 
-  /** Per-bucket min/max over the staged parquet just written — a columnar
-    * read-back of ONLY the touched buckets' new bytes (projection pruned
-    * to the stats columns), not a second pass over the merge lineage. */
-  private def statsFromStaging(staging: Path, specs: Seq[(String, String)],
-      excludeDel: Boolean): Map[Int, Map[String, (String, String)]] = {
-    if (specs.isEmpty) return Map.empty
+  /** ONE columnar read-back of the staged parquet computes EVERY sidecar:
+    * zone-map min/max for the stats columns and packed bloom bitsets for
+    * the bloom columns, in a single groupBy over only the touched
+    * buckets' new bytes (projection pruned to the sidecar columns).
+    * Through round 8 these were separate jobs — stats, then one job PER
+    * bloom column (the explode-based packer could not share a pass) —
+    * so a commit on a stats+bloom table paid 2+ staging scans; q150's
+    * 8-commit protocol and q151/q154's lifecycles paid it per commit.
+    * [[graft.functions.BloomPackValueAgg]] computes the k probe positions
+    * inside the aggregator (same [[graft.functions.HashKernels]] kernel
+    * the read-side probes use), so the bloom aggregation adds no row
+    * multiplication and coexists with min/max in one agg.
+    *
+    * A bucket whose bloom column is entirely NULL now gets an all-zero
+    * bitset instead of no entry — a strictly tighter, still-correct
+    * sidecar ("no non-null values here"), vs the old absent entry's
+    * "no proof of exclusion". */
+  private def sidecarsFromStaging(staging: Path,
+      statSpecs: Seq[(String, String)], bloomSpecs: Seq[(String, Int, Int)],
+      excludeDel: Boolean):
+      (Map[Int, Map[String, (String, String)]], Map[Int, Map[String, BloomSide]]) = {
+    if (statSpecs.isEmpty && bloomSpecs.isEmpty) return (Map.empty, Map.empty)
     val raw = spark.read.parquet(staging.toString)
     val rows = if (excludeDel) raw.filter(!col("_del")) else raw
     val schema = rows.schema
-    val aggs = specs.flatMap { case (c, _) =>
+    val statAggs = statSpecs.flatMap { case (c, _) =>
       val e = StatKind.expr(c, schema(c).dataType)
       Seq(min(e).cast("string").as(s"mn_$c"), max(e).cast("string").as(s"mx_$c"))
     }
-    rows.groupBy(col("_bucket")).agg(aggs.head, aggs.tail: _*)
-      .collect().map { r =>
+    val bloomAggs = bloomSpecs.map { case (c, m, k) =>
+      val pack = udaf(new graft.functions.BloomPackValueAgg(m, k))
+      pack(col(c).cast("string")).as(s"bl_$c")
+    }
+    val aggs = statAggs ++ bloomAggs
+    val collected = rows.groupBy(col("_bucket"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val stats =
+      if (statSpecs.isEmpty) Map.empty[Int, Map[String, (String, String)]]
+      else collected.map { r =>
         val b = r.getLong(0).toInt
-        b -> specs.zipWithIndex.flatMap { case ((c, _), i) =>
+        b -> statSpecs.zipWithIndex.flatMap { case ((c, _), i) =>
           val mn = r.getString(1 + 2 * i); val mx = r.getString(2 + 2 * i)
           if (mn == null || mx == null) None else Some(c -> (mn, mx))
         }.toMap
       }.toMap
+    val bOff = 1 + 2 * statSpecs.size
+    val blooms =
+      if (bloomSpecs.isEmpty) Map.empty[Int, Map[String, BloomSide]]
+      else collected.map { r =>
+        val b = r.getLong(0).toInt
+        b -> bloomSpecs.zipWithIndex.map { case ((c, m, k), i) =>
+          c -> BloomSide(m, k, graft.functions.HashKernels.packedBytesToLongs(
+            r.getAs[Array[Byte]](bOff + i)))
+        }.toMap
+      }.toMap
+    (stats, blooms)
   }
 
   private def readStats(name: String, v: Int):
@@ -429,39 +464,6 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
   private type BloomSide = graft.sync.BloomSide
   private def BloomSide(m: Int, k: Int, bits: Array[Long]) =
     graft.sync.BloomSide(m, k, bits)
-
-  /** Per-bucket bloom bitsets over the staged parquet just written — like
-    * [[statsFromStaging]], a columnar read-back of only the touched
-    * buckets' new bytes. Positions are packed into the m-bit bitset
-    * EXECUTOR-side ([[graft.functions.BloomPackAgg]]): both the shuffle
-    * (partial buffers, merged by OR) and the driver collect are
-    * buckets × m/8 bytes — the 1024 × 128 Ki default is 16 MiB — where a
-    * `collect_set(position)` would ship up to ~134M boxed ints for the
-    * same near-full sidecar. */
-  private def bloomFromStaging(staging: Path, specs: Seq[(String, Int, Int)],
-      excludeDel: Boolean): Map[Int, Map[String, BloomSide]] = {
-    if (specs.isEmpty) return Map.empty
-    val raw = spark.read.parquet(staging.toString)
-    val rows = if (excludeDel) raw.filter(!col("_del")) else raw
-    val perCol = specs.map { case (c, m, k) =>
-      val pack = udaf(new graft.functions.BloomPackAgg(m))
-      val packed = rows.select(col("_bucket"),
-          explode(graft.functions.GraftFunctions.bloom_bits(
-            col(c).cast("string"), m, k)).as("_pos"))
-        .groupBy(col("_bucket"))
-        .agg(pack(col("_pos")).as("_bits"))
-        .collect()
-      c -> packed.map { r =>
-        r.getLong(0).toInt -> BloomSide(m, k,
-          graft.functions.HashKernels.packedBytesToLongs(
-            r.getAs[Array[Byte]](1)))
-      }.toMap
-    }
-    val buckets = perCol.iterator.flatMap(_._2.keys).toSet
-    buckets.map { b =>
-      b -> perCol.flatMap { case (c, m) => m.get(b).map(c -> _) }.toMap
-    }.toMap
-  }
 
   private def renderBits(bits: Array[Long]): String = {
     val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
@@ -844,24 +846,26 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
     Files.createDirectories(tableDir(name))
     val specs = statsCols.map(c => (c, StatKind.of(df.schema(c).dataType)))
-    if (specs.nonEmpty) {
-      Files.write(statsColsFile(name),
-        specs.map { case (c, k) => s"${StatKind.enc(c)}\t$k" }
-          .mkString("\n").getBytes,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      writeStats(name, next, statsFromStaging(staging, specs, excludeDel = false))
-    }
     // bloom geometry is fixed at table creation like the bucket count:
     // size m for the expected distinct values per bucket per column
     // (~m/10 at 1% false-positive with k=7; the 128 Ki-bit default covers
     // ~13k distinct values per bucket)
     val bSpecs = bloomCols.map(c => (c, bloomBits, bloomHashes))
+    val (newStats, newBloom) =
+      sidecarsFromStaging(staging, specs, bSpecs, excludeDel = false)
+    if (specs.nonEmpty) {
+      Files.write(statsColsFile(name),
+        specs.map { case (c, k) => s"${StatKind.enc(c)}\t$k" }
+          .mkString("\n").getBytes,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      writeStats(name, next, newStats)
+    }
     if (bSpecs.nonEmpty) {
       Files.write(bloomColsFile(name),
         bSpecs.map { case (c, m2, k2) => s"${StatKind.enc(c)}\t$m2\t$k2" }
           .mkString("\n").getBytes,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      writeBloom(name, next, bloomFromStaging(staging, bSpecs, excludeDel = false))
+      writeBloom(name, next, newBloom)
     }
     boundaries match {
       case Some((kind, bs)) =>
@@ -947,21 +951,22 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               target.schema).write.mode("overwrite").parquet(src.toString)
         }
-        // rewritten buckets get EXACT zone maps from the staged bytes
-        // (touched-and-now-empty buckets simply lose their entry)
+        // rewritten buckets get EXACT zone maps and blooms from the staged
+        // bytes — one fused read-back for both sidecar kinds (touched-and-
+        // now-empty buckets simply lose their stats entry). Sidecar
+        // absence still propagates per kind: a missing carried sidecar
+        // drops that kind from the fused computation entirely.
         val specs = statsSpecs(name)
-        val newStats =
-          if (specs.isEmpty) None
-          else carriedStats(name, base.get).map(prev =>
-            (prev -- touched) ++
-              statsFromStaging(staging, specs, excludeDel = false))
-        // rewritten buckets likewise get EXACT blooms from the staged bytes
         val bSpecs = bloomSpecs(name)
-        val newBloom =
-          if (bSpecs.isEmpty) None
-          else carriedBloom(name, base.get).map(prev =>
-            (prev -- touched) ++
-              bloomFromStaging(staging, bSpecs, excludeDel = false))
+        val prevStats =
+          if (specs.isEmpty) None else carriedStats(name, base.get)
+        val prevBloom =
+          if (bSpecs.isEmpty) None else carriedBloom(name, base.get)
+        val (addStats, addBloom) = sidecarsFromStaging(staging,
+          if (prevStats.isDefined) specs else Nil,
+          if (prevBloom.isDefined) bSpecs else Nil, excludeDel = false)
+        val newStats = prevStats.map(prev => (prev -- touched) ++ addStats)
+        val newBloom = prevBloom.map(prev => (prev -- touched) ++ addBloom)
         // Re-check the base before any move: a stale writer must abandon
         // its staging dir, not clobber the winner's bucket versions. An
         // already-existing dest is the same staleness signal (a racing
@@ -1030,21 +1035,22 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
           .withColumn("_bp", col("_bucket"))
           .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
         // a delta commit can only WIDEN a bucket's zone map (tombstoned
-        // values stay inside the bounds until compaction retightens them);
-        // the delta's own rows are aggregated off the just-written staging
+        // values stay inside the bounds until compaction retightens them)
+        // and OR-widen its blooms (base ∪ delta membership, tombstones
+        // keep their bits — false positives only — until compaction
+        // rebuilds exactly); both widenings read the just-written staging
+        // ONCE via the fused sidecar pass
         val specs = statsSpecs(name)
-        val newStats =
-          if (specs.isEmpty) None
-          else carriedStats(name, base.get).map(prev =>
-            widenStats(specs, prev,
-              statsFromStaging(staging, specs, excludeDel = true)))
-        // blooms OR-widen: base ∪ delta membership, tombstones keep their
-        // bits (false positives only) until compaction rebuilds exactly
         val bSpecs = bloomSpecs(name)
-        val newBloom =
-          if (bSpecs.isEmpty) None
-          else carriedBloom(name, base.get).map(prev =>
-            orBloom(prev, bloomFromStaging(staging, bSpecs, excludeDel = true)))
+        val prevStats =
+          if (specs.isEmpty) None else carriedStats(name, base.get)
+        val prevBloom =
+          if (bSpecs.isEmpty) None else carriedBloom(name, base.get)
+        val (addStats, addBloom) = sidecarsFromStaging(staging,
+          if (prevStats.isDefined) specs else Nil,
+          if (prevBloom.isDefined) bSpecs else Nil, excludeDel = true)
+        val newStats = prevStats.map(prev => widenStats(specs, prev, addStats))
+        val newBloom = prevBloom.map(prev => orBloom(prev, addBloom))
         def stale(): Nothing = {
           cleanupDir(staging)
           throw new java.util.ConcurrentModificationException(
@@ -1107,21 +1113,20 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schema).write.mode("overwrite").parquet(src.toString)
       }
-      // compaction is where widened zone maps retighten: the staged bytes
-      // are the exact resolved state of every compacted bucket
+      // compaction is where widened zone maps retighten and delta-widened
+      // blooms shed their tombstoned bits: the staged bytes are the exact
+      // resolved state of every compacted bucket — one fused read-back
       val specs = statsSpecs(name)
-      val newStats =
-        if (specs.isEmpty) None
-        else carriedStats(name, base.get).map(prev =>
-          (prev -- targets.keys) ++
-            statsFromStaging(staging, specs, excludeDel = false))
-      // ... and where delta-widened blooms shed their tombstoned bits
       val bSpecs = bloomSpecs(name)
-      val newBloom =
-        if (bSpecs.isEmpty) None
-        else carriedBloom(name, base.get).map(prev =>
-          (prev -- targets.keys) ++
-            bloomFromStaging(staging, bSpecs, excludeDel = false))
+      val prevStats =
+        if (specs.isEmpty) None else carriedStats(name, base.get)
+      val prevBloom =
+        if (bSpecs.isEmpty) None else carriedBloom(name, base.get)
+      val (addStats, addBloom) = sidecarsFromStaging(staging,
+        if (prevStats.isDefined) specs else Nil,
+        if (prevBloom.isDefined) bSpecs else Nil, excludeDel = false)
+      val newStats = prevStats.map(prev => (prev -- targets.keys) ++ addStats)
+      val newBloom = prevBloom.map(prev => (prev -- targets.keys) ++ addBloom)
       def stale(): Nothing = {
         cleanupDir(staging)
         throw new java.util.ConcurrentModificationException(
