@@ -31,6 +31,33 @@ class BloomSidecarSpec extends SparkSpec {
   private def got(df: org.apache.spark.sql.DataFrame) =
     df.select($"id", $"fp", $"name").as[(Long, String, String)].collect().toSet
 
+  test("value-level packing is bit-identical to explode + position packing") {
+    // The fused sidecar pass packs string values directly
+    // (BloomPackValueAgg computes the k positions inside the aggregator);
+    // the public bloom_bits + BloomPackAgg pair packs pre-exploded
+    // positions. Both must produce the SAME bitset for the same values —
+    // a drift here would mean probes test bits the build never set.
+    import graft.functions.{BloomPackAgg, BloomPackValueAgg, GraftFunctions}
+    val m = 1 << 10; val k = 5
+    val vals = (1 to 500).map(i => (i % 7).toLong -> s"v-${i * 13}")
+      .toDF("g", "v")
+    val byValue = udaf(new BloomPackValueAgg(m, k))
+    val byPos = udaf(new BloomPackAgg(m))
+    val a = vals.groupBy($"g").agg(byValue($"v").as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val b = vals.select($"g",
+        explode(GraftFunctions.bloom_bits($"v", m, k)).as("p"))
+      .groupBy($"g").agg(byPos($"p").as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(a.keySet == b.keySet)
+    a.keySet.foreach(g => assert(a(g) == b(g), s"bitsets differ for group $g"))
+    // null values contribute no bits: all-zero, same byte length
+    val nulls = Seq((0L, null: String), (0L, null: String)).toDF("g", "v")
+      .groupBy($"g").agg(byValue($"v").as("bits"))
+      .head().getAs[Array[Byte]](1)
+    assert(nulls.length == (m + 7) / 8 && nulls.forall(_ == 0))
+  }
+
   test("bloom probe skips buckets and matches the full-scan IN filter") {
     val store = new BucketedTableStore(spark, tmpDir("bloom1"), nBuckets = 16)
     store.writeAll("t", rows(400), "id", bloomCols = Seq("fp"))
