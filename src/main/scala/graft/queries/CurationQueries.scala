@@ -351,7 +351,16 @@ object CurationQueries {
   // DESC-sort on it is deterministic. Swap log-ratio weights in at
   // production scale — the plan is unchanged (the weight table stays B
   // rows, broadcast).
-  def q158DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+  def q158DsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirSelect(spark, dir, hintBroadcast = true)
+
+  /** q158 body; `hintBroadcast = false` exists ONLY for ShuffleAuditSpec,
+    * which measures what the plan would shuffle if the weight table were
+    * not broadcast (the explicit hint survives autoBroadcastJoinThreshold
+    * = -1, so the audit needs a hint-free twin). */
+  private[graft] def dsirSelect(spark: SparkSession, dir: String,
+      hintBroadcast: Boolean): DataFrame = {
+    def bc(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
     val B = 512L
     val docs = Tables.documents(spark, dir)
     val feats = docs
@@ -372,11 +381,11 @@ object CurationQueries {
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
     val totals = counts.agg(
       sum(col("pcnt")).as("np"), sum(col("tcnt")).as("nt"))
-    val weights = counts.crossJoin(broadcast(totals))
+    val weights = counts.crossJoin(bc(totals))
       .select(col("f"),
         expr(s"((tcnt + 1) * (np + $B) * 1000) div ((pcnt + 1) * (nt + $B))")
           .as("iw"))
-    feats.join(broadcast(weights), Seq("f"))
+    feats.join(bc(weights), Seq("f"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feat"), sum(col("iw")).as("iw_sum"))
       .withColumn("avg_iw",

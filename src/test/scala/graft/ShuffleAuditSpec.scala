@@ -192,6 +192,26 @@ class ShuffleAuditSpec extends SparkSpec {
     assert(cp == 8L * 7 / 2, "bucket cap must bound scored pairs at C(m,2)")
   }
 
+  test("DSIR scoring broadcasts the weight table, never the corpus features") {
+    // q158's scale claim: the per-feature importance table is O(B) rows
+    // and broadcasts; only agg partials cross the wire. The naive
+    // formulation shuffle-joins the corpus-sized feature frame against
+    // the weights — at 100 TB that moves the corpus for a 512-row lookup.
+    import graft.queries.CurationQueries
+    val optimized = CurationQueries.q158DsirSelect(spark, dir)
+    val naive = withoutAutoBroadcast {
+      // hint-free twin with auto-broadcast off → Catalyst must hash-
+      // exchange the feature frame for the weight join
+      ShuffleMetrics.measure(spark)(ShuffleMetrics.run(
+        CurationQueries.dsirSelect(spark, dir, hintBroadcast = false)))
+    }
+    val opt = ShuffleMetrics.measure(spark)(ShuffleMetrics.run(optimized))
+    info(f"dsir select            optimized ${opt.pretty}%-28s naive ${naive.pretty}")
+    assert(opt.records < naive.records,
+      s"broadcast weights must keep corpus features out of the shuffle " +
+        s"(${opt.records} vs ${naive.records})")
+  }
+
   test("broadcast star join keeps the fact table out of the shuffle") {
     def join(bcast: Boolean) = {
       val o = Tables.orders(spark, dir)
