@@ -533,6 +533,66 @@ object PretrainQueries {
     FROM w GROUP BY doc_id ORDER BY doc_id ASC"""
 
   // ---------------------------------------------------------------------
+  // q159 — span-corruption mask (the T5/UL2 denoising-objective
+  // preprocessing step): deterministically mark ~15% of each document's
+  // tokens as contiguous corruption spans and report the per-doc mask
+  // stats a span-corruption dataloader needs (token count, masked count,
+  // span count, masked permille). Span STARTS are a pure function of
+  // (doc_id, position) — md5-derived, ~5% of positions — and each start
+  // masks 3 tokens, overlaps merging, so the mask is reproducible across
+  // reruns, shards, and engines (same property as q130's split): no
+  // rand(), ever. Plan shape: explode positions → two window passes and
+  // the per-doc aggregation all SHARE ONE hash shuffle on doc_id
+  // (PlanSpec pins the single exchange); at 100 TB the cost is one
+  // corpus-wide window scan, the same envelope as q88's packing.
+  def q159SpanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
+        explode(sequence(lit(1), size(col("t")))).as("i"))
+    val started = pos.withColumn("start",
+      (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("i").cast("string")).cast("binary")), 1, 15), 16, 10)
+        .cast("long") % 100L < 5L).cast("int"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val masked = started
+      .withColumn("m", max(col("start")).over(w.rowsBetween(-2, 0)))
+      .withColumn("bgn", (col("m") === 1 &&
+        coalesce(lag(col("m"), 1).over(w), lit(0)) === 0).cast("int"))
+    masked.groupBy(col("doc_id"), col("n_tok"))
+      .agg(sum(col("m")).as("n_masked"), sum(col("bgn")).as("n_spans"))
+      .withColumn("masked_ppt", expr("n_masked * 1000 div n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("n_masked"), col("n_spans"),
+        col("masked_ppt"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q159Oracle: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    p AS (SELECT doc_id, len(toks) AS n_tok,
+            unnest(generate_series(1, len(toks))) AS i
+          FROM t WHERE len(toks) >= 1),
+    s AS (SELECT doc_id, n_tok, i,
+            CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                         CAST(i AS VARCHAR)), 1, 15))::BIGINT % 100 < 5
+                 THEN 1 ELSE 0 END AS strt
+          FROM p),
+    m AS (SELECT doc_id, n_tok, i,
+            MAX(strt) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
+          FROM s),
+    b AS (SELECT doc_id, n_tok, i, m,
+            CASE WHEN m = 1 AND COALESCE(LAG(m) OVER
+                   (PARTITION BY doc_id ORDER BY i), 0) = 0
+                 THEN 1 ELSE 0 END AS bgn
+          FROM m)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(SUM(m) AS BIGINT) AS n_masked,
+           CAST(SUM(bgn) AS BIGINT) AS n_spans,
+           CAST(SUM(m) AS BIGINT) * 1000 // CAST(n_tok AS BIGINT) AS masked_ppt
+    FROM b GROUP BY doc_id, n_tok ORDER BY doc_id ASC"""
+
+  // ---------------------------------------------------------------------
   // q147 — the flagship end-to-end corpus build, five library stages in
   // ONE plan: quality filter (q31/q89) → exact dedup keep-min (q30) →
   // deterministic split, train only (q130) → global token offsets via the
@@ -612,6 +672,7 @@ object PretrainQueries {
     "q134_shard_dispatch" -> (q134ShardDispatch _),
     "q157_shard_manifest" -> (q157ShardManifest _),
     "q135_pair_counts" -> (q135PairCounts _),
+    "q159_span_corruption" -> (q159SpanCorruption _),
     "q137_scd2_build" -> (q137Scd2Build _))
 
   val oracles: Map[String, String] = Map(
@@ -628,5 +689,6 @@ object PretrainQueries {
     "q134_shard_dispatch" -> q134Oracle,
     "q157_shard_manifest" -> q157Oracle,
     "q135_pair_counts" -> q135Oracle,
+    "q159_span_corruption" -> q159Oracle,
     "q137_scd2_build" -> q137Oracle)
 }

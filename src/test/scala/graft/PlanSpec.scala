@@ -29,6 +29,14 @@ class PlanSpec extends SparkSpec {
       "top-100 selection must be TakeOrderedAndProject, not a global sort")
   }
 
+  test("q159: both mask windows and the per-doc agg share one doc_id shuffle") {
+    val s = planString("q159_span_corruption")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashExchanges == 1,
+      s"window passes + aggregation must reuse the doc_id partitioning " +
+        s"(found $hashExchanges hash exchanges)")
+  }
+
   test("q06: selective filters reach the parquet scan (pushdown)") {
     val s = planString("q06_forecast_revenue")
     // the rendered plan truncates long filter lists, so match the prefix
