@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
   * constant — exactly how a real corpus grows.
   */
 object ScaleProbe {
-  private val Queries =
-    Seq("q147_corpus_build", "q150_dedup_on_ingest", "q156_semantic_dedup")
+  private val Queries = Seq("q147_corpus_build", "q150_dedup_on_ingest",
+    "q156_semantic_dedup", "q34_minhash_lsh", "q158_dsir_select")
 
   private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
     .filter(_.getType == MemoryType.HEAP)
