@@ -1,0 +1,144 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The "corpus out" terminal of the training-data pipeline: write a
+  * document frame as deterministically-routed, size-bounded parquet
+  * shards plus the integrity manifest downstream training jobs validate
+  * before reading (q157's artifact, shipped WITH the data it describes).
+  *
+  * Layout and protocol:
+  *   - `outDir/data/shard=N/part-*.parquet` — routed by the same salted
+  *     md5 the q134 dispatcher and q157 manifest use, so the written
+  *     layout, the manifest, and the declarative queries all agree on
+  *     which shard a document belongs to;
+  *   - `maxRecordsPerFile` bounds every file: a 100 TB corpus lands as
+  *     uniformly-sized objects a dataloader can stripe over, instead of
+  *     one multi-GB file per shard task;
+  *   - `outDir/_MANIFEST.json` is written LAST, after every data file is
+  *     on disk — its presence is the commit mark. A crashed write leaves
+  *     data files but no manifest, and readers that require the manifest
+  *     (as [[verifyShards]] does) treat the directory as absent. Per
+  *     shard it records doc count, char count, an XOR of content hashes
+  *     and an XOR of ids — order- and partition-invariant, so the values
+  *     are identical however Spark scheduled or retried the write.
+  *
+  * [[verifyShards]] recomputes the same statistics FROM THE WRITTEN
+  * FILES and diffs them against the manifest — the transfer-integrity
+  * check a training job runs before trusting a copied corpus; one
+  * flipped, missing, or duplicated document in any shard reports that
+  * shard. Cost: one scan of the shard data, O(shards) driver state.
+  */
+object CorpusSink {
+
+  final case class ShardStat(shard: Int, nDocs: Long, sumChars: Long,
+      contentChecksum: Long, idChecksum: Long)
+
+  private val ManifestName = "_MANIFEST.json"
+
+  /** Salted-hash shard routing — identical to q134/q157 (md5 of
+    * "id|shuf"), so the physical layout matches the declarative
+    * dispatcher's and manifest's assignment. */
+  private def shardCol(idCol: String, nShards: Int) =
+    pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit("|shuf"))
+      .cast("binary")), 1, 12), 16, 10).cast("long"), lit(nShards.toLong))
+      .cast("int")
+
+  private def statsOf(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, routed: Boolean): Seq[ShardStat] = {
+    val withShard =
+      if (routed) df else df.withColumn("shard", shardCol(idCol, nShards))
+    withShard
+      .select(col("shard"), col(idCol).as("_id"),
+        length(col(textCol)).cast("long").as("_chars"),
+        conv(substring(md5(col(textCol).cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("_chash"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("_chars")).as("c"),
+        expr("bit_xor(_chash)").as("cc"), expr("bit_xor(_id)").as("ic"))
+      .collect()
+      .map(r => ShardStat(r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_.shard).toSeq
+  }
+
+  /** Write `df` as sized parquet shards under `outDir/data` and commit
+    * the integrity manifest. Returns the per-shard stats written. */
+  def writeShards(df: DataFrame, outDir: String, idCol: String = "doc_id",
+      textCol: String = "text", nShards: Int = 8,
+      maxRecordsPerFile: Int = 1 << 20): Seq[ShardStat] = {
+    require(nShards >= 1 && maxRecordsPerFile >= 1)
+    val routed = df.withColumn("shard", shardCol(idCol, nShards))
+    // repartition on the shard: each shard written by one task as a run
+    // of maxRecordsPerFile-bounded files (without it, tasks × shards
+    // small files — the writeAll lesson)
+    routed.repartition(col("shard"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("shard")
+      .parquet(s"$outDir/data")
+    // stats from the source frame (same rows the writer just routed);
+    // the manifest lands only after the data files are all on disk
+    val stats = statsOf(routed, idCol, textCol, nShards, routed = true)
+    writeManifest(Paths.get(outDir, ManifestName), idCol, textCol,
+      nShards, stats)
+    stats
+  }
+
+  private def writeManifest(path: Path, idCol: String, textCol: String,
+      nShards: Int, stats: Seq[ShardStat]): Unit = {
+    val rows = stats.map(s =>
+      s"""{"shard":${s.shard},"n_docs":${s.nDocs},"sum_chars":${s.sumChars},""" +
+        s""""content_checksum":${s.contentChecksum},"id_checksum":${s.idChecksum}}""")
+      .mkString("[", ",", "]")
+    Files.writeString(path,
+      s"""{"id_col":"$idCol","text_col":"$textCol","n_shards":$nShards,""" +
+        s""""shards":$rows}""" + "\n")
+  }
+
+  private def readManifest(path: Path): (String, String, Int, Seq[ShardStat]) = {
+    val txt = Files.readString(path)
+    def str(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(txt)
+      .getOrElse(throw new IllegalStateException(s"manifest missing $k"))
+      .group(1)
+    val nShards = """"n_shards":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toInt
+    val shard = ("""\{"shard":(-?\d+),"n_docs":(-?\d+),"sum_chars":(-?\d+),""" +
+      """"content_checksum":(-?\d+),"id_checksum":(-?\d+)\}""").r
+    val stats = shard.findAllMatchIn(txt).map(m => ShardStat(m.group(1).toInt,
+      m.group(2).toLong, m.group(3).toLong, m.group(4).toLong,
+      m.group(5).toLong)).toSeq
+    (str("id_col"), str("text_col"), nShards, stats)
+  }
+
+  /** Recompute every shard's statistics from the files on disk and diff
+    * against the committed manifest. Returns the shards whose recomputed
+    * stats disagree (empty = corpus verified). A missing manifest is a
+    * loud failure — an unmanifested directory is an uncommitted write,
+    * never a verified corpus. */
+  def verifyShards(spark: SparkSession, outDir: String): Seq[Int] = {
+    val mPath = Paths.get(outDir, ManifestName)
+    if (!Files.exists(mPath)) throw new IllegalStateException(
+      s"$outDir has no $ManifestName — uncommitted or not a corpus dir")
+    val (idCol, textCol, nShards, expected) = readManifest(mPath)
+    val onDisk = spark.read.parquet(s"$outDir/data")
+    val actual = statsOf(onDisk, idCol, textCol, nShards, routed = true)
+    val act = actual.map(s => s.shard -> s).toMap
+    val exp = expected.map(s => s.shard -> s).toMap
+    (act.keySet ++ exp.keySet).toSeq.sorted
+      .filter(sh => act.get(sh) != exp.get(sh))
+  }
+
+  /** Data files of one shard, for file-level assertions/striping. */
+  def shardFiles(outDir: String, shard: Int): Seq[Path] = {
+    val dir = Paths.get(outDir, "data", s"shard=$shard")
+    if (!Files.exists(dir)) Nil
+    else scala.util.Using.resource(Files.list(dir))(
+      _.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq)
+  }
+}
