@@ -115,6 +115,60 @@ object CorpusSink {
     (str("id_col"), str("text_col"), nShards, stats)
   }
 
+  /** Incremental append: land a new batch's files into the existing
+    * shard dirs and commit an UPDATED manifest — the continuous form of
+    * [[writeShards]], pairing with dedup-on-ingest upstream. The XOR
+    * checksums make the manifest update O(batch): new = old XOR
+    * batch-XOR per shard, no re-read of the standing corpus, which is
+    * the only viable update at 100 TB.
+    *
+    * Crash contract (fail closed): batch files are staged then moved
+    * into the shard dirs BEFORE the manifest rewrite, so a crash in the
+    * window leaves data the manifest doesn't describe — and
+    * [[verifyShards]] then reports those shards. An append is only
+    * trusted once the new manifest landed, same commit-mark rule as the
+    * initial write. */
+  def appendShards(df: DataFrame, outDir: String,
+      maxRecordsPerFile: Int = 1 << 20): Seq[ShardStat] = {
+    val mPath = Paths.get(outDir, ManifestName)
+    if (!Files.exists(mPath)) throw new IllegalStateException(
+      s"$outDir has no $ManifestName — writeShards must create the corpus")
+    val (idCol, textCol, nShards, prev) = readManifest(mPath)
+    val routed = df.withColumn("shard", shardCol(idCol, nShards))
+    val staging = Paths.get(outDir, "_append_staging")
+    routed.repartition(col("shard"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("shard")
+      .parquet(staging.toString)
+    val batch = statsOf(routed, idCol, textCol, nShards, routed = true)
+    // move staged files into the live shard dirs (names carry the write
+    // job's UUID, so they cannot collide with standing files)
+    batch.foreach { s =>
+      val src = staging.resolve(s"shard=${s.shard}")
+      val dst = Paths.get(outDir, "data", s"shard=${s.shard}")
+      Files.createDirectories(dst)
+      scala.util.Using.resource(Files.list(src))(
+        _.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => Files.move(f, dst.resolve(f.getFileName))))
+    }
+    scala.util.Using.resource(Files.walk(staging))(
+      _.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_)))
+    val prevMap = prev.map(s => s.shard -> s).toMap
+    val merged = (prevMap.keySet ++ batch.map(_.shard)).toSeq.sorted.map { sh =>
+      (prevMap.get(sh), batch.find(_.shard == sh)) match {
+        case (Some(p), Some(b)) => ShardStat(sh, p.nDocs + b.nDocs,
+          p.sumChars + b.sumChars, p.contentChecksum ^ b.contentChecksum,
+          p.idChecksum ^ b.idChecksum)
+        case (Some(p), None) => p
+        case (None, Some(b)) => b
+        case (None, None) => throw new IllegalStateException("unreachable")
+      }
+    }
+    writeManifest(mPath, idCol, textCol, nShards, merged)
+    merged
+  }
+
   /** Recompute every shard's statistics from the files on disk and diff
     * against the committed manifest. Returns the shards whose recomputed
     * stats disagree (empty = corpus verified). A missing manifest is a

@@ -63,6 +63,32 @@ class CorpusSinkSpec extends SparkSpec {
     assert(CorpusSink.verifyShards(spark, out).isEmpty)
   }
 
+  test("appendShards: O(batch) manifest update, crash window fails closed") {
+    val out = tmpDir("corpus-sink-append")
+    val first = docs.filter($"doc_id" < 300)
+    val batch = docs.filter($"doc_id" >= 300)
+    CorpusSink.writeShards(first, out, nShards = 4, maxRecordsPerFile = 40)
+    val merged = CorpusSink.appendShards(batch, out, maxRecordsPerFile = 40)
+
+    // appended corpus verifies clean and equals writeShards of the union:
+    // XOR-merged checksums must match a from-scratch manifest
+    assert(CorpusSink.verifyShards(spark, out).isEmpty)
+    val scratch = tmpDir("corpus-sink-union")
+    val full = CorpusSink.writeShards(docs, scratch, nShards = 4,
+      maxRecordsPerFile = 40)
+    assert(merged == full,
+      "incremental XOR manifest must equal the from-scratch manifest")
+
+    // crash window: data landed, manifest not yet rewritten → the extra
+    // files are unmanifested and verification reports their shards
+    val rogue = docs.limit(1)
+    val preManifest = Files.readString(Paths.get(out, "_MANIFEST.json"))
+    CorpusSink.appendShards(rogue, out)
+    Files.writeString(Paths.get(out, "_MANIFEST.json"), preManifest) // undo commit
+    assert(CorpusSink.verifyShards(spark, out).nonEmpty,
+      "data without its manifest update must fail verification")
+  }
+
   test("verifyShards: a damaged shard is reported; no manifest fails loudly") {
     val out = tmpDir("corpus-sink-damage")
     val stats = CorpusSink.writeShards(docs, out, nShards = 4,
