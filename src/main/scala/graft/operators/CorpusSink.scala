@@ -91,17 +91,20 @@ object CorpusSink {
   }
 
   private def writeManifest(path: Path, idCol: String, textCol: String,
-      nShards: Int, stats: Seq[ShardStat]): Unit = {
+      nShards: Int, stats: Seq[ShardStat],
+      committedBatches: Seq[Long] = Nil): Unit = {
     val rows = stats.map(s =>
       s"""{"shard":${s.shard},"n_docs":${s.nDocs},"sum_chars":${s.sumChars},""" +
         s""""content_checksum":${s.contentChecksum},"id_checksum":${s.idChecksum}}""")
       .mkString("[", ",", "]")
+    val batches = committedBatches.sorted.mkString("[", ",", "]")
     Files.writeString(path,
       s"""{"id_col":"$idCol","text_col":"$textCol","n_shards":$nShards,""" +
-        s""""shards":$rows}""" + "\n")
+        s""""committed_batches":$batches,"shards":$rows}""" + "\n")
   }
 
-  private def readManifest(path: Path): (String, String, Int, Seq[ShardStat]) = {
+  private def readManifest(path: Path):
+      (String, String, Int, Seq[ShardStat], Seq[Long]) = {
     val txt = Files.readString(path)
     def str(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(txt)
       .getOrElse(throw new IllegalStateException(s"manifest missing $k"))
@@ -112,7 +115,11 @@ object CorpusSink {
     val stats = shard.findAllMatchIn(txt).map(m => ShardStat(m.group(1).toInt,
       m.group(2).toLong, m.group(3).toLong, m.group(4).toLong,
       m.group(5).toLong)).toSeq
-    (str("id_col"), str("text_col"), nShards, stats)
+    val batches = """"committed_batches":\[([^\]]*)\]""".r
+      .findFirstMatchIn(txt)
+      .map(_.group(1).split(',').filter(_.nonEmpty).map(_.trim.toLong).toSeq)
+      .getOrElse(Nil)
+    (str("id_col"), str("text_col"), nShards, stats, batches)
   }
 
   /** Incremental append: land a new batch's files into the existing
@@ -127,13 +134,23 @@ object CorpusSink {
     * window leaves data the manifest doesn't describe — and
     * [[verifyShards]] then reports those shards. An append is only
     * trusted once the new manifest landed, same commit-mark rule as the
-    * initial write. */
+    * initial write.
+    *
+    * Replay contract (exactly-once-equivalent): pass the micro-batch's
+    * id as `batchId` when driving this from `foreachBatch` — committed
+    * ids are recorded in the manifest, and a re-delivered batch (a
+    * Structured Streaming restart replaying its last epoch) is a no-op
+    * instead of doubled rows whose XOR checksums silently cancel. */
   def appendShards(df: DataFrame, outDir: String,
-      maxRecordsPerFile: Int = 1 << 20): Seq[ShardStat] = {
+      maxRecordsPerFile: Int = 1 << 20,
+      batchId: Option[Long] = None): Seq[ShardStat] = {
     val mPath = Paths.get(outDir, ManifestName)
     if (!Files.exists(mPath)) throw new IllegalStateException(
       s"$outDir has no $ManifestName — writeShards must create the corpus")
-    val (idCol, textCol, nShards, prev) = readManifest(mPath)
+    val (idCol, textCol, nShards, prev, committed) = readManifest(mPath)
+    batchId.foreach { id =>
+      if (committed.contains(id)) return prev // replay: already landed
+    }
     val routed = df.withColumn("shard", shardCol(idCol, nShards))
     val staging = Paths.get(outDir, "_append_staging")
     routed.repartition(col("shard"))
@@ -165,7 +182,8 @@ object CorpusSink {
         case (None, None) => throw new IllegalStateException("unreachable")
       }
     }
-    writeManifest(mPath, idCol, textCol, nShards, merged)
+    writeManifest(mPath, idCol, textCol, nShards, merged,
+      committed ++ batchId.toSeq)
     merged
   }
 
@@ -178,7 +196,7 @@ object CorpusSink {
     val mPath = Paths.get(outDir, ManifestName)
     if (!Files.exists(mPath)) throw new IllegalStateException(
       s"$outDir has no $ManifestName — uncommitted or not a corpus dir")
-    val (idCol, textCol, nShards, expected) = readManifest(mPath)
+    val (idCol, textCol, nShards, expected, _) = readManifest(mPath)
     val onDisk = spark.read.parquet(s"$outDir/data")
     val actual = statsOf(onDisk, idCol, textCol, nShards, routed = true)
     val act = actual.map(s => s.shard -> s).toMap

@@ -79,6 +79,18 @@ class CorpusSinkSpec extends SparkSpec {
     assert(merged == full,
       "incremental XOR manifest must equal the from-scratch manifest")
 
+    // replayed micro-batch (same batchId) is a no-op: rows, checksums,
+    // and verification all unchanged — the foreachBatch exactly-once
+    // contract; without the id guard the doubled rows' XOR contributions
+    // would CANCEL and the corruption would verify clean
+    val replayed = docs.filter($"doc_id" >= 450)
+    val afterOnce = CorpusSink.appendShards(replayed, out, batchId = Some(7L))
+    val afterTwice = CorpusSink.appendShards(replayed, out, batchId = Some(7L))
+    assert(afterTwice == afterOnce, "replay must be a manifest no-op")
+    assert(spark.read.parquet(s"$out/data").count() ==
+      docs.count() + replayed.count(), "replay must not double rows")
+    assert(CorpusSink.verifyShards(spark, out).isEmpty)
+
     // crash window: data landed, manifest not yet rewritten → the extra
     // files are unmanifested and verification reports their shards
     val rogue = docs.limit(1)
