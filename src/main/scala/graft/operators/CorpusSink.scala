@@ -197,6 +197,10 @@ object CorpusSink {
     if (!Files.exists(mPath)) throw new IllegalStateException(
       s"$outDir has no $ManifestName — uncommitted or not a corpus dir")
     val (idCol, textCol, nShards, expected, _) = readManifest(mPath)
+    // an empty corpus (seeded with zero documents) has a manifest but no
+    // readable parquet under data/ — verified iff the manifest agrees
+    val anyFiles = (0 until nShards).exists(shardFiles(outDir, _).nonEmpty)
+    if (!anyFiles) return expected.map(_.shard)
     val onDisk = spark.read.parquet(s"$outDir/data")
     val actual = statsOf(onDisk, idCol, textCol, nShards, routed = true)
     val act = actual.map(s => s.shard -> s).toMap

@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.storage.StorageLevel
 
-import graft.operators.DedupIngest
+import graft.operators.{CorpusSink, DedupIngest}
 import graft.sync.BucketedTableStore
 
 /** Dedup-on-ingest under Structured Streaming: each micro-batch of
@@ -36,11 +36,21 @@ import graft.sync.BucketedTableStore
   * missing `_SUCCESS` marker and overwritten cleanly on replay — the
   * index is untouched at that point, so the recompute is still against
   * the pre-batch snapshot.
+  *
+  * With `corpusDir` set, each batch's ADMITTED documents additionally
+  * land in a [[CorpusSink]] corpus — the complete "stream in, training
+  * corpus out" terminal: seed corpus → sized shards + manifest, then
+  * per micro-batch dedup-screen → append admitted → manifest update.
+  * The whole chain is replay-safe end to end: decisions from the WAL,
+  * index merge idempotent, and the corpus append batchId-guarded
+  * ([[CorpusSink.appendShards]]), so a re-delivered epoch changes
+  * nothing anywhere.
   */
 final class DedupIngestStream(spark: SparkSession, root: String,
     decisionsDir: String, nBuckets: Int = 32, shingleN: Int = 3,
     numHashes: Int = 8, rowsPerBand: Int = 2,
-    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+    corpusDir: Option[String] = None, corpusShards: Int = 8) {
 
   private val store = new BucketedTableStore(spark, root, nBuckets,
     deltaMerges = true, autoCompactAfter = 8)
@@ -50,9 +60,14 @@ final class DedupIngestStream(spark: SparkSession, root: String,
     .add("doc_id", LongType).add("text", StringType)
 
   /** Seed the index from an initial corpus (may be empty — the store
-    * still needs its keyed table created before the stream starts). */
-  def seed(corpus: DataFrame): Unit =
+    * still needs its keyed table created before the stream starts); with
+    * `corpusDir` set the seed documents also become the corpus's initial
+    * shards (the manifest must exist before the first append). */
+  def seed(corpus: DataFrame): Unit = {
     DedupIngest.seedIndex(store, corpus, now(), shingleN, numHashes, rowsPerBand)
+    corpusDir.foreach(d =>
+      CorpusSink.writeShards(corpus, d, nShards = corpusShards))
+  }
 
   private def batchDir(batchId: Long) =
     Paths.get(decisionsDir, s"batch_id=$batchId")
@@ -88,6 +103,16 @@ final class DedupIngestStream(spark: SparkSession, root: String,
       }
       val dec = spark.read.parquet(batchDir(batchId).toString)
       DedupIngest.applyAdmissions(store, fps, dec, now())
+      // corpus terminal last: if we crash before this, the replay skips
+      // decide (WAL), re-applies the idempotent index merge, and lands
+      // the append then — the batchId guard makes a DOUBLE append (crash
+      // after append, before checkpoint commit) equally inert
+      corpusDir.foreach { d =>
+        val admitted = clean.join(
+          dec.filter(col("admitted") === 1).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        CorpusSink.appendShards(admitted, d, batchId = Some(batchId))
+      }
     } finally fps.unpersist()
   }
 

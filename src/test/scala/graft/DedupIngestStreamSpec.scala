@@ -74,4 +74,40 @@ class DedupIngestStreamSpec extends SparkSpec {
       stream.start(inDir, tmpDir("ingest-ckpt-fresh"))
     }
   }
+
+  test("corpus terminal: admitted docs land in verified shards, replays inert") {
+    import graft.operators.CorpusSink
+    val root = tmpDir("ingest2-store")
+    val decDir = tmpDir("ingest2-dec")
+    val inDir = tmpDir("ingest2-in")
+    val ckpt = tmpDir("ingest2-ckpt")
+    val corpus = tmpDir("ingest2-corpus")
+
+    val stream = new DedupIngestStream(spark, root, decDir, nBuckets = 8,
+      corpusDir = Some(corpus), corpusShards = 4)
+    stream.seed(Seq(0L -> corpusA).toDF("doc_id", "text"))
+
+    val t = System.currentTimeMillis()
+    jsonFile(inDir, "in1.json", t - 60000,
+      10L -> corpusA, 11L -> uniqueB)                    // 10 rejected, 11 admitted
+    jsonFile(inDir, "in2.json", t,
+      20L -> uniqueB, 21L -> "omega aleph bet gimel")    // 20 rejected, 21 admitted
+    stream.start(inDir, ckpt, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+
+    // corpus = seed + admissions, never the rejected dups
+    val ids = spark.read.parquet(s"$corpus/data")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 11L, 21L),
+      s"corpus must hold seed + admitted docs only, got $ids")
+    assert(CorpusSink.verifyShards(spark, corpus).isEmpty,
+      "the streamed corpus must verify against its manifest")
+
+    // crash replay of batch 0: WAL decision + idempotent merge + batchId-
+    // guarded append — rows and manifest unchanged
+    stream.ingest(Seq(10L -> corpusA, 11L -> uniqueB).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(s"$corpus/data").count() == 3,
+      "replayed epoch must not double corpus rows")
+    assert(CorpusSink.verifyShards(spark, corpus).isEmpty)
+  }
 }
