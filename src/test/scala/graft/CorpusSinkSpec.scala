@@ -101,6 +101,38 @@ class CorpusSinkSpec extends SparkSpec {
       "data without its manifest update must fail verification")
   }
 
+  test("property: random seed/batch splits — incremental ≡ from-scratch, always verified") {
+    // Deterministic seeded trials (the StorePropertySpec convention):
+    // however the corpus is sliced into a seed plus appended batches —
+    // including empty batches — the incrementally-XOR-merged manifest
+    // must equal the from-scratch manifest over the same documents, and
+    // the corpus must verify after every single append, not just at the
+    // end (a mid-sequence divergence would implicate the O(batch) merge).
+    val rnd = new scala.util.Random(42)
+    val allIds = docs.select($"doc_id").as[Long].collect().toSeq
+    (1 to 3).foreach { trial =>
+      val out = tmpDir(s"corpus-prop-$trial")
+      val nBatches = 2 + rnd.nextInt(3)
+      val assign = allIds.map(id => id -> rnd.nextInt(nBatches + 1)).toMap
+      def slice(b: Int) = {
+        val ids = allIds.filter(assign(_) == b)
+        docs.filter($"doc_id".isin(ids: _*))
+      }
+      CorpusSink.writeShards(slice(0), out, nShards = 4,
+        maxRecordsPerFile = 64)
+      var last = Seq.empty[CorpusSink.ShardStat]
+      (1 to nBatches).foreach { b =>
+        last = CorpusSink.appendShards(slice(b), out, batchId = Some(b.toLong))
+        assert(CorpusSink.verifyShards(spark, out).isEmpty,
+          s"trial $trial: corpus must verify after append $b")
+      }
+      val scratch = tmpDir(s"corpus-prop-scratch-$trial")
+      val full = CorpusSink.writeShards(docs, scratch, nShards = 4)
+      assert(last == full,
+        s"trial $trial: incremental manifest must equal from-scratch")
+    }
+  }
+
   test("verifyShards: a damaged shard is reported; no manifest fails loudly") {
     val out = tmpDir("corpus-sink-damage")
     val stats = CorpusSink.writeShards(docs, out, nShards = 4,
