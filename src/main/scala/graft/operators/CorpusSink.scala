@@ -49,11 +49,13 @@ object CorpusSink {
       .cast("binary")), 1, 12), 16, 10).cast("long"), lit(nShards.toLong))
       .cast("int")
 
-  private def statsOf(df: DataFrame, idCol: String, textCol: String,
-      nShards: Int, routed: Boolean): Seq[ShardStat] = {
-    val withShard =
-      if (routed) df else df.withColumn("shard", shardCol(idCol, nShards))
-    withShard
+  /** Per-shard stats of an already-routed frame (`shard` column present
+    * or recovered as the partition column on read-back). `idCol` must be
+    * non-null for every row — the routing and checksums are undefined on
+    * null ids, and the ingest paths filter them upstream. */
+  private def statsOf(df: DataFrame, idCol: String, textCol: String):
+      Seq[ShardStat] = {
+    df
       .select(col("shard"), col(idCol).as("_id"),
         length(col(textCol)).cast("long").as("_chars"),
         conv(substring(md5(col(textCol).cast("binary")), 1, 15), 16, 10)
@@ -84,7 +86,7 @@ object CorpusSink {
       .parquet(s"$outDir/data")
     // stats from the source frame (same rows the writer just routed);
     // the manifest lands only after the data files are all on disk
-    val stats = statsOf(routed, idCol, textCol, nShards, routed = true)
+    val stats = statsOf(routed, idCol, textCol)
     writeManifest(Paths.get(outDir, ManifestName), idCol, textCol,
       nShards, stats)
     stats
@@ -158,7 +160,7 @@ object CorpusSink {
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy("shard")
       .parquet(staging.toString)
-    val batch = statsOf(routed, idCol, textCol, nShards, routed = true)
+    val batch = statsOf(routed, idCol, textCol)
     // move staged files into the live shard dirs (names carry the write
     // job's UUID, so they cannot collide with standing files)
     batch.foreach { s =>
@@ -202,7 +204,7 @@ object CorpusSink {
     val anyFiles = (0 until nShards).exists(shardFiles(outDir, _).nonEmpty)
     if (!anyFiles) return expected.map(_.shard)
     val onDisk = spark.read.parquet(s"$outDir/data")
-    val actual = statsOf(onDisk, idCol, textCol, nShards, routed = true)
+    val actual = statsOf(onDisk, idCol, textCol)
     val act = actual.map(s => s.shard -> s).toMap
     val exp = expected.map(s => s.shard -> s).toMap
     (act.keySet ++ exp.keySet).toSeq.sorted
