@@ -38,7 +38,12 @@ object MiniBench {
         t
       }
       val sorted = times.sorted
-      val median = sorted((nRuns - 1) / 2)
+      // true median: average of the middle pair when the run count is
+      // even — the lower-middle element would just repeat the min at the
+      // default 2 runs and mislabel a best-of-2 as the re-pin protocol
+      val median =
+        if (nRuns % 2 == 1) sorted(nRuns / 2)
+        else (sorted(nRuns / 2 - 1) + sorted(nRuns / 2)) / 2.0
       println(f"[minibench] $name%-30s min ${sorted.head}%.2f s  median $median%.2f s" +
         f" (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
     }

@@ -111,22 +111,11 @@ object ScaleProbe {
     // near the cap): at 20k vectors the default 16×4 bands put ~1250
     // vectors in an average cell vs the 64-row cap, so the candidate
     // stage silently measures a cap-starved graph. 10×6 bands give 64
-    // buckets/band (~312/cell) — the honest sf1 configuration.
-    def q156Scaled(spark: SparkSession, dir: String): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val graph = graft.operators.VectorOps.knnGraph(
-        graft.tables.Tables.embeddings(spark, dir), k = 3,
+    // buckets/band (~312/cell) — the honest sf1 configuration. Same
+    // composition as the oracle-checked query, only the banding differs.
+    def q156Scaled(spark: SparkSession, dir: String): DataFrame =
+      graft.queries.VectorQueries.semanticDedup(spark, dir,
         bands = 10, dimsPerBand = 6)
-      val edges = graph.filter(col("cosine") >= 0.45)
-        .select(least(col("query_id"), col("neighbor_id")).as("src"),
-          greatest(col("query_id"), col("neighbor_id")).as("dst"))
-        .distinct()
-      val comp = graft.operators.GraphOps.connectedComponents(edges)
-      comp.select(col("node").as("vec_id"), col("label").as("cluster"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
-        .withColumn("keep", (col("vec_id") === col("cluster")).cast("int"))
-    }
 
     val cells: Seq[(String, String, () => DataFrame)] =
       (for {

@@ -65,6 +65,27 @@ object AnnIndexCache {
         v
     }
 
+  /** [[memo]] with dataset-scoped eviction: `prefix` names the index
+    * family for one dataset (e.g. `"ivf:<dir>:"`), `rest` the
+    * version+params tail. On a miss, OTHER entries under the prefix are
+    * evicted first: an in-place rewrite (new `v=` marker) must not leak
+    * every superseded model — centroid/codebook arrays pinned for the
+    * JVM lifetime — nor leave stale build-seconds rows that would emit
+    * duplicate ann_build keys in the bench ledger. The trade-off is that
+    * two PARAMETER variants of one dataset's index no longer coexist
+    * (alternating configs rebuild each time); the probe paths use one
+    * config per dataset, so eviction wins. */
+  def memoKeyed[T](prefix: String, rest: String)(build: => T): T = {
+    val key = prefix + rest
+    if (!cache.contains(key)) {
+      cache.keys.filter(k => k.startsWith(prefix) && k != key)
+        .foreach(cache.remove)
+      buildSec.keys.filter(k => k.startsWith(prefix) && k != key)
+        .foreach(buildSec.remove)
+    }
+    memo(key)(build)
+  }
+
   /** Build wall-times recorded so far, keyed as passed to [[memo]]. */
   def buildSeconds: Map[String, Double] = buildSec.toMap
 

@@ -84,9 +84,17 @@ object CorpusSink {
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy("shard")
       .parquet(s"$outDir/data")
-    // stats from the source frame (same rows the writer just routed);
-    // the manifest lands only after the data files are all on disk
-    val stats = statsOf(routed, idCol, textCol)
+    // stats from the WRITTEN files, not a re-evaluation of the source
+    // plan: a non-deterministic input (sample, a directory receiving
+    // files) would otherwise yield a manifest describing different rows
+    // than the ones on disk — fresh-but-unverifiable corpora. Reading
+    // back just-written bytes is page-cache-warm, the same price the
+    // bucketed store pays for its sidecars.
+    val stats =
+      if ((0 until nShards).forall(shardFiles(outDir, _).isEmpty))
+        Seq.empty[ShardStat] // empty corpus: no parquet to read a schema from
+      else statsOf(df.sparkSession.read.parquet(s"$outDir/data"),
+        idCol, textCol)
     writeManifest(Paths.get(outDir, ManifestName), idCol, textCol,
       nShards, stats)
     stats
@@ -99,10 +107,22 @@ object CorpusSink {
       s"""{"shard":${s.shard},"n_docs":${s.nDocs},"sum_chars":${s.sumChars},""" +
         s""""content_checksum":${s.contentChecksum},"id_checksum":${s.idChecksum}}""")
       .mkString("[", ",", "]")
-    val batches = committedBatches.sorted.mkString("[", ",", "]")
-    Files.writeString(path,
+    // only a bounded recent window of batch ids is retained: batchIds
+    // from a Structured Streaming checkpoint are monotonic and commit in
+    // order, so the replay guard needs contains-or-below-max, never the
+    // full history — an unbounded list would grow the manifest (and every
+    // parse of it) forever on a continuous stream
+    val batches = committedBatches.sorted.takeRight(16)
+      .mkString("[", ",", "]")
+    // atomic commit: a crash mid-write must never leave a torn manifest
+    // that the lenient parser would accept as a PARTIAL corpus (the XOR
+    // merge would then permanently lose the truncated shards)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.writeString(tmp,
       s"""{"id_col":"$idCol","text_col":"$textCol","n_shards":$nShards,""" +
         s""""committed_batches":$batches,"shards":$rows}""" + "\n")
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def readManifest(path: Path):
@@ -151,7 +171,12 @@ object CorpusSink {
       s"$outDir has no $ManifestName — writeShards must create the corpus")
     val (idCol, textCol, nShards, prev, committed) = readManifest(mPath)
     batchId.foreach { id =>
-      if (committed.contains(id)) return prev // replay: already landed
+      // checkpoint batchIds are monotonic and commit in order, so any id
+      // at-or-below the committed high-water mark has already landed —
+      // the window in the manifest stays bounded (writeManifest keeps a
+      // recent tail, not the whole history) without weakening the guard
+      if (committed.contains(id) ||
+        committed.lastOption.exists(id <= _)) return prev
     }
     val routed = df.withColumn("shard", shardCol(idCol, nShards))
     val staging = Paths.get(outDir, "_append_staging")
@@ -160,9 +185,18 @@ object CorpusSink {
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy("shard")
       .parquet(staging.toString)
-    val batch = statsOf(routed, idCol, textCol)
-    // move staged files into the live shard dirs (names carry the write
-    // job's UUID, so they cannot collide with standing files)
+    // batch stats from the STAGED files (see writeShards: the manifest
+    // must describe the bytes that land, not a re-run of the source plan)
+    val stagedShards = scala.util.Using.resource(Files.list(staging))(
+      _.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("shard=")).toSeq)
+    val batch =
+      if (stagedShards.isEmpty) Seq.empty[ShardStat]
+      else statsOf(df.sparkSession.read.parquet(staging.toString),
+        idCol, textCol) // partition discovery restores the shard column
+    // stats are collected (driver-side) before the move; then the staged
+    // files land in the live shard dirs — names carry the write job's
+    // UUID, so they cannot collide with standing files
     batch.foreach { s =>
       val src = staging.resolve(s"shard=${s.shard}")
       val dst = Paths.get(outDir, "data", s"shard=${s.shard}")
@@ -209,6 +243,16 @@ object CorpusSink {
     val exp = expected.map(s => s.shard -> s).toMap
     (act.keySet ++ exp.keySet).toSeq.sorted
       .filter(sh => act.get(sh) != exp.get(sh))
+  }
+
+  /** Batch ids recorded in the corpus's manifest (the retained recent
+    * window — empty for a corpus that never saw a batchId-tagged append,
+    * or no corpus at all). Stream drivers use this to refuse pairing a
+    * FRESH checkpoint, whose batchIds restart at 0, with a corpus whose
+    * replay guard would then silently skip the new batches. */
+  def committedBatches(outDir: String): Seq[Long] = {
+    val mPath = Paths.get(outDir, ManifestName)
+    if (!Files.exists(mPath)) Nil else readManifest(mPath)._5
   }
 
   /** Data files of one shard, for file-level assertions/striping. */

@@ -175,9 +175,11 @@ object VectorOps {
     val model = indexKey match {
       case Some(key) =>
         // v= is the dataset's mtime/size marker: an in-place rewrite of
-        // the corpus dir retrains instead of serving the stale quantizer
-        AnnIndexCache.memo(s"ivf:$key:v=${AnnIndexCache.datasetVersion(key)}" +
-          s":nlist=$nlist:seed=$seed")(train())
+        // the corpus dir retrains instead of serving the stale quantizer,
+        // and memoKeyed evicts the superseded model rather than leak it
+        AnnIndexCache.memoKeyed(s"ivf:$key:",
+          s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist:seed=$seed")(
+          train())
       case None => train()
     }
     val assigned = model.transform(corpusVec)
@@ -320,9 +322,10 @@ object VectorOps {
     }
     val (dim, codebooks) = indexKey match {
       case Some(key) =>
-        // same staleness guard as ivfTopK: rewrite → new v= → retrain
-        AnnIndexCache.memo(s"pq:$key:v=${AnnIndexCache.datasetVersion(key)}" +
-          s":m=$m:kCodes=$kCodes:seed=$seed")(train())
+        // same staleness guard + eviction as ivfTopK
+        AnnIndexCache.memoKeyed(s"pq:$key:",
+          s"v=${AnnIndexCache.datasetVersion(key)}:m=$m:kCodes=$kCodes" +
+            s":seed=$seed")(train())
       case None => train()
     }
     val sub = dim / m

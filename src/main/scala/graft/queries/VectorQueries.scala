@@ -334,8 +334,18 @@ object VectorQueries {
   // hash-checks against the oracle's recursive-CTE closure — the scale
   // path (banded candidates, capped cells, O(log d) pointer doubling) is
   // exactly what the oracle's O(nodes·edges) formulation cannot do.
-  def q156SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val graph = VectorOps.knnGraph(Tables.embeddings(spark, dir), k = 3)
+  def q156SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(spark, dir, bands = 16, dimsPerBand = 4)
+
+  /** q156's body with the banding exposed: ScaleProbe measures the
+    * corpus-growth configuration (wider buckets per the knnGraph
+    * scaladoc) through the SAME composition the oracle-checked query
+    * runs, so the decade table can never silently measure a divergent
+    * pipeline. */
+  def semanticDedup(spark: SparkSession, dir: String, bands: Int,
+      dimsPerBand: Int): DataFrame = {
+    val graph = VectorOps.knnGraph(Tables.embeddings(spark, dir), k = 3,
+      bands = bands, dimsPerBand = dimsPerBand)
     val edges = graph.filter(col("cosine") >= 0.45)
       .select(least(col("query_id"), col("neighbor_id")).as("src"),
         greatest(col("query_id"), col("neighbor_id")).as("dst"))

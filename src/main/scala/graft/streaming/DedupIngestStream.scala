@@ -89,7 +89,11 @@ final class DedupIngestStream(spark: SparkSession, root: String,
     * its corrupt-record column; this screen only decides on complete
     * documents. */
   def ingest(batch: DataFrame, batchId: Long): Unit = {
+    // persisted for the batch's scope: the frame feeds the fingerprint
+    // computation, decide's projection, AND the admitted-docs corpus
+    // append — without the persist each consumer re-reads the batch JSON
     val clean = batch.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val fps = DedupIngest
       .fingerprints(clean, shingleN, numHashes, rowsPerBand)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -113,7 +117,7 @@ final class DedupIngestStream(spark: SparkSession, root: String,
           Seq("doc_id"), "left_semi")
         CorpusSink.appendShards(admitted, d, batchId = Some(batchId))
       }
-    } finally fps.unpersist()
+    } finally { fps.unpersist(); clean.unpersist() }
   }
 
   /** Stream a directory of document JSON files through the screen.
@@ -136,6 +140,17 @@ final class DedupIngestStream(spark: SparkSession, root: String,
       s"decisionsDir $decisionsDir holds a previous run's write-ahead " +
         s"decisions but checkpointDir $checkpointDir is fresh (batchIds " +
         "restart at 0) — rotate decisionsDir together with the checkpoint")
+    // same batchId-reuse hazard one layer down: a fresh checkpoint's
+    // batch 0 would hit the CORPUS manifest's replay guard and silently
+    // skip appending the new admissions — refuse the pairing up front
+    // (the standing corpus is fine; resume the OLD checkpoint, or accept
+    // a new corpus epoch by rotating/re-seeding corpusDir)
+    corpusDir.foreach { d =>
+      require(!(fresh && CorpusSink.committedBatches(d).nonEmpty),
+        s"corpusDir $d has batchId-guarded appends from a previous run " +
+          s"but checkpointDir $checkpointDir is fresh (batchIds restart " +
+          "at 0) — rotate corpusDir together with the checkpoint")
+    }
     val reader = spark.readStream.schema(docSchema)
     maxFilesPerTrigger.fold(reader)(n =>
         reader.option("maxFilesPerTrigger", n))

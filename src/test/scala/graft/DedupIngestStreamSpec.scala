@@ -109,5 +109,14 @@ class DedupIngestStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$corpus/data").count() == 3,
       "replayed epoch must not double corpus rows")
     assert(CorpusSink.verifyShards(spark, corpus).isEmpty)
+
+    // a FRESH checkpoint restarts batchIds at 0; even with a fresh WAL,
+    // pairing it with this corpus would hit the manifest's replay guard
+    // and silently skip appending every new batch — refused up front
+    val stream2 = new DedupIngestStream(spark, root,
+      tmpDir("ingest2-dec-fresh"), nBuckets = 8, corpusDir = Some(corpus))
+    intercept[IllegalArgumentException] {
+      stream2.start(inDir, tmpDir("ingest2-ckpt-fresh"))
+    }
   }
 }

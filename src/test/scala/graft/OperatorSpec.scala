@@ -251,17 +251,22 @@ class OperatorSpec extends SparkSpec {
     writeCorpus(0f)
     def probe(): Unit = VectorOps.ivfTopK(spark, corpus.filter($"vec_id" < 2),
       corpus, k = 3, nlist = 4, nprobe = 4, indexKey = Some(dir)).count()
+    def keysFor = AnnIndexCache.buildSeconds.keys
+      .filter(k => k.split(':').lift(1).contains(dir)).toSet
     probe()
-    val after1 = builds
-    assert(after1 >= 1, "first probe trains and records a build")
+    val k1 = keysFor
+    assert(builds == 1, "first probe trains and records a build")
     probe()
-    assert(builds == after1, "unchanged dataset: memo hit, no retrain")
+    assert(keysFor == k1, "unchanged dataset: memo hit, no retrain")
 
     Thread.sleep(10) // mtime has millisecond resolution
     writeCorpus(100f)
     probe()
-    assert(builds == after1 + 1,
-      "in-place rewrite changes datasetVersion → a fresh build key")
+    val k2 = keysFor
+    assert(k2 != k1, "in-place rewrite changes datasetVersion → retrain")
+    assert(builds == 1,
+      "the superseded model's entry is EVICTED, not leaked: one live " +
+        "build key per dataset (and no duplicate ann_build ledger rows)")
   }
 
   test("multimodal decode stub is deterministic and kind-aware") {
