@@ -1,0 +1,149 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.sync.BucketedTableStore
+
+/** Semantic dedup-on-ingest: admit/reject arriving EMBEDDING batches
+  * against a persisted vector index that grows with the admissions —
+  * [[DedupIngest]]'s sequential protocol (batch k sees every admission
+  * from batches 1..k-1, the corpus is never rescanned) crossed with
+  * q152/q156's integer-deterministic SRP-band + exact-quantized-cosine
+  * machinery. The production shape: a crawler streams embedded documents
+  * in, and each batch is screened against everything ALREADY ACCEPTED —
+  * near-duplicates (cosine ≥ τ with any admitted vector) are rejected
+  * before they ever reach the corpus.
+  *
+  * Index layout: one [[BucketedTableStore]] table (`sv`) of the admitted
+  * vectors' BAND ROWS — key `band:bucket:vec_id` (unique per row), with
+  * the `bb = band:bucket` column carrying a bloom sidecar. A probe
+  * collects the batch's DISTINCT band buckets (bounded driver set:
+  * ≤ bands × 2^dimsPerBand strings, 256 at the 16×4 default — never
+  * rows) and [[BucketedTableStore.readWhereIn]] reads only the store
+  * buckets whose sidecars admit one of them: index size never enters the
+  * probe cost, exactly like the fingerprint index's pruning.
+  *
+  * Scale shape per batch: candidates = batch bands ⋈ retrieved admitted
+  * bands on `bb` (collision-bounded, never all-pairs), one exact
+  * LongDot cosine per distinct pair, one per-vector flag aggregation,
+  * one O(batch) delta commit of the admissions' band rows. At 100 TB add
+  * q152's per-cell cap upstream of the join (a hot bucket is the same
+  * skew bomb there); the small-SF oracle replays uncapped so every
+  * decision hash-checks.
+  *
+  * Determinism: quantized integer vectors end to end — banding compares
+  * exact ints, cosines are one IEEE divide of exact ints — so a SQL
+  * oracle replays the whole sequential run, index growth included.
+  */
+object SemanticDedupIngest {
+
+  /** Band rows of an embedding frame: (vec_id, bb, q, n2) — one row per
+    * (vector, band), q152's axis-aligned sign banding on the QUANTIZED
+    * vector (bucket = the sign pattern of the band's dims). */
+  def bandRows(emb: DataFrame, bands: Int, dimsPerBand: Int): DataFrame = {
+    val e = emb.select(col("vec_id"),
+        VectorOps.quantize(col("embedding")).as("q"))
+      .withColumn("n2", VectorOps.qnorm2(col("q")))
+    val bandStructs = (0 until bands).map { b =>
+      val bits = concat((1 to dimsPerBand).map(i =>
+        when(element_at(col("q"), b * dimsPerBand + i) > 0, lit("1"))
+          .otherwise(lit("0"))): _*)
+      struct(lit(b).as("band"), bits.as("bucket"))
+    }
+    e.select(col("vec_id"), col("q"), col("n2"),
+        explode(array(bandStructs: _*)).as("s"))
+      .select(col("vec_id"), col("q"), col("n2"),
+        concat(col("s.band").cast("string"), lit(":"), col("s.bucket")).as("bb"))
+  }
+
+  private def keyed(rows: DataFrame): DataFrame =
+    rows.withColumn("k",
+      concat(col("bb"), lit(":"), col("vec_id").cast("string")))
+
+  /** Seed the index from the initially-accepted corpus (may be empty). */
+  def seedIndex(store: BucketedTableStore, corpus: DataFrame, ts: Timestamp,
+      bands: Int, dimsPerBand: Int): Unit =
+    store.writeAll("sv", keyed(bandRows(corpus, bands, dimsPerBand))
+        .withColumn("syncTimestamp", lit(ts)),
+      "k", bloomCols = Seq("bb"))
+
+  /** Admit/reject decisions for ONE batch against the index AS OF now —
+    * pure read. `bb` must be [[bandRows]] of the batch. Decisions are
+    * snapshot-semantic (two mutual near-dups arriving in one batch are
+    * both admitted — intra-batch dedup is q41/q156's job) and
+    * MATERIALIZED at call time, same freeze-or-fail rationale as
+    * [[DedupIngest.decide]]. Returns (vec_id, batch_id, near_dup,
+    * admitted). */
+  def decide(store: BucketedTableStore, batch: DataFrame, bb: DataFrame,
+      batchId: Long, tau: Double): DataFrame = {
+    val probeBuckets = bb.select(col("bb")).distinct()
+      .collect().map(_.getString(0)).toSeq // ≤ bands × 2^dimsPerBand strings
+    // the retrieved admitted slice feeds the pair join AND the vector
+    // join-back — persisted for the scope of the materialization below
+    val admPersisted = store.readWhereIn("sv", "bb", probeBuckets)
+      .filter(_.columns.contains("vec_id"))
+      .map(_.persist(StorageLevel.MEMORY_AND_DISK))
+    val hits = admPersisted match {
+      case Some(adm) =>
+        // candidate-pair dedupe carries ONLY ids through its shuffle: a
+        // vector sharing several band buckets with the same admitted
+        // neighbor must score once, but deduping rows that carry the
+        // 64-long quantized vectors would shuffle the payloads
+        // (~0.5 KiB/side) per collision — ids first, vectors joined
+        // back once per side after the distinct
+        val pairIds = bb.select(col("vec_id"), col("bb"))
+          .join(adm.select(col("bb"), col("vec_id").as("a_id")), Seq("bb"))
+          .select(col("vec_id"), col("a_id")).distinct()
+        val batchVecs = bb.select(col("vec_id"), col("q"), col("n2"))
+          .dropDuplicates("vec_id")
+        val admVecs = adm.select(col("vec_id").as("a_id"),
+          col("q").as("a_q"), col("n2").as("a_n2")).dropDuplicates("a_id")
+        pairIds.join(batchVecs, Seq("vec_id")).join(admVecs, Seq("a_id"))
+          .withColumn("cosine", VectorOps.cosineFromParts(
+            VectorOps.qdot(col("q"), col("a_q")), col("n2"), col("a_n2")))
+          .groupBy(col("vec_id"))
+          .agg(max((col("cosine") >= tau).cast("int")).as("nd"))
+      case None => bb.select(col("vec_id")).limit(0).withColumn("nd", lit(0))
+    }
+    try Materialize.thenRelease(
+      batch.select(col("vec_id")).distinct()
+        .join(hits, Seq("vec_id"), "left")
+        .select(col("vec_id"), lit(batchId).cast("int").as("batch_id"),
+          coalesce(col("nd"), lit(0)).as("near_dup"))
+        .withColumn("admitted", (col("near_dup") === 0).cast("int")))
+    finally admPersisted.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Delta-merge the admitted vectors' band rows into the index. */
+  def applyAdmissions(store: BucketedTableStore, bb: DataFrame,
+      decisions: DataFrame, ts: Timestamp): Unit =
+    store.applyMerge("sv",
+      keyed(bb.join(decisions.filter(col("admitted") === 1)
+          .select(col("vec_id")), Seq("vec_id"), "left_semi"))
+        .withColumn("eventName", lit("INSERT")),
+      "k", ts)
+
+  /** Seed from `corpus`, then ingest `batches` in order; one decision row
+    * per batch vector. `t0` stamps commits (never influences decisions). */
+  def run(spark: SparkSession, root: String, corpus: DataFrame,
+      batches: Seq[DataFrame], nBuckets: Int = 16, bands: Int = 16,
+      dimsPerBand: Int = 4, tau: Double = 0.45,
+      t0: Long = 1660000000000L): DataFrame = {
+    val store = new BucketedTableStore(spark, root, nBuckets,
+      deltaMerges = true, autoCompactAfter = 4)
+    seedIndex(store, corpus, new Timestamp(t0), bands, dimsPerBand)
+    val decisions = batches.zipWithIndex.map { case (batch, i) =>
+      val bb = bandRows(batch, bands, dimsPerBand)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val dec = decide(store, batch, bb, batchId = i + 1L, tau)
+      applyAdmissions(store, bb, dec, new Timestamp(t0 + (i + 1) * 60000L))
+      bb.unpersist()
+      dec
+    }
+    decisions.reduce(_.unionByName(_))
+  }
+}

@@ -377,7 +377,70 @@ object VectorQueries {
            CASE WHEN vec_id = cluster THEN 1 ELSE 0 END AS keep
     FROM comp ORDER BY vec_id ASC"""
 
+  // q160 — SEMANTIC dedup-on-ingest: q150's sequential persisted-index
+  // protocol (batch k's decisions see batches 1..k-1's admissions, the
+  // corpus is never rescanned) over EMBEDDINGS instead of fingerprints —
+  // SRP band buckets block, exact quantized cosines ≥ 0.45 reject, and
+  // the admitted vectors' band rows delta-merge into a bloom-sidecar'd
+  // BucketedTableStore so each probe reads only the store buckets the
+  // batch's (≤ bands × 2^dims) band buckets hash into. The oracle
+  // replays the full sequential run — band collisions, cosines, and
+  // index growth — so every admit/reject decision hash-checks.
+  def q160SemanticDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val emb = Tables.embeddings(spark, dir).repartition(col("vec_id"))
+    val corpus = emb.filter(pmod(col("vec_id"), lit(4)) <= 1)
+    val batches = Seq(2, 3).map(r =>
+      emb.filter(pmod(col("vec_id"), lit(4)) === r))
+    val root = Files.createTempDirectory("graft-singest").toString
+    // decisions are lineage-free (Materialize in decide), so the store
+    // directory can be deleted before the caller consumes them
+    try graft.operators.SemanticDedupIngest
+      .run(spark, root, corpus, batches, nBuckets = 16)
+      .orderBy(col("vec_id").asc)
+    finally graft.sync.TableStore.deleteRecursively(Paths.get(root))
+  }
+  val q160Oracle: String = s"""
+    WITH e AS (SELECT vec_id, ${oQuant("embedding")} AS q FROM embeddings),
+    n AS (SELECT vec_id, q,
+          list_sum(list_transform(generate_series(1, len(q)), i -> q[i]*q[i])) AS n2
+          FROM e),
+    bands AS (
+      SELECT vec_id, CAST(band AS VARCHAR) || ':' ||
+        array_to_string(list_transform(generate_series(1, 4),
+          i -> CASE WHEN q[band*4 + i] > 0 THEN '1' ELSE '0' END), '') AS bb
+      FROM n CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) b),
+    pairs AS (
+      SELECT DISTINCT d.vec_id AS dv, a.vec_id AS av
+      FROM bands d JOIN bands a ON d.bb = a.bb AND d.vec_id <> a.vec_id),
+    cos AS (
+      SELECT p.dv, p.av,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i]*y.q[i])) AS DOUBLE)
+          / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) AS cosine
+      FROM pairs p JOIN n x ON x.vec_id = p.dv JOIN n y ON y.vec_id = p.av),
+    adm0 AS (SELECT vec_id FROM embeddings WHERE vec_id % 4 <= 1),
+    b1 AS (
+      SELECT d.vec_id, 1 AS batch_id,
+        CASE WHEN EXISTS (SELECT 1 FROM cos c WHERE c.dv = d.vec_id
+            AND c.av IN (SELECT vec_id FROM adm0) AND c.cosine >= 0.45)
+          THEN 1 ELSE 0 END AS near_dup
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 2) d),
+    adm1 AS (SELECT vec_id FROM adm0 UNION
+             SELECT vec_id FROM b1 WHERE near_dup = 0),
+    b2 AS (
+      SELECT d.vec_id, 2 AS batch_id,
+        CASE WHEN EXISTS (SELECT 1 FROM cos c WHERE c.dv = d.vec_id
+            AND c.av IN (SELECT vec_id FROM adm1) AND c.cosine >= 0.45)
+          THEN 1 ELSE 0 END AS near_dup
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 3) d),
+    allb AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT vec_id, batch_id, near_dup,
+           CASE WHEN near_dup = 0 THEN 1 ELSE 0 END AS admitted
+    FROM allb ORDER BY vec_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_semantic_dedup_ingest" -> (q160SemanticDedupIngest _),
     "q156_semantic_dedup" -> (q156SemanticDedup _),
     "q152_knn_graph" -> (q152KnnGraph _),
     "q90_label_centroids" -> (q90LabelCentroids _),
@@ -390,6 +453,7 @@ object VectorQueries {
     "q43_knn_label_vote" -> (q43KnnLabelVote _))
 
   val oracles: Map[String, String] = Map(
+    "q160_semantic_dedup_ingest" -> q160Oracle,
     "q156_semantic_dedup" -> q156Oracle,
     "q152_knn_graph" -> q152Oracle,
     "q90_label_centroids" -> q90Oracle,
