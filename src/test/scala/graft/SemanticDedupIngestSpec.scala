@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SemanticDedupIngest
+
+/** Sequential semantics of the embedding ingest screen: batch k's
+  * decisions must see batch k-1's ADMISSIONS (the property the one-shot
+  * screens q41/q156 cannot express), near-dups reject on exact cosine,
+  * and band collisions alone — orthogonal vectors sharing a zero-sign
+  * bucket — must never reject.
+  */
+class SemanticDedupIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 64-dim (the banding default covers 16×4 dims) one-hot + epsilon:
+    * `axis` picks the direction, `eps` perturbs it (cosine stays ≈1). */
+  private def vec(id: Long, axis: Int, eps: Float): (Long, Array[Float]) =
+    id -> Array.tabulate(64)(i =>
+      (if (i == axis) 1f else 0f) + (if (i == axis) eps else 0f))
+
+  test("admissions guard later batches; collisions without similarity admit") {
+    val corpus = Seq(vec(0L, axis = 0, eps = 0f)).toDF("vec_id", "embedding")
+    val batch1 = Seq(
+      vec(10L, axis = 0, eps = 0.01f), // near-dup of the CORPUS → reject
+      vec(11L, axis = 1, eps = 0f)     // new direction → admit
+    ).toDF("vec_id", "embedding")
+    val batch2 = Seq(
+      vec(20L, axis = 1, eps = 0.01f), // near-dup of batch-1's ADMISSION → reject
+      vec(21L, axis = 2, eps = 0f)     // new direction → admit
+    ).toDF("vec_id", "embedding")
+
+    val root = tmpDir("semingest")
+    val d = SemanticDedupIngest.run(spark, root, corpus,
+      Seq(batch1, batch2), nBuckets = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("batch_id"), r.getAs[Int]("near_dup"),
+          r.getAs[Int]("admitted")))).toMap
+
+    assert(d(10L) == ((1, 1, 0)), "dup of corpus must reject in batch 1")
+    assert(d(11L) == ((1, 0, 1)), "new direction must admit in batch 1")
+    // one-hot vectors all share the all-zero sign bucket in their cold
+    // bands, so 20/21 DO collide with admitted vectors — only the exact
+    // cosine may reject, and only 20 (≈ axis-1) crosses the threshold
+    assert(d(20L) == ((2, 1, 0)),
+      "dup of a batch-1 ADMISSION must reject in batch 2 (sequential growth)")
+    assert(d(21L) == ((2, 0, 1)),
+      "band collision with cosine ≈ 0 must admit")
+    assert(d.size == 4)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "ingest must release every persisted intermediate")
+  }
+}
