@@ -117,12 +117,34 @@ object ScaleProbe {
       graft.queries.VectorQueries.semanticDedup(spark, dir,
         bands = 10, dimsPerBand = 6)
 
+    // q160 at sf1 runs the SCALED banding too, but for the opposite
+    // failure mode: the ingest screen has no per-cell cap (the oracle
+    // replays it uncapped), so at 20k vectors the default 16×4 bands
+    // lose selectivity and the candidate pair set blows UP rather than
+    // starving — wider buckets restore per-cell occupancy, which is the
+    // prescribed scale knob either way
+    def q160Scaled(spark: SparkSession, dir: String): DataFrame = {
+      val emb = graft.tables.Tables.embeddings(spark, dir)
+        .repartition(col("vec_id"))
+      val corpus = emb.filter(pmod(col("vec_id"), lit(4)) <= 1)
+      val batches = Seq(2, 3).map(r =>
+        emb.filter(pmod(col("vec_id"), lit(4)) === r))
+      val root = java.nio.file.Files.createTempDirectory("graft-sp160").toString
+      try graft.operators.SemanticDedupIngest.run(spark, root, corpus,
+        batches, nBuckets = 16, bands = 10, dimsPerBand = 6)
+      finally graft.sync.TableStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
+    }
+
     val cells: Seq[(String, String, () => DataFrame)] =
       (for {
         (label, dir) <- Seq("sf0.1" -> src, "sf1" -> sf1)
         name <- Queries
-      } yield (label, name, () => SparkEntry.queries(name)(spark, dir))) :+
-        (("sf1", "q156_scaled_banding", () => q156Scaled(spark, sf1)))
+      } yield (label, name, () => SparkEntry.queries(name)(spark, dir))) ++
+        Seq(("sf1", "q156_scaled_banding", () => q156Scaled(spark, sf1)),
+          ("sf0.1", "q160_dedup_ingest", () =>
+            SparkEntry.queries("q160_semantic_dedup_ingest")(spark, src)),
+          ("sf1", "q160_scaled_banding", () => q160Scaled(spark, sf1)))
 
     val results = cells.map { case (label, name, fn) =>
       val runs = (1 to 2).map { _ =>
