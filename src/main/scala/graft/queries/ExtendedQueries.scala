@@ -381,7 +381,13 @@ object ExtendedQueries {
     s AS (
       SELECT * FROM (
         SELECT l_returnflag, h, cents,
-               row_number() OVER (PARTITION BY l_returnflag ORDER BY h ASC) AS rn
+               -- cents tiebreak REPLAYS the sketch's full comparator: the
+               -- synthetic data reuses (orderkey, linenumber) pairs, so h
+               -- alone is NOT unique (16k dups in the R group at sf0.1)
+               -- and an untied row_number would cut the k boundary
+               -- arbitrarily where the Aggregator cuts by (h, value)
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY h ASC, cents ASC) AS rn
         FROM v)
       WHERE rn <= 100),
     ranked AS (
