@@ -80,7 +80,16 @@ object FunctionQueries {
         pmod(col("l_partkey"), lit(13L)).as("part_mod13"),
         sqrt(col("l_extendedprice")).as("price_sqrt"),
         round(col("l_extendedprice") * col("l_tax"), 3).as("tax_rounded"))
-      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+      // (orderkey, linenumber) is NOT unique in the synthetic lineitem
+      // (~80 duplicate pairs with differing prices even under orderkey <
+      // 100) — the ordering must be total over every projected column or
+      // the engines' tie orders diverge whenever a sort implementation
+      // changes; remaining ties are then identical tuples, which compare
+      // equal in any order
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+        col("price_sqrt").asc, col("tax_rounded").asc, col("disc_dev").asc,
+        col("qty_div7").asc, col("part_mod13").asc, col("price_k_ceil").asc,
+        col("disc_sign").asc)
   val q60Oracle: String = """
     SELECT l_orderkey, l_linenumber,
       abs(l_discount - 0.05) AS disc_dev,
@@ -91,7 +100,9 @@ object FunctionQueries {
       sqrt(l_extendedprice) AS price_sqrt,
       round(l_extendedprice * l_tax, 3) AS tax_rounded
     FROM lineitem WHERE l_orderkey < 100
-    ORDER BY l_orderkey ASC, l_linenumber ASC"""
+    ORDER BY l_orderkey ASC, l_linenumber ASC, price_sqrt ASC,
+      tax_rounded ASC, disc_dev ASC, qty_div7 ASC, part_mod13 ASC,
+      price_k_ceil ASC, disc_sign ASC"""
 
   // q61 — regexp extract/replace/match with RE2-safe patterns.
   def q61Regexp(spark: SparkSession, dir: String): DataFrame =
