@@ -240,6 +240,112 @@ object TextOps {
     Materialize.thenRelease(pairs, Seq(raw, sh).distinct: _*)
   }
 
+  /** Token n-gram occurrences with their start positions: one row
+    * (doc_id, start, fp) per n-gram, fp = xxhash64 of the space-joined
+    * gram. Same codegen'd explode+`element_at` shape as
+    * [[minhashSignatures]] (the array-HOF formulation is interpreted and
+    * an order of magnitude slower); the 64-bit hash — not the string —
+    * rides the shuffle, same collision argument as [[ngramJaccardPairs]].
+    * Docs shorter than n tokens emit nothing (`sequence` with a negative
+    * stop would run DESCENDING, so the guard is correctness, not just
+    * economy). */
+  private def gramOccurrences(docs: DataFrame, n: Int): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+      .select(col("doc_id"), (col("i") - 1).as("start"),
+        xxhash64(concat_ws(" ",
+          (0 until n).map(o => element_at(col("t"), col("i") + o)): _*)).as("fp"))
+
+  /** Cross-document duplicated-substring spans — the ExactSubstr dedup
+    * pass of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed for Spark. The paper builds one giant
+    * suffix array, which is a single-machine formulation; here the same
+    * semantics (token-level, n-gram granularity) decompose into three
+    * hash-partitioned steps that scale horizontally:
+    *
+    *   1. explode token n-grams with positions (narrow, codegen'd);
+    *   2. fingerprints occurring in ≥ `minDocs` DISTINCT docs → dup set
+    *      (one partial-agg shuffle on the 64-bit fp);
+    *   3. join occurrences back on fp — each occurrence row matches at
+    *      most ONE dup-set row, so a boilerplate gram in 10⁶ docs fans
+    *      out linearly, never quadratically (unlike a doc×doc join, no
+    *      skew cap is needed);
+    *   4. per doc, merge overlapping/adjacent duplicated grams into
+    *      maximal spans: gaps-and-islands with a running MAX over gram
+    *      ends (a window per doc — state is O(1) per row).
+    *
+    * Requiring `minDocs` ≥ 2 distinct docs means in-document repetition
+    * alone is never flagged (that is q126's repetition metric, a
+    * different signal). Emits (doc_id, span_start, span_end), token
+    * positions 0-based inclusive. The occurrence frame is persisted for
+    * the build only (two consumers: the dup-set agg and the join-back);
+    * the span result — bounded by flagged occurrences, ≪ corpus — is
+    * materialized and the cache released ([[Materialize.thenRelease]]). */
+  def duplicatedSpans(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = gramOccurrences(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupFps = occ.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("fp"))
+    val hits = occ.join(dupFps, Seq("fp"))
+      .select(col("doc_id"), col("start"), (col("start") + (n - 1)).as("gram_end"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start").asc)
+    val prevMaxEnd = max(col("gram_end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = hits
+      .withColumn("new_span",
+        when(col("start") > coalesce(prevMaxEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("span_id",
+        sum(col("new_span")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("start")).as("span_start"), max(col("gram_end")).as("span_end"))
+      .drop("span_id")
+    Materialize.thenRelease(spans, occ)
+  }
+
+  /** Per-document rollup of [[duplicatedSpans]]: span count, tokens
+    * covered by duplicated spans, total tokens, duplicated fraction.
+    * Only flagged docs appear (a curation pipeline unions this onto its
+    * score frame; absence = 0). */
+  def duplicatedSpanStats(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame = {
+    val perDoc = duplicatedSpans(docs, n, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    val totals = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("total_tokens"))
+    perDoc.join(totals, Seq("doc_id"))
+      .withColumn("dup_frac",
+        col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
+  }
+
+  /** Rebuild each document with its duplicated spans REMOVED (the scrub
+    * half of ExactSubstr). Spans expand to covered token positions
+    * (disjoint by construction, so no distinct needed) and drop via a
+    * position-level LEFT ANTI equi-join — never a per-doc range probe.
+    * Reassembly is a per-doc sort of (pos, tok) structs; the collect_list
+    * is bounded by document length, which is the pipeline's own unit of
+    * work. Docs whose every token is duplicated vanish from the output —
+    * the cleaned corpus semantics a training pipeline wants. */
+  def scrubDuplicatedSpans(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame = {
+    val covered = duplicatedSpans(docs, n, minDocs)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toksPos = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+  }
+
   private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Per-document quality metrics: lengths, token counts, type/token ratio,

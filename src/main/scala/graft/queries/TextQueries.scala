@@ -639,7 +639,80 @@ object TextQueries {
            CASE WHEN score_sum > 0 THEN 'keep' ELSE 'drop' END AS verdict
     FROM scored ORDER BY doc_id ASC"""
 
+  // q161/q162 — ExactSubstr duplicated-span dedup (Lee et al. 2021 shape):
+  // token 8-grams occurring in ≥2 DISTINCT docs mark spans; overlapping
+  // grams merge per doc (gaps-and-islands). q161 reports per-doc span
+  // stats; q162 emits the scrubbed corpus (spans removed, order kept).
+  // The oracle replays the identical semantics with md5 fingerprints —
+  // the fp never leaves the plan, so the engines' hash functions are
+  // free to differ (Spark rides xxhash64 for a half-width shuffle).
+  private val dupSpanN = 8
+  private def dupSpanCtes(n: Int): String = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - ${n - 1})) AS i, t
+      FROM toks WHERE len(t) >= $n),
+    g2 AS (
+      SELECT doc_id, i - 1 AS start,
+             md5(array_to_string(t[i:i+${n - 1}], ' ')) AS fp
+      FROM g),
+    dup AS (SELECT fp FROM g2 GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT g2.doc_id, g2.start, g2.start + ${n - 1} AS gram_end
+      FROM g2 JOIN dup USING (fp)),
+    isl AS (
+      SELECT doc_id, start, gram_end,
+        CASE WHEN start > COALESCE(MAX(gram_end) OVER (
+            PARTITION BY doc_id ORDER BY start
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_span
+      FROM hits),
+    isl2 AS (
+      SELECT doc_id, start, gram_end,
+        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY start
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM isl),
+    spans AS (
+      SELECT doc_id, MIN(start) AS span_start, MAX(gram_end) AS span_end
+      FROM isl2 GROUP BY doc_id, span_id)"""
+
+  def q161DupSpanStats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.duplicatedSpanStats(Tables.documents(spark, dir), n = dupSpanN)
+      .orderBy(col("doc_id").asc)
+  val q161Oracle: String = dupSpanCtes(dupSpanN) + """,
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(span_end - span_start + 1) AS dup_tokens
+      FROM spans GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(t) AS total_tokens FROM toks)
+    SELECT p.doc_id, n_spans, CAST(dup_tokens AS BIGINT) AS dup_tokens,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(dup_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS dup_frac
+    FROM per_doc p JOIN tot USING (doc_id)
+    ORDER BY doc_id ASC"""
+
+  def q162DupSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    TextOps.scrubDuplicatedSpans(Tables.documents(spark, dir), n = dupSpanN)
+      .orderBy(col("doc_id").asc)
+  val q162Oracle: String = dupSpanCtes(dupSpanN) + """,
+    cov AS (
+      SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+      FROM spans),
+    tp AS (
+      SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM toks),
+    tp2 AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM tp),
+    kept AS (
+      SELECT tp2.doc_id, tp2.pos, tp2.tok FROM tp2
+      LEFT JOIN cov ON cov.doc_id = tp2.doc_id AND cov.pos = tp2.pos
+      WHERE cov.doc_id IS NULL)
+    SELECT doc_id, COUNT(*) AS kept_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id ORDER BY doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_dup_span_stats" -> (q161DupSpanStats _),
+    "q162_dup_span_scrub" -> (q162DupSpanScrub _),
     "q155_quality_model" -> (q155QualityModel _),
     "q150_dedup_on_ingest" -> (q150DedupOnIngest _),
     "q148_setsim_join" -> (q148SetsimJoin _),
@@ -659,6 +732,8 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q161_dup_span_stats" -> q161Oracle,
+    "q162_dup_span_scrub" -> q162Oracle,
     "q155_quality_model" -> q155Oracle,
     "q150_dedup_on_ingest" -> q150Oracle,
     "q148_setsim_join" -> q148Oracle,

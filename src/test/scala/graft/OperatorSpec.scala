@@ -289,4 +289,46 @@ class OperatorSpec extends SparkSpec {
     assert(frames.count() == 3) // offsets 0, 100, 200
     assert(frames.agg(max($"offset")).first().getLong(0) == 200L)
   }
+
+  // --- ExactSubstr duplicated-span dedup (duplicatedSpans / scrub) ---
+
+  private def docTokens(prefix: String, k: Int): Seq[String] =
+    (1 to k).map(i => s"$prefix$i")
+
+  test("duplicatedSpans merges overlapping cross-doc grams into one maximal span") {
+    // Docs 1 and 2 share a 10-token run → 3 overlapping 8-grams each,
+    // which must merge into a SINGLE [start, start+9] span per doc.
+    val shared = docTokens("dup", 10)
+    val d1 = (docTokens("a", 5) ++ shared ++ docTokens("b", 5)).mkString(" ")
+    val d2 = (docTokens("c", 3) ++ shared ++ docTokens("d", 7)).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val spans = TextOps.duplicatedSpans(docs, n = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(spans.toSeq == Seq((1L, 5, 14), (2L, 3, 12)), spans.toSeq.toString)
+  }
+
+  test("duplicatedSpans ignores in-document-only repetition (minDocs=2)") {
+    // One doc repeats its own 8-gram twice; no other doc shares it →
+    // nothing is flagged (that's q126's repetition signal, not dedup).
+    val run = docTokens("r", 8)
+    val d1 = (run ++ docTokens("x", 4) ++ run).mkString(" ")
+    val docs = Seq((1L, d1), (2L, docTokens("z", 30).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(TextOps.duplicatedSpans(docs, n = 8).isEmpty)
+  }
+
+  test("scrubDuplicatedSpans removes exactly the span tokens, order kept") {
+    val shared = docTokens("dup", 10)
+    val head = docTokens("a", 5)
+    val tail = docTokens("b", 5)
+    val d1 = (head ++ shared ++ tail).mkString(" ")
+    val d2 = (docTokens("c", 3) ++ shared ++ docTokens("d", 7)).mkString(" ")
+    val d3 = shared.mkString(" ") // fully duplicated → vanishes
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = TextOps.scrubDuplicatedSpans(docs, n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (10L, (head ++ tail).mkString(" ")))
+    assert(out(2L)._1 == 10L)
+    assert(!out.contains(3L), "a fully-duplicated doc must vanish from the scrub")
+  }
 }

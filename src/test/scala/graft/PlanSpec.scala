@@ -37,6 +37,17 @@ class PlanSpec extends SparkSpec {
         s"(found $hashExchanges hash exchanges)")
   }
 
+  test("q161/q162: ExactSubstr plans prune the documents scan and stay hash-joined") {
+    for (name <- Seq("q161_dup_span_stats", "q162_dup_span_scrub")) {
+      val s = planString(name)
+      assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string"),
+        s"$name must prune the documents scan to (doc_id, text)")
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$name position joins must stay equi-joins — a nested-loop range probe " +
+          "is quadratic per doc at corpus scale")
+    }
+  }
+
   test("q06: selective filters reach the parquet scan (pushdown)") {
     val s = planString("q06_forecast_revenue")
     // the rendered plan truncates long filter lists, so match the prefix
