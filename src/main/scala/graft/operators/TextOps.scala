@@ -284,8 +284,27 @@ object TextOps {
     * the build only (two consumers: the dup-set agg and the join-back);
     * the span result — bounded by flagged occurrences, ≪ corpus — is
     * materialized and the cache released ([[Materialize.thenRelease]]). */
-  def duplicatedSpans(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame = {
+  /** Gaps-and-islands merge of flagged gram occurrences (doc_id, start,
+    * gram_end) into maximal per-doc spans: a running MAX over gram ends
+    * (O(1) state per row), new island iff start exceeds it — overlap OR
+    * touching merges, adjacency does not. One doc_id shuffle; both window
+    * passes and the final agg reuse it. */
+  private def mergeSpans(hits: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start").asc)
+    val prevMaxEnd = max(col("gram_end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("new_span",
+        when(col("start") > coalesce(prevMaxEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("span_id",
+        sum(col("new_span")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("start")).as("span_start"), max(col("gram_end")).as("span_end"))
+      .drop("span_id")
+  }
+
+  def duplicatedSpans(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame = {
     val occ = gramOccurrences(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupFps = occ.groupBy(col("fp"))
@@ -294,18 +313,7 @@ object TextOps {
       .select(col("fp"))
     val hits = occ.join(dupFps, Seq("fp"))
       .select(col("doc_id"), col("start"), (col("start") + (n - 1)).as("gram_end"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start").asc)
-    val prevMaxEnd = max(col("gram_end"))
-      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = hits
-      .withColumn("new_span",
-        when(col("start") > coalesce(prevMaxEnd, lit(-1)), 1).otherwise(0))
-      .withColumn("span_id",
-        sum(col("new_span")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("span_id"))
-      .agg(min(col("start")).as("span_start"), max(col("gram_end")).as("span_end"))
-      .drop("span_id")
-    Materialize.thenRelease(spans, occ)
+    Materialize.thenRelease(mergeSpans(hits), occ)
   }
 
   /** Per-document rollup of [[duplicatedSpans]]: span count, tokens
@@ -322,6 +330,53 @@ object TextOps {
     perDoc.join(totals, Seq("doc_id"))
       .withColumn("dup_frac",
         col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
+  }
+
+  /** Incremental ExactSubstr screen: duplicated-span stats for a NEW
+    * batch against an existing corpus — the ingest-side counterpart of
+    * [[duplicatedSpanStats]], completing the dedup matrix the same way
+    * q92 does for content-hash/minhash and q150/q160 do on-ingest. A
+    * batch gram is duplicated when it occurs ANYWHERE in the corpus, or
+    * in ≥2 distinct batch docs (a batch can carry its own duplication).
+    *
+    * The corpus side reduces to its distinct fingerprint set before
+    * touching the batch — at scale that set IS the persisted gram-fp
+    * index an ingest deployment maintains (bucketed by fp exactly like
+    * q150's fingerprint store; only admitted docs' grams are appended),
+    * so steady-state cost is O(batch grams) probes against fp-pruned
+    * buckets, never a corpus rescan. Here it derives from the corpus
+    * frame because the oracle must replay it.
+    *
+    * Emits ONE row per batch doc (clean docs carry zeros): n_spans,
+    * dup_tokens, total_tokens, dup_frac, and an integer-exact admission
+    * verdict `admitted` = (dup_tokens·5 < total_tokens), i.e. <20% of
+    * the doc duplicated — exact int compare, no double threshold. */
+  def incrementalDuplicatedSpanStats(corpus: DataFrame, batch: DataFrame,
+      n: Int): DataFrame = {
+    val batchOcc = gramOccurrences(batch, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusFps = gramOccurrences(corpus, n).select(col("fp")).distinct()
+    val batchDupFps = batchOcc.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("fp"))
+    val dupFps = corpusFps.union(batchDupFps).distinct()
+    val hits = batchOcc.join(dupFps, Seq("fp"))
+      .select(col("doc_id"), col("start"), (col("start") + (n - 1)).as("gram_end"))
+    val perDoc = Materialize.thenRelease(mergeSpans(hits), batchOcc)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    batch.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("total_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("total_tokens"))
+      .withColumn("dup_frac",
+        col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("admitted",
+        (col("dup_tokens") * 5 < col("total_tokens")).cast("int"))
   }
 
   /** Rebuild each document with its duplicated spans REMOVED (the scrub

@@ -710,7 +710,72 @@ object TextQueries {
            string_agg(tok, ' ' ORDER BY pos) AS clean_text
     FROM kept GROUP BY doc_id ORDER BY doc_id ASC"""
 
+  // q163 — incremental ExactSubstr screen: the q92 corpus/batch split
+  // (doc_id < 400 existing corpus, ≥ 400 new batch), batch grams flagged
+  // when present in the corpus OR in ≥2 distinct batch docs; one row per
+  // batch doc with span stats and an integer-exact <20%-duplicated
+  // admission verdict.
+  def q163IncrementalSpanScreen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    TextOps.incrementalDuplicatedSpanStats(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400), n = dupSpanN)
+      .orderBy(col("doc_id").asc)
+  }
+  val q163Oracle: String = {
+    val n = dupSpanN
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - ${n - 1})) AS i, t
+      FROM toks WHERE len(t) >= $n),
+    g2 AS (
+      SELECT doc_id, i - 1 AS start,
+             md5(array_to_string(t[i:i+${n - 1}], ' ')) AS fp
+      FROM g),
+    cfp AS (SELECT DISTINCT fp FROM g2 WHERE doc_id < 400),
+    bocc AS (SELECT * FROM g2 WHERE doc_id >= 400),
+    bdup AS (SELECT fp FROM bocc GROUP BY fp
+             HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT fp FROM cfp UNION SELECT fp FROM bdup),
+    hits AS (
+      SELECT bocc.doc_id, bocc.start, bocc.start + ${n - 1} AS gram_end
+      FROM bocc JOIN dup USING (fp)),
+    isl AS (
+      SELECT doc_id, start, gram_end,
+        CASE WHEN start > COALESCE(MAX(gram_end) OVER (
+            PARTITION BY doc_id ORDER BY start
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_span
+      FROM hits),
+    isl2 AS (
+      SELECT doc_id, start, gram_end,
+        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY start
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM isl),
+    spans AS (
+      SELECT doc_id, MIN(start) AS span_start, MAX(gram_end) AS span_end
+      FROM isl2 GROUP BY doc_id, span_id),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(span_end - span_start + 1) AS dup_tokens
+      FROM spans GROUP BY doc_id),
+    tot AS (
+      SELECT doc_id, len(t) AS total_tokens FROM toks WHERE doc_id >= 400)
+    SELECT t.doc_id,
+           CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(COALESCE(dup_tokens, 0) AS DOUBLE)
+             / CAST(total_tokens AS DOUBLE) AS dup_frac,
+           CAST(COALESCE(dup_tokens, 0) * 5 < total_tokens AS INT) AS admitted
+    FROM tot t LEFT JOIN per_doc USING (doc_id)
+    ORDER BY doc_id ASC"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_incremental_span_screen" -> (q163IncrementalSpanScreen _),
     "q161_dup_span_stats" -> (q161DupSpanStats _),
     "q162_dup_span_scrub" -> (q162DupSpanScrub _),
     "q155_quality_model" -> (q155QualityModel _),
@@ -732,6 +797,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q163_incremental_span_screen" -> q163Oracle,
     "q161_dup_span_stats" -> q161Oracle,
     "q162_dup_span_scrub" -> q162Oracle,
     "q155_quality_model" -> q155Oracle,

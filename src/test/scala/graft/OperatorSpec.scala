@@ -317,6 +317,30 @@ class OperatorSpec extends SparkSpec {
     assert(TextOps.duplicatedSpans(docs, n = 8).isEmpty)
   }
 
+  test("incremental span screen: corpus grams flag, corpus-internal dups don't") {
+    val boiler = docTokens("dup", 10)
+    val corpus = Seq(
+      (1L, (docTokens("a", 5) ++ boiler).mkString(" ")),
+      // corpus-internal duplication (docs 1+2 share boiler): must NOT
+      // leak flags onto clean batch docs
+      (2L, (boiler ++ docTokens("b", 5)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, (docTokens("c", 5) ++ boiler ++ docTokens("d", 15)).mkString(" ")), // vs corpus
+      (11L, (docTokens("e", 4) ++ docTokens("s", 8) ++ docTokens("f", 30)).mkString(" ")), // vs 12
+      (12L, (docTokens("s", 8) ++ docTokens("g", 34)).mkString(" ")),
+      (13L, docTokens("h", 25).mkString(" "))) // clean
+      .toDF("doc_id", "text")
+    val out = TextOps.incrementalDuplicatedSpanStats(corpus, batch, n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(5)))
+      .toMap
+    assert(out(10L) == ((1L, 10L, 30L, 0)), s"corpus-dup doc: ${out(10L)}") // 10/30 ≥ 20%
+    assert(out(11L) == ((1L, 8L, 42L, 1)), s"batch-dup doc: ${out(11L)}") // 8/42 < 20%
+    assert(out(12L)._2 == 8L && out(12L)._4 == 1)
+    assert(out(13L) == ((0L, 0L, 25L, 1)), "clean batch doc must carry zeros, admitted")
+  }
+
   test("scrubDuplicatedSpans removes exactly the span tokens, order kept") {
     val shared = docTokens("dup", 10)
     val head = docTokens("a", 5)
