@@ -248,9 +248,16 @@ object TextOps {
     * rides the shuffle, same collision argument as [[ngramJaccardPairs]].
     * Docs shorter than n tokens emit nothing (`sequence` with a negative
     * stop would run DESCENDING, so the guard is correctness, not just
-    * economy). */
-  private def gramOccurrences(docs: DataFrame, n: Int): DataFrame =
-    docs.repartition(col("doc_id"))
+    * economy).
+    *
+    * `spread` repartitions the input by row first — the hash compute is
+    * CPU-bound and must not inherit a byte-sized scan split (q34's
+    * rationale). Consumers that immediately re-shuffle by fp with no
+    * positional logic (the incremental screen's corpus side) pass false
+    * and skip the extra corpus-text shuffle. */
+  private def gramOccurrences(docs: DataFrame, n: Int,
+      spread: Boolean = true): DataFrame =
+    (if (spread) docs.repartition(col("doc_id")) else docs)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= n)
       .select(col("doc_id"), col("t"),
@@ -283,7 +290,40 @@ object TextOps {
     * positions 0-based inclusive. The occurrence frame is persisted for
     * the build only (two consumers: the dup-set agg and the join-back);
     * the span result — bounded by flagged occurrences, ≪ corpus — is
-    * materialized and the cache released ([[Materialize.thenRelease]]). */
+    * materialized and the cache released ([[Materialize.thenRelease]]).
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame = {
+    val (spans, occ) = duplicatedSpansBuild(docs, n, minDocs)
+    Materialize.thenRelease(spans, occ)
+  }
+
+  /** The lazy plan behind [[duplicatedSpans]], pre-materialization —
+    * package-visible so PlanSpec can pin the fp join-back's physical
+    * shape (the final frames are localCheckpointed, whose plans show
+    * only a LogicalRDD). Returns (spans, occ); `occ` is persist-marked
+    * but unmaterialized until an action runs. */
+  private[graft] def duplicatedSpansBuild(docs: DataFrame, n: Int,
+      minDocs: Int): (DataFrame, DataFrame) = {
+    val occ = gramOccurrences(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupFps = occ.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("fp"))
+    (mergeSpans(toHits(occ.join(dupFps, Seq("fp")), n)), occ)
+  }
+
+  /** Flagged occurrences → (doc_id, start, gram_end) span seeds. */
+  private def toHits(occ: DataFrame, n: Int): DataFrame =
+    occ.select(col("doc_id"), col("start"),
+      (col("start") + (n - 1)).as("gram_end"))
+
+  /** Per-doc rollup of merged spans: span count + tokens covered. */
+  private def spanRollup(spans: DataFrame): DataFrame =
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+
   /** Gaps-and-islands merge of flagged gram occurrences (doc_id, start,
     * gram_end) into maximal per-doc spans: a running MAX over gram ends
     * (O(1) state per row), new island iff start exceeds it — overlap OR
@@ -304,27 +344,12 @@ object TextOps {
       .drop("span_id")
   }
 
-  def duplicatedSpans(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame = {
-    val occ = gramOccurrences(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupFps = occ.groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("fp"))
-    val hits = occ.join(dupFps, Seq("fp"))
-      .select(col("doc_id"), col("start"), (col("start") + (n - 1)).as("gram_end"))
-    Materialize.thenRelease(mergeSpans(hits), occ)
-  }
-
   /** Per-document rollup of [[duplicatedSpans]]: span count, tokens
     * covered by duplicated spans, total tokens, duplicated fraction.
     * Only flagged docs appear (a curation pipeline unions this onto its
     * score frame; absence = 0). */
   def duplicatedSpanStats(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame = {
-    val perDoc = duplicatedSpans(docs, n, minDocs)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    val perDoc = spanRollup(duplicatedSpans(docs, n, minDocs))
     val totals = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("total_tokens"))
     perDoc.join(totals, Seq("doc_id"))
@@ -353,19 +378,8 @@ object TextOps {
     * the doc duplicated — exact int compare, no double threshold. */
   def incrementalDuplicatedSpanStats(corpus: DataFrame, batch: DataFrame,
       n: Int): DataFrame = {
-    val batchOcc = gramOccurrences(batch, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusFps = gramOccurrences(corpus, n).select(col("fp")).distinct()
-    val batchDupFps = batchOcc.groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("fp"))
-    val dupFps = corpusFps.union(batchDupFps).distinct()
-    val hits = batchOcc.join(dupFps, Seq("fp"))
-      .select(col("doc_id"), col("start"), (col("start") + (n - 1)).as("gram_end"))
-    val perDoc = Materialize.thenRelease(mergeSpans(hits), batchOcc)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    val (spans, batchOcc) = incrementalSpanBuild(corpus, batch, n)
+    val perDoc = spanRollup(Materialize.thenRelease(spans, batchOcc))
     batch.select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("total_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -377,6 +391,25 @@ object TextOps {
         col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
       .withColumn("admitted",
         (col("dup_tokens") * 5 < col("total_tokens")).cast("int"))
+  }
+
+  /** The lazy plan behind [[incrementalDuplicatedSpanStats]], pre-
+    * materialization (PlanSpec pins the join shapes; see
+    * [[duplicatedSpansBuild]]). Returns (spans, batchOcc). */
+  private[graft] def incrementalSpanBuild(corpus: DataFrame, batch: DataFrame,
+      n: Int): (DataFrame, DataFrame) = {
+    val batchOcc = gramOccurrences(batch, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // spread=false: the corpus side has no positional logic and goes
+    // straight into a distinct-by-fp shuffle, so the row-spreading
+    // repartition would be a second full corpus-text shuffle for nothing
+    val corpusFps = gramOccurrences(corpus, n, spread = false)
+      .select(col("fp")).distinct()
+    val batchDupFps = batchOcc.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("fp"))
+    val dupFps = corpusFps.union(batchDupFps).distinct()
+    (mergeSpans(toHits(batchOcc.join(dupFps, Seq("fp")), n)), batchOcc)
   }
 
   /** Rebuild each document with its duplicated spans REMOVED (the scrub

@@ -716,7 +716,9 @@ object TextQueries {
   // batch doc with span stats and an integer-exact <20%-duplicated
   // admission verdict.
   def q163IncrementalSpanScreen(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    // no query-level repartition: the operator spreads the batch side
+    // itself and deliberately leaves the corpus side on scan splits
+    val docs = Tables.documents(spark, dir)
     TextOps.incrementalDuplicatedSpanStats(
         docs.filter(col("doc_id") < 400),
         docs.filter(col("doc_id") >= 400), n = dupSpanN)

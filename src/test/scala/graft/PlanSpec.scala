@@ -37,7 +37,7 @@ class PlanSpec extends SparkSpec {
         s"(found $hashExchanges hash exchanges)")
   }
 
-  test("q161/q162: ExactSubstr plans prune the documents scan and stay hash-joined") {
+  test("q161-q163: ExactSubstr plans prune the documents scan and stay hash-joined") {
     for (name <- Seq("q161_dup_span_stats", "q162_dup_span_scrub",
         "q163_incremental_span_screen")) {
       val s = planString(name)
@@ -46,6 +46,28 @@ class PlanSpec extends SparkSpec {
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
         s"$name position joins must stay equi-joins — a nested-loop range probe " +
           "is quadratic per doc at corpus scale")
+    }
+  }
+
+  test("ExactSubstr fp join-back is an equi-join in the PRE-materialization plan") {
+    // The q161-q163 frames localCheckpoint their span set during
+    // construction, so the final plans above only show a LogicalRDD where
+    // the heavy occ-join-dupFps ran — pin that join's physical shape on
+    // the lazy builders instead.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val lazyPlans = Seq(
+      graft.operators.TextOps.duplicatedSpansBuild(docs, 8, 2),
+      graft.operators.TextOps.incrementalSpanBuild(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400), 8))
+    for ((spans, occ) <- lazyPlans) {
+      val s = spans.queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        "the occurrence-to-dup-set join must stay a hash/sort equi-join on fp")
+      assert(s.contains("Join") || s.contains("BroadcastHashJoin") ||
+        s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
+        "expected the fp join-back to be present in the lazy plan")
+      occ.unpersist()
     }
   }
 
