@@ -412,18 +412,37 @@ object TextOps {
     (mergeSpans(toHits(batchOcc.join(dupFps, Seq("fp")), n)), batchOcc)
   }
 
-  /** Rebuild each document with its duplicated spans REMOVED (the scrub
-    * half of ExactSubstr). Spans expand to covered token positions
-    * (disjoint by construction, so no distinct needed) and drop via a
-    * position-level LEFT ANTI equi-join — never a per-doc range probe.
-    * Reassembly is a per-doc sort of (pos, tok) structs; the collect_list
-    * is bounded by document length, which is the pipeline's own unit of
-    * work. Docs whose every token is duplicated vanish from the output —
-    * the cleaned corpus semantics a training pipeline wants. */
-  def scrubDuplicatedSpans(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame = {
-    val covered = duplicatedSpans(docs, n, minDocs)
-      .select(col("doc_id"),
-        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+  /** Keep-one ExactSubstr scrub: like [[scrubDuplicatedSpans]] but each
+    * duplicated n-gram's CANONICAL occurrence — the (min doc_id, min
+    * start) one — survives, so deduplicated content keeps exactly one
+    * copy in the corpus instead of vanishing (the paper's actual
+    * dedup semantics; the remove-all variant is the contamination-style
+    * scrub). Canonical selection is `min(struct(doc_id, start))` per
+    * fingerprint — partial-aggregable, so a boilerplate gram in 10⁶
+    * docs reduces map-side instead of hot-partitioning a window. Only
+    * NON-canonical occurrences become span seeds; span merge and the
+    * position-level anti-join are shared with the other paths. */
+  def scrubKeepOne(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame = {
+    val occ = gramOccurrences(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupCanon = occ.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(struct(col("doc_id"), col("start"))).as("canon"))
+      .filter(col("nd") >= minDocs)
+      .select(col("fp"), col("canon.doc_id").as("c_doc"), col("canon.start").as("c_start"))
+    val hits = toHits(
+      occ.join(dupCanon, Seq("fp"))
+        .filter(col("doc_id") =!= col("c_doc") || col("start") =!= col("c_start")), n)
+    val spans = Materialize.thenRelease(mergeSpans(hits), occ)
+    rebuildWithout(docs, spans)
+  }
+
+  /** Drop the span-covered token positions and reassemble each doc in
+    * order (shared tail of both scrub variants). Fully-covered docs
+    * vanish; untouched docs pass through verbatim. */
+  private def rebuildWithout(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     val toksPos = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
     toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
@@ -433,6 +452,17 @@ object TextOps {
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           s => s.getField("tok"))).as("clean_text"))
   }
+
+  /** Rebuild each document with its duplicated spans REMOVED (the scrub
+    * half of ExactSubstr). Spans expand to covered token positions
+    * (disjoint by construction, so no distinct needed) and drop via a
+    * position-level LEFT ANTI equi-join — never a per-doc range probe.
+    * Reassembly is a per-doc sort of (pos, tok) structs; the collect_list
+    * is bounded by document length, which is the pipeline's own unit of
+    * work. Docs whose every token is duplicated vanish from the output —
+    * the cleaned corpus semantics a training pipeline wants. */
+  def scrubDuplicatedSpans(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame =
+    rebuildWithout(docs, duplicatedSpans(docs, n, minDocs))
 
   private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
 

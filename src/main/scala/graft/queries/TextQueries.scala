@@ -692,10 +692,9 @@ object TextQueries {
     FROM per_doc p JOIN tot USING (doc_id)
     ORDER BY doc_id ASC"""
 
-  def q162DupSpanScrub(spark: SparkSession, dir: String): DataFrame =
-    TextOps.scrubDuplicatedSpans(Tables.documents(spark, dir), n = dupSpanN)
-      .orderBy(col("doc_id").asc)
-  val q162Oracle: String = dupSpanCtes(dupSpanN) + """,
+  // shared oracle tail: expand spans to covered positions, anti-join the
+  // positioned tokens, reassemble per doc in order
+  private val scrubTail: String = """,
     cov AS (
       SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
       FROM spans),
@@ -709,6 +708,57 @@ object TextQueries {
     SELECT doc_id, COUNT(*) AS kept_tokens,
            string_agg(tok, ' ' ORDER BY pos) AS clean_text
     FROM kept GROUP BY doc_id ORDER BY doc_id ASC"""
+
+  def q162DupSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    TextOps.scrubDuplicatedSpans(Tables.documents(spark, dir), n = dupSpanN)
+      .orderBy(col("doc_id").asc)
+  val q162Oracle: String = dupSpanCtes(dupSpanN) + scrubTail
+
+  // q164 — keep-one scrub (the paper's dedup semantics): each duplicated
+  // 8-gram's canonical occurrence — lexicographic (min doc_id, min start)
+  // — survives; only non-canonical occurrences seed removal spans, so
+  // deduplicated content keeps exactly one corpus copy.
+  def q164ScrubKeepOne(spark: SparkSession, dir: String): DataFrame =
+    TextOps.scrubKeepOne(Tables.documents(spark, dir), n = dupSpanN)
+      .orderBy(col("doc_id").asc)
+  val q164Oracle: String = {
+    val n = dupSpanN
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - ${n - 1})) AS i, t
+      FROM toks WHERE len(t) >= $n),
+    g2 AS (
+      SELECT doc_id, i - 1 AS start,
+             md5(array_to_string(t[i:i+${n - 1}], ' ')) AS fp
+      FROM g),
+    dup AS (SELECT fp FROM g2 GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+    canon AS (
+      SELECT fp, doc_id AS c_doc, start AS c_start FROM (
+        SELECT fp, doc_id, start,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, start) AS rn
+        FROM g2) WHERE rn = 1),
+    hits AS (
+      SELECT g2.doc_id, g2.start, g2.start + ${n - 1} AS gram_end
+      FROM g2 JOIN dup USING (fp) JOIN canon USING (fp)
+      WHERE g2.doc_id <> canon.c_doc OR g2.start <> canon.c_start),
+    isl AS (
+      SELECT doc_id, start, gram_end,
+        CASE WHEN start > COALESCE(MAX(gram_end) OVER (
+            PARTITION BY doc_id ORDER BY start
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_span
+      FROM hits),
+    isl2 AS (
+      SELECT doc_id, start, gram_end,
+        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY start
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM isl),
+    spans AS (
+      SELECT doc_id, MIN(start) AS span_start, MAX(gram_end) AS span_end
+      FROM isl2 GROUP BY doc_id, span_id)""" + scrubTail
+  }
 
   // q163 — incremental ExactSubstr screen: the q92 corpus/batch split
   // (doc_id < 400 existing corpus, ≥ 400 new batch), batch grams flagged
@@ -778,6 +828,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_incremental_span_screen" -> (q163IncrementalSpanScreen _),
+    "q164_scrub_keep_one" -> (q164ScrubKeepOne _),
     "q161_dup_span_stats" -> (q161DupSpanStats _),
     "q162_dup_span_scrub" -> (q162DupSpanScrub _),
     "q155_quality_model" -> (q155QualityModel _),
@@ -800,6 +851,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q163_incremental_span_screen" -> q163Oracle,
+    "q164_scrub_keep_one" -> q164Oracle,
     "q161_dup_span_stats" -> q161Oracle,
     "q162_dup_span_scrub" -> q162Oracle,
     "q155_quality_model" -> q155Oracle,

@@ -43,24 +43,28 @@ class DupSpanPropertySpec extends SparkSpec {
     }
   }
 
-  /** Driver-side reference: maximal duplicated spans per doc. */
-  private def modelSpans(docs: Seq[(Long, String)]): Map[Long, Seq[(Int, Int)]] = {
+  /** Driver-side reference: maximal duplicated spans per doc. With
+    * `keepOne`, each duplicated gram's lexicographic-min (doc_id, start)
+    * occurrence is exempt (the canonical copy survives). */
+  private def modelSpans(docs: Seq[(Long, String)],
+      keepOne: Boolean = false): Map[Long, Seq[(Int, Int)]] = {
     val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
     val grams = toks.toSeq.flatMap { case (id, ts) =>
       if (ts.size < n) Nil
       else (0 to ts.size - n).map(i => (id, i, ts.slice(i, i + n).mkString(" ")))
     }
-    val dup = grams.groupBy(_._3).collect {
-      case (g, occ) if occ.map(_._1).distinct.size >= 2 => g
-    }.toSet
-    grams.filter(g => dup(g._3))
+    val byGram = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+    val canon = byGram.view.mapValues(_.map(h => (h._1, h._2)).min).toMap
+    grams.filter { g =>
+      byGram.contains(g._3) && (!keepOne || canon(g._3) != ((g._1, g._2)))
+    }
       .groupBy(_._1).view.mapValues { hs =>
         hs.map(h => (h._2, h._2 + n - 1)).sortBy(_._1)
           .foldLeft(List.empty[(Int, Int)]) {
             case ((ps, pe) :: rest, (s, e)) if s <= pe => (ps, math.max(pe, e)) :: rest
             case (acc, span) => span :: acc
           }.reverse
-      }.toMap
+      }.filter(_._2.nonEmpty).toMap
   }
 
   test("property: spans/stats/scrub == model, partition-invariant (5 seeds)") {
@@ -90,24 +94,36 @@ class DupSpanPropertySpec extends SparkSpec {
             s"seed $seed doc $id stats disagree with model spans")
         }
 
-        val scrub = TextOps.scrubDuplicatedSpans(df, n)
-          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
-        docs.foreach { case (id, text) =>
-          val covered = expect.getOrElse(id, Nil)
-            .flatMap { case (s, e) => s to e }.toSet
-          val keptToks = toks(id).zipWithIndex.collect {
-            case (t, i) if !covered(i) => t
+        val scrubVariants = Seq(
+          (TextOps.scrubDuplicatedSpans(df, n), expect, "remove-all"),
+          (TextOps.scrubKeepOne(df, n), modelSpans(docs, keepOne = true), "keep-one"))
+        for ((scrubDf, spansModel, label) <- scrubVariants) {
+          val scrub = scrubDf.collect()
+            .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+          docs.foreach { case (id, text) =>
+            val covered = spansModel.getOrElse(id, Nil)
+              .flatMap { case (s, e) => s to e }.toSet
+            val keptToks = toks(id).zipWithIndex.collect {
+              case (t, i) if !covered(i) => t
+            }
+            if (keptToks.isEmpty)
+              assert(!scrub.contains(id), s"seed $seed doc $id fully-dup must vanish ($label)")
+            else {
+              assert(scrub(id) == ((keptToks.size.toLong, keptToks.mkString(" "))),
+                s"seed $seed doc $id scrub mismatch ($label)")
+              if (covered.nonEmpty) // flagged: kept + dup == total
+                assert(keptToks.size + covered.size == toks(id).size)
+              else // unflagged: survives verbatim
+                assert(scrub(id)._2 == text)
+            }
           }
-          if (keptToks.isEmpty)
-            assert(!scrub.contains(id), s"seed $seed doc $id fully-dup must vanish")
-          else {
-            assert(scrub(id) == ((keptToks.size.toLong, keptToks.mkString(" "))),
-              s"seed $seed doc $id scrub mismatch")
-            if (covered.nonEmpty) // flagged: kept + dup == total
-              assert(keptToks.size + covered.size == toks(id).size)
-            else // unflagged: survives verbatim
-              assert(scrub(id)._2 == text)
-          }
+        }
+        // keep-one must never remove MORE than remove-all anywhere
+        val keepModel = modelSpans(docs, keepOne = true)
+        keepModel.foreach { case (id, spans) =>
+          val all = expect.getOrElse(id, Nil).flatMap { case (s, e) => s to e }.toSet
+          val kept1 = spans.flatMap { case (s, e) => s to e }.toSet
+          assert(kept1.subsetOf(all), s"seed $seed doc $id keep-one exceeded remove-all")
         }
       }
     }

@@ -341,6 +341,19 @@ class OperatorSpec extends SparkSpec {
     assert(out(13L) == ((0L, 0L, 25L, 1)), "clean batch doc must carry zeros, admitted")
   }
 
+  test("scrubKeepOne keeps the canonical occurrence, removes the rest") {
+    val shared = docTokens("dup", 10)
+    val d1 = (docTokens("a", 5) ++ shared).mkString(" ")         // canonical (min doc_id)
+    val d2 = (docTokens("c", 3) ++ shared ++ docTokens("d", 7)).mkString(" ")
+    val d3 = shared.mkString(" ")                                // fully shared, non-canonical
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = TextOps.scrubKeepOne(docs, n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == ((15L, d1)), "canonical doc must survive verbatim")
+    assert(out(2L) == ((10L, (docTokens("c", 3) ++ docTokens("d", 7)).mkString(" "))))
+    assert(!out.contains(3L), "non-canonical fully-shared doc must vanish")
+  }
+
   test("scrubDuplicatedSpans removes exactly the span tokens, order kept") {
     val shared = docTokens("dup", 10)
     val head = docTokens("a", 5)

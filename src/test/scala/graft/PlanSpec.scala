@@ -39,7 +39,7 @@ class PlanSpec extends SparkSpec {
 
   test("q161-q163: ExactSubstr plans prune the documents scan and stay hash-joined") {
     for (name <- Seq("q161_dup_span_stats", "q162_dup_span_scrub",
-        "q163_incremental_span_screen")) {
+        "q163_incremental_span_screen", "q164_scrub_keep_one")) {
       val s = planString(name)
       assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string"),
         s"$name must prune the documents scan to (doc_id, text)")
