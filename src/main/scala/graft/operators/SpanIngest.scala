@@ -1,0 +1,126 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.sync.BucketedTableStore
+
+/** ExactSubstr-on-ingest: the sequential, persisted-index form of
+  * [[TextOps.incrementalDuplicatedSpanStats]] — the gram-fingerprint
+  * index that operator's scaladoc promises is here an actual
+  * [[BucketedTableStore]] table that grows with admissions, following
+  * [[DedupIngest]]'s protocol exactly: the corpus is never rescanned,
+  * batch k's spans see every admission from batches 1..k-1, and the
+  * index update is a merge-on-read delta commit (O(batch grams), not
+  * O(corpus)).
+  *
+  * Per batch:
+  *   - PROBE: the batch's distinct gram fps touch at most `nBuckets`
+  *     store buckets (ids collected — a bounded int set, never rows);
+  *     the semi-join reads only those buckets' files.
+  *   - DECIDE: a batch gram is duplicated when its fp is indexed OR
+  *     occurs in ≥2 distinct docs of THIS batch; flagged occurrences
+  *     merge into maximal spans ([[TextOps.mergeSpans]]) and roll up to
+  *     per-doc stats with the integer-exact `admitted` verdict
+  *     (dup_tokens·5 < total_tokens, i.e. <20% duplicated). Decisions
+  *     are frozen at decide time (bounded: one row per batch doc), so a
+  *     later merge/compaction/vacuum cannot perturb them — same
+  *     vacuum-race contract DedupIngest pins.
+  *   - UPDATE: admitted docs' gram fps delta-merge into the index;
+  *     rejected docs leave no trace.
+  *
+  * The fp is [[TextOps.gramOccurrences]]' xxhash64 — it never leaves the
+  * engine, so the oracle replays the same run with md5 fps (only fp
+  * EQUALITY matters; the q161 collision argument applies).
+  */
+object SpanIngest {
+
+  /** Distinct gram fingerprints of a frame (no positions — the index
+    * answers membership only). */
+  private def gramFps(docs: DataFrame, n: Int): DataFrame =
+    TextOps.gramOccurrences(docs, n, spread = false)
+      .select(col("fp")).distinct()
+
+  /** Seed the index table from the initial corpus (may be empty — the
+    * keyed table must exist before the first probe). */
+  def seedIndex(store: BucketedTableStore, corpus: DataFrame, n: Int,
+      ts: Timestamp): Unit =
+    store.writeAll("gfp", gramFps(corpus, n)
+      .withColumn("syncTimestamp", lit(ts)), "fp")
+
+  /** Fps of `probes` present in the index, reading only the buckets the
+    * probes hash into. A probe touching only never-written buckets
+    * resolves to "no hits". */
+  private def indexedFps(store: BucketedTableStore, probes: DataFrame): DataFrame = {
+    val touched = probes.select(store.bucketCol("fp").as("_b")).distinct()
+      .collect().map(_.getLong(0).toInt).toSet
+    store.readBuckets("gfp", Some(touched)) match {
+      case Some(idx) if idx.columns.contains("fp") =>
+        probes.join(idx.select(col("fp")), Seq("fp"), "left_semi")
+      case _ => probes.limit(0)
+    }
+  }
+
+  /** Span stats + admission for ONE batch against the index AS OF now —
+    * pure read, no index mutation. `occ` must be the batch's positioned
+    * gram occurrences (passed in so the caller persists it across this
+    * and the index update). Returns one MATERIALIZED row per batch doc:
+    * (doc_id, batch_id, n_spans, dup_tokens, total_tokens, admitted). */
+  def decide(store: BucketedTableStore, batch: DataFrame, occ: DataFrame,
+      n: Int, batchId: Long): DataFrame = {
+    val hitFps = indexedFps(store, occ.select(col("fp")).distinct())
+    val batchDupFps = occ.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("fp"))
+    val dupFps = hitFps.union(batchDupFps).distinct()
+    val perDoc = TextOps.spanRollup(
+      TextOps.mergeSpans(TextOps.toHits(occ.join(dupFps, Seq("fp")), n)))
+    Materialize.thenRelease(
+      batch.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("total_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), lit(batchId).cast("int").as("batch_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          col("total_tokens"))
+        .withColumn("admitted",
+          (col("dup_tokens") * 5 < col("total_tokens")).cast("int")))
+  }
+
+  /** Merge the admitted docs' gram fps into the index (delta commit +
+    * bounded auto-compaction; idempotent under re-application — same
+    * upsert resolution argument as [[DedupIngest.applyAdmissions]]). */
+  def applyAdmissions(store: BucketedTableStore, occ: DataFrame,
+      decisions: DataFrame, ts: Timestamp): Unit =
+    store.applyMerge("gfp",
+      occ.join(decisions.filter(col("admitted") === 1).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .select(col("fp")).distinct()
+        .withColumn("eventName", lit("INSERT")),
+      "fp", ts)
+
+  /** Seed the index from `corpus`, then ingest `batches` in order.
+    * Returns one decision row per batch doc, unordered. `t0` stamps the
+    * index commits (deterministic clock); it never influences decisions. */
+  def run(spark: SparkSession, root: String, corpus: DataFrame,
+      batches: Seq[DataFrame], n: Int, nBuckets: Int = 16,
+      t0: Long = 1660000000000L): DataFrame = {
+    val store = new BucketedTableStore(spark, root, nBuckets,
+      deltaMerges = true, autoCompactAfter = 4)
+    seedIndex(store, corpus, n, new Timestamp(t0))
+    val decisions = batches.zipWithIndex.map { case (batch, i) =>
+      // occurrences feed the probe, the span merge AND (filtered) the
+      // index update — persisted for the batch's scope only
+      val occ = TextOps.gramOccurrences(batch, n)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val decM = decide(store, batch, occ, n, batchId = i + 1L)
+      applyAdmissions(store, occ, decM, new Timestamp(t0 + (i + 1) * 60000L))
+      occ.unpersist()
+      decM
+    }
+    decisions.reduce(_.unionByName(_))
+  }
+}

@@ -255,7 +255,7 @@ object TextOps {
     * rationale). Consumers that immediately re-shuffle by fp with no
     * positional logic (the incremental screen's corpus side) pass false
     * and skip the extra corpus-text shuffle. */
-  private def gramOccurrences(docs: DataFrame, n: Int,
+  private[operators] def gramOccurrences(docs: DataFrame, n: Int,
       spread: Boolean = true): DataFrame =
     (if (spread) docs.repartition(col("doc_id")) else docs)
       .select(col("doc_id"), tokens(col("text")).as("t"))
@@ -314,12 +314,12 @@ object TextOps {
   }
 
   /** Flagged occurrences → (doc_id, start, gram_end) span seeds. */
-  private def toHits(occ: DataFrame, n: Int): DataFrame =
+  private[operators] def toHits(occ: DataFrame, n: Int): DataFrame =
     occ.select(col("doc_id"), col("start"),
       (col("start") + (n - 1)).as("gram_end"))
 
   /** Per-doc rollup of merged spans: span count + tokens covered. */
-  private def spanRollup(spans: DataFrame): DataFrame =
+  private[operators] def spanRollup(spans: DataFrame): DataFrame =
     spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
@@ -329,7 +329,7 @@ object TextOps {
     * (O(1) state per row), new island iff start exceeds it — overlap OR
     * touching merges, adjacency does not. One doc_id shuffle; both window
     * passes and the final agg reuse it. */
-  private def mergeSpans(hits: DataFrame): DataFrame = {
+  private[operators] def mergeSpans(hits: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start").asc)
     val prevMaxEnd = max(col("gram_end"))

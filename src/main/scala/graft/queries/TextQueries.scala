@@ -826,7 +826,90 @@ object TextQueries {
     ORDER BY doc_id ASC"""
   }
 
+  // q165 — ExactSubstr-on-ingest: q150's sequential persisted-index
+  // protocol over GRAM fingerprints (SpanIngest): corpus (doc_id%4<=1)
+  // seeds the index, batches %4==2 then %4==3 are span-screened against
+  // it, and each batch's ADMITTED docs' grams guard the next. The oracle
+  // replays the whole sequential run, index growth included.
+  def q165SpanIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) <= 1)
+    val batches = Seq(2, 3).map(r =>
+      docs.filter(pmod(col("doc_id"), lit(4)) === r))
+    val root = Files.createTempDirectory("graft-spaningest").toString
+    try graft.operators.SpanIngest.run(spark, root, corpus, batches,
+        n = dupSpanN, nBuckets = 16)
+      .orderBy(col("doc_id").asc)
+    finally graft.sync.TableStore.deleteRecursively(Paths.get(root))
+  }
+  private def q165Chain(sfx: String, rem: Int, dupSrc: String): String = {
+    val n = dupSpanN
+    s"""
+    b${sfx}occ AS (SELECT * FROM g2 WHERE doc_id % 4 = $rem),
+    b${sfx}dup AS (SELECT fp FROM b${sfx}occ GROUP BY fp
+                   HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup$sfx AS (SELECT fp FROM $dupSrc UNION SELECT fp FROM b${sfx}dup),
+    hits$sfx AS (
+      SELECT o.doc_id, o.start, o.start + ${n - 1} AS gram_end
+      FROM b${sfx}occ o JOIN dup$sfx USING (fp)),
+    isl$sfx AS (
+      SELECT doc_id, start, gram_end,
+        CASE WHEN start > COALESCE(MAX(gram_end) OVER (
+            PARTITION BY doc_id ORDER BY start
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_span
+      FROM hits$sfx),
+    isl2$sfx AS (
+      SELECT doc_id, start, gram_end,
+        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY start
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM isl$sfx),
+    spans$sfx AS (
+      SELECT doc_id, MIN(start) AS span_start, MAX(gram_end) AS span_end
+      FROM isl2$sfx GROUP BY doc_id, span_id),
+    per$sfx AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(span_end - span_start + 1) AS dup_tokens
+      FROM spans$sfx GROUP BY doc_id),
+    tot$sfx AS (
+      SELECT doc_id, len(t) AS total_tokens FROM toks WHERE doc_id % 4 = $rem),
+    stats$sfx AS (
+      SELECT t.doc_id,
+             CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             CAST(total_tokens AS BIGINT) AS total_tokens,
+             CAST(COALESCE(dup_tokens, 0) * 5 < total_tokens AS INT) AS admitted
+      FROM tot$sfx t LEFT JOIN per$sfx USING (doc_id))"""
+  }
+  val q165Oracle: String = {
+    val n = dupSpanN
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - ${n - 1})) AS i, t
+      FROM toks WHERE len(t) >= $n),
+    g2 AS (
+      SELECT doc_id, i - 1 AS start,
+             md5(array_to_string(t[i:i+${n - 1}], ' ')) AS fp
+      FROM g),
+    cfp AS (SELECT DISTINCT fp FROM g2 WHERE doc_id % 4 <= 1),
+    ${q165Chain("1", 2, "cfp")},
+    adm1fp AS (
+      SELECT DISTINCT o.fp FROM b1occ o
+      JOIN stats1 s ON s.doc_id = o.doc_id AND s.admitted = 1),
+    idx2 AS (SELECT fp FROM cfp UNION SELECT fp FROM adm1fp),
+    ${q165Chain("2", 3, "idx2")}
+    SELECT doc_id, CAST(1 AS INT) AS batch_id, n_spans, dup_tokens,
+           total_tokens, admitted FROM stats1
+    UNION ALL
+    SELECT doc_id, CAST(2 AS INT) AS batch_id, n_spans, dup_tokens,
+           total_tokens, admitted FROM stats2
+    ORDER BY doc_id ASC"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_span_ingest" -> (q165SpanIngest _),
     "q163_incremental_span_screen" -> (q163IncrementalSpanScreen _),
     "q164_scrub_keep_one" -> (q164ScrubKeepOne _),
     "q161_dup_span_stats" -> (q161DupSpanStats _),
@@ -850,6 +933,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q165_span_ingest" -> q165Oracle,
     "q163_incremental_span_screen" -> q163Oracle,
     "q164_scrub_keep_one" -> q164Oracle,
     "q161_dup_span_stats" -> q161Oracle,
