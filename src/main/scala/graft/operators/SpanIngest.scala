@@ -38,6 +38,12 @@ import graft.sync.BucketedTableStore
   */
 object SpanIngest {
 
+  /** Positioned gram occurrences of a batch — the frame [[decide]] and
+    * [[applyAdmissions]] consume; exposed so the streaming wrapper can
+    * persist it across both calls. */
+  def occurrences(docs: DataFrame, n: Int): DataFrame =
+    TextOps.gramOccurrences(docs, n)
+
   /** Distinct gram fingerprints of a frame (no positions — the index
     * answers membership only). */
   private def gramFps(docs: DataFrame, n: Int): DataFrame =
@@ -114,7 +120,7 @@ object SpanIngest {
     val decisions = batches.zipWithIndex.map { case (batch, i) =>
       // occurrences feed the probe, the span merge AND (filtered) the
       // index update — persisted for the batch's scope only
-      val occ = TextOps.gramOccurrences(batch, n)
+      val occ = occurrences(batch, n)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val decM = decide(store, batch, occ, n, batchId = i + 1L)
       applyAdmissions(store, occ, decM, new Timestamp(t0 + (i + 1) * 60000L))
