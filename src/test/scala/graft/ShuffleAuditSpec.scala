@@ -212,6 +212,35 @@ class ShuffleAuditSpec extends SparkSpec {
         s"(${opt.records} vs ${naive.records})")
   }
 
+  test("incremental span screen never shuffles the corpus text (spread=false)") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    // The operator derives corpus fps WITHOUT the row-spreading
+    // repartition (the fps go straight into a distinct-by-fp exchange);
+    // the naive formulation pre-spreads the corpus by doc_id — exactly
+    // the shuffle the operator's scaladoc promises to skip. Both plans
+    // build eagerly inside the measured block (the span set localCheckpoints
+    // at construction), which is why the frames are constructed here and
+    // not passed through audit().
+    val opt = ShuffleMetrics.measure(spark) { ShuffleMetrics.run(
+      TextOps.incrementalDuplicatedSpanStats(corpus, batch, n = 8)) }
+    val naive = ShuffleMetrics.measure(spark) { ShuffleMetrics.run(
+      TextOps.incrementalDuplicatedSpanStats(
+        corpus.repartition(col("doc_id")), batch, n = 8)) }
+    info(f"span screen            optimized ${opt.pretty}%-28s naive ${naive.pretty}")
+    assert(opt.bytes < naive.bytes,
+      s"corpus text must not ride a spreading shuffle (${opt.bytes} vs ${naive.bytes})")
+    // results must be identical either way (partitioning never changes them)
+    val l = TextOps.incrementalDuplicatedSpanStats(corpus, batch, n = 8)
+      .collect().map(_.mkString("|")).sorted
+    val r = TextOps.incrementalDuplicatedSpanStats(
+        corpus.repartition(col("doc_id")), batch, n = 8)
+      .collect().map(_.mkString("|")).sorted
+    assert(l.sameElements(r))
+  }
+
   test("broadcast star join keeps the fact table out of the shuffle") {
     def join(bcast: Boolean) = {
       val o = Tables.orders(spark, dir)
