@@ -464,6 +464,38 @@ object TextOps {
   def scrubDuplicatedSpans(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame =
     rebuildWithout(docs, duplicatedSpans(docs, n, minDocs))
 
+  /** Gopher-style quality rules (Rae et al. 2021 §A1.1 shape, thresholds
+    * tuned to this corpus): per-doc gate flags, every comparison
+    * INTEGER-exact so the oracle hash-matches without float thresholds —
+    * mean-word-length bounds become `3·n ≤ Σlen ≤ 10·n`, the repetition
+    * gate `top_freq·5 ≤ n` (most frequent token ≤ 20%). One explode +
+    * two partial-agg shuffles on doc_id; everything else is a narrow
+    * projection. A production run swaps thresholds, not plan shape. */
+  def gopherRules(docs: DataFrame, minTokens: Int = 40,
+      maxTokens: Int = 100000): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      // Σ token lengths = chars minus the n-1 single-space separators
+      (length(col("text")) - (size(toks) - 1)).cast("long").as("sum_len"),
+      size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("long").as("stop_hits"))
+    val topFreq = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_freq"))
+    base.join(topFreq, Seq("doc_id"))
+      .withColumn("wc_ok",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).cast("int"))
+      .withColumn("len_ok",
+        (col("sum_len") >= col("n_tokens") * 3 &&
+          col("sum_len") <= col("n_tokens") * 10).cast("int"))
+      .withColumn("stop_ok", (col("stop_hits") >= 2).cast("int"))
+      .withColumn("rep_ok", (col("top_freq") * 5 <= col("n_tokens")).cast("int"))
+      .withColumn("keep",
+        (col("wc_ok") === 1 && col("len_ok") === 1 &&
+          col("stop_ok") === 1 && col("rep_ok") === 1).cast("int"))
+  }
+
   private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Per-document quality metrics: lengths, token counts, type/token ratio,

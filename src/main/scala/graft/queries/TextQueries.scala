@@ -908,7 +908,45 @@ object TextQueries {
     ORDER BY doc_id ASC"""
   }
 
+  // q166 — Gopher quality rules (Rae et al. 2021 shape): word-count,
+  // mean-word-length, stopword-presence, and top-token-repetition gates,
+  // every threshold integer-exact, one keep verdict.
+  def q166GopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(Tables.documents(spark, dir))
+      .orderBy(col("doc_id").asc)
+  val q166Oracle: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t, length(text) AS len
+      FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len - (len(t) - 1) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(t, x -> x IN
+               ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT)
+               AS stop_hits
+      FROM toks),
+    tf AS (
+      SELECT doc_id, MAX(c) AS top_freq FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok)
+      GROUP BY doc_id)
+    SELECT b.doc_id, n_tokens, sum_len, stop_hits,
+           CAST(top_freq AS BIGINT) AS top_freq,
+           CAST(n_tokens >= 40 AND n_tokens <= 100000 AS INT) AS wc_ok,
+           CAST(sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10 AS INT)
+             AS len_ok,
+           CAST(stop_hits >= 2 AS INT) AS stop_ok,
+           CAST(top_freq * 5 <= n_tokens AS INT) AS rep_ok,
+           CAST(n_tokens >= 40 AND n_tokens <= 100000
+             AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10
+             AND stop_hits >= 2 AND top_freq * 5 <= n_tokens AS INT) AS keep
+    FROM base b JOIN tf USING (doc_id)
+    ORDER BY doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_gopher_rules" -> (q166GopherRules _),
     "q165_span_ingest" -> (q165SpanIngest _),
     "q163_incremental_span_screen" -> (q163IncrementalSpanScreen _),
     "q164_scrub_keep_one" -> (q164ScrubKeepOne _),
@@ -933,6 +971,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q166_gopher_rules" -> q166Oracle,
     "q165_span_ingest" -> q165Oracle,
     "q163_incremental_span_screen" -> q163Oracle,
     "q164_scrub_keep_one" -> q164Oracle,
