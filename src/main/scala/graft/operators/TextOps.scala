@@ -464,6 +464,31 @@ object TextOps {
   def scrubDuplicatedSpans(docs: DataFrame, n: Int, minDocs: Int = 2): DataFrame =
     rebuildWithout(docs, duplicatedSpans(docs, n, minDocs))
 
+  /** Fixed-window token chunking with overlap — the embedding/RAG
+    * counterpart of content-defined chunking (q146): chunk k covers
+    * tokens [k·stride, k·stride + size), the last chunk may run short,
+    * and every doc yields ≥1 chunk. Chunk count = 1 + ⌈max(0, n−size) /
+    * stride⌉, all integer math (DIV), so the oracle replays it exactly.
+    * One narrow explode — no shuffle at all; chunking 100 TB is a pure
+    * map over the scan. */
+  def windowChunks(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      "stride must be positive and no larger than the chunk size")
+    val n = size(col("t"))
+    val extra = greatest(lit(0), n - chunkSize)
+    // ceil-div via floor((x+s-1)/s): exact in double for any token count
+    // a parquet row can hold (both operands ≪ 2^53)
+    val lastChunk = floor((extra + (stride - 1)).cast("double") / stride).cast("int")
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), lastChunk)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("t"), col("chunk_id") * stride + 1, lit(chunkSize)).as("c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("c")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("c")).as("chunk_text"))
+  }
+
   /** Gopher-style quality rules (Rae et al. 2021 §A1.1 shape, thresholds
     * tuned to this corpus): per-doc gate flags, every comparison
     * INTEGER-exact so the oracle hash-matches without float thresholds —

@@ -945,7 +945,28 @@ object TextQueries {
     FROM base b JOIN tf USING (doc_id)
     ORDER BY doc_id ASC"""
 
+  // q167 — fixed-window token chunking with overlap (size 32, stride 16):
+  // the embedding/RAG counterpart of q146's content-defined chunking.
+  // Pure map over the scan — zero shuffles.
+  def q167WindowChunks(spark: SparkSession, dir: String): DataFrame =
+    TextOps.windowChunks(Tables.documents(spark, dir), chunkSize = 32, stride = 16)
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+  val q167Oracle: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    c AS (
+      SELECT doc_id, t, unnest(generate_series(0,
+        (GREATEST(0, len(t) - 32) + 15) // 16)) AS chunk_id
+      FROM toks)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(t[chunk_id*16+1 : chunk_id*16+32]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(t[chunk_id*16+1 : chunk_id*16+32], ' ')
+             AS chunk_text
+    FROM c ORDER BY doc_id ASC, chunk_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_window_chunks" -> (q167WindowChunks _),
     "q166_gopher_rules" -> (q166GopherRules _),
     "q165_span_ingest" -> (q165SpanIngest _),
     "q163_incremental_span_screen" -> (q163IncrementalSpanScreen _),
@@ -971,6 +992,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q167_window_chunks" -> q167Oracle,
     "q166_gopher_rules" -> q166Oracle,
     "q165_span_ingest" -> q165Oracle,
     "q163_incremental_span_screen" -> q163Oracle,
