@@ -125,6 +125,43 @@ class DupSpanPropertySpec extends SparkSpec {
           val kept1 = spans.flatMap { case (s, e) => s to e }.toSet
           assert(kept1.subsetOf(all), s"seed $seed doc $id keep-one exceeded remove-all")
         }
+
+        // incremental screen vs model: corpus = even doc_ids, batch = odd;
+        // flagged = gram in corpus OR in ≥2 distinct batch docs
+        val (corpusDocs, batchDocs) = docs.partition(_._1 % 2 == 0)
+        val corpusGrams = corpusDocs.flatMap { case (_, t) =>
+          val ts = t.split(" ", -1).toSeq
+          if (ts.size < n) Nil
+          else (0 to ts.size - n).map(i => ts.slice(i, i + n).mkString(" "))
+        }.toSet
+        val batchGrams = batchDocs.flatMap { case (id, t) =>
+          val ts = t.split(" ", -1).toSeq
+          if (ts.size < n) Nil
+          else (0 to ts.size - n).map(i => (id, i, ts.slice(i, i + n).mkString(" ")))
+        }
+        val batchDup = batchGrams.groupBy(_._3)
+          .collect { case (g, occ) if occ.map(_._1).distinct.size >= 2 => g }.toSet
+        val incSpans = batchGrams
+          .filter(g => corpusGrams(g._3) || batchDup(g._3))
+          .groupBy(_._1).view.mapValues { hs =>
+            hs.map(h => (h._2, h._2 + n - 1)).sortBy(_._1)
+              .foldLeft(List.empty[(Int, Int)]) {
+                case ((ps, pe) :: rest, (s, e)) if s <= pe => (ps, math.max(pe, e)) :: rest
+                case (acc, span) => span :: acc
+              }.reverse
+          }.toMap
+        val incGot = TextOps.incrementalDuplicatedSpanStats(
+            corpusDocs.toDF("doc_id", "text").repartition(parts),
+            batchDocs.toDF("doc_id", "text").repartition(parts), n)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(incGot.keySet == batchDocs.map(_._1).toSet,
+          s"seed $seed parts $parts: one screen row per batch doc")
+        batchDocs.foreach { case (id, _) =>
+          val spans = incSpans.getOrElse(id, Nil)
+          assert(incGot(id) == ((spans.size.toLong,
+            spans.map { case (s, e) => e - s + 1 }.sum.toLong)),
+            s"seed $seed parts $parts doc $id incremental stats mismatch")
+        }
       }
     }
   }
