@@ -127,6 +127,16 @@ object SpanIngest {
       occ.unpersist()
       decM
     }
-    decisions.reduce(_.unionByName(_))
+    // reduceOption: seeding an index with no batches yet is legal and
+    // returns an empty (schema-correct) decisions frame, not a crash
+    decisions.reduceOption(_.unionByName(_)).getOrElse {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("batch_id", IntegerType),
+          StructField("n_spans", LongType), StructField("dup_tokens", LongType),
+          StructField("total_tokens", LongType),
+          StructField("admitted", IntegerType))))
+    }
   }
 }

@@ -414,10 +414,17 @@ object TextOps {
 
   /** Keep-one ExactSubstr scrub: like [[scrubDuplicatedSpans]] but each
     * duplicated n-gram's CANONICAL occurrence — the (min doc_id, min
-    * start) one — survives, so deduplicated content keeps exactly one
-    * copy in the corpus instead of vanishing (the paper's actual
-    * dedup semantics; the remove-all variant is the contamination-style
-    * scrub). Canonical selection is `min(struct(doc_id, start))` per
+    * start) one — is exempt from flagging, so deduplicated content keeps
+    * a copy in the corpus instead of vanishing (the paper's actual dedup
+    * semantics; the remove-all variant is the contamination-style
+    * scrub). PRECISE guarantee: no gram is flagged at its canonical
+    * position. A canonical run can still lose tokens to an OVERLAPPING
+    * non-canonical span of a different duplicated gram in the same doc
+    * (canonicality is per-gram, and span merging is position-level), so
+    * "exactly one surviving copy of every duplicated substring" does NOT
+    * hold in adversarial overlap cases — the same is true of the
+    * suffix-array formulation, which also cuts at span, not gram,
+    * granularity. Canonical selection is `min(struct(doc_id, start))` per
     * fingerprint — partial-aggregable, so a boilerplate gram in 10⁶
     * docs reduces map-side instead of hot-partitioning a window. Only
     * NON-canonical occurrences become span seeds; span merge and the

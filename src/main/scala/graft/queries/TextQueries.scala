@@ -832,7 +832,10 @@ object TextQueries {
   // it, and each batch's ADMITTED docs' grams guard the next. The oracle
   // replays the whole sequential run, index growth included.
   def q165SpanIngest(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    // no wrapper repartition: the operator spreads each batch itself and
+    // deliberately leaves the corpus-fp seed on scan splits (the q163
+    // no-spread rationale, pinned by ShuffleAuditSpec)
+    val docs = Tables.documents(spark, dir)
     val corpus = docs.filter(pmod(col("doc_id"), lit(4)) <= 1)
     val batches = Seq(2, 3).map(r =>
       docs.filter(pmod(col("doc_id"), lit(4)) === r))

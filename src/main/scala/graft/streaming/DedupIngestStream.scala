@@ -127,19 +127,12 @@ final class DedupIngestStream(spark: SparkSession, root: String,
   def start(inputDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None) = {
-    // the WAL is keyed by the checkpoint's batchIds: a FRESH checkpoint
-    // restarts them at 0, and a leftover WAL would then serve a previous
-    // run's batch-0 decisions for new data (skipping decide entirely) —
-    // wrong docs admitted, none of the new docs decided. Refuse the
-    // mismatched pairing up front; rotate the two directories together.
+    // the WAL is keyed by the checkpoint's batchIds — both mismatch
+    // directions (fresh checkpoint + used WAL, used checkpoint + WAL
+    // missing committed batches' decisions) corrupt decisions and are
+    // refused up front; rotate the two directories together (WalGuards)
+    WalGuards.requireRotatedTogether(checkpointDir, decisionsDir, decided)
     val fresh = !Files.exists(Paths.get(checkpointDir, "offsets"))
-    val walUsed = Files.exists(Paths.get(decisionsDir)) &&
-      scala.util.Using.resource(Files.list(Paths.get(decisionsDir)))(
-        _.iterator().hasNext)
-    require(!(fresh && walUsed),
-      s"decisionsDir $decisionsDir holds a previous run's write-ahead " +
-        s"decisions but checkpointDir $checkpointDir is fresh (batchIds " +
-        "restart at 0) — rotate decisionsDir together with the checkpoint")
     // same batchId-reuse hazard one layer down: a fresh checkpoint's
     // batch 0 would hit the CORPUS manifest's replay guard and silently
     // skip appending the new admissions — refuse the pairing up front

@@ -73,20 +73,12 @@ final class SpanIngestStream(spark: SparkSession, root: String,
   }
 
   /** Stream a directory of document JSON files through the screen; the
-    * WAL is keyed by the checkpoint's batchIds, so a fresh checkpoint
-    * with a used decisionsDir is refused (same rotation contract as
-    * [[DedupIngestStream.start]]). */
+    * WAL and the checkpoint must rotate together — BOTH mismatch
+    * directions are refused up front ([[WalGuards]]). */
   def start(inputDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None) = {
-    val fresh = !Files.exists(Paths.get(checkpointDir, "offsets"))
-    val walUsed = Files.exists(Paths.get(decisionsDir)) &&
-      scala.util.Using.resource(Files.list(Paths.get(decisionsDir)))(
-        _.iterator().hasNext)
-    require(!(fresh && walUsed),
-      s"decisionsDir $decisionsDir holds a previous run's write-ahead " +
-        s"decisions but checkpointDir $checkpointDir is fresh (batchIds " +
-        "restart at 0) — rotate decisionsDir together with the checkpoint")
+    WalGuards.requireRotatedTogether(checkpointDir, decisionsDir, decided)
     val reader = spark.readStream.schema(docSchema)
     maxFilesPerTrigger.fold(reader)(m =>
         reader.option("maxFilesPerTrigger", m))

@@ -64,7 +64,7 @@ class DupSpanPropertySpec extends SparkSpec {
             case ((ps, pe) :: rest, (s, e)) if s <= pe => (ps, math.max(pe, e)) :: rest
             case (acc, span) => span :: acc
           }.reverse
-      }.filter(_._2.nonEmpty).toMap
+      }.toMap
   }
 
   test("property: spans/stats/scrub == model, partition-invariant (5 seeds)") {

@@ -78,5 +78,15 @@ class SpanIngestStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       stream.start(inDir, tmpDir("span-ckpt-fresh"))
     }
+
+    // the OTHER rotation direction: a used checkpoint whose committed
+    // batches lost their WAL decisions — replaying would recompute
+    // against the mutated index and flip admissions; refused at start
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(decDir)).iterator().asScala.toSeq.foreach { p =>
+      graft.sync.TableStore.deleteRecursively(p)
+    }
+    val e = intercept[IllegalArgumentException] { stream.start(inDir, ckpt) }
+    assert(e.getMessage.contains("write-ahead decisions are missing"))
   }
 }
