@@ -73,6 +73,16 @@ class DedupIngestStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       stream.start(inDir, tmpDir("ingest-ckpt-fresh"))
     }
+
+    // the OTHER rotation direction (WalGuards): a used checkpoint whose
+    // committed batches lost their WAL decisions — replaying would
+    // recompute against the mutated index and flip admissions
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(decDir)).iterator().asScala.toSeq.foreach { p =>
+      graft.sync.TableStore.deleteRecursively(p)
+    }
+    val e = intercept[IllegalArgumentException] { stream.start(inDir, ckpt) }
+    assert(e.getMessage.contains("write-ahead decisions are missing"))
   }
 
   test("corpus terminal: admitted docs land in verified shards, replays inert") {
