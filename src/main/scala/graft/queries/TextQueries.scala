@@ -968,7 +968,73 @@ object TextQueries {
              AS chunk_text
     FROM c ORDER BY doc_id ASC, chunk_id ASC"""
 
+  // q168 — BM25 top-k lexical retrieval (k1=1.2, b=0.75) for a fixed
+  // 3-term query: tf and df are exact ints, avgdl is exact (integer sums
+  // in double), and the per-term weights combine in a FIXED expression
+  // order (one conditional-sum column per term, added left to right) so
+  // no float accumulation order is engine- or partitioning-dependent;
+  // the oracle replays the identical expression tree. The corpus scans
+  // once; df and the corpus stats broadcast; top-20 is
+  // TakeOrderedAndProject, never a global sort.
+  private val bm25Terms = Seq("join", "window", "hash")
+  def q168Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+      .filter(col("tok").isin(bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val w = tf.join(broadcast(dfs), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * col("tf") * 2.2
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val perTerm = bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("w"))).as(s"w$i")
+    }
+    w.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail :+ count(lit(1)).as("n_terms"): _*)
+      .withColumn("score", bm25Terms.indices
+        .map(i => coalesce(col(s"w$i"), lit(0.0))).reduce(_ + _))
+      .select(col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+  val q168Oracle: String = {
+    val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    val sums = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"COALESCE(SUM(CASE WHEN tok = '$t' THEN w END), 0.0)"
+    }.mkString(" + ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      WHERE tok IN ($terms) GROUP BY doc_id, tok),
+    dfs AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+    w AS (
+      SELECT doc_id, tok,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+      FROM tf JOIN dfs USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+    SELECT doc_id, COUNT(*) AS n_terms, $sums AS score
+    FROM w GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 20"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_bm25_topk" -> (q168Bm25TopK _),
     "q167_window_chunks" -> (q167WindowChunks _),
     "q166_gopher_rules" -> (q166GopherRules _),
     "q165_span_ingest" -> (q165SpanIngest _),
@@ -995,6 +1061,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q168_bm25_topk" -> q168Oracle,
     "q167_window_chunks" -> q167Oracle,
     "q166_gopher_rules" -> q166Oracle,
     "q165_span_ingest" -> q165Oracle,

@@ -71,6 +71,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q168: BM25 stats broadcast and top-k plans as TakeOrderedAndProject") {
+    val s = planString("q168_bm25_topk")
+    assert(s.contains("TakeOrderedAndProject"),
+      "top-20 must be TakeOrderedAndProject, not a global sort")
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastHashJoin"),
+      "the df table and corpus stats must broadcast onto the tf rows")
+  }
+
   test("q06: selective filters reach the parquet scan (pushdown)") {
     val s = planString("q06_forecast_revenue")
     // the rendered plan truncates long filter lists, so match the prefix
