@@ -977,7 +977,9 @@ object TextQueries {
   // once; df and the corpus stats broadcast; top-20 is
   // TakeOrderedAndProject, never a global sort.
   private val bm25Terms = Seq("join", "window", "hash")
-  def q168Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  /** BM25 scores (doc_id, n_terms, score) for [[bm25Terms]] — shared by
+    * the top-k query (q168) and the RRF fusion (q169). */
+  private def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
     val dl = toks.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
@@ -1003,14 +1005,13 @@ object TextQueries {
       .withColumn("score", bm25Terms.indices
         .map(i => coalesce(col(s"w$i"), lit(0.0))).reduce(_ + _))
       .select(col("doc_id"), col("n_terms"), col("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(20)
   }
-  val q168Oracle: String = {
+  /** Oracle CTE block ending in `bm25 AS (doc_id, n_terms, score)` —
+    * shared by the q168 and q169 oracles. */
+  private val bm25Ctes: String = {
     val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
-    val sums = bm25Terms.zipWithIndex.map { case (t, i) =>
-      s"COALESCE(SUM(CASE WHEN tok = '$t' THEN w END), 0.0)"
-    }.mkString(" + ")
+    val sums = bm25Terms.map(t =>
+      s"COALESCE(SUM(CASE WHEN tok = '$t' THEN w END), 0.0)").mkString(" + ")
     s"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1027,14 +1028,83 @@ object TextQueries {
              ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                * tf * 2.2
                / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
-      FROM tf JOIN dfs USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
-    SELECT doc_id, COUNT(*) AS n_terms, $sums AS score
-    FROM w GROUP BY doc_id
-    ORDER BY score DESC, doc_id ASC LIMIT 20"""
+      FROM tf JOIN dfs USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
+    bm25 AS (
+      SELECT doc_id, COUNT(*) AS n_terms, $sums AS score
+      FROM w GROUP BY doc_id)"""
   }
+  def q168Bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  val q168Oracle: String = bm25Ctes + """
+    SELECT doc_id, n_terms, score FROM bm25
+    ORDER BY score DESC, doc_id ASC LIMIT 20"""
+
+  // q169 — hybrid retrieval by reciprocal-rank fusion (k=60): the BM25
+  // ranking fuses with the q155-style quality-model ranking, each
+  // ranker contributing 1/(60+rank) over its top-100. The fusion is
+  // FLOAT-EXACT cross-engine — ranks are ints, so every rrf term is one
+  // correctly-rounded divide and the two-term sum has a fixed order (no
+  // libm in the fused score; BM25's ln only orders the lexical list).
+  // Scale shape: each ranker's top-100 comes from TakeOrderedAndProject;
+  // the single-partition rank windows run on ≤100 rows by construction.
+  def q169HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toksQ = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val weights = toksQ.select(col("tok")).distinct()
+      .withColumn("w",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 2001L - 1000L)
+    val qual = toksQ.join(broadcast(weights), Seq("tok"))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("score_sum"))
+    val lex100 = bm25Scores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(100)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("r_lex"))
+    val qual100 = qual
+      .orderBy(col("score_sum").desc, col("doc_id").asc).limit(100)
+      .withColumn("r_quality", row_number().over(
+        Window.orderBy(col("score_sum").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("r_quality"))
+    lex100.join(qual100, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("r_quality")), lit(0.0)))
+      .select(col("doc_id"), col("r_lex"), col("r_quality"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(20)
+  }
+  val q169Oracle: String = bm25Ctes + """,
+    qtoks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    qw AS (
+      SELECT tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS w
+      FROM (SELECT DISTINCT tok FROM qtoks)),
+    qual AS (
+      SELECT doc_id, SUM(w) AS score_sum
+      FROM qtoks JOIN qw USING (tok) GROUP BY doc_id),
+    lex100 AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        ORDER BY score DESC, doc_id ASC) AS INT) AS r_lex
+      FROM bm25 QUALIFY r_lex <= 100),
+    qual100 AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        ORDER BY score_sum DESC, doc_id ASC) AS INT) AS r_quality
+      FROM qual QUALIFY r_quality <= 100),
+    fused AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.r_lex, b.r_quality,
+             COALESCE(1.0 / (60 + a.r_lex), 0.0)
+               + COALESCE(1.0 / (60 + b.r_quality), 0.0) AS rrf
+      FROM lex100 a FULL OUTER JOIN qual100 b ON a.doc_id = b.doc_id)
+    SELECT doc_id, r_lex, r_quality, rrf FROM fused
+    ORDER BY rrf DESC, doc_id ASC LIMIT 20"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_bm25_topk" -> (q168Bm25TopK _),
+    "q169_hybrid_rrf" -> (q169HybridRrf _),
     "q167_window_chunks" -> (q167WindowChunks _),
     "q166_gopher_rules" -> (q166GopherRules _),
     "q165_span_ingest" -> (q165SpanIngest _),
@@ -1062,6 +1132,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q168_bm25_topk" -> q168Oracle,
+    "q169_hybrid_rrf" -> q169Oracle,
     "q167_window_chunks" -> q167Oracle,
     "q166_gopher_rules" -> q166Oracle,
     "q165_span_ingest" -> q165Oracle,
