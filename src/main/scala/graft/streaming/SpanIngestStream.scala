@@ -32,7 +32,8 @@ import graft.sync.BucketedTableStore
   */
 final class SpanIngestStream(spark: SparkSession, root: String,
     decisionsDir: String, n: Int = 8, nBuckets: Int = 16,
-    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+    now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+    corpusDir: Option[String] = None, corpusShards: Int = 8) {
 
   private val store = new BucketedTableStore(spark, root, nBuckets,
     deltaMerges = true, autoCompactAfter = 8)
@@ -42,9 +43,14 @@ final class SpanIngestStream(spark: SparkSession, root: String,
     .add("doc_id", LongType).add("text", StringType)
 
   /** Seed the gram index from an initial corpus (may be empty — the
-    * keyed table must exist before the first probe). */
-  def seed(corpus: DataFrame): Unit =
+    * keyed table must exist before the first probe); with `corpusDir`
+    * set the seed documents also become the corpus terminal's initial
+    * shards (the manifest must exist before the first append). */
+  def seed(corpus: DataFrame): Unit = {
     SpanIngest.seedIndex(store, corpus, n, now())
+    corpusDir.foreach(d =>
+      graft.operators.CorpusSink.writeShards(corpus, d, nShards = corpusShards))
+  }
 
   private def batchDir(batchId: Long) =
     Paths.get(decisionsDir, s"batch_id=$batchId")
@@ -69,6 +75,15 @@ final class SpanIngestStream(spark: SparkSession, root: String,
       }
       val dec = spark.read.parquet(batchDir(batchId).toString)
       SpanIngest.applyAdmissions(store, occ, dec, now())
+      // corpus terminal last — WAL-recovered decide + idempotent index
+      // merge + batchId-guarded append make a replayed epoch inert at
+      // every layer (same ordering argument as DedupIngestStream)
+      corpusDir.foreach { d =>
+        val admitted = clean.join(
+          dec.filter(col("admitted") === 1).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        graft.operators.CorpusSink.appendShards(admitted, d, batchId = Some(batchId))
+      }
     } finally { occ.unpersist(); clean.unpersist() }
   }
 
@@ -79,6 +94,15 @@ final class SpanIngestStream(spark: SparkSession, root: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None) = {
     WalGuards.requireRotatedTogether(checkpointDir, decisionsDir, decided)
+    // corpus batchId-guard has the same fresh-checkpoint collision as the
+    // WAL (appends silently skipped for new data) — refuse the pairing
+    corpusDir.foreach { d =>
+      val fresh = !Files.exists(Paths.get(checkpointDir, "offsets"))
+      require(!(fresh && graft.operators.CorpusSink.committedBatches(d).nonEmpty),
+        s"corpusDir $d has batchId-guarded appends from a previous run " +
+          s"but checkpointDir $checkpointDir is fresh (batchIds restart " +
+          "at 0) — rotate corpusDir together with the checkpoint")
+    }
     val reader = spark.readStream.schema(docSchema)
     maxFilesPerTrigger.fold(reader)(m =>
         reader.option("maxFilesPerTrigger", m))

@@ -89,4 +89,44 @@ class SpanIngestStreamSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { stream.start(inDir, ckpt) }
     assert(e.getMessage.contains("write-ahead decisions are missing"))
   }
+
+  test("corpus terminal: admitted docs land in verified shards, replays inert") {
+    import graft.operators.CorpusSink
+    val root = tmpDir("span2-store")
+    val decDir = tmpDir("span2-dec")
+    val inDir = tmpDir("span2-in")
+    val ckpt = tmpDir("span2-ckpt")
+    val corpus = tmpDir("span2-corpus")
+
+    val stream = new SpanIngestStream(spark, root, decDir, n = 8, nBuckets = 8,
+      corpusDir = Some(corpus), corpusShards = 4)
+    stream.seed(Seq(0L -> s"${toks("c", 30)} $boiler").toDF("doc_id", "text"))
+
+    val rejected = s"$boiler ${toks("x", 30)}"  // 10/40 = 25% dup → dropped
+    val admitted = s"$newRun ${toks("y", 41)}"  // clean → appended
+    val t = System.currentTimeMillis()
+    jsonFile(inDir, "in1.json", t, 10L -> rejected, 11L -> admitted)
+    stream.start(inDir, ckpt).awaitTermination()
+
+    val ids = spark.read.parquet(s"$corpus/data")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 11L),
+      s"corpus must hold seed + admitted docs only, got $ids")
+    assert(CorpusSink.verifyShards(spark, corpus).isEmpty,
+      "the streamed corpus must verify against its manifest")
+
+    // crash replay of batch 0: rows and manifest unchanged
+    stream.ingest(Seq(10L -> rejected, 11L -> admitted).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(s"$corpus/data").count() == 2,
+      "replayed epoch must not double corpus rows")
+    assert(CorpusSink.verifyShards(spark, corpus).isEmpty)
+
+    // fresh checkpoint + batchId-guarded corpus = silent append skips;
+    // refused up front
+    val stream2 = new SpanIngestStream(spark, root, tmpDir("span2-dec-fresh"),
+      n = 8, nBuckets = 8, corpusDir = Some(corpus))
+    intercept[IllegalArgumentException] {
+      stream2.start(inDir, tmpDir("span2-ckpt-fresh"))
+    }
+  }
 }
