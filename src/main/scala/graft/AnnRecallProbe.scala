@@ -32,7 +32,8 @@ object AnnRecallProbe {
     Seq(
       "srp-lsh" -> VectorOps.lshTopK(q, emb, k = 10),
       "ivf" -> VectorOps.ivfTopK(spark, q, emb, k = 10),
-      "pq" -> VectorOps.pqTopK(spark, q, emb, k = 10)
+      "pq" -> VectorOps.pqTopK(spark, q, emb, k = 10),
+      "ivfpq" -> VectorOps.ivfPqTopK(spark, q, emb, k = 10)
     ).foreach { case (name, approx) =>
       val rec = VectorOps.recallAgainst(approx, exact)
         .orderBy(col("query_id")).collect()

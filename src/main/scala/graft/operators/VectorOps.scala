@@ -142,24 +142,20 @@ object VectorOps {
     * training pass (sampled at 100 TB), then lookups touch
     * ~nprobe/nlist of the corpus. Seeded k-means keeps it deterministic.
     */
-  def ivfTopK(spark: org.apache.spark.sql.SparkSession,
-      queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 8, seed: Long = 42L,
-      indexKey: Option[String] = None): DataFrame = {
+  /** Index BUILD for the IVF family (train the coarse quantizer) —
+    * memoized per dataset when indexKey is given: a deployment trains
+    * once and amortizes, so the steady-state cost of the IVF operators
+    * is the probe, not the fit. Training samples a bounded set:
+    * centroid quality saturates long before the full corpus is seen, and
+    * at 100 TB a full pass per k-means iteration is the difference
+    * between index-build minutes and days. ~64k vectors ≫ nlist
+    * centroids is plenty. SHARED by [[ivfTopK]] and [[ivfPqTopK]] under
+    * one memo key — one coarse index serves both, as in a deployment.
+    *
+    * `corpusVec` must carry a `features` (ml Vector) column. */
+  private def coarseQuantizer(corpusVec: DataFrame, nlist: Int, seed: Long,
+      indexKey: Option[String]): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
-    val corpusVec = corpus.repartition(col("vec_id"))
-      .select(col("vec_id").as("neighbor_id"), col("embedding"))
-      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
-    // Index BUILD (train the coarse quantizer) — memoized per dataset when
-    // indexKey is given: a deployment trains once and amortizes, so the
-    // steady-state cost of this operator is the probe below, not the fit.
-    // Training samples a bounded set: centroid quality saturates long
-    // before the full corpus is seen, and at 100 TB a full pass per
-    // k-means iteration is the difference between index-build minutes and
-    // days. ~64k vectors ≫ nlist centroids is plenty.
     def train(): org.apache.spark.ml.clustering.KMeansModel = {
       val trainTarget = 65536L
       val corpusN = corpusVec.count()
@@ -172,7 +168,7 @@ object VectorOps {
       // quality is worth more than index-build seconds here.
       new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(trainDf)
     }
-    val model = indexKey match {
+    indexKey match {
       case Some(key) =>
         // v= is the dataset's mtime/size marker: an in-place rewrite of
         // the corpus dir retrains instead of serving the stale quantizer,
@@ -182,6 +178,18 @@ object VectorOps {
           train())
       case None => train()
     }
+  }
+
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 8, seed: Long = 42L,
+      indexKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusVec = corpus.repartition(col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
+    val model = coarseQuantizer(corpusVec, nlist, seed, indexKey)
     val assigned = model.transform(corpusVec)
       .select(col("neighbor_id"),
         quantize(col("embedding")).as("c_emb"),
@@ -401,6 +409,154 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     // bounded result (queries × k): materialize, then release the cached
     // PQ-encoded corpus — same no-leftover-cache contract as ivfTopK
+    Materialize.thenRelease(topKByQuery(scored, k), encoded)
+  }
+
+  /** IVF-PQ ANN — the production composition of [[ivfTopK]] and
+    * [[pqTopK]] (the FAISS `IVFx,PQy` index shape): the coarse quantizer
+    * routes every corpus vector to a cell, PQ codebooks quantize the
+    * RESIDUAL (vector − its cell centroid — residuals are near-zero-
+    * centered, so the same kCodes buys finer resolution than global PQ),
+    * the ADC scan touches only the nprobe probed cells' codes, and the
+    * survivors re-rank exactly. The coarse quantizer is the SAME memoized
+    * artifact ivfTopK trains (shared AnnIndexCache key) — one coarse
+    * index serves both operators; only the residual codebooks are this
+    * operator's own build. Scale shape: cells are hash-partitioned and
+    * the per-query work is nprobe cells × (m·kCodes LUT + |cell| ADC
+    * lookups) — corpus size enters only through |cell| ≈ N/nlist, and
+    * the corpus itself never shuffles (the LUTs broadcast). */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 8, m: Int = 8, kCodes: Int = 32,
+      rerank: Int = 100, seed: Long = 42L,
+      indexKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusVec = corpus.repartition(col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
+    val model = coarseQuantizer(corpusVec, nlist, seed, indexKey)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val centroidDf = spark.createDataFrame(centroids).toDF("cell", "centroid")
+
+    // residuals: emb − centroid[cell], one narrow projection per row
+    val assigned = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("embedding"),
+        col("prediction").as("cell"))
+      .join(broadcast(centroidDf), Seq("cell"))
+      .withColumn("resid", zip_with(
+        col("embedding").cast("array<double>"), col("centroid"),
+        (x, y) => x - y))
+
+    // residual PQ codebooks: driver-local Lloyd's over a bounded sorted
+    // sample — same rationale and determinism contract as pqTopK's train
+    def train(): (Int, Array[Array[Array[Double]]]) = {
+      val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val sub = dim / m
+      val trainTarget = 65536L
+      val corpusN = corpusVec.count()
+      val sample =
+        (if (corpusN <= trainTarget) assigned
+         else assigned.sample(withReplacement = false,
+           trainTarget.toDouble / corpusN, seed))
+          .select(col("neighbor_id"), col("resid"))
+          .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      (dim, Array.tabulate(m) { b =>
+        val pts = sample.map(v => java.util.Arrays.copyOfRange(v, b * sub, (b + 1) * sub))
+        localKMeans(pts, kCodes, iters = 10, seed = seed + b)
+      })
+    }
+    val (dim, codebooks) = indexKey match {
+      case Some(key) =>
+        AnnIndexCache.memoKeyed(s"ivfpq:$key:",
+          s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist:m=$m" +
+            s":kCodes=$kCodes:seed=$seed")(train())
+      case None => train()
+    }
+    val sub = dim / m
+    val bcCodebooks = spark.sparkContext.broadcast(codebooks)
+    val encodeUdf = udf { (resid: Seq[Double]) =>
+      val cbs = bcCodebooks.value
+      Array.tabulate(m) { b =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cbs(b).length) {
+          val cent = cbs(b)(c)
+          var d = 0.0; var i = 0
+          while (i < cent.length) {
+            val diff = resid(b * sub + i) - cent(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    val encoded = assigned
+      .select(col("neighbor_id"), col("cell"),
+        quantize(col("embedding")).as("c_emb"),
+        encodeUdf(col("resid")).as("codes"))
+      .withColumn("c_n2", qnorm2(col("c_emb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // probe: each query ranks all nlist centroids, keeps nprobe cells
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_embf"))
+    val probed = q.crossJoin(broadcast(centroidDf))
+      .withColumn("dist2", aggregate(
+        zip_with(col("q_embf").cast("array<double>"), col("centroid"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist2").asc, col("cell").asc)))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("q_embf"), col("cell"), col("centroid"))
+
+    // per-(query, cell) LUT over the RESIDUAL query: lut[b*kCodes+code]
+    // = ‖(q − centroid[cell])_b − codebook[b][code]‖²
+    val codebookDf = spark.createDataFrame(
+      for { b <- (0 until m).toSeq
+            (c, code) <- codebooks(b).zipWithIndex.toSeq }
+        yield (b, code, c)).toDF("block", "code", "cb")
+    val luts = probed
+      .withColumn("rq", zip_with(
+        col("q_embf").cast("array<double>"), col("centroid"), (x, y) => x - y))
+      .crossJoin(broadcast(codebookDf))
+      .select(col("query_id"), col("q_embf"), col("cell"), col("block"), col("code"),
+        aggregate(
+          zip_with(
+            slice(col("rq"), col("block") * sub + 1, lit(sub)),
+            col("cb"), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, x) => acc + x).as("d2"))
+      .groupBy(col("query_id"), col("q_embf"), col("cell"))
+      .agg(sort_array(collect_list(struct(col("block"), col("code"), col("d2"))))
+        .as("entries"))
+      .select(col("query_id"), col("q_embf"), col("cell"),
+        transform(col("entries"), e => e.getField("d2")).as("lut"))
+
+    // ADC over the probed cells only: encoded is joined BY CELL, so a
+    // query never touches the (nlist − nprobe)/nlist rest of the corpus
+    val adc = encoded.join(broadcast(luts), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", expr(
+        s"aggregate(sequence(0, ${m - 1}), 0D, " +
+          s"(acc, b) -> acc + element_at(lut, b * $kCodes + element_at(codes, b + 1) + 1))"))
+    val topCand = udaf(new graft.functions.TopKAgg(rerank))
+    val candidates = adc
+      .groupBy(col("query_id"), col("q_embf"))
+      .agg(topCand(-col("adc"), col("neighbor_id")).as("cand"))
+      .select(col("query_id"), col("q_embf"), explode(col("cand")).as("c"))
+      .select(col("query_id"), col("q_embf"), col("c._2").as("neighbor_id"))
+    val scored = candidates
+      .withColumn("q_emb", quantize(col("q_embf")))
+      .withColumn("q_n2", qnorm2(col("q_emb")))
+      .join(encoded.select(col("neighbor_id"), col("c_emb"), col("c_n2")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", cosineFromParts(
+        qdot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
     Materialize.thenRelease(topKByQuery(scored, k), encoded)
   }
 

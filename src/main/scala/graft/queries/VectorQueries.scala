@@ -117,7 +117,9 @@ object VectorQueries {
     * Measured minima (graft.AnnRecallProbe, re-run whenever an index or
     * its training inputs change):
     *   sf0.001 / sf0.01 / sf0.1 → SRP 0.50 0.70 0.70; IVF 0.80 0.80
-    *   0.70; PQ 0.90 0.90 0.30. Gate bounds: SRP 0.65, IVF 0.7, PQ 0.8. */
+    *   0.70; PQ 0.90 0.90 0.30; IVF-PQ 0.80 0.80 0.60 (the residual
+    *   quantization recovers sf0.1 recall global PQ loses: 0.60 vs
+    *   0.30 min). Gate bounds: SRP 0.65, IVF 0.7, PQ 0.8, IVF-PQ 0.7. */
   private def recallBound(dir: String, atGate: Double, floor: Double): Double =
     if (dir.stripSuffix("/").endsWith("sf0.01")) atGate else floor
 
@@ -193,6 +195,22 @@ object VectorQueries {
       .orderBy(col("query_id").asc)
   }
   val q129Oracle: String = annRecallOracle
+
+  // q170 — IVF-PQ ANN (the FAISS IVFx,PQy composition): coarse cells +
+  // residual product quantization + per-cell ADC + exact re-rank. Same
+  // engine-trained-index recall protocol as q44/q129; the coarse
+  // quantizer is q44's own memoized artifact (shared index key).
+  def q170AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
+    VectorOps.recallAgainst(
+      VectorOps.ivfPqTopK(spark, q, emb, k = 10, indexKey = Some(dir)), exact)
+      .select(col("query_id"), (col("recall") >= recallBound(dir, 0.7, 0.5))
+        .cast("int").as("recall_ok"))
+      .orderBy(col("query_id").asc)
+  }
+  val q170Oracle: String = annRecallOracle
 
   // q90 — mean-pooled label centroids: the embedding-pooling primitive
   // (cluster centers, class prototypes, chunk→doc pooling). posexplode →
@@ -447,6 +465,7 @@ object VectorQueries {
     "q91_nearest_centroid" -> (q91NearestCentroid _),
     "q44_ann_ivf" -> (q44AnnIvf _),
     "q129_ann_pq" -> (q129AnnPq _),
+    "q170_ann_ivfpq" -> (q170AnnIvfPq _),
     "q40_ann_bruteforce" -> (q40AnnBruteforce _),
     "q41_cosine_dedup" -> (q41CosineDedup _),
     "q42_ann_lsh" -> (q42AnnLsh _),
@@ -462,6 +481,7 @@ object VectorQueries {
     "q41_cosine_dedup" -> q41Oracle,
     "q42_ann_lsh" -> q42Oracle,
     "q44_ann_ivf" -> q44Oracle,
+    "q170_ann_ivfpq" -> q170Oracle,
     "q129_ann_pq" -> q129Oracle,
     "q43_knn_label_vote" -> q43Oracle)
 }

@@ -104,6 +104,8 @@ class OperatorSpec extends SparkSpec {
       nlist = 4, nprobe = 2).count()
     graft.operators.VectorOps.pqTopK(spark, vecs, vecs, k = 3,
       m = 2, kCodes = 4, rerank = 8).count()
+    graft.operators.VectorOps.ivfPqTopK(spark, vecs, vecs, k = 3,
+      nlist = 4, nprobe = 2, m = 2, kCodes = 4, rerank = 8).count()
     assert(spark.sharedState.cacheManager.isEmpty,
       "pair operators must release their persisted intermediates")
   }
@@ -230,6 +232,23 @@ class OperatorSpec extends SparkSpec {
     // the exact re-rank over 100 ADC candidates should clear the probe-
     // bounded tiers comfortably (measured 1.0 at sf0.001)
     assert(recall >= 0.7, s"PQ recall collapsed: $recall")
+  }
+
+  test("IVF-PQ ANN recall vs brute force on real embeddings") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = VectorOps.bruteForceTopK(queries, emb, 10)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = VectorOps.ivfPqTopK(spark, queries, emb, 10)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    info(s"IVF-PQ recall@10 = $recall (nlist=16, nprobe=8, m=8, k=32)")
+    // residual quantization recovers the recall global PQ loses at scale
+    // (AnnRecallProbe: min 0.80/0.80/0.60 across sf0.001/0.01/0.1 vs
+    // plain PQ's 0.30 at sf0.1); at sf0.001 the probe measured 0.80 min
+    assert(recall >= 0.7, s"IVF-PQ recall collapsed: $recall")
   }
 
   test("ANN index cache retrains after an in-place dataset rewrite") {
