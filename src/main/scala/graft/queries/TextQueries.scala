@@ -1102,7 +1102,147 @@ object TextQueries {
     SELECT doc_id, r_lex, r_quality, rrf FROM fused
     ORDER BY rrf DESC, doc_id ASC LIMIT 20"""
 
+  // q171 — CCNet-style LM-perplexity bucketing (Wenzek et al. 2020): a
+  // stupid-backoff bigram LM (Brants et al. 2007; alpha=0.4, Laplace
+  // unigram fallback) trains on the `en` slice — CCNet's clean reference
+  // corpus — every document scores by mean token log-probability, and
+  // each language's docs bucket into head/middle/tail perplexity
+  // tertiles. INTEGER-exact cross-engine: each distinct (w1,w2) pair's
+  // log-prob quantizes ONCE to micro-nats (floor(ln·1e6) — the only libm
+  // call, over count-derived doubles that are bit-identical in both
+  // engines), so the per-doc sum is an exact BIGINT in any order; the
+  // mean is two correctly-rounded divides in fixed order, and the
+  // tertile ordering is exact (equal means are equal rationals → equal
+  // doubles; doc_id breaks real ties).
+  // Scale shape: LM counts are two partial-agg shuffles over the train
+  // slice only; the pair-term table is ≤ vocab² rows → broadcast; doc
+  // scoring is explode + broadcast join + one per-doc partial agg (the
+  // corpus never shuffles whole rows). The per-lang ntile window is the
+  // oracle-exact tertile; at 100 TB the cutoffs would come from a score
+  // histogram computed once and broadcast (CCNet itself fits cutoffs on
+  // a sample), turning the sort into a map-side bucket lookup.
+  def q171LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("t"))
+    val train = toks.filter(col("lang") === "en")
+    val trainTok = train.select(explode(col("t")).as("tok"))
+    val uni = trainTok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // N = train token count; V = full-corpus vocab (so OOV scoring is
+    // defined); a single-row frame cross-joined everywhere it's needed
+    val nv = trainTok.agg(count(lit(1)).as("n")).crossJoin(
+      toks.select(explode(col("t")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v")))
+    def pairsOf(df: DataFrame): DataFrame = df
+      .withColumn("a", slice(col("t"), lit(1), size(col("t")) - 1))
+      .withColumn("b", slice(col("t"), lit(2), size(col("t")) - 1))
+      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+    val big = pairsOf(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val docPairs = pairsOf(toks)
+    // one quantized log-prob per DISTINCT observed pair (≤ vocab²):
+    // p = c12/c1 when the bigram was seen, else alpha · laplace(w2)
+    val pairTerms = docPairs.select(col("w1"), col("w2")).distinct()
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"), "left")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"), "left")
+      .crossJoin(nv)
+      .withColumn("lp_micro", floor(
+        when(col("c12").isNotNull,
+          log(col("c12").cast("double") / col("c1").cast("double")))
+          .otherwise(log(lit(0.4) *
+            ((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double")
+              / (col("n") + col("v")).cast("double"))))
+          * lit(1000000.0)).cast("long"))
+      .select(col("w1"), col("w2"), col("lp_micro"))
+    // the first token of each doc scores by the Laplace unigram alone
+    val firstTerms = toks.select(col("t").getItem(0).as("w")).distinct()
+      .join(uni.select(col("tok").as("w"), col("c")), Seq("w"), "left")
+      .crossJoin(nv)
+      .withColumn("lp_first", floor(
+        log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double")
+          / (col("n") + col("v")).cast("double")) * lit(1000000.0)).cast("long"))
+      .select(col("w"), col("lp_first"))
+    val pairScore = docPairs
+      .join(broadcast(pairTerms), Seq("w1", "w2"))
+      .groupBy(col("doc_id")).agg(sum(col("lp_micro")).as("s_pairs"))
+    toks.select(col("doc_id"), col("lang"),
+        size(col("t")).cast("long").as("n_tokens"), col("t").getItem(0).as("w"))
+      .join(broadcast(firstTerms), Seq("w"))
+      .join(pairScore, Seq("doc_id"), "left")
+      .withColumn("score_micro",
+        col("lp_first") + coalesce(col("s_pairs"), lit(0L)))
+      .withColumn("avg_logprob",
+        col("score_micro").cast("double") / col("n_tokens") / lit(1000000.0))
+      .withColumn("bucket",
+        when(ntile(3).over(Window.partitionBy(col("lang"))
+          .orderBy(col("avg_logprob").desc, col("doc_id").asc)) === 1, "head")
+          .when(ntile(3).over(Window.partitionBy(col("lang"))
+            .orderBy(col("avg_logprob").desc, col("doc_id").asc)) === 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("score_micro"), col("avg_logprob"), col("bucket"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q171Oracle: String = """
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    train_tok AS (
+      SELECT unnest(t) AS tok FROM toks WHERE lang = 'en'),
+    nv AS (
+      SELECT (SELECT COUNT(*) FROM train_tok) AS n,
+             (SELECT COUNT(DISTINCT tok)
+              FROM (SELECT unnest(t) AS tok FROM toks)) AS v),
+    uni AS (SELECT tok, COUNT(*) AS c FROM train_tok GROUP BY tok),
+    train_pairs AS (
+      SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE lang = 'en' AND len(t) >= 2),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM train_pairs GROUP BY w1, w2),
+    doc_pairs AS (
+      SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2),
+    pair_terms AS (
+      SELECT p.w1, p.w2,
+        CAST(FLOOR(CASE WHEN b.c12 IS NOT NULL
+          THEN LN(CAST(b.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+          ELSE LN(0.4 * (CAST(COALESCE(u2.c, 0) + 1 AS DOUBLE)
+                          / CAST(nv.n + nv.v AS DOUBLE)))
+          END * 1000000.0) AS BIGINT) AS lp_micro
+      FROM (SELECT DISTINCT w1, w2 FROM doc_pairs) p
+      LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN uni u1 ON u1.tok = p.w1
+      LEFT JOIN uni u2 ON u2.tok = p.w2
+      CROSS JOIN nv),
+    first_terms AS (
+      SELECT fk.w,
+        CAST(FLOOR(LN(CAST(COALESCE(u.c, 0) + 1 AS DOUBLE)
+                       / CAST(nv.n + nv.v AS DOUBLE))
+          * 1000000.0) AS BIGINT) AS lp_first
+      FROM (SELECT DISTINCT t[1] AS w FROM toks) fk
+      LEFT JOIN uni u ON u.tok = fk.w
+      CROSS JOIN nv),
+    pair_score AS (
+      SELECT doc_id, SUM(lp_micro) AS s_pairs
+      FROM doc_pairs JOIN pair_terms USING (w1, w2) GROUP BY doc_id),
+    scored AS (
+      SELECT fi.doc_id, fi.lang, CAST(len(fi.t) AS BIGINT) AS n_tokens,
+             CAST(ft.lp_first + COALESCE(ps.s_pairs, 0) AS BIGINT)
+               AS score_micro
+      FROM toks fi
+      JOIN first_terms ft ON ft.w = fi.t[1]
+      LEFT JOIN pair_score ps ON ps.doc_id = fi.doc_id),
+    final AS (
+      SELECT doc_id, lang, n_tokens, score_micro,
+             CAST(score_micro AS DOUBLE) / n_tokens / 1000000.0 AS avg_logprob
+      FROM scored)
+    SELECT doc_id, lang, n_tokens, score_micro, avg_logprob,
+      CASE NTILE(3) OVER (PARTITION BY lang
+                          ORDER BY avg_logprob DESC, doc_id ASC)
+        WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM final ORDER BY doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_lm_perplexity" -> (q171LmPerplexity _),
     "q168_bm25_topk" -> (q168Bm25TopK _),
     "q169_hybrid_rrf" -> (q169HybridRrf _),
     "q167_window_chunks" -> (q167WindowChunks _),
@@ -1131,6 +1271,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q171_lm_perplexity" -> q171Oracle,
     "q168_bm25_topk" -> q168Oracle,
     "q169_hybrid_rrf" -> q169Oracle,
     "q167_window_chunks" -> q167Oracle,

@@ -79,6 +79,13 @@ class PlanSpec extends SparkSpec {
       "the df table and corpus stats must broadcast onto the tf rows")
   }
 
+  test("q171: LM term tables broadcast onto the exploded token pairs") {
+    val s = planString("q171_lm_perplexity")
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastHashJoin"),
+      "the ≤vocab² pair-term and first-term tables must broadcast — the " +
+        "exploded corpus pairs must never shuffle for the lookup")
+  }
+
   test("q06: selective filters reach the parquet scan (pushdown)") {
     val s = planString("q06_forecast_revenue")
     // the rendered plan truncates long filter lists, so match the prefix
