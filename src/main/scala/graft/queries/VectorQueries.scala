@@ -457,7 +457,120 @@ object VectorQueries {
            CASE WHEN near_dup = 0 THEN 1 ELSE 0 END AS admitted
     FROM allb ORDER BY vec_id ASC"""
 
+  // q172 — exact Gram/covariance matrix over the embedding corpus: the
+  // PCA/whitening-prep primitive (one pass → Σ qᵀq upper triangle +
+  // per-dim sums + n; covariance follows in closed form). The corpus is
+  // scanned ONCE and never shuffled — GramAgg ships one ~17 KB buffer
+  // per map task through the partial/merge tree (a posexplode² plan
+  // would push N·d² product rows into the shuffle). The d(d+3)/2+1-long
+  // result is BOUNDED (2 145 longs at d=64) — the collect is the matrix
+  // itself, never rows. All integer arithmetic is exact; the covariance
+  // doubles are fixed-order correctly-rounded ops over exact ints, so
+  // both engines produce identical bits.
+  def q172GramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(VectorOps.quantize(col("embedding")).as("qe"))
+    val d = e.select(size(col("qe"))).first().getInt(0)
+    val tri = d * (d + 1) / 2
+    val gram = udaf(new graft.functions.GramAgg(d))
+    val packed = e.agg(gram(col("qe")).as("g")).first().getSeq[Long](0)
+    val n = packed(tri + d)
+    val rows = for { i <- 0 until d; j <- i until d } yield {
+      val k = i * d - i * (i - 1) / 2 + (j - i)
+      (i.toLong, j.toLong, packed(k), packed(tri + i), packed(tri + j))
+    }
+    spark.createDataFrame(rows).toDF("i", "j", "gram", "s_i", "s_j")
+      .withColumn("cov",
+        (col("gram").cast("double")
+          - col("s_i").cast("double") * col("s_j").cast("double") / lit(n))
+          / lit(n) / lit(100000000.0))
+      .orderBy(col("i").asc, col("j").asc)
+  }
+  val q172Oracle: String = s"""
+    WITH q AS (SELECT vec_id, ${oQuant("embedding")} AS qe FROM embeddings),
+    ex AS (SELECT vec_id, generate_subscripts(qe, 1) - 1 AS i, unnest(qe) AS v
+           FROM q),
+    nn AS (SELECT COUNT(*) AS n FROM q),
+    g AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS gram
+          FROM ex a JOIN ex b ON b.vec_id = a.vec_id AND b.i >= a.i
+          GROUP BY a.i, b.i),
+    s AS (SELECT i, SUM(v) AS s FROM ex GROUP BY i)
+    SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j,
+           CAST(gram AS BIGINT) AS gram,
+           CAST(sa.s AS BIGINT) AS s_i, CAST(sb.s AS BIGINT) AS s_j,
+           (CAST(gram AS DOUBLE)
+             - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) / nn.n)
+             / nn.n / 100000000.0 AS cov
+    FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j CROSS JOIN nn
+    ORDER BY i ASC, j ASC"""
+
+  // q173 — embedding outlier screen (SemDeDup-adjacent prototypicality,
+  // Abbas et al. 2023): each vector's exact cosine to its OWN label
+  // centroid, per-label deciles, bottom decile flagged as outliers —
+  // the curation pass that drops least-prototypical examples per
+  // cluster. Centroids stay integer SUM vectors (cosine is scale-
+  // invariant, q91's trick); the 10-row centroid table broadcasts, so
+  // the corpus maps once with a codegen'd long_dot — no explode, no
+  // corpus shuffle. The per-label ntile is the oracle-exact decile; at
+  // 100 TB cutoffs would come from a per-label score histogram.
+  def q173OutlierScreen(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        VectorOps.quantize(col("embedding")).as("q_emb"))
+      .withColumn("q_n2", VectorOps.qnorm2(col("q_emb")))
+    val cent = Tables.embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim")).agg(sum(col("q")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+        x => x.getField("s")).as("c_emb"))
+      .withColumn("c_n2", VectorOps.qnorm2(col("c_emb")))
+    val dec = ntile(10).over(Window.partitionBy(col("label"))
+      .orderBy(col("cos_centroid").asc, col("vec_id").asc))
+    e.join(broadcast(cent), Seq("label"))
+      .withColumn("cos_centroid", VectorOps.cosineFromParts(
+        VectorOps.qdot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+      .withColumn("decile", dec.cast("long"))
+      .withColumn("is_outlier", (col("decile") === 1).cast("int"))
+      .select(col("vec_id"), col("label"), col("cos_centroid"),
+        col("decile"), col("is_outlier"))
+      .orderBy(col("vec_id").asc)
+  }
+  val q173Oracle: String = s"""
+    WITH e AS (
+      SELECT vec_id, label, ${oQuant("embedding")} AS q FROM embeddings),
+    en AS (
+      SELECT vec_id, label, q,
+        list_sum(list_transform(generate_series(1, len(q)), i -> q[i]*q[i])) AS n2
+      FROM e),
+    cd0 AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+      FROM embeddings),
+    cd AS (SELECT label, pos, SUM(q) AS s FROM cd0 GROUP BY label, pos),
+    c AS (SELECT label, list(s ORDER BY pos) AS cq FROM cd GROUP BY label),
+    cn AS (
+      SELECT label, cq,
+        list_sum(list_transform(generate_series(1, len(cq)), i -> cq[i]*cq[i])) AS cn2
+      FROM c),
+    scored AS (
+      SELECT en.vec_id, en.label,
+        CAST(list_sum(list_transform(generate_series(1, len(q)), i -> q[i]*cq[i])) AS DOUBLE)
+          / sqrt(CAST(n2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS cos_centroid
+      FROM en JOIN cn ON cn.label = en.label),
+    ranked AS (
+      SELECT vec_id, label, cos_centroid,
+        CAST(NTILE(10) OVER (PARTITION BY label
+          ORDER BY cos_centroid ASC, vec_id ASC) AS BIGINT) AS decile
+      FROM scored)
+    SELECT vec_id, label, cos_centroid, decile,
+           CASE WHEN decile = 1 THEN 1 ELSE 0 END AS is_outlier
+    FROM ranked ORDER BY vec_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_gram_matrix" -> (q172GramMatrix _),
+    "q173_outlier_screen" -> (q173OutlierScreen _),
     "q160_semantic_dedup_ingest" -> (q160SemanticDedupIngest _),
     "q156_semantic_dedup" -> (q156SemanticDedup _),
     "q152_knn_graph" -> (q152KnnGraph _),
@@ -472,6 +585,8 @@ object VectorQueries {
     "q43_knn_label_vote" -> (q43KnnLabelVote _))
 
   val oracles: Map[String, String] = Map(
+    "q172_gram_matrix" -> q172Oracle,
+    "q173_outlier_screen" -> q173Oracle,
     "q160_semantic_dedup_ingest" -> q160Oracle,
     "q156_semantic_dedup" -> q156Oracle,
     "q152_knn_graph" -> q152Oracle,

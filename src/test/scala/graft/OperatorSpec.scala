@@ -234,6 +234,20 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.7, s"PQ recall collapsed: $recall")
   }
 
+  test("GramAgg: exact gram/sums/count, invariant under repartitioning") {
+    import org.apache.spark.sql.functions.udaf
+    val vecs = Seq(
+      (0L, Seq(1L, 2L, 3L)), (1L, Seq(-1L, 0L, 5L)), (2L, Seq(2L, 2L, 2L)))
+    // hand-computed: upper triangle row-major, then per-dim sums, then n
+    val expected = Seq(6L, 6L, 2L, 8L, 10L, 38L, 2L, 4L, 10L, 3L)
+    val gram = udaf(new graft.functions.GramAgg(3))
+    for (parts <- Seq(1, 3)) {
+      val got = vecs.toDF("id", "qe").repartition(parts)
+        .agg(gram($"qe")).first().getSeq[Long](0)
+      assert(got == expected, s"parts=$parts: $got")
+    }
+  }
+
   test("IVF-PQ ANN recall vs brute force on real embeddings") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 5)

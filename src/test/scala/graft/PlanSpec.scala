@@ -86,6 +86,13 @@ class PlanSpec extends SparkSpec {
         "exploded corpus pairs must never shuffle for the lookup")
   }
 
+  test("q173: label-centroid table broadcasts; corpus maps without explode") {
+    val s = planString("q173_outlier_screen")
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastHashJoin"),
+      "the 10-row centroid table must broadcast onto the corpus scan — " +
+        "the scored side must never shuffle for the join")
+  }
+
   test("q06: selective filters reach the parquet scan (pushdown)") {
     val s = planString("q06_forecast_revenue")
     // the rendered plan truncates long filter lists, so match the prefix
