@@ -111,4 +111,72 @@ object MultimodalOps {
       .select(col("doc_id"), col("byte_len"),
         explode(sequence(lit(0L), expr(s"(byte_len - 1) DIV $strideBytes"))).as("frame_idx"))
       .withColumn("offset", col("frame_idx") * strideBytes)
+
+  /** aHash perceptual fingerprint, banded: 64 evenly-strided payload
+    * bytes stand in for the decoded 8×8 luma thumbnail (a real codec
+    * would decode + downscale here — identical mapPartitions shape), and
+    * bit i sets iff pixel_i·64 > Σ pixels — the classic average-hash
+    * threshold, kept INTEGER so both engines agree exactly. The 64 bits
+    * are carried as four 16-bit band ints rather than one packed int64:
+    * that's what the LSH candidate join needs anyway, and it keeps every
+    * value small enough that the DuckDB oracle's bit arithmetic can't
+    * overflow. Image payloads only; payloads under 64 bytes are excluded
+    * (not plausible images, and the stride would alias). */
+  final case class PHashBands(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  def perceptualHashBands(spark: SparkSession,
+      media: DataFrame): Dataset[PHashBands] = {
+    import spark.implicits._
+    media.filter(col("kind") === "image" && length(col("media")) >= 64)
+      .select(col("doc_id"), col("kind"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val n = r.media.length
+          val k = n / 64
+          val px = Array.tabulate(64)(i => r.media(i * k) & 0xff)
+          var s = 0L
+          var i = 0
+          while (i < 64) { s += px(i); i += 1 }
+          val bands = new Array[Int](4)
+          i = 0
+          while (i < 64) {
+            if (px(i).toLong * 64 > s) bands(i / 16) |= 1 << (i % 16)
+            i += 1
+          }
+          PHashBands(r.doc_id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+  }
+
+  /** Perceptual near-dup screen: pairs sharing ≥1 of the 4 hash bands
+    * (exact 16-bit band equality — the SimHash/LSH blocking shape, so
+    * the join shuffles only band collisions, never all pairs) whose full
+    * 64-bit Hamming distance ≤ `maxHamming`. The dedup matrix's
+    * multimodal column: the same candidates→exact-verify two-phase shape
+    * as q34/q37, over payload bytes instead of text. */
+  def phashNearDups(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 10): DataFrame = {
+    val ph = perceptualHashBands(spark, media).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = ph.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "v")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val left = ph.toDF("doc_a", "a0", "a1", "a2", "a3")
+    val right = ph.toDF("doc_b", "c0", "c1", "c2", "c3")
+    val res = cand.join(left, "doc_a").join(right, "doc_b")
+      .withColumn("hamming",
+        (bit_count(col("a0").bitwiseXOR(col("c0")))
+          + bit_count(col("a1").bitwiseXOR(col("c1")))
+          + bit_count(col("a2").bitwiseXOR(col("c2")))
+          + bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    Materialize.thenRelease(res, ph)
+  }
 }

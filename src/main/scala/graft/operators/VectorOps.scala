@@ -618,6 +618,58 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
   }
 
+  /** Semantic decontamination: flag corpus vectors whose embedding
+    * cosine-matches ANY benchmark/eval vector at ≥ `threshold` — the
+    * embedding-space counterpart of the n-gram contamination screen (the
+    * curation matrix spans both, the way the dedup matrix spans
+    * content-hash and cosine). Same axis-aligned sign-band blocking as
+    * [[cosineDedupPairs]] (integer-exact, no trained state, oracle
+    * replays it verbatim) minus the label restriction — contamination
+    * crosses labels — and BIPARTITE: only eval×corpus bucket collisions
+    * ever join, never a corpus self-join, and the eval side (a benchmark,
+    * small by nature) broadcasts onto the corpus bands. Per-bucket caps
+    * bound skew exactly as in the dedup screens, mirrored in the oracle.
+    * Output: every corpus vector with its verified eval-match count. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double, bands: Int = 16, dimsPerBand: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def prep(df: DataFrame) = df
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", qnorm2(col("q")))
+    val bandStructs = (0 until bands).map { b =>
+      val bits = concat((1 to dimsPerBand).map(i =>
+        when(element_at(col("q"), b * dimsPerBand + i) > 0, lit("1"))
+          .otherwise(lit("0"))): _*)
+      struct(lit(b).as("band"), bits.as("bucket"))
+    }
+    def banded(df: DataFrame) = {
+      val capW = Window.partitionBy(col("band"), col("bucket"))
+        .orderBy(col("vec_id").asc)
+      df.select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        .withColumn("rn", row_number().over(capW))
+        .filter(col("rn") <= maxBucket).drop("rn")
+    }
+    val c = prep(corpus)
+    val e = prep(evalSet)
+    val cand = banded(c).join(broadcast(banded(e).toDF("eval_id", "band", "bucket")),
+        Seq("band", "bucket"))
+      .select(col("vec_id"), col("eval_id")).distinct()
+    val hits = cand
+      .join(c.select(col("vec_id"), col("q").as("qc"), col("n2").as("nc")), Seq("vec_id"))
+      .join(broadcast(e.select(col("vec_id").as("eval_id"),
+        col("q").as("qe"), col("n2").as("ne"))), Seq("eval_id"))
+      .filter(cosineFromParts(qdot(col("qc"), col("qe")), col("nc"), col("ne"))
+        >= threshold)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_matches"))
+    c.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .withColumn("contaminated", (col("n_matches") > 0).cast("int"))
+  }
+
   /** Approximate kNN GRAPH over the whole corpus — every vector gets its
     * top-k neighbors in one self-join, the batch shape semantic-dedup and
     * diversity-sampling pipelines run over a full training corpus (the

@@ -91,13 +91,67 @@ object MultimodalQueries {
              AS thumb_md5
     FROM m ORDER BY doc_id ASC"""
 
+  // q174 — perceptual-hash near-dup screen over image payloads: the
+  // dedup matrix's multimodal column (q30 content-hash / q34 minhash /
+  // q37 simhash / q41 cosine ↦ payload bytes). aHash bits from 64
+  // strided "pixels" with an integer mean threshold, four 16-bit bands
+  // block candidates (band equality = the LSH join — only collisions
+  // shuffle, never all pairs), exact 64-bit Hamming ≤ 10 verifies. The
+  // corpus being ASCII is what lets the DuckDB oracle respell the byte
+  // stride as a character stride (q96's trick); the Spark side works on
+  // the real bytes.
+  def q174PhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.phashNearDups(spark,
+        MultimodalOps.asMediaTable(Tables.documents(spark, dir)),
+        maxHamming = 10)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  val q174Oracle: String = """
+    WITH img AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 0 AND octet_length(encode(text)) >= 64),
+    px AS (
+      SELECT doc_id, unnest(generate_series(0, 63)) AS i, n, text FROM img),
+    pv AS (
+      SELECT doc_id, i,
+             ascii(text[(i*(n//64))+1 : (i*(n//64))+1]) AS p FROM px),
+    pxs AS (SELECT doc_id, SUM(p) AS s FROM pv GROUP BY doc_id),
+    bits AS (
+      SELECT pv.doc_id, i, CASE WHEN p * 64 > s THEN 1 ELSE 0 END AS bit
+      FROM pv JOIN pxs ON pxs.doc_id = pv.doc_id),
+    bands AS (
+      SELECT doc_id, i // 16 AS band,
+             CAST(SUM(bit << (i % 16)) AS BIGINT) AS v
+      FROM bits GROUP BY doc_id, i // 16),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+    wide AS (
+      SELECT doc_id,
+        CAST(MAX(CASE WHEN band=0 THEN v END) AS BIGINT) AS b0,
+        CAST(MAX(CASE WHEN band=1 THEN v END) AS BIGINT) AS b1,
+        CAST(MAX(CASE WHEN band=2 THEN v END) AS BIGINT) AS b2,
+        CAST(MAX(CASE WHEN band=3 THEN v END) AS BIGINT) AS b3
+      FROM bands GROUP BY doc_id),
+    ham AS (
+      SELECT doc_a, doc_b,
+        CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+           + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+          AS INT) AS hamming
+      FROM cand JOIN wide wa ON wa.doc_id = doc_a
+                JOIN wide wb ON wb.doc_id = doc_b)
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 10
+    ORDER BY doc_a ASC, doc_b ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_phash_neardup" -> (q174PhashNearDup _),
     "q45_media_stats" -> (q45MediaStats _),
     "q46_decode_features" -> (q46DecodeFeatures _),
     "q47_frame_sample" -> (q47FrameSample _),
     "q96_resize_thumbnail" -> (q96ResizeThumbnail _))
 
   val oracles: Map[String, String] = Map(
+    "q174_phash_neardup" -> q174Oracle,
     "q45_media_stats" -> q45Oracle,
     "q46_decode_features" -> q46Oracle,
     "q47_frame_sample" -> q47Oracle,

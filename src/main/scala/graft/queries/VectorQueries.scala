@@ -568,7 +568,58 @@ object VectorQueries {
            CASE WHEN decile = 1 THEN 1 ELSE 0 END AS is_outlier
     FROM ranked ORDER BY vec_id ASC"""
 
+  // q175 — semantic decontamination: the embedding-space counterpart of
+  // q153's n-gram contamination screen (the curation matrix spans both,
+  // as the dedup matrix does). Eval set = vec_id % 17 == 0 (the held-out
+  // benchmark); every remaining corpus vector reports its count of eval
+  // vectors with exact quantized cosine ≥ 0.45 among sign-band bucket
+  // collisions (16 bands × 4 sign bits, per-bucket cap 64 — mirrored in
+  // the oracle like q41's). Bipartite blocking: eval bands broadcast,
+  // only bucket collisions join — the corpus never self-joins and never
+  // shuffles whole vectors for the screen.
+  def q175SemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    VectorOps.semanticDecontaminate(
+        emb.filter(col("vec_id") % 17 =!= 0),
+        emb.filter(col("vec_id") % 17 === 0), threshold = 0.45)
+      .orderBy(col("vec_id").asc)
+  }
+  val q175Oracle: String = s"""
+    WITH e AS (SELECT vec_id, ${oQuant("embedding")} AS q FROM embeddings),
+    n AS (SELECT vec_id, q,
+          list_sum(list_transform(generate_series(1, len(q)), i -> q[i]*q[i])) AS n2
+          FROM e),
+    bands0 AS (
+      SELECT vec_id, band,
+        array_to_string(list_transform(generate_series(1, 4),
+          i -> CASE WHEN q[band*4 + i] > 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM n CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) b),
+    cb AS (
+      SELECT vec_id, band, bucket FROM bands0 WHERE vec_id % 17 <> 0
+      QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) <= 64),
+    eb AS (
+      SELECT vec_id AS eval_id, band, bucket FROM bands0 WHERE vec_id % 17 = 0
+      QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY eval_id) <= 64),
+    cand AS (
+      SELECT DISTINCT cb.vec_id, eb.eval_id
+      FROM cb JOIN eb ON cb.band = eb.band AND cb.bucket = eb.bucket),
+    hits AS (
+      SELECT cand.vec_id, COUNT(*) AS n_matches
+      FROM cand JOIN n c ON c.vec_id = cand.vec_id
+                JOIN n ev ON ev.vec_id = cand.eval_id
+      WHERE CAST(list_sum(list_transform(generate_series(1, len(c.q)),
+              i -> c.q[i]*ev.q[i])) AS DOUBLE)
+            / sqrt(CAST(c.n2 AS DOUBLE) * CAST(ev.n2 AS DOUBLE)) >= 0.45
+      GROUP BY cand.vec_id)
+    SELECT n.vec_id, CAST(COALESCE(h.n_matches, 0) AS BIGINT) AS n_matches,
+           CASE WHEN COALESCE(h.n_matches, 0) > 0 THEN 1 ELSE 0 END
+             AS contaminated
+    FROM n LEFT JOIN hits h ON h.vec_id = n.vec_id
+    WHERE n.vec_id % 17 <> 0
+    ORDER BY n.vec_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_semantic_decontaminate" -> (q175SemanticDecontaminate _),
     "q172_gram_matrix" -> (q172GramMatrix _),
     "q173_outlier_screen" -> (q173OutlierScreen _),
     "q160_semantic_dedup_ingest" -> (q160SemanticDedupIngest _),
@@ -585,6 +636,7 @@ object VectorQueries {
     "q43_knn_label_vote" -> (q43KnnLabelVote _))
 
   val oracles: Map[String, String] = Map(
+    "q175_semantic_decontaminate" -> q175Oracle,
     "q172_gram_matrix" -> q172Oracle,
     "q173_outlier_screen" -> q173Oracle,
     "q160_semantic_dedup_ingest" -> q160Oracle,

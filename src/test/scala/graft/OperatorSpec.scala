@@ -234,6 +234,38 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.7, s"PQ recall collapsed: $recall")
   }
 
+  test("semantic decontamination: flags cosine-matches to the eval set only") {
+    import graft.operators.VectorOps
+    // eval vector e0; corpus: near-copy of e0 (flagged), orthogonal (not)
+    val evalSet = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(0.99f, -0.05f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = VectorOps.semanticDecontaminate(corpus, evalSet,
+        threshold = 0.45, bands = 1, dimsPerBand = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out == Map(0L -> 1, 1L -> 0), out.toString)
+  }
+
+  test("perceptual-hash near-dup: flags byte-similar image payloads only") {
+    import graft.operators.MultimodalOps
+    val varied = (0 until 128).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val tweaked = varied.updated(5, 'z').updated(90, 'q')
+    val other = (0 until 128).map(i => ('a' + (i * 11 + 3) % 26).toChar).mkString
+    val media = Seq((0L, "image", varied.getBytes), (3L, "image", tweaked.getBytes),
+        (6L, "image", other.getBytes), (1L, "audio", varied.getBytes))
+      .toDF("doc_id", "kind", "media")
+    val pairs = MultimodalOps.phashNearDups(spark, media, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)), "near-identical payloads must pair")
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L),
+      "an unrelated payload must not pass the Hamming verify")
+    assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L),
+      "non-image payloads are outside the screen")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "phashNearDups must release its persisted hash table")
+  }
+
   test("GramAgg: exact gram/sums/count, invariant under repartitioning") {
     import org.apache.spark.sql.functions.udaf
     val vecs = Seq(

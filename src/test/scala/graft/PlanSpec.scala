@@ -93,6 +93,12 @@ class PlanSpec extends SparkSpec {
         "the scored side must never shuffle for the join")
   }
 
+  test("q175: eval-set bands broadcast; the corpus never self-joins") {
+    val s = planString("q175_semantic_decontaminate")
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastHashJoin"),
+      "the benchmark side must broadcast onto the corpus bands")
+  }
+
   test("q06: selective filters reach the parquet scan (pushdown)") {
     val s = planString("q06_forecast_revenue")
     // the rendered plan truncates long filter lists, so match the prefix
