@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextOps
+import graft.operators.{TextOps, VectorOps}
 import graft.tables.Tables
 
 /** Corpus-curation operators: TF-IDF term scoring, text normalization,
@@ -415,7 +415,184 @@ object CurationQueries {
     FROM scored
     ORDER BY avg_iw DESC, doc_id ASC LIMIT 100"""
 
+  // q176 — curated corpus build v2: the round-9 screens composed into one
+  // per-document verdict — Gopher quality rules (q166) AND LM-perplexity
+  // head/middle (q171, tail dropped) AND semantic decontamination (q175 —
+  // eval-holdout docs excluded too: they ARE the benchmark) AND exact
+  // dedup keep-first (q30). Each screen is the published operator reused
+  // verbatim, so the composition's oracle is the screens' oracles joined —
+  // and the plan is the union of their plans: broadcast term/centroid
+  // tables, partial-agg shuffles, no new shuffle beyond the final joins
+  // (all on doc_id, co-partitioned). Documents without an embedding pass
+  // the semantic screen unscreened (mirrored in the oracle), exactly how
+  // a production corpus treats rows the embedding run hasn't covered.
+  def q176CuratedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gopher = TextOps.gopherRules(docs)
+      .select(col("doc_id"), col("keep").as("gopher_ok"))
+    val ppl = TextQueries.q171LmPerplexity(spark, dir)
+      .select(col("doc_id"), (col("bucket") =!= "tail").cast("int").as("ppl_ok"))
+    val emb = Tables.embeddings(spark, dir)
+    val decon = VectorOps.semanticDecontaminate(
+        emb.filter(col("vec_id") % 17 =!= 0),
+        emb.filter(col("vec_id") % 17 === 0), threshold = 0.45)
+      .select(col("vec_id").as("doc_id"), col("contaminated"))
+    val holdout = emb.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("doc_id"), lit(1).as("holdout"))
+    val dh = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val dd = dh.join(dh.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id")),
+        Seq("h"))
+      .select(col("doc_id"), (col("doc_id") === col("keep_id")).cast("int")
+        .as("dedup_ok"))
+    docs.select(col("doc_id"), col("source"))
+      .join(gopher, Seq("doc_id"))
+      .join(ppl, Seq("doc_id"))
+      .join(decon, Seq("doc_id"), "left")
+      .join(holdout, Seq("doc_id"), "left")
+      .join(dd, Seq("doc_id"))
+      .withColumn("decon_ok",
+        (coalesce(col("contaminated"), lit(0)) === 0
+          && coalesce(col("holdout"), lit(0)) === 0).cast("int"))
+      .withColumn("keep",
+        (col("gopher_ok") === 1 && col("ppl_ok") === 1
+          && col("decon_ok") === 1 && col("dedup_ok") === 1).cast("int"))
+      .select(col("doc_id"), col("source"), col("gopher_ok"), col("ppl_ok"),
+        col("decon_ok"), col("dedup_ok"), col("keep"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q176Oracle: String = """
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t, length(text) AS len
+      FROM documents),
+    gb AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len - (len(t) - 1) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(t, x -> x IN
+               ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT)
+               AS stop_hits
+      FROM toks),
+    gtf AS (
+      SELECT doc_id, MAX(c) AS top_freq FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+    gopher AS (
+      SELECT gb.doc_id,
+        CAST(n_tokens >= 40 AND n_tokens <= 100000
+          AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10
+          AND stop_hits >= 2 AND top_freq * 5 <= n_tokens AS INT) AS gopher_ok
+      FROM gb JOIN gtf USING (doc_id)),
+    train_tok AS (
+      SELECT unnest(t) AS tok FROM toks WHERE lang = 'en'),
+    nv AS (
+      SELECT (SELECT COUNT(*) FROM train_tok) AS n,
+             (SELECT COUNT(DISTINCT tok)
+              FROM (SELECT unnest(t) AS tok FROM toks)) AS v),
+    uni AS (SELECT tok, COUNT(*) AS c FROM train_tok GROUP BY tok),
+    train_pairs AS (
+      SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE lang = 'en' AND len(t) >= 2),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM train_pairs GROUP BY w1, w2),
+    doc_pairs AS (
+      SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2),
+    pair_terms AS (
+      SELECT p.w1, p.w2,
+        CAST(FLOOR(CASE WHEN b.c12 IS NOT NULL
+          THEN LN(CAST(b.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+          ELSE LN(0.4 * (CAST(COALESCE(u2.c, 0) + 1 AS DOUBLE)
+                          / CAST(nv.n + nv.v AS DOUBLE)))
+          END * 1000000.0) AS BIGINT) AS lp_micro
+      FROM (SELECT DISTINCT w1, w2 FROM doc_pairs) p
+      LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN uni u1 ON u1.tok = p.w1
+      LEFT JOIN uni u2 ON u2.tok = p.w2
+      CROSS JOIN nv),
+    first_terms AS (
+      SELECT fk.w,
+        CAST(FLOOR(LN(CAST(COALESCE(u.c, 0) + 1 AS DOUBLE)
+                       / CAST(nv.n + nv.v AS DOUBLE))
+          * 1000000.0) AS BIGINT) AS lp_first
+      FROM (SELECT DISTINCT t[1] AS w FROM toks) fk
+      LEFT JOIN uni u ON u.tok = fk.w
+      CROSS JOIN nv),
+    pair_score AS (
+      SELECT doc_id, SUM(lp_micro) AS s_pairs
+      FROM doc_pairs JOIN pair_terms USING (w1, w2) GROUP BY doc_id),
+    lm_scored AS (
+      SELECT fi.doc_id, fi.lang, CAST(len(fi.t) AS BIGINT) AS n_tokens,
+             CAST(ft.lp_first + COALESCE(ps.s_pairs, 0) AS BIGINT)
+               AS score_micro
+      FROM toks fi
+      JOIN first_terms ft ON ft.w = fi.t[1]
+      LEFT JOIN pair_score ps ON ps.doc_id = fi.doc_id),
+    ppl AS (
+      SELECT doc_id,
+        CASE NTILE(3) OVER (PARTITION BY lang
+          ORDER BY CAST(score_micro AS DOUBLE) / n_tokens / 1000000.0 DESC,
+                   doc_id ASC)
+          WHEN 3 THEN 0 ELSE 1 END AS ppl_ok
+      FROM lm_scored),
+    e AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+      FROM embeddings),
+    n AS (SELECT vec_id, q,
+          list_sum(list_transform(generate_series(1, len(q)), i -> q[i]*q[i])) AS n2
+          FROM e),
+    bands0 AS (
+      SELECT vec_id, band,
+        array_to_string(list_transform(generate_series(1, 4),
+          i -> CASE WHEN q[band*4 + i] > 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM n CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) b),
+    cb AS (
+      SELECT vec_id, band, bucket FROM bands0 WHERE vec_id % 17 <> 0
+      QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) <= 64),
+    eb AS (
+      SELECT vec_id AS eval_id, band, bucket FROM bands0 WHERE vec_id % 17 = 0
+      QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY eval_id) <= 64),
+    cand AS (
+      SELECT DISTINCT cb.vec_id, eb.eval_id
+      FROM cb JOIN eb ON cb.band = eb.band AND cb.bucket = eb.bucket),
+    hits AS (
+      SELECT cand.vec_id, COUNT(*) AS n_matches
+      FROM cand JOIN n c ON c.vec_id = cand.vec_id
+                JOIN n ev ON ev.vec_id = cand.eval_id
+      WHERE CAST(list_sum(list_transform(generate_series(1, len(c.q)),
+              i -> c.q[i]*ev.q[i])) AS DOUBLE)
+            / sqrt(CAST(c.n2 AS DOUBLE) * CAST(ev.n2 AS DOUBLE)) >= 0.45
+      GROUP BY cand.vec_id),
+    decon AS (
+      SELECT n.vec_id AS doc_id,
+        CASE WHEN COALESCE(h.n_matches, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+      FROM n LEFT JOIN hits h ON h.vec_id = n.vec_id
+      WHERE n.vec_id % 17 <> 0),
+    holdout AS (
+      SELECT vec_id AS doc_id, 1 AS ho FROM embeddings WHERE vec_id % 17 = 0),
+    dh AS (SELECT doc_id, md5(text) AS h FROM documents),
+    dk AS (SELECT h, MIN(doc_id) AS keep_id FROM dh GROUP BY h),
+    dd AS (
+      SELECT dh.doc_id, CAST(dh.doc_id = dk.keep_id AS INT) AS dedup_ok
+      FROM dh JOIN dk USING (h))
+    SELECT d.doc_id, d.source, g.gopher_ok, p.ppl_ok,
+      CAST(COALESCE(dc.contaminated, 0) = 0 AND COALESCE(ho.ho, 0) = 0 AS INT)
+        AS decon_ok,
+      dd.dedup_ok,
+      CAST(g.gopher_ok = 1 AND p.ppl_ok = 1
+        AND COALESCE(dc.contaminated, 0) = 0 AND COALESCE(ho.ho, 0) = 0
+        AND dd.dedup_ok = 1 AS INT) AS keep
+    FROM documents d
+    JOIN gopher g ON g.doc_id = d.doc_id
+    JOIN ppl p ON p.doc_id = d.doc_id
+    LEFT JOIN decon dc ON dc.doc_id = d.doc_id
+    LEFT JOIN holdout ho ON ho.doc_id = d.doc_id
+    JOIN dd ON dd.doc_id = d.doc_id
+    ORDER BY d.doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_curated_corpus" -> (q176CuratedCorpus _),
     "q158_dsir_select" -> (q158DsirSelect _),
     "q128_quantile_trim" -> (q128QuantileTrim _),
     "q126_repetition_metrics" -> (q126RepetitionMetrics _),
@@ -428,6 +605,7 @@ object CurationQueries {
     "q89_curation_pipeline" -> (q89CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "q176_curated_corpus" -> q176Oracle,
     "q158_dsir_select" -> q158Oracle,
     "q128_quantile_trim" -> q128Oracle,
     "q126_repetition_metrics" -> q126Oracle,
