@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Queries = Seq("q147_corpus_build", "q150_dedup_on_ingest",
     "q156_semantic_dedup", "q34_minhash_lsh", "q158_dsir_select",
-    "q161_dup_span_stats", "q162_dup_span_scrub", "q165_span_ingest")
+    "q161_dup_span_stats", "q162_dup_span_scrub", "q165_span_ingest",
+    "q171_lm_perplexity", "q176_curated_corpus")
 
   private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
     .filter(_.getType == MemoryType.HEAP)

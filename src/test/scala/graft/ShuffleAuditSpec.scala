@@ -192,6 +192,28 @@ class ShuffleAuditSpec extends SparkSpec {
     assert(cp == 8L * 7 / 2, "bucket cap must bound scored pairs at C(m,2)")
   }
 
+  test("bipartite decon caps bound eval×corpus scored pairs") {
+    import spark.implicits._
+    // all-identical vectors on both sides share every sign bucket — the
+    // worst case. Uncapped that is |corpus|×|eval| scored pairs; capped
+    // at m per (band, bucket) per side it is exactly m×m, regardless of
+    // either side's size — the same capped-LSH trade as q41/q104,
+    // mirrored in the q175 oracle.
+    val corpus = (0 until 100)
+      .map(i => (i.toLong, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val evalSet = (100 until 120)
+      .map(i => (i.toLong, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val out = graft.operators.VectorOps
+      .semanticDecontaminate(corpus, evalSet, threshold = 0.3, maxBucket = 8)
+      .collect()
+    val flagged = out.filter(_.getInt(2) == 1)
+    info(s"flagged ${flagged.length}/100, scored pairs ${out.map(_.getLong(1)).sum}")
+    assert(out.length == 100, "every corpus vector reports a verdict")
+    assert(flagged.length == 8, "corpus-side cap bounds flagged docs per bucket")
+    assert(out.map(_.getLong(1)).sum == 8L * 8,
+      "scored pairs must be bounded at m×m, not |corpus|×|eval|")
+  }
+
   test("DSIR scoring broadcasts the weight table, never the corpus features") {
     // q158's scale claim: the per-feature importance table is O(B) rows
     // and broadcasts; only agg partials cross the wire. The naive
