@@ -234,6 +234,32 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.7, s"PQ recall collapsed: $recall")
   }
 
+  test("LM perplexity: empty reference slice falls back to the Laplace floor") {
+    // no 'en' docs → N = 0, every token OOV: first terms are ln(1/V),
+    // bigram terms the backoff ln(0.4/V) — finite everywhere, all docs
+    // still bucketed (the screen degrades to a uniform prior, it does
+    // not NaN or divide by zero)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    Seq((0L, "foo bar foo", "de", "s0", 11L), (1L, "bar baz qux", "fr", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueries.q171LmPerplexity(spark, dir).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => !r.getDouble(r.fieldIndex("avg_logprob")).isNaN
+      && !r.getDouble(r.fieldIndex("avg_logprob")).isInfinite))
+    assert(out.forall(r => Set("head", "middle", "tail")(
+      r.getString(r.fieldIndex("bucket")))))
+  }
+
+  test("semantic decontamination: empty eval set flags nothing") {
+    import graft.operators.VectorOps
+    val corpus = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val evalSet = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out = VectorOps.semanticDecontaminate(corpus, evalSet,
+        threshold = 0.45, bands = 1, dimsPerBand = 4).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 0L && out.head.getInt(2) == 0)
+  }
+
   test("semantic decontamination: flags cosine-matches to the eval set only") {
     import graft.operators.VectorOps
     // eval vector e0; corpus: near-copy of e0 (flagged), orthogonal (not)
