@@ -591,7 +591,121 @@ object CurationQueries {
     JOIN dd ON dd.doc_id = d.doc_id
     ORDER BY d.doc_id ASC"""
 
+  // q177 — frozen-gate quality ingest (train-once / gate-forever): the
+  // corpus slice doc_id % 4 ≤ 1 FREEZES the quality gate — bigram-LM
+  // counts, Laplace constants, per-language perplexity cutoffs (q171's
+  // tail boundary) — and batches 2, 3 are gated against that frozen
+  // artifact: Gopher rules ∧ frozen-LM score ≥ the language's cutoff
+  // (languages the corpus never judged pass unjudged). This is the
+  // STATELESS ingest-terminal shape next to q150/q165's stateful ones:
+  // the gate never mutates state, so its streaming form
+  // (QualityGateStream.run, spec-proven replay-inert) needs only a
+  // batchId-guarded sink, no WAL. The same freeze()/gate() pair runs
+  // here in batch, so the oracle checks the exact code the stream runs.
+  def q177QualityGateIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.QualityGateStream
+    val docs = Tables.documents(spark, dir)
+    val g = QualityGateStream.freeze(spark,
+      docs.filter(pmod(col("doc_id"), lit(4)) <= 1))
+    Seq(2, 3).map { r =>
+      QualityGateStream.gate(spark, g,
+          docs.filter(pmod(col("doc_id"), lit(4)) === r))
+        .withColumn("batch_id", lit(r - 1))
+    }.reduce(_ unionByName _)
+      .select(col("doc_id"), col("lang"), col("batch_id"),
+        col("gopher_ok"), col("lm_ok"), col("keep"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q177Oracle: String = """
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t, length(text) AS len
+      FROM documents),
+    corp AS (SELECT * FROM toks WHERE doc_id % 4 <= 1),
+    train_tok AS (SELECT unnest(t) AS tok FROM corp WHERE lang = 'en'),
+    nv AS (
+      SELECT (SELECT COUNT(*) FROM train_tok) AS n,
+             (SELECT COUNT(DISTINCT tok)
+              FROM (SELECT unnest(t) AS tok FROM corp)) AS v),
+    uni AS (SELECT tok, COUNT(*) AS c FROM train_tok GROUP BY tok),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM (
+        SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        FROM corp WHERE lang = 'en' AND len(t) >= 2)
+      GROUP BY w1, w2),
+    doc_pairs AS (
+      SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2),
+    pair_terms AS (
+      SELECT p.w1, p.w2,
+        CAST(FLOOR(CASE WHEN b.c12 IS NOT NULL
+          THEN LN(CAST(b.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+          ELSE LN(0.4 * (CAST(COALESCE(u2.c, 0) + 1 AS DOUBLE)
+                          / CAST(nv.n + nv.v AS DOUBLE)))
+          END * 1000000.0) AS BIGINT) AS lp_micro
+      FROM (SELECT DISTINCT w1, w2 FROM doc_pairs) p
+      LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN uni u1 ON u1.tok = p.w1
+      LEFT JOIN uni u2 ON u2.tok = p.w2
+      CROSS JOIN nv),
+    first_terms AS (
+      SELECT fk.w,
+        CAST(FLOOR(LN(CAST(COALESCE(u.c, 0) + 1 AS DOUBLE)
+                       / CAST(nv.n + nv.v AS DOUBLE))
+          * 1000000.0) AS BIGINT) AS lp_first
+      FROM (SELECT DISTINCT t[1] AS w FROM toks) fk
+      LEFT JOIN uni u ON u.tok = fk.w
+      CROSS JOIN nv),
+    pair_score AS (
+      SELECT doc_id, SUM(lp_micro) AS s_pairs
+      FROM doc_pairs JOIN pair_terms USING (w1, w2) GROUP BY doc_id),
+    scored AS (
+      SELECT fi.doc_id, fi.lang, CAST(len(fi.t) AS BIGINT) AS n_tokens,
+             CAST(CAST(ft.lp_first + COALESCE(ps.s_pairs, 0) AS BIGINT)
+               AS DOUBLE) / CAST(len(fi.t) AS BIGINT) / 1000000.0
+               AS avg_logprob
+      FROM toks fi
+      JOIN first_terms ft ON ft.w = fi.t[1]
+      LEFT JOIN pair_score ps ON ps.doc_id = fi.doc_id),
+    cut AS (
+      SELECT lang, MIN(avg_logprob) AS theta FROM (
+        SELECT doc_id, lang, avg_logprob,
+          NTILE(3) OVER (PARTITION BY lang
+            ORDER BY avg_logprob DESC, doc_id ASC) AS tert
+        FROM scored WHERE doc_id % 4 <= 1)
+      WHERE tert <= 2 GROUP BY lang),
+    gb AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len - (len(t) - 1) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(t, x -> x IN
+               ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT)
+               AS stop_hits
+      FROM toks),
+    gtf AS (
+      SELECT doc_id, MAX(c) AS top_freq FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+    gopher AS (
+      SELECT gb.doc_id,
+        CAST(n_tokens >= 40 AND n_tokens <= 100000
+          AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10
+          AND stop_hits >= 2 AND top_freq * 5 <= n_tokens AS INT) AS gopher_ok
+      FROM gb JOIN gtf USING (doc_id))
+    SELECT s.doc_id, s.lang, CAST(s.doc_id % 4 - 1 AS INT) AS batch_id,
+      g.gopher_ok,
+      CASE WHEN c.theta IS NULL OR s.avg_logprob >= c.theta
+        THEN 1 ELSE 0 END AS lm_ok,
+      CAST(g.gopher_ok = 1
+        AND (c.theta IS NULL OR s.avg_logprob >= c.theta) AS INT) AS keep
+    FROM scored s
+    JOIN gopher g ON g.doc_id = s.doc_id
+    LEFT JOIN cut c ON c.lang = s.lang
+    WHERE s.doc_id % 4 >= 2
+    ORDER BY s.doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_quality_gate_ingest" -> (q177QualityGateIngest _),
     "q176_curated_corpus" -> (q176CuratedCorpus _),
     "q158_dsir_select" -> (q158DsirSelect _),
     "q128_quantile_trim" -> (q128QuantileTrim _),
@@ -605,6 +719,7 @@ object CurationQueries {
     "q89_curation_pipeline" -> (q89CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "q177_quality_gate_ingest" -> q177Oracle,
     "q176_curated_corpus" -> q176Oracle,
     "q158_dsir_select" -> q158Oracle,
     "q128_quantile_trim" -> q128Oracle,
