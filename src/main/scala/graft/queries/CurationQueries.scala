@@ -704,7 +704,39 @@ object CurationQueries {
     WHERE s.doc_id % 4 >= 2
     ORDER BY s.doc_id ASC"""
 
+  // q178 — deterministic epoch reshuffle: training-order randomization
+  // as a PURE FUNCTION of (epoch, doc_id) — shard_e = md5(e:doc) % S,
+  // within-shard order = the md5 value itself — so at 100 TB no
+  // permutation is ever materialized or shipped: any worker recomputes
+  // its epoch-e membership from the key alone (one hash sort per epoch,
+  // no central shuffle service, reproducible across reruns/engines).
+  // The query emits the epoch-0 × epoch-1 assignment matrix: S×S cells
+  // whose near-uniform counts ARE the decorrelation evidence (a doc's
+  // epoch-1 shard is independent of its epoch-0 shard), checked exactly
+  // by the oracle. One groupBy of S² partials — the corpus never sorts
+  // here; the per-epoch sort is the dataloader's scan order.
+  def q178EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    def shard(epoch: Int) =
+      (conv(substring(md5(concat(lit(s"$epoch:"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long") % 8L).as(s"shard_e$epoch")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shard(0), shard(1))
+      .groupBy(col("shard_e0"), col("shard_e1"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("shard_e0").asc, col("shard_e1").asc)
+  }
+  val q178Oracle: String = """
+    SELECT shard_e0, shard_e1, COUNT(*) AS n_docs FROM (
+      SELECT doc_id,
+        ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+          AS shard_e0,
+        ('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+          AS shard_e1
+      FROM documents)
+    GROUP BY shard_e0, shard_e1 ORDER BY shard_e0 ASC, shard_e1 ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_epoch_shuffle" -> (q178EpochShuffle _),
     "q177_quality_gate_ingest" -> (q177QualityGateIngest _),
     "q176_curated_corpus" -> (q176CuratedCorpus _),
     "q158_dsir_select" -> (q158DsirSelect _),
@@ -719,6 +751,7 @@ object CurationQueries {
     "q89_curation_pipeline" -> (q89CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "q178_epoch_shuffle" -> q178Oracle,
     "q177_quality_gate_ingest" -> q177Oracle,
     "q176_curated_corpus" -> q176Oracle,
     "q158_dsir_select" -> q158Oracle,
