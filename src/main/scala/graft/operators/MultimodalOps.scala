@@ -148,6 +148,31 @@ object MultimodalOps {
       }
   }
 
+  /** Deterministic stub embedding for media payloads: a 16-bin byte-value
+    * histogram per image — the mapPartitions shape a real image/audio
+    * encoder (per-partition model init, batch through) drops into,
+    * emitting the SAME (vec_id, embedding) frame every vector operator
+    * consumes. This is the BRIDGE from multimodal payloads into the
+    * ANN / cosine-dedup / outlier machinery: downstream code cannot tell
+    * a histogram from a CLIP vector. Integer counts carried as floats
+    * (exact to 2²⁴), so the quantized-cosine protocol stays exact.
+    * Empty payloads are excluded — a zero vector has no cosine. */
+  final case class MediaEmbedding(vec_id: Long, embedding: Array[Float])
+
+  def byteHistogramEmbeddings(spark: SparkSession,
+      media: DataFrame): Dataset[MediaEmbedding] = {
+    import spark.implicits._
+    media.filter(col("kind") === "image" && length(col("media")) > 0)
+      .select(col("doc_id"), col("kind"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val h = new Array[Float](16)
+          r.media.foreach(b => h((b & 0xff) >> 4) += 1f)
+          MediaEmbedding(r.doc_id, h)
+        }
+      }
+  }
+
   /** Perceptual near-dup screen: pairs sharing ≥1 of the 4 hash bands
     * (exact 16-bit band equality — the SimHash/LSH blocking shape, so
     * the join shuffles only band collisions, never all pairs) whose full

@@ -143,7 +143,59 @@ object MultimodalQueries {
     SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 10
     ORDER BY doc_a ASC, doc_b ASC"""
 
+  // q179 — media-embedding retrieval: the multimodal→vector BRIDGE. The
+  // stub encoder (byte-value histogram — a real CLIP/audio encoder swaps
+  // in with the identical mapPartitions shape) emits the standard
+  // (vec_id, embedding) frame, and the UNCHANGED exact-cosine top-k
+  // operator retrieves neighbors over it — proving payload-derived
+  // vectors flow into the whole ANN/dedup/outlier family without any
+  // operator changes. Exact protocol throughout: integer histograms,
+  // quantized cosines, rank ties on neighbor id.
+  def q179MediaEmbedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VectorOps
+    val emb = MultimodalOps.byteHistogramEmbeddings(spark,
+        MultimodalOps.asMediaTable(Tables.documents(spark, dir)))
+      .toDF()
+    VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 30), emb, k = 3)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+  val q179Oracle: String = """
+    WITH img AS (
+      SELECT doc_id, text FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 0 AND octet_length(encode(text)) > 0),
+    pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+      FROM img),
+    binc AS (SELECT doc_id, ascii(text[i:i]) // 16 AS bin FROM pos),
+    hist AS (SELECT doc_id, bin, COUNT(*) AS c FROM binc GROUP BY doc_id, bin),
+    dense AS (
+      SELECT i.doc_id, b.bin, COALESCE(h.c, 0) AS c
+      FROM img i
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b
+      LEFT JOIN hist h ON h.doc_id = i.doc_id AND h.bin = b.bin),
+    vec AS (
+      SELECT doc_id, list(c * 10000 ORDER BY bin) AS qv
+      FROM dense GROUP BY doc_id),
+    q AS (SELECT doc_id AS query_id, qv AS qa FROM vec WHERE doc_id < 30),
+    c2 AS (SELECT doc_id AS neighbor_id, qv AS qb FROM vec),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        CAST(list_sum(list_transform(generate_series(1, len(qa)),
+               i -> qa[i]*qb[i])) AS DOUBLE) /
+        sqrt(CAST(list_sum(list_transform(generate_series(1, len(qa)),
+               i -> qa[i]*qa[i])) AS DOUBLE) *
+             CAST(list_sum(list_transform(generate_series(1, len(qb)),
+               i -> qb[i]*qb[i])) AS DOUBLE)) AS cosine
+      FROM q, c2 WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked
+    WHERE rank <= 3 ORDER BY query_id ASC, rank ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_media_embed_topk" -> (q179MediaEmbedTopK _),
     "q174_phash_neardup" -> (q174PhashNearDup _),
     "q45_media_stats" -> (q45MediaStats _),
     "q46_decode_features" -> (q46DecodeFeatures _),
@@ -151,6 +203,7 @@ object MultimodalQueries {
     "q96_resize_thumbnail" -> (q96ResizeThumbnail _))
 
   val oracles: Map[String, String] = Map(
+    "q179_media_embed_topk" -> q179Oracle,
     "q174_phash_neardup" -> q174Oracle,
     "q45_media_stats" -> q45Oracle,
     "q46_decode_features" -> q46Oracle,
