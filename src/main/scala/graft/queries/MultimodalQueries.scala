@@ -194,7 +194,73 @@ object MultimodalQueries {
     SELECT query_id, neighbor_id, cosine, rank FROM ranked
     WHERE rank <= 3 ORDER BY query_id ASC, rank ASC"""
 
+  // q180 — media dedup clusters: q174's perceptual-hash pairs closed
+  // under transitivity (A~B, B~C ⇒ one cluster) by the SAME distributed
+  // connected-components operator the text dedup path uses (q93) — the
+  // multimodal dedup story taken to cluster level, "keep one image per
+  // cluster" ready (component = min doc_id = the canonical keeper).
+  // Oracle replays the pairs exactly and closes them with the recursive
+  // transitive-reach + min-label CTE, q93's pattern.
+  def q180MediaDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = MultimodalOps.phashNearDups(spark,
+        MultimodalOps.asMediaTable(Tables.documents(spark, dir)),
+        maxHamming = 10)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = graft.operators.GraphOps.connectedComponents(pairs)
+    val w = Window.partitionBy(col("component"))
+    comp.select(col("node").as("doc_id"), col("label").as("component"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy(col("doc_id").asc)
+  }
+  val q180Oracle: String = """
+    WITH RECURSIVE img AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 0 AND octet_length(encode(text)) >= 64),
+    px AS (
+      SELECT doc_id, unnest(generate_series(0, 63)) AS i, n, text FROM img),
+    pv AS (
+      SELECT doc_id, i,
+             ascii(text[(i*(n//64))+1 : (i*(n//64))+1]) AS p FROM px),
+    pxs AS (SELECT doc_id, SUM(p) AS s FROM pv GROUP BY doc_id),
+    bits AS (
+      SELECT pv.doc_id, i, CASE WHEN p * 64 > s THEN 1 ELSE 0 END AS bit
+      FROM pv JOIN pxs ON pxs.doc_id = pv.doc_id),
+    bands AS (
+      SELECT doc_id, i // 16 AS band,
+             CAST(SUM(bit << (i % 16)) AS BIGINT) AS v
+      FROM bits GROUP BY doc_id, i // 16),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+    wide AS (
+      SELECT doc_id,
+        CAST(MAX(CASE WHEN band=0 THEN v END) AS BIGINT) AS b0,
+        CAST(MAX(CASE WHEN band=1 THEN v END) AS BIGINT) AS b1,
+        CAST(MAX(CASE WHEN band=2 THEN v END) AS BIGINT) AS b2,
+        CAST(MAX(CASE WHEN band=3 THEN v END) AS BIGINT) AS b3
+      FROM bands GROUP BY doc_id),
+    pairs AS (
+      SELECT doc_a AS src, doc_b AS dst
+      FROM cand JOIN wide wa ON wa.doc_id = doc_a
+                JOIN wide wb ON wb.doc_id = doc_b
+      WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+          + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) <= 10),
+    sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT sym.src AS node, reach.r
+      FROM sym JOIN reach ON sym.dst = reach.node),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+    FROM comp ORDER BY doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_media_dedup_clusters" -> (q180MediaDedupClusters _),
     "q179_media_embed_topk" -> (q179MediaEmbedTopK _),
     "q174_phash_neardup" -> (q174PhashNearDup _),
     "q45_media_stats" -> (q45MediaStats _),
@@ -203,6 +269,7 @@ object MultimodalQueries {
     "q96_resize_thumbnail" -> (q96ResizeThumbnail _))
 
   val oracles: Map[String, String] = Map(
+    "q180_media_dedup_clusters" -> q180Oracle,
     "q179_media_embed_topk" -> q179Oracle,
     "q174_phash_neardup" -> q174Oracle,
     "q45_media_stats" -> q45Oracle,
