@@ -735,7 +735,79 @@ object CurationQueries {
       FROM documents)
     GROUP BY shard_e0, shard_e1 ORDER BY shard_e0 ASC, shard_e1 ASC"""
 
+  // q181 — corpus data card (datasheets-for-datasets): the per-source
+  // governance report a training-data release ships — doc/token volumes,
+  // language mix, Gopher-quality keep counts, and exact-dup membership
+  // (docs whose content hash repeats ANYWHERE in the corpus, attributed
+  // to their source). Everything integer-exact except avg_tokens, one
+  // correctly-rounded divide of exact ints. Shape: one token-count map
+  // over the scan, the md5 dup-membership join co-partitioned on the
+  // hash, one per-source aggregation — three narrow shuffles total,
+  // nothing corpus-squared, nothing driver-side.
+  def q181DataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), col("source"), col("lang"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+      md5(col("text")).as("h"))
+    val dupH = toks.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"), lit(1).as("is_dup"))
+    val gopher = TextOps.gopherRules(docs).select(col("doc_id"), col("keep"))
+    toks.join(dupH, Seq("h"), "left")
+      .join(gopher, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum((col("lang") === "en").cast("long")).as("en_docs"),
+        sum(col("keep").cast("long")).as("gopher_keep"),
+        sum(coalesce(col("is_dup"), lit(0)).cast("long")).as("dup_docs"))
+      .withColumn("avg_tokens", col("n_tokens").cast("double") / col("n_docs"))
+      .orderBy(col("source").asc)
+  }
+  val q181Oracle: String = """
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+             md5(text) AS h,
+             string_split(text, ' ') AS t, length(text) AS len
+      FROM documents),
+    duph AS (
+      SELECT h, 1 AS is_dup FROM toks GROUP BY h HAVING COUNT(*) > 1),
+    gb AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len - (len(t) - 1) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(t, x -> x IN
+               ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT)
+               AS stop_hits
+      FROM toks),
+    gtf AS (
+      SELECT doc_id, MAX(c) AS top_freq FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+    gopher AS (
+      SELECT gb.doc_id,
+        CAST(n_tokens >= 40 AND n_tokens <= 100000
+          AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10
+          AND stop_hits >= 2 AND top_freq * 5 <= n_tokens AS INT) AS keep
+      FROM gb JOIN gtf USING (doc_id))
+    SELECT t.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(t.n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT t.lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS en_docs,
+           CAST(SUM(g.keep) AS BIGINT) AS gopher_keep,
+           CAST(SUM(COALESCE(d.is_dup, 0)) AS BIGINT) AS dup_docs,
+           CAST(SUM(t.n_toks) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM toks t
+    JOIN gopher g ON g.doc_id = t.doc_id
+    LEFT JOIN duph d ON d.h = t.h
+    GROUP BY t.source ORDER BY t.source ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_data_card" -> (q181DataCard _),
     "q178_epoch_shuffle" -> (q178EpochShuffle _),
     "q177_quality_gate_ingest" -> (q177QualityGateIngest _),
     "q176_curated_corpus" -> (q176CuratedCorpus _),
@@ -751,6 +823,7 @@ object CurationQueries {
     "q89_curation_pipeline" -> (q89CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "q181_data_card" -> q181Oracle,
     "q178_epoch_shuffle" -> q178Oracle,
     "q177_quality_gate_ingest" -> q177Oracle,
     "q176_curated_corpus" -> q176Oracle,
