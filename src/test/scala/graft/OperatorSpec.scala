@@ -304,6 +304,28 @@ class OperatorSpec extends SparkSpec {
         .agg(gram($"qe")).first().getSeq[Long](0)
       assert(got == expected, s"parts=$parts: $got")
     }
+    // seeded random differential vs the naive O(n·d²) model
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 104729L)
+      val d = 3 + rnd.nextInt(5)
+      val rows = Seq.fill(8 + rnd.nextInt(20))(
+        Seq.fill(d)(rnd.nextInt(2001).toLong - 1000L))
+      val tri = d * (d + 1) / 2
+      val want = new Array[Long](tri + d + 1)
+      rows.foreach { v =>
+        var k = 0
+        for (i <- 0 until d) {
+          for (j <- i until d) { want(k) += v(i) * v(j); k += 1 }
+          want(tri + i) += v(i)
+        }
+        want(tri + d) += 1L
+      }
+      val agg = udaf(new graft.functions.GramAgg(d))
+      val got = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "qe").repartition(1 + seed % 4)
+        .agg(agg($"qe")).first().getSeq[Long](0)
+      assert(got == want.toSeq, s"seed $seed d=$d")
+    }
   }
 
   test("IVF-PQ ANN recall vs brute force on real embeddings") {
