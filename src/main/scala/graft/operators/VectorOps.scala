@@ -159,10 +159,21 @@ object VectorOps {
     def train(): org.apache.spark.ml.clustering.KMeansModel = {
       val trainTarget = 65536L
       val corpusN = corpusVec.count()
-      val trainDf =
-        if (corpusN <= trainTarget) corpusVec.select(col("features"))
-        else corpusVec.select(col("features"))
-          .sample(withReplacement = false, trainTarget.toDouble / corpusN, seed)
+      // Deterministic downsample + FIXED layout: `.sample`'s membership
+      // AND k-means||'s seeded init are both functions of the physical
+      // partitioning, so a config change (shuffle.partitions, input
+      // splits) would silently train a DIFFERENT quantizer — caught by
+      // the local[7] invariance sweep as a q170 recall-gate flip. The
+      // hash-filter picks the same training rows in any environment, and
+      // the fixed 32-way hash repartition pins the row→partition mapping
+      // to the KEY, making the seeded fit a pure function of (data, seed).
+      val trainRows =
+        if (corpusN <= trainTarget) corpusVec
+        else corpusVec.filter(
+          pmod(xxhash64(col("neighbor_id"), lit(seed)), lit(1000000L))
+            < lit((trainTarget.toDouble / corpusN * 1e6).toLong))
+      val trainDf = trainRows.repartition(32, col("neighbor_id"))
+        .select(col("features"))
       // k-means|| init kept deliberately: random init was measured ~0.3 s
       // faster at sf0.1 but drops recall@10 from 0.64 to 0.48 — centroid
       // quality is worth more than index-build seconds here.
@@ -318,8 +329,11 @@ object VectorOps {
       // of the data, invariant to the execution environment.
       val sample =
         (if (corpusN <= trainTarget) corpusVec
-         else corpusVec.sample(withReplacement = false,
-           trainTarget.toDouble / corpusN, seed))
+         else corpusVec.filter(
+           // hash-filter, not .sample: sample membership must not depend
+           // on the physical partitioning (same fix as coarseQuantizer)
+           pmod(xxhash64(col("neighbor_id"), lit(seed)), lit(1000000L))
+             < lit((trainTarget.toDouble / corpusN * 1e6).toLong)))
           .select(col("neighbor_id"), col("embedding").cast("array<double>"))
           .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
       // codebooks(b)(code) = centroid of block b (sub doubles)
@@ -460,8 +474,10 @@ object VectorOps {
       val corpusN = corpusVec.count()
       val sample =
         (if (corpusN <= trainTarget) assigned
-         else assigned.sample(withReplacement = false,
-           trainTarget.toDouble / corpusN, seed))
+         else assigned.filter(
+           // hash-filter, not .sample: layout-independent membership
+           pmod(xxhash64(col("neighbor_id"), lit(seed)), lit(1000000L))
+             < lit((trainTarget.toDouble / corpusN * 1e6).toLong)))
           .select(col("neighbor_id"), col("resid"))
           .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
       (dim, Array.tabulate(m) { b =>

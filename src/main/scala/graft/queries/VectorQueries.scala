@@ -115,11 +115,17 @@ object VectorQueries {
     * and those runs check throughput, not recall quality.
     *
     * Measured minima (graft.AnnRecallProbe, re-run whenever an index or
-    * its training inputs change):
-    *   sf0.001 / sf0.01 / sf0.1 → SRP 0.50 0.70 0.70; IVF 0.80 0.80
-    *   0.70; PQ 0.90 0.90 0.30; IVF-PQ 0.80 0.80 0.60 (the residual
-    *   quantization recovers sf0.1 recall global PQ loses: 0.60 vs
-    *   0.30 min). Gate bounds: SRP 0.65, IVF 0.7, PQ 0.8, IVF-PQ 0.7. */
+    * its training inputs change; re-measured after the round-9
+    * layout-independence fix — the coarse quantizer now trains on a
+    * hash-filtered, fixed-32-way-repartitioned frame, so these minima
+    * are a pure function of (data, seed), identical under ANY
+    * shuffle.partitions / input-split configuration):
+    *   sf0.001 / sf0.01 / sf0.1 → SRP 0.50 0.70 0.70; IVF 0.90 0.70
+    *   0.70; PQ 0.90 0.90 0.30; IVF-PQ 0.70 0.70 0.50 (the residual
+    *   quantization recovers sf0.1 recall global PQ loses: 0.50 vs
+    *   0.30 min). Gate bounds: SRP 0.65, IVF 0.7, PQ 0.8, IVF-PQ 0.7 —
+    *   q44/q170 sit exactly AT their sf0.01 gate, which is safe only
+    *   because the trained index is now layout-deterministic. */
   private def recallBound(dir: String, atGate: Double, floor: Double): Double =
     if (dir.stripSuffix("/").endsWith("sf0.01")) atGate else floor
 
