@@ -1241,7 +1241,86 @@ object TextQueries {
         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
     FROM final ORDER BY doc_id ASC"""
 
+  // q182 — RAG passage retrieval: q168's BM25 at CHUNK granularity over
+  // q167's fixed-window chunks — a RAG pipeline indexes and retrieves
+  // passages, not documents, and this is that index's scoring pass.
+  // Same exactness protocol as q168 (per-(chunk,term) weights combined
+  // in a FIXED expression order; ln the only libm call) with df/avgdl
+  // computed over the CHUNK collection; top-20 passages via
+  // TakeOrderedAndProject with (doc_id, chunk_id) tie-breaks. Scale
+  // shape: chunking is a pure map (q167), the term filter prunes before
+  // any shuffle, df + stats broadcast back — the chunk corpus is
+  // scanned once and never shuffled whole.
+  def q182ChunkBm25(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = TextOps.windowChunks(Tables.documents(spark, dir),
+      chunkSize = 32, stride = 16)
+    val dl = chunks.select(col("doc_id"), col("chunk_id"),
+      col("n_chunk_tokens").cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = chunks.select(col("doc_id"), col("chunk_id"),
+        explode(TextOps.tokens(col("chunk_text"))).as("tok"))
+      .filter(col("tok").isin(bm25Terms: _*))
+      .groupBy(col("doc_id"), col("chunk_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val w = tf.join(broadcast(dfs), Seq("tok"))
+      .join(dl, Seq("doc_id", "chunk_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * col("tf") * 2.2
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val perTerm = bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("w"))).as(s"w$i")
+    }
+    w.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(perTerm.head, perTerm.tail :+ count(lit(1)).as("n_terms"): _*)
+      .withColumn("score", bm25Terms.indices
+        .map(i => coalesce(col(s"w$i"), lit(0.0))).reduce(_ + _))
+      .select(col("doc_id"), col("chunk_id"), col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc, col("chunk_id").asc)
+      .limit(20)
+  }
+  val q182Oracle: String = {
+    val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    val sums = bm25Terms.map(t =>
+      s"COALESCE(SUM(CASE WHEN tok = '$t' THEN w END), 0.0)").mkString(" + ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    cgen AS (
+      SELECT doc_id, t, unnest(generate_series(0,
+        (GREATEST(0, len(t) - 32) + 15) // 16)) AS chunk_id
+      FROM toks),
+    ch AS (
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+             t[chunk_id*16+1 : chunk_id*16+32] AS ct
+      FROM cgen),
+    dl AS (SELECT doc_id, chunk_id, CAST(len(ct) AS DOUBLE) AS dl FROM ch),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, chunk_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, chunk_id, unnest(ct) AS tok FROM ch)
+      WHERE tok IN ($terms) GROUP BY doc_id, chunk_id, tok),
+    dfs AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+    w AS (
+      SELECT doc_id, chunk_id, tok,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+      FROM tf JOIN dfs USING (tok) JOIN dl USING (doc_id, chunk_id)
+      CROSS JOIN stats),
+    bm AS (
+      SELECT doc_id, chunk_id, COUNT(*) AS n_terms, $sums AS score
+      FROM w GROUP BY doc_id, chunk_id)
+    SELECT doc_id, chunk_id, n_terms, score FROM bm
+    ORDER BY score DESC, doc_id ASC, chunk_id ASC LIMIT 20"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_chunk_bm25" -> (q182ChunkBm25 _),
     "q171_lm_perplexity" -> (q171LmPerplexity _),
     "q168_bm25_topk" -> (q168Bm25TopK _),
     "q169_hybrid_rrf" -> (q169HybridRrf _),
@@ -1271,6 +1350,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q182_chunk_bm25" -> q182Oracle,
     "q171_lm_perplexity" -> q171Oracle,
     "q168_bm25_topk" -> q168Oracle,
     "q169_hybrid_rrf" -> q169Oracle,
