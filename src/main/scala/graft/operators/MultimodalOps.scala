@@ -178,14 +178,24 @@ object MultimodalOps {
     * the join shuffles only band collisions, never all pairs) whose full
     * 64-bit Hamming distance ≤ `maxHamming`. The dedup matrix's
     * multimodal column: the same candidates→exact-verify two-phase shape
-    * as q34/q37, over payload bytes instead of text. */
+    * as q34/q37, over payload bytes instead of text. `maxBucket` caps
+    * each (band, value) cell at its lowest doc_ids before the candidate
+    * join — identical-image clusters (logos, boilerplate thumbnails)
+    * are REAL at 100 TB and would otherwise turn one hot cell into a
+    * quadratic pair set; same capped-LSH trade as q34/q41, mirrored in
+    * the oracle. */
   def phashNearDups(spark: SparkSession, media: DataFrame,
-      maxHamming: Int = 10): DataFrame = {
+      maxHamming: Int = 10, maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ph = perceptualHashBands(spark, media).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capW = Window.partitionBy(col("band"), col("v"))
+      .orderBy(col("doc_id").asc)
     val bands = ph.select(col("doc_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band", "v")))
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= maxBucket).drop("rn")
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&

@@ -96,7 +96,9 @@ object MultimodalQueries {
   // q37 simhash / q41 cosine ↦ payload bytes). aHash bits from 64
   // strided "pixels" with an integer mean threshold, four 16-bit bands
   // block candidates (band equality = the LSH join — only collisions
-  // shuffle, never all pairs), exact 64-bit Hamming ≤ 10 verifies. The
+  // shuffle, never all pairs; per-(band,value) cells capped at 64 like
+  // q34/q41, mirrored in the oracle — identical-image clusters must not
+  // go quadratic), exact 64-bit Hamming ≤ 10 verifies. The
   // corpus being ASCII is what lets the DuckDB oracle respell the byte
   // stride as a character stride (q96's trick); the Spark side works on
   // the real bytes.
@@ -122,9 +124,12 @@ object MultimodalQueries {
       SELECT doc_id, i // 16 AS band,
              CAST(SUM(bit << (i % 16)) AS BIGINT) AS v
       FROM bits GROUP BY doc_id, i // 16),
+    capped AS (
+      SELECT doc_id, band, v FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, v ORDER BY doc_id) <= 64),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
     wide AS (
       SELECT doc_id,
@@ -230,9 +235,12 @@ object MultimodalQueries {
       SELECT doc_id, i // 16 AS band,
              CAST(SUM(bit << (i % 16)) AS BIGINT) AS v
       FROM bits GROUP BY doc_id, i // 16),
+    capped AS (
+      SELECT doc_id, band, v FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, v ORDER BY doc_id) <= 64),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
     wide AS (
       SELECT doc_id,

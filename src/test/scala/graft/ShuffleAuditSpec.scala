@@ -192,6 +192,27 @@ class ShuffleAuditSpec extends SparkSpec {
     assert(cp == 8L * 7 / 2, "bucket cap must bound scored pairs at C(m,2)")
   }
 
+  test("phash bucket cap bounds the identical-image pair explosion") {
+    import spark.implicits._
+    // d byte-identical image payloads share every hash band — the logo /
+    // boilerplate-thumbnail cluster. Uncapped that is C(d,2) verified
+    // pairs; capped at m per (band, value) it is exactly C(m,2).
+    val varied = (0 until 128).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val media = (0 until 60)
+      .map(i => (i.toLong * 3, "image", varied.getBytes))
+      .toDF("doc_id", "kind", "media")
+    val uncapped = graft.operators.MultimodalOps
+      .phashNearDups(spark, media, maxHamming = 10, maxBucket = Int.MaxValue)
+      .count()
+    val capped = graft.operators.MultimodalOps
+      .phashNearDups(spark, media, maxHamming = 10, maxBucket = 8)
+      .count()
+    info(s"pairs: uncapped $uncapped, capped $capped")
+    assert(uncapped == 60L * 59 / 2,
+      "identical payloads must produce the full pair set when uncapped")
+    assert(capped == 8L * 7 / 2, "bucket cap must bound pairs at C(m,2)")
+  }
+
   test("bipartite decon caps bound eval×corpus scored pairs") {
     import spark.implicits._
     // all-identical vectors on both sides share every sign bucket — the
