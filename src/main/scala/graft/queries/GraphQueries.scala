@@ -85,9 +85,110 @@ object GraphQueries {
     FROM r$Iters ORDER BY r DESC, v ASC LIMIT 20"""
   }
 
+  // q183 — semi-supervised label propagation (weak supervision / auto-
+  // labeling): docs holding an embedding label AND doc_id % 5 == 0 seed
+  // their label; three rounds of majority vote over the n-gram-Jaccard
+  // similarity graph (q33's candidate pairs, intersect ≥ 2) spread it —
+  // each round an UNLABELED doc adopts the plurality label of its
+  // already-labeled neighbors (count desc, label asc ties), and labels
+  // once assigned are FIXED (the monotone clamped variant — every round
+  // is deterministic and the state only grows). The third iterative
+  // graph pattern next to connected components (q93) and PageRank
+  // (q138): CC spreads identity, PageRank spreads mass, LP spreads
+  // CLASS — all integer-exact, all one join + one partial-agg shuffle
+  // per round. Output: every doc with its final label (−1 = never
+  // reached) and the round that labeled it.
+  def q183LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val pairs = TextOps.ngramJaccardPairs(docs, n = 3, minIntersect = 2,
+        maxDf = 64)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val seeds = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("label").cast("long").as("seed"))
+    var state = docs.select(col("doc_id"))
+      .join(seeds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, col("seed")).as("label"),
+        when(col("doc_id") % 5 === 0 && col("seed").isNotNull, 0)
+          .otherwise(lit(null).cast("int")).as("round"))
+    for (r <- 1 to 3) {
+      val votes = edges
+        .join(state.filter(col("label").isNotNull)
+          .select(col("doc_id").as("src"), col("label").as("nl")), Seq("src"))
+        .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("c"))
+      val winners = votes
+        .withColumn("rn", row_number().over(Window.partitionBy(col("dst"))
+          .orderBy(col("c").desc, col("nl").asc)))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("doc_id"), col("nl").as("win"))
+      state = state.join(winners, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("win")).as("label"),
+          coalesce(col("round"),
+            when(col("label").isNull && col("win").isNotNull, r)).as("round"))
+    }
+    state.select(col("doc_id"),
+        coalesce(col("label"), lit(-1L)).as("label"),
+        coalesce(col("round"), lit(-1)).as("round"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q183Oracle: String = {
+    val rounds = (1 to 3).map { r =>
+      val p = s"l${r - 1}"
+      s"""v$r AS (
+        SELECT e.dst AS doc_id, l.label, COUNT(*) AS c
+        FROM edges e JOIN $p l ON l.doc_id = e.src AND l.label IS NOT NULL
+        GROUP BY e.dst, l.label),
+      w$r AS (
+        SELECT doc_id, label AS win FROM (
+          SELECT doc_id, label, row_number() OVER (
+            PARTITION BY doc_id ORDER BY c DESC, label ASC) AS rn
+          FROM v$r) WHERE rn = 1),
+      l$r AS (
+        SELECT p.doc_id, COALESCE(p.label, w.win) AS label,
+               COALESCE(p.round,
+                 CASE WHEN p.label IS NULL AND w.win IS NOT NULL
+                   THEN $r END) AS round
+        FROM $p p LEFT JOIN w$r w ON w.doc_id = p.doc_id)"""
+    }.mkString(",\n      ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    sh AS (
+      SELECT doc_id, shingle FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 64),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM inter
+      UNION ALL SELECT doc_b, doc_a FROM inter),
+    l0 AS (
+      SELECT d.doc_id,
+        CASE WHEN d.doc_id % 5 = 0 THEN CAST(e.label AS BIGINT) END AS label,
+        CASE WHEN d.doc_id % 5 = 0 AND e.label IS NOT NULL THEN 0 END AS round
+      FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id),
+      $rounds
+    SELECT doc_id, COALESCE(label, -1) AS label,
+           CAST(COALESCE(round, -1) AS INT) AS round
+    FROM l3 ORDER BY doc_id ASC"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q138_pagerank" -> (q138PageRank _))
+    "q138_pagerank" -> (q138PageRank _),
+    "q183_label_propagation" -> (q183LabelPropagation _))
 
   val oracles: Map[String, String] = Map(
-    "q138_pagerank" -> q138Oracle)
+    "q138_pagerank" -> q138Oracle,
+    "q183_label_propagation" -> q183Oracle)
 }
