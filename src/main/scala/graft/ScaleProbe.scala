@@ -33,7 +33,8 @@ object ScaleProbe {
   private val Queries = Seq("q147_corpus_build", "q150_dedup_on_ingest",
     "q156_semantic_dedup", "q34_minhash_lsh", "q158_dsir_select",
     "q161_dup_span_stats", "q162_dup_span_scrub", "q165_span_ingest",
-    "q171_lm_perplexity", "q176_curated_corpus")
+    "q171_lm_perplexity", "q176_curated_corpus", "q182_chunk_bm25",
+    "q183_label_propagation")
 
   private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
     .filter(_.getType == MemoryType.HEAP)
