@@ -460,6 +460,25 @@ object TextOps {
           s => s.getField("tok"))).as("clean_text"))
   }
 
+  /** Surgical span-level decontamination: scrub from every corpus doc
+    * the maximal token spans overlapping ANY n-gram of the benchmark
+    * set — remove the contamination, keep the document (the scalpel to
+    * the drop-the-doc screens' hammer: a long document with one leaked
+    * eval question loses eight tokens, not its other ten thousand).
+    * The eval side reduces to its DISTINCT gram-fp set — bounded by
+    * the benchmark's size, broadcast — so the corpus pays one
+    * positioned-gram explode and a broadcast semi-join; span merge and
+    * rebuild are the shared ExactSubstr tail. */
+  def scrubEvalOverlap(corpus: DataFrame, evalDocs: DataFrame,
+      n: Int): DataFrame = {
+    val occ = gramOccurrences(corpus, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalFps = gramOccurrences(evalDocs, n).select(col("fp")).distinct()
+    val hits = toHits(occ.join(broadcast(evalFps), Seq("fp")), n)
+    val spans = Materialize.thenRelease(mergeSpans(hits), occ)
+    rebuildWithout(corpus, spans)
+  }
+
   /** Rebuild each document with its duplicated spans REMOVED (the scrub
     * half of ExactSubstr). Spans expand to covered token positions
     * (disjoint by construction, so no distinct needed) and drop via a

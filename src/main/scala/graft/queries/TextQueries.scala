@@ -1319,7 +1319,65 @@ object TextQueries {
     ORDER BY score DESC, doc_id ASC, chunk_id ASC LIMIT 20"""
   }
 
+  // q184 — SURGICAL decontamination: scrub only the eval-overlapping
+  // spans from corpus docs and keep the rest of the document — the
+  // scalpel to q153/q175/q176's drop-the-doc hammer (a long doc with
+  // one leaked benchmark question loses 8 tokens, not its other ten
+  // thousand). Eval set = doc_id % 17 == 0 (q175's holdout convention);
+  // its DISTINCT 8-gram fps broadcast onto the corpus's positioned
+  // grams, flagged occurrences merge to maximal spans, docs rebuild
+  // without the covered positions (the shared ExactSubstr tail — fully
+  // contaminated docs vanish). Oracle replays with md5 fps; the engine
+  // fp never leaves the plan.
+  def q184ScrubEvalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextOps.scrubEvalOverlap(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0), n = dupSpanN)
+      .orderBy(col("doc_id").asc)
+  }
+  val q184Oracle: String = {
+    val n = dupSpanN
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % 17 <> 0),
+    ev AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % 17 = 0),
+    eg AS (
+      SELECT DISTINCT md5(array_to_string(t[i:i+${n - 1}], ' ')) AS fp
+      FROM (SELECT t, unnest(generate_series(1, len(t) - ${n - 1})) AS i
+            FROM ev WHERE len(t) >= $n)),
+    g AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - ${n - 1})) AS i, t
+      FROM toks WHERE len(t) >= $n),
+    g2 AS (
+      SELECT doc_id, i - 1 AS start,
+             md5(array_to_string(t[i:i+${n - 1}], ' ')) AS fp
+      FROM g),
+    hits AS (
+      SELECT g2.doc_id, g2.start, g2.start + ${n - 1} AS gram_end
+      FROM g2 JOIN eg USING (fp)),
+    isl AS (
+      SELECT doc_id, start, gram_end,
+        CASE WHEN start > COALESCE(MAX(gram_end) OVER (
+            PARTITION BY doc_id ORDER BY start
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS new_span
+      FROM hits),
+    isl2 AS (
+      SELECT doc_id, start, gram_end,
+        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY start
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM isl),
+    spans AS (
+      SELECT doc_id, MIN(start) AS span_start, MAX(gram_end) AS span_end
+      FROM isl2 GROUP BY doc_id, span_id)""" + scrubTail
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_scrub_eval_overlap" -> (q184ScrubEvalOverlap _),
     "q182_chunk_bm25" -> (q182ChunkBm25 _),
     "q171_lm_perplexity" -> (q171LmPerplexity _),
     "q168_bm25_topk" -> (q168Bm25TopK _),
@@ -1350,6 +1408,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q184_scrub_eval_overlap" -> q184Oracle,
     "q182_chunk_bm25" -> q182Oracle,
     "q171_lm_perplexity" -> q171Oracle,
     "q168_bm25_topk" -> q168Oracle,
