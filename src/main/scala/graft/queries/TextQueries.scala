@@ -1376,7 +1376,50 @@ object TextQueries {
       FROM isl2 GROUP BY doc_id, span_id)""" + scrubTail
   }
 
+  // q185 — cross-source overlap matrix: for every 8-gram fingerprint
+  // that appears in ≥2 sources, count it toward each (source_a ≤
+  // source_b) pair that shares it — the dedup PROVENANCE view a corpus
+  // release ships next to the q181 data card ("which sources duplicate
+  // which", the basis for choosing what to drop and whom to attribute).
+  // Distinct (fp, source) pairs first — a fingerprint repeated within a
+  // source counts once — then the per-fp source-set self-joins; the
+  // self-join is bounded by sources-per-fp (≤ |sources| = 20), never by
+  // occurrences, so hot boilerplate cannot go quadratic in documents.
+  def q185SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val n = dupSpanN
+    val fps = Tables.documents(spark, dir)
+      .select(col("source"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("source"),
+        explode(expr(s"transform(sequence(1, size(t) - ${n - 1}), " +
+          s"i -> array_join(slice(t, i, $n), ' '))")).as("gram"))
+      .select(col("source"), xxhash64(col("gram")).as("fp"))
+      .distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .orderBy(col("source_a").asc, col("source_b").asc)
+  }
+  val q185Oracle: String = {
+    val n = dupSpanN
+    s"""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents),
+    fps AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(t[i:i+${n - 1}], ' ')) AS fp
+      FROM (SELECT source, t,
+              unnest(generate_series(1, len(t) - ${n - 1})) AS i
+            FROM toks WHERE len(t) >= $n))
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY source_a ASC, source_b ASC"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_source_overlap" -> (q185SourceOverlap _),
     "q184_scrub_eval_overlap" -> (q184ScrubEvalOverlap _),
     "q182_chunk_bm25" -> (q182ChunkBm25 _),
     "q171_lm_perplexity" -> (q171LmPerplexity _),
@@ -1408,6 +1451,7 @@ object TextQueries {
     "q38_fingerprint" -> (q38Fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q185_source_overlap" -> q185Oracle,
     "q184_scrub_eval_overlap" -> q184Oracle,
     "q182_chunk_bm25" -> q182Oracle,
     "q171_lm_perplexity" -> q171Oracle,
