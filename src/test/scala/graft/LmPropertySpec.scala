@@ -62,4 +62,31 @@ class LmPropertySpec extends SparkSpec {
       assert(got == want, s"seed $seed: spark $got vs model $want")
     }
   }
+
+  test("frozen-gate scoring matches the same reference model") {
+    // QualityGateStream.score is a REIMPLEMENTATION of the micro-nat
+    // protocol over collected frozen counts — when the gate scores its
+    // own training corpus, it must agree with the driver model (and
+    // therefore with q171) per doc, exactly. Scoring through the frozen
+    // maps exercises the OOV/backoff paths the broadcast-join path
+    // shares only structurally.
+    import graft.streaming.QualityGateStream
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 7919L)
+      val docs = corpus(rnd)
+      val df = docs.toDF("doc_id", "text", "lang")
+      val gate = QualityGateStream.freeze(spark, df)
+      val got = QualityGateStream.score(spark, gate, df)
+        .collect().map { r =>
+          val micro = math.round(
+            r.getDouble(3) * r.getLong(2) * 1000000.0)
+          r.getLong(0) -> ((r.getLong(2), micro))
+        }.toMap
+      // score() exposes avg_logprob; reconstruct score_micro from it —
+      // exact because avg = micro/(n·1e6) was two correctly-rounded
+      // divides of an integer ≪ 2^53, so the round-trip is lossless
+      val want = model(docs)
+      assert(got == want, s"seed $seed: gate $got vs model $want")
+    }
+  }
 }
