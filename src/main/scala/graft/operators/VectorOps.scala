@@ -171,7 +171,9 @@ object VectorOps {
         if (corpusN <= trainTarget) corpusVec
         else corpusVec.filter(
           pmod(xxhash64(col("neighbor_id"), lit(seed)), lit(1000000L))
-            < lit((trainTarget.toDouble / corpusN * 1e6).toLong))
+            // clamp ≥ 1: past ~6.5e10 rows the raw threshold truncates
+            // to 0 and would silently empty the training set
+            < lit(math.max(1L, (trainTarget.toDouble / corpusN * 1e6).toLong)))
       val trainDf = trainRows.repartition(32, col("neighbor_id"))
         .select(col("features"))
       // k-means|| init kept deliberately: random init was measured ~0.3 s
@@ -285,6 +287,71 @@ object VectorOps {
     centroids
   }
 
+  /** Shared PQ codebook training — used by [[pqTopK]] (absolute vectors)
+    * and [[ivfPqTopK]] (cell residuals): a bounded, LAYOUT-INDEPENDENT
+    * sample (hash-filtered membership, threshold clamped ≥ 1 so huge
+    * corpora can't truncate it to an empty train set; driver-sorted by
+    * id) feeds per-block driver-local Lloyd's. `rows` must carry
+    * (neighbor_id, `vecCol`: array<double>). */
+  private def trainPqCodebooks(rows: DataFrame, vecCol: String, dim: Int,
+      m: Int, kCodes: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    val trainTarget = 65536L
+    val n = rows.count()
+    val sample =
+      (if (n <= trainTarget) rows
+       else rows.filter(
+         pmod(xxhash64(col("neighbor_id"), lit(seed)), lit(1000000L))
+           < lit(math.max(1L, (trainTarget.toDouble / n * 1e6).toLong))))
+        .select(col("neighbor_id"), col(vecCol))
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    Array.tabulate(m) { b =>
+      val pts = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, b * sub, (b + 1) * sub))
+      localKMeans(pts, kCodes, iters = 10, seed = seed + b)
+    }
+  }
+
+  /** Shared PQ encode kernel: nearest codeword per block in a tight JVM
+    * loop (the same predict work an ML-model UDF would do). Handles
+    * codebooks SHORTER than the requested kCodes (tiny corpora: Lloyd's
+    * returns min(kCodes, sample) centroids). */
+  private def pqEncodeUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+      m: Int, sub: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      val cbs = bc.value
+      Array.tabulate(m) { b =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cbs(b).length) {
+          val cent = cbs(b)(c)
+          var d = 0.0; var i = 0
+          while (i < cent.length) {
+            val diff = v(b * sub + i) - cent(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+
+  /** Shared ADC column: sum the per-block LUT entries for a row's codes.
+    * The flat LUT is ordered by (block, code) with each block
+    * contributing codebooks(b).length entries, so indexing goes through
+    * the PREFIX-OFFSET table, not a fixed kCodes stride — a short or
+    * uneven codebook (tiny corpus) must not read a neighboring block's
+    * distances. */
+  private def adcColumn(codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val offs = codebooks.scanLeft(0)(_ + _.length).init
+      .mkString("array(", ",", ")")
+    expr(s"aggregate(sequence(0, ${m - 1}), 0D, (acc, b) -> " +
+      s"acc + element_at(lut, element_at($offs, b + 1)" +
+      s" + element_at(codes, b + 1) + 1))")
+  }
+
   /** Product-quantization ANN: split each D-dim embedding into `m`
     * sub-blocks, k-means each sub-space into `kCodes` codewords, store the
     * corpus as m small codes (D floats → m bytes: 32× compression at
@@ -316,31 +383,18 @@ object VectorOps {
     // (measured 7.3 s → sub-second at sf0.1). This is also how the
     // production PQ implementations train. Only encode and the ADC scan
     // stay distributed.
+    // The sample inside trainPqCodebooks is hash-filtered and sorted by
+    // id on the driver before training: collect() order is partition
+    // order, which shifts with file splits and parallelism, and
+    // localKMeans's seeded init indexes into the array — the shared
+    // helper makes the codebooks (hence recall) a pure function of the
+    // data, invariant to the execution environment.
     def train(): (Int, Array[Array[Array[Double]]]) = {
       val dim = corpus.select(size(col("embedding"))).first().getInt(0)
       require(dim % m == 0, s"dim $dim not divisible by m=$m")
-      val sub = dim / m
-      val trainTarget = 65536L
-      val corpusN = corpusVec.count()
-      // The sample is sorted by id on the driver before training:
-      // collect() order is partition order, which shifts with file splits
-      // and parallelism, and localKMeans's seeded init indexes into the
-      // array — sorting makes the codebooks (hence recall) a pure function
-      // of the data, invariant to the execution environment.
-      val sample =
-        (if (corpusN <= trainTarget) corpusVec
-         else corpusVec.filter(
-           // hash-filter, not .sample: sample membership must not depend
-           // on the physical partitioning (same fix as coarseQuantizer)
-           pmod(xxhash64(col("neighbor_id"), lit(seed)), lit(1000000L))
-             < lit((trainTarget.toDouble / corpusN * 1e6).toLong)))
-          .select(col("neighbor_id"), col("embedding").cast("array<double>"))
-          .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-      // codebooks(b)(code) = centroid of block b (sub doubles)
-      (dim, Array.tabulate(m) { b =>
-        val pts = sample.map(v => java.util.Arrays.copyOfRange(v, b * sub, (b + 1) * sub))
-        localKMeans(pts, kCodes, iters = 10, seed = seed + b)
-      })
+      (dim, trainPqCodebooks(
+        corpusVec.withColumn("vd", col("embedding").cast("array<double>")),
+        "vd", dim, m, kCodes, seed))
     }
     val (dim, codebooks) = indexKey match {
       case Some(key) =>
@@ -353,25 +407,8 @@ object VectorOps {
     val sub = dim / m
     val bcCodebooks = spark.sparkContext.broadcast(codebooks)
 
-    // encode: one corpus scan; per row, m × kCodes × sub flops in a tight
-    // JVM loop (the same predict work an ML-model UDF would do)
-    val encodeUdf = udf { (emb: Seq[Double]) =>
-      val cbs = bcCodebooks.value
-      Array.tabulate(m) { b =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cbs(b).length) {
-          val cent = cbs(b)(c)
-          var d = 0.0; var i = 0
-          while (i < cent.length) {
-            val diff = emb(b * sub + i) - cent(i); d += diff * diff; i += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        best
-      }
-    }
+    // encode: one corpus scan through the shared nearest-codeword kernel
+    val encodeUdf = pqEncodeUdf(bcCodebooks, m, sub)
     val encoded = corpusVec
       .select(col("neighbor_id"),
         quantize(col("embedding")).as("c_emb"),
@@ -401,9 +438,7 @@ object VectorOps {
     // ADC scan: corpus codes × broadcast LUTs, no shuffle of the corpus
     val adc = encoded.crossJoin(broadcast(luts))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", expr(
-        s"aggregate(sequence(0, ${m - 1}), 0D, " +
-          s"(acc, b) -> acc + element_at(lut, b * $kCodes + element_at(codes, b + 1) + 1))"))
+      .withColumn("adc", adcColumn(codebooks))
     // bounded-heap top-`rerank` smallest ADC per query (negate: heap keeps max)
     val topCand = udaf(new graft.functions.TopKAgg(rerank))
     val candidates = adc
@@ -464,26 +499,12 @@ object VectorOps {
         col("embedding").cast("array<double>"), col("centroid"),
         (x, y) => x - y))
 
-    // residual PQ codebooks: driver-local Lloyd's over a bounded sorted
-    // sample — same rationale and determinism contract as pqTopK's train
+    // residual PQ codebooks through the shared trainer — same bounded,
+    // layout-independent sample and determinism contract as pqTopK
     def train(): (Int, Array[Array[Array[Double]]]) = {
       val dim = corpus.select(size(col("embedding"))).first().getInt(0)
       require(dim % m == 0, s"dim $dim not divisible by m=$m")
-      val sub = dim / m
-      val trainTarget = 65536L
-      val corpusN = corpusVec.count()
-      val sample =
-        (if (corpusN <= trainTarget) assigned
-         else assigned.filter(
-           // hash-filter, not .sample: layout-independent membership
-           pmod(xxhash64(col("neighbor_id"), lit(seed)), lit(1000000L))
-             < lit((trainTarget.toDouble / corpusN * 1e6).toLong)))
-          .select(col("neighbor_id"), col("resid"))
-          .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-      (dim, Array.tabulate(m) { b =>
-        val pts = sample.map(v => java.util.Arrays.copyOfRange(v, b * sub, (b + 1) * sub))
-        localKMeans(pts, kCodes, iters = 10, seed = seed + b)
-      })
+      (dim, trainPqCodebooks(assigned, "resid", dim, m, kCodes, seed))
     }
     val (dim, codebooks) = indexKey match {
       case Some(key) =>
@@ -494,23 +515,7 @@ object VectorOps {
     }
     val sub = dim / m
     val bcCodebooks = spark.sparkContext.broadcast(codebooks)
-    val encodeUdf = udf { (resid: Seq[Double]) =>
-      val cbs = bcCodebooks.value
-      Array.tabulate(m) { b =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cbs(b).length) {
-          val cent = cbs(b)(c)
-          var d = 0.0; var i = 0
-          while (i < cent.length) {
-            val diff = resid(b * sub + i) - cent(i); d += diff * diff; i += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        best
-      }
-    }
+    val encodeUdf = pqEncodeUdf(bcCodebooks, m, sub)
     val encoded = assigned
       .select(col("neighbor_id"), col("cell"),
         quantize(col("embedding")).as("c_emb"),
@@ -556,9 +561,7 @@ object VectorOps {
     // query never touches the (nlist − nprobe)/nlist rest of the corpus
     val adc = encoded.join(broadcast(luts), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", expr(
-        s"aggregate(sequence(0, ${m - 1}), 0D, " +
-          s"(acc, b) -> acc + element_at(lut, b * $kCodes + element_at(codes, b + 1) + 1))"))
+      .withColumn("adc", adcColumn(codebooks))
     val topCand = udaf(new graft.functions.TopKAgg(rerank))
     val candidates = adc
       .groupBy(col("query_id"), col("q_embf"))

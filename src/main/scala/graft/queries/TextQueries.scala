@@ -1174,12 +1174,11 @@ object TextQueries {
         col("lp_first") + coalesce(col("s_pairs"), lit(0L)))
       .withColumn("avg_logprob",
         col("score_micro").cast("double") / col("n_tokens") / lit(1000000.0))
+      .withColumn("tert", ntile(3).over(Window.partitionBy(col("lang"))
+        .orderBy(col("avg_logprob").desc, col("doc_id").asc)))
       .withColumn("bucket",
-        when(ntile(3).over(Window.partitionBy(col("lang"))
-          .orderBy(col("avg_logprob").desc, col("doc_id").asc)) === 1, "head")
-          .when(ntile(3).over(Window.partitionBy(col("lang"))
-            .orderBy(col("avg_logprob").desc, col("doc_id").asc)) === 2, "middle")
-          .otherwise("tail"))
+        when(col("tert") === 1, "head")
+          .when(col("tert") === 2, "middle").otherwise("tail"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("score_micro"), col("avg_logprob"), col("bucket"))
       .orderBy(col("doc_id").asc)

@@ -108,13 +108,18 @@ object QualityGateStream {
     val t = toks(corpus)
     val train = t.filter(col("lang") === "en")
     val trainTok = train.select(explode(col("t")).as("tok"))
-    val uni = trainTok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val big = pairsOf(train).groupBy(col("w1"), col("w2"))
+    val uniDf = trainTok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bigDf = pairsOf(train).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    require(uni.size + big.size <= maxModelRows,
-      s"frozen LM would hold ${uni.size + big.size} rows — prune counts first")
+    // bound BEFORE collecting — a count() is cheap, and a guard that
+    // runs after the collect cannot prevent the driver blow-up it
+    // exists to prevent
+    val modelRows = uniDf.count() + bigDf.count()
+    require(modelRows <= maxModelRows,
+      s"frozen LM would hold $modelRows rows — prune counts first")
+    val uni = uniDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = bigDf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val n = uni.values.sum
     val v = t.select(explode(col("t")).as("tok")).agg(countDistinct(col("tok")))
       .first().getLong(0)
@@ -152,11 +157,14 @@ object QualityGateStream {
   }
 
   /** Drive a document stream through the frozen gate. Verdicts land
-    * under `sinkDir/batch=<id>/` with the directory's existence as the
-    * commit mark — a re-delivered batch id is skipped, which is the
-    * ENTIRE replay contract a stateless gate needs (contrast the WAL
-    * machinery the stateful ingest terminals carry). Returns the
-    * started query; callers await termination. */
+    * under `sinkDir/batch=<id>/`, written to a dot-prefixed staging dir
+    * (invisible to `batch=*` readers) and ATOMICALLY renamed into place
+    * — the rename IS the commit mark, so a crash mid-write leaves no
+    * half batch behind the guard and the re-delivered batch id rewrites
+    * it cleanly; a rename that landed makes the re-delivery a no-op.
+    * That is the ENTIRE replay contract a stateless gate needs
+    * (contrast the WAL machinery the stateful ingest terminals carry).
+    * Returns the started query; callers await termination. */
   def run(spark: SparkSession, g: FrozenGate, stream: DataFrame,
       sinkDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -166,11 +174,15 @@ object QualityGateStream {
       .option("checkpointLocation", s"$sinkDir/_checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val out = new java.io.File(s"$sinkDir/batch=$batchId")
-        if (!out.exists()) {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val out = Paths.get(s"$sinkDir/batch=$batchId")
+        if (!Files.exists(out)) {
+          val staging = Paths.get(s"$sinkDir/.inprogress-$batchId")
+          graft.sync.TableStore.deleteRecursively(staging) // stale crash
           gate(spark, g, batch)
             .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite").parquet(out.getPath)
+            .write.mode("overwrite").parquet(staging.toString)
+          Files.move(staging, out, StandardCopyOption.ATOMIC_MOVE)
         }
         ()
       }

@@ -328,6 +328,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("PQ/IVF-PQ ADC survives codebooks shorter than kCodes") {
+    // 6 vectors with the default-shaped kCodes=32: Lloyd's returns ≤6
+    // codewords per block, so the flat LUT is SHORTER than m·kCodes —
+    // the ADC index must go through the per-block prefix offsets, not a
+    // fixed kCodes stride (which read a neighboring block's distances
+    // or off the end). With rerank ≥ corpus and all cells probed, the
+    // exact re-rank makes both operators equal brute force exactly.
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 6L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val exact = VectorOps.bruteForceTopK(vecs, vecs, k = 3)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorOps.pqTopK(spark, vecs, vecs, k = 3,
+        m = 2, kCodes = 32, rerank = 10)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = VectorOps.ivfPqTopK(spark, vecs, vecs, k = 3,
+        nlist = 2, nprobe = 2, m = 2, kCodes = 32, rerank = 10)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == exact, s"short-codebook PQ diverged: $pq vs $exact")
+    assert(ivfpq == exact, s"short-codebook IVF-PQ diverged: $ivfpq vs $exact")
+  }
+
   test("IVF-PQ ANN recall vs brute force on real embeddings") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 5)
