@@ -7,7 +7,7 @@ Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 SQL from oracle_sql.json in DuckDB with the testdata tables registered as
 views, and compares row count, column names, and values.
 """
-import json, math, sys
+import json, math, os, sys
 from pathlib import Path
 
 import duckdb
@@ -33,6 +33,11 @@ def frame_rows(df):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # oracle-side thread variation for the invariance sweep: DuckDB's
+    # parallel aggregation must not change any hash-compared value
+    threads = os.environ.get("DUCKDB_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())

@@ -15,10 +15,16 @@ import graft.tables.Tables
   * minimum with explicit headroom.
   *
   *   sbt "runMain graft.AnnRecallProbe /root/testdata/sf0.01"
+  *
+  * A second arg `sweep` switches to the IVF-PQ tuning sweep used to pick
+  * the q170 production params: it grids (nprobe, m, kCodes, rerank) and
+  * prints min/mean recall per combination, so a gate raise is backed by a
+  * measurement instead of a guess.
   */
 object AnnRecallProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val mode = args.drop(1).headOption.getOrElse("probe")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -29,6 +35,22 @@ object AnnRecallProbe {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 5)
     val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
+    if (mode == "sweep") {
+      for {
+        nprobe <- Seq(8, 10, 12)
+        m <- Seq(8, 16)
+        kCodes <- Seq(32, 64)
+        rerank <- Seq(100, 200, 400)
+      } {
+        val approx = VectorOps.ivfPqTopK(spark, q, emb, k = 10,
+          nprobe = nprobe, m = m, kCodes = kCodes, rerank = rerank)
+        val rec = VectorOps.recallAgainst(approx, exact)
+          .orderBy(col("query_id")).collect().map(_.getDouble(1))
+        println(f"[ivfpq-sweep] nprobe=$nprobe m=$m kCodes=$kCodes " +
+          f"rerank=$rerank min=${rec.min}%.2f mean=${rec.sum / rec.length}%.2f")
+      }
+      spark.stop(); return
+    }
     Seq(
       "srp-lsh" -> VectorOps.lshTopK(q, emb, k = 10),
       "ivf" -> VectorOps.ivfTopK(spark, q, emb, k = 10),

@@ -104,6 +104,18 @@ object Bench {
       val total = results.map(_._2).filter(_ >= 0).sum
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"ann_build":$builds,"sf":"$sfDir","protocol":"$phase"}"""
     }
+    // The compact line outgrew the driver's ~2000-char tail window at 176
+    // queries (2,176 chars in round 9 → arrived decapitated, parsed:null).
+    // This ≤200-char line is printed AFTER the compact line in every emit
+    // path, so the LAST complete line in any ≥200-char tail always parses;
+    // the per-query detail lives in the compact line above it and in
+    // bench_full.json / bench_compact.json on disk.
+    def shortLine(phase: String): String = {
+      val measured = named.count { case (n, _) => timings.getOrElse(n, -1.0) >= 0 }
+      val total = named.map { case (n, _) => timings.getOrElse(n, -1.0) }
+        .filter(_ >= 0).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_n":$measured,"sf":"$sfDir","protocol":"$phase","detail":"bench_full.json"}"""
+    }
     def writeFull(phase: String): Unit = {
       val results = named.map { case (n, _) => n -> timings.getOrElse(n, -1.0) }
       val full = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -134,6 +146,7 @@ object Bench {
       }
     def emit(phase: String): Unit = if (!shuttingDown) {
       println(compactLine(phase))
+      println(shortLine(phase))
       System.out.flush()
       writeFull(phase)
       writeCompact(phase)
@@ -148,6 +161,7 @@ object Bench {
         shuttingDown = true
         try Thread.sleep(300) catch { case _: InterruptedException => () }
         println(compactLine("killed"))
+        println(shortLine("killed"))
         System.out.flush()
         try writeFull("killed") catch { case _: Throwable => () }
         try writeCompact("killed") catch { case _: Throwable => () }
@@ -298,8 +312,10 @@ object Bench {
     // captured tail), then the stdout JSON line as the very last output.
     if (!shuttingDown) {
       System.err.println(compactLine("final"))
+      System.err.println(shortLine("final"))
       System.err.flush()
       println(compactLine("final"))
+      println(shortLine("final"))
       System.out.flush()
     }
   }

@@ -170,6 +170,48 @@ object ScaleProbe {
     results.sortBy(r => (r._2, r._1)).foreach { case (label, name, sec, mb, n) =>
       println(f"| $name | $label | $sec%.2f s | $mb MB | $n |")
     }
+
+    // ---- trend GATE (round-10): the probe asserts, not just reports, so
+    // a scaling regression fails this main instead of waiting for a judge
+    // read. Thresholds (recorded in SCALE.md §9) are deliberately loose
+    // versus the round-9 measurements (max wall ratio 3.6 with the
+    // sub-second floor, max sf1 heap 7.4 GB):
+    //   - wall(sf1) ≤ MaxWallRatio × max(wall(sf0.1), 1 s) per query —
+    //     sub-second sf0.1 cells are job-overhead-dominated, so the 1 s
+    //     floor keeps scheduler jitter in a 0.4 s denominator from
+    //     fabricating a 10× "regression";
+    //   - peak JVM heap at sf1 ≤ MaxHeapMb per query (whole local-mode
+    //     JVM: driver + 32 executor threads, so it upper-bounds driver
+    //     memory; a breach means some stage started collecting or
+    //     buffering proportionally to the corpus).
+    // SPARK_GRAFT_SCALE_GATE=off reverts to report-only.
+    val MaxWallRatio = 8.0
+    val MaxHeapMb = 10240L
+    // scaled-banding sf1 cells gate against their unscaled sf0.1 base
+    val baseName = Map(
+      "q156_scaled_banding" -> "q156_semantic_dedup",
+      "q160_scaled_banding" -> "q160_dedup_ingest")
+    val at01 = results.filter(_._1 == "sf0.1").map(r => r._2 -> r._3).toMap
+    val breaches = results.filter(_._1 == "sf1").flatMap {
+      case (_, name, sec, mb, _) =>
+        val wallBreach = at01.get(baseName.getOrElse(name, name)).collect {
+          case base if sec > MaxWallRatio * math.max(base, 1.0) =>
+            f"$name wall $sec%.2f s > $MaxWallRatio%.0f x max(${base}%.2f, 1) s"
+        }
+        val heapBreach =
+          if (mb > MaxHeapMb) Some(s"$name peak heap $mb MB > $MaxHeapMb MB")
+          else None
+        wallBreach.toSeq ++ heapBreach
+    }
+    if (sys.env.getOrElse("SPARK_GRAFT_SCALE_GATE", "on") != "off") {
+      if (breaches.nonEmpty) {
+        breaches.foreach(b => System.err.println(s"[scale-gate] BREACH: $b"))
+        spark.stop()
+        sys.exit(1)
+      }
+      println(s"[scale-gate] PASS: all sf1 cells within ${MaxWallRatio}x " +
+        s"wall (1 s floor) and $MaxHeapMb MB heap")
+    }
     spark.stop()
   }
 }

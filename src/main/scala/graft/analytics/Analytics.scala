@@ -56,8 +56,18 @@ object Analytics {
   * (submit → poll describe-statement → get-statement-result,
   * ref scripts/test_sync_time.sh:9-34) for API parity. Spark executes
   * synchronously; submit() runs the plan eagerly on a background thread.
+  *
+  * Results are BOUNDED: a statement whose result exceeds `maxRows`
+  * (default 100,000 — generous for the poll-and-print protocol this
+  * facade mirrors, tiny next to driver heap) reports Failed instead of
+  * collecting — the facade is for analytic summaries, and nothing
+  * upstream constrains callers, so an unlimited `df.collect()` here
+  * would be the one driver-OOM hole in an otherwise bounded engine.
+  * Callers with genuinely large results should write to a table/sink
+  * instead (S5), exactly as they would against the reference's
+  * get-statement-result paging cap.
   */
-final class StatementRunner {
+final class StatementRunner(maxRows: Int = StatementRunner.DefaultMaxRows) {
   import java.util.concurrent.{ConcurrentHashMap, Executors}
   import scala.jdk.CollectionConverters._
 
@@ -75,7 +85,17 @@ final class StatementRunner {
     statements.put(id, (Submitted, Seq.empty))
     pool.submit(new Runnable {
       def run(): Unit =
-        try statements.put(id, (Finished, df.collect().toIndexedSeq))
+        try {
+          // limit(maxRows + 1) plans as CollectLimit — the driver never
+          // materializes more than the bound + 1 sentinel row, so even a
+          // full-table statement cannot OOM the facade
+          val rows = df.limit(maxRows + 1).collect().toIndexedSeq
+          if (rows.length > maxRows)
+            statements.put(id, (Failed(
+              s"result exceeds maxRows=$maxRows — aggregate, LIMIT, or " +
+                "write to a table sink instead"), Seq.empty))
+          else statements.put(id, (Finished, rows))
+        }
         catch { case e: Throwable => statements.put(id, (Failed(e.getMessage), Seq.empty)) }
     })
     id
@@ -102,4 +122,11 @@ final class StatementRunner {
   }
 
   def shutdown(): Unit = pool.shutdown()
+}
+
+object StatementRunner {
+  /** See class doc: the facade mirrors a poll-and-print result protocol,
+    * so a six-figure row count already signals the caller wanted a sink,
+    * not a statement result. */
+  val DefaultMaxRows: Int = 100000
 }

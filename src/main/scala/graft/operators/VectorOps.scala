@@ -164,9 +164,14 @@ object VectorOps {
       // partitioning, so a config change (shuffle.partitions, input
       // splits) would silently train a DIFFERENT quantizer — caught by
       // the local[7] invariance sweep as a q170 recall-gate flip. The
-      // hash-filter picks the same training rows in any environment, and
-      // the fixed 32-way hash repartition pins the row→partition mapping
-      // to the KEY, making the seeded fit a pure function of (data, seed).
+      // hash-filter picks the same training rows in any environment, the
+      // fixed 32-way hash repartition pins the row→partition mapping to
+      // the KEY, and the within-partition sort pins the ORDER — shuffle
+      // block-fetch order is not deterministic, and k-means||'s seeded
+      // sampling consumes randomness in row order, so without the sort
+      // the fit would still be layout-dependent. Together they make the
+      // seeded fit a pure function of (data, seed); the sort is cheap on
+      // a ≤65k-row training frame.
       val trainRows =
         if (corpusN <= trainTarget) corpusVec
         else corpusVec.filter(
@@ -175,6 +180,7 @@ object VectorOps {
             // to 0 and would silently empty the training set
             < lit(math.max(1L, (trainTarget.toDouble / corpusN * 1e6).toLong)))
       val trainDf = trainRows.repartition(32, col("neighbor_id"))
+        .sortWithinPartitions(col("neighbor_id"))
         .select(col("features"))
       // k-means|| init kept deliberately: random init was measured ~0.3 s
       // faster at sf0.1 but drops recall@10 from 0.64 to 0.48 — centroid
@@ -476,8 +482,8 @@ object VectorOps {
     * the corpus itself never shuffles (the LUTs broadcast). */
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 8, m: Int = 8, kCodes: Int = 32,
-      rerank: Int = 100, seed: Long = 42L,
+      nlist: Int = 16, nprobe: Int = 8, m: Int = 16, kCodes: Int = 32,
+      rerank: Int = 200, seed: Long = 42L,
       indexKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
 

@@ -91,6 +91,65 @@ final class Pipeline(spark: SparkSession, storeRoot: String,
       spark.read.parquet(quarantinePath)
     else spark.emptyDataFrame
 
+  /** Fix-and-replay — the missing half of the dead-letter loop (inspect
+    * alone is not an operational story): applies `fix` to every
+    * quarantined raw line (identity = retry as-is, e.g. after an
+    * upstream producer hotfix), parses the corrected lines through the
+    * SAME envelope parse the live transports use
+    * ([[graft.streaming.PayloadCdcSource.parse]] — all three malformed-
+    * JSON shapes normalized identically), merges the clean results
+    * through the same extraction + merge path as a live micro-batch,
+    * and rewrites the quarantine to hold only the lines that STILL fail
+    * to parse — keeping their ORIGINAL raw text and capture metadata,
+    * so a wrong fix never corrupts the evidence.
+    *
+    * Watermark interaction (§2.8c, deliberate): replayed changes pass
+    * the same target-watermark gate as live batches, so a fixed line
+    * whose key has already received a NEWER change merges as a no-op —
+    * latest change still wins, and a replay can never resurrect stale
+    * state. Scale shape: the quarantine is poison lines only (bounded by
+    * upstream defect count, not data volume) and the replay is one
+    * parse projection + the standard O(batch) merge; nothing collects.
+    *
+    * @param fix column transform over the raw line, e.g.
+    *            `regexp_replace(_, ",}", "}")`; runs distributed.
+    * @return (replayed clean lines, lines still quarantined) */
+  def replayQuarantine(
+      fix: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): (Long, Long) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.{CdcSource, CdcStream, PayloadCdcSource}
+    if (!Files.exists(Paths.get(quarantinePath))) return (0L, 0L)
+    val corrupt = CdcSource.CorruptCol
+    val meta = Seq("raw_line", "batch_id", "quarantined_at")
+    val parsed = PayloadCdcSource.parseKeeping(
+      quarantine.withColumn("payload", fix(col("raw_line"))),
+      "payload", meta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val clean = parsed.filter(col(corrupt).isNull)
+        .drop(corrupt).drop(meta: _*)
+      val replayed = clean.count()
+      if (replayed > 0)
+        new CdcStream(spark, store, now)
+          .syncAll(graft.ingest.Extraction.extract(clean))
+      val stillBad = parsed.filter(col(corrupt).isNotNull)
+        .select(meta.map(col): _*)
+      val remaining = stillBad.count()
+      // retire replayed rows: materialize the still-bad set BESIDE the
+      // quarantine first, then swap — a crash mid-replay leaves either
+      // the old table or the new one, never a half-written mix
+      val tmp = Paths.get(s"$quarantinePath.replay")
+      TableStore.deleteRecursively(tmp)
+      if (remaining > 0) stillBad.write.mode("overwrite").parquet(tmp.toString)
+      TableStore.deleteRecursively(Paths.get(quarantinePath))
+      if (remaining > 0)
+        Files.move(tmp, Paths.get(quarantinePath), StandardCopyOption.ATOMIC_MOVE)
+      (replayed, remaining)
+    } finally parsed.unpersist()
+  }
+
   def table(name: String): DataFrame =
     store.read(name).getOrElse(
       throw new IllegalStateException(s"table $name not initialized — run initialLoad first"))

@@ -115,17 +115,21 @@ object VectorQueries {
     * and those runs check throughput, not recall quality.
     *
     * Measured minima (graft.AnnRecallProbe, re-run whenever an index or
-    * its training inputs change; re-measured after the round-9
-    * layout-independence fix — the coarse quantizer now trains on a
-    * hash-filtered, fixed-32-way-repartitioned frame, so these minima
-    * are a pure function of (data, seed), identical under ANY
-    * shuffle.partitions / input-split configuration):
+    * its training inputs change; re-measured after the round-10
+    * determinism completion — the coarse-quantizer training frame is
+    * hash-filtered, fixed-32-way-repartitioned AND sorted within
+    * partitions, so these minima are a pure function of (data, seed),
+    * identical under ANY shuffle.partitions / input-split / block-fetch-
+    * order configuration):
     *   sf0.001 / sf0.01 / sf0.1 → SRP 0.50 0.70 0.70; IVF 0.90 0.70
-    *   0.70; PQ 0.90 0.90 0.30; IVF-PQ 0.70 0.70 0.50 (the residual
-    *   quantization recovers sf0.1 recall global PQ loses: 0.50 vs
-    *   0.30 min). Gate bounds: SRP 0.65, IVF 0.7, PQ 0.8, IVF-PQ 0.7 —
-    *   q44/q170 sit exactly AT their sf0.01 gate, which is safe only
-    *   because the trained index is now layout-deterministic. */
+    *   0.70; PQ 0.90 0.90 0.30; IVF-PQ 0.90 0.70 0.70 (round-10 re-tune:
+    *   m 8→16, rerank 100→200 at unchanged nprobe — the `AnnRecallProbe
+    *   sweep` grid showed the sf0.1 loss was ADC ranking error, fully
+    *   recovered by a deeper exact re-rank; IVF-PQ now matches plain IVF
+    *   at every scale, so its floor is the coarse-probe bound). Gate
+    *   bounds: SRP 0.65, IVF 0.7, PQ 0.8, IVF-PQ 0.7 at EVERY scale —
+    *   q44/q170 sit exactly AT 0.7 at two scales, which is safe only
+    *   because the trained index is layout-deterministic. */
   private def recallBound(dir: String, atGate: Double, floor: Double): Double =
     if (dir.stripSuffix("/").endsWith("sf0.01")) atGate else floor
 
@@ -179,7 +183,7 @@ object VectorQueries {
     val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
     VectorOps.recallAgainst(
       VectorOps.ivfTopK(spark, q, emb, k = 10, indexKey = Some(dir)), exact)
-      .select(col("query_id"), (col("recall") >= recallBound(dir, 0.7, 0.5))
+      .select(col("query_id"), (col("recall") >= recallBound(dir, 0.7, 0.7))
         .cast("int").as("recall_ok"))
       .orderBy(col("query_id").asc)
   }
@@ -212,7 +216,7 @@ object VectorQueries {
     val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
     VectorOps.recallAgainst(
       VectorOps.ivfPqTopK(spark, q, emb, k = 10, indexKey = Some(dir)), exact)
-      .select(col("query_id"), (col("recall") >= recallBound(dir, 0.7, 0.5))
+      .select(col("query_id"), (col("recall") >= recallBound(dir, 0.7, 0.7))
         .cast("int").as("recall_ok"))
       .orderBy(col("query_id").asc)
   }
@@ -519,6 +523,17 @@ object VectorQueries {
   // the corpus maps once with a codegen'd long_dot — no explode, no
   // corpus shuffle. The per-label ntile is the oracle-exact decile; at
   // 100 TB cutoffs would come from a per-label score histogram.
+  //
+  // Overflow bounds (GramAgg's discipline): centroid components scale
+  // as Scale·max|x|·N_label, so their SQUARES are the first thing to
+  // outgrow Int64 — the centroid norm is therefore computed in
+  // decimal(38,0) on the 10-row centroid table (value-identical after
+  // the per-part double cast in cosineFromParts while a long would
+  // hold, still exact far beyond: d·(Scale·max|x|·N)² fits 38 digits to
+  // N≈10¹⁵). The per-row qdot(q, c) stays Int64 — each term is bounded
+  // by Scale²·max|x|²·N, so the d-term sum holds to N_label≈10⁹ rows
+  // (Scale=10⁴, max|x|≈1, d=64), the same regime GramAgg documents;
+  // past that, cast the centroid to decimal in the dot as well.
   def q173OutlierScreen(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
@@ -531,7 +546,9 @@ object VectorQueries {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("s")))),
         x => x.getField("s")).as("c_emb"))
-      .withColumn("c_n2", VectorOps.qnorm2(col("c_emb")))
+      .withColumn("c_n2", aggregate(col("c_emb"),
+        lit(0).cast("decimal(38,0)"),
+        (acc, x) => acc + x.cast("decimal(19,0)") * x.cast("decimal(19,0)")))
     val dec = ntile(10).over(Window.partitionBy(col("label"))
       .orderBy(col("cos_centroid").asc, col("vec_id").asc))
     e.join(broadcast(cent), Seq("label"))

@@ -71,6 +71,23 @@ final case class PayloadCdcSource(payloads: Dataset[String]) extends CdcSource {
     PayloadCdcSource.parse(payloads.toDF("payload"), "payload")
 }
 
+/** The literal wire shape of the reference's Kinesis binding — an opaque
+  * `data: binary` column decoded to UTF-8 before the envelope parse
+  * (`from_varbyte(kinesis_data, 'utf-8')`, ref scripts/setup_redshift.sh
+  * :95). Spark's binary→string cast IS the UTF-8 decode, so the decode is
+  * one codegen'd projection in the plan; everything after it is
+  * [[PayloadCdcSource.parse]] verbatim. This is P3's streaming leg: a real
+  * Kinesis/Kafka connector's record frame plugs in here unchanged.
+  */
+final case class BinaryPayloadCdcSource(payloads: Dataset[Array[Byte]])
+    extends CdcSource {
+  def load(spark: SparkSession): DataFrame =
+    PayloadCdcSource.parse(
+      payloads.toDF("data")
+        .select(col("data").cast(StringType).as("payload")),
+      "payload")
+}
+
 object PayloadCdcSource {
   /** Parse a payload-string column into the envelope-plus-corrupt contract.
     * `from_json` in PERMISSIVE mode signals malformed input in one of
@@ -82,17 +99,27 @@ object PayloadCdcSource {
     * is quarantined rather than silently dropped by the merge, regardless
     * of which shape this Spark version emits. A production connector
     * reuses this verbatim on its own frame. */
-  def parse(df: DataFrame, payloadCol: String): DataFrame = {
+  def parse(df: DataFrame, payloadCol: String): DataFrame =
+    parseKeeping(df, payloadCol, Nil)
+
+  /** [[parse]], carrying `keep` columns through unchanged — the shape
+    * [[graft.pipeline.Pipeline.replayQuarantine]] needs: a replayed line
+    * that STILL fails to parse must return to the quarantine with its
+    * ORIGINAL raw text and capture metadata, which the envelope-only
+    * projection would drop. */
+  def parseKeeping(df: DataFrame, payloadCol: String,
+      keep: Seq[String]): DataFrame = {
     val parsed = df.select(
       from_json(col(payloadCol), CdcSource.envelopeWithCorrupt,
         Map("mode" -> "PERMISSIVE",
-          "columnNameOfCorruptRecord" -> CdcSource.CorruptCol)).as("e"),
-      col(payloadCol).as("_raw"))
+          "columnNameOfCorruptRecord" -> CdcSource.CorruptCol)).as("e") +:
+      col(payloadCol).as("_raw") +:
+      keep.map(col): _*)
     val envCols = CdcSchemas.envelope.fieldNames.toSeq.map(f => col(s"e.$f"))
     val allEnvNull = envCols.map(_.isNull).reduce(_ && _)
-    parsed.select(envCols :+
+    parsed.select((envCols :+
       coalesce(col(s"e.${CdcSource.CorruptCol}"),
         when(col("e").isNull || allEnvNull, col("_raw")))
-        .as(CdcSource.CorruptCol): _*)
+        .as(CdcSource.CorruptCol)) ++ keep.map(col): _*)
   }
 }

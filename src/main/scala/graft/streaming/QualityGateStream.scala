@@ -164,22 +164,54 @@ object QualityGateStream {
     * it cleanly; a rename that landed makes the re-delivery a no-op.
     * That is the ENTIRE replay contract a stateless gate needs
     * (contrast the WAL machinery the stateful ingest terminals carry).
+    *
+    * Two contracts mirrored from the stateful terminals:
+    *   - ROTATE-TOGETHER: the batchId-guarded sink is keyed by the
+    *     checkpoint's batchIds, so a fresh checkpoint next to a stale
+    *     sink (batchIds restart at 0, `batch=0` already exists) would
+    *     silently skip writing verdicts for NEW data — refused up front,
+    *     same direction WalGuards.requireRotatedTogether refuses for the
+    *     WAL streams.
+    *   - EVERY ROW GETS A VERDICT: rows the schema'd reader could not
+    *     fill (null doc_id/text/lang) would be dropped by score()'s
+    *     inner joins and vanish without a verdict; they are split out
+    *     up front and emitted with keep=0 instead, matching the
+    *     explicit null contract of DedupIngestStream/SpanIngestStream.
+    *
     * Returns the started query; callers await termination. */
   def run(spark: SparkSession, g: FrozenGate, stream: DataFrame,
       sinkDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import java.nio.file.{Files, Paths}
+    val fresh = !Files.exists(Paths.get(s"$sinkDir/_checkpoint/offsets"))
+    val sinkUsed = Files.exists(Paths.get(sinkDir)) &&
+      scala.util.Using.resource(Files.list(Paths.get(sinkDir))) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.exists(_.getFileName.toString.startsWith("batch="))
+      }
+    require(!(fresh && sinkUsed),
+      s"sinkDir $sinkDir holds a previous run's batch=* verdicts but its " +
+        "checkpoint is fresh (batchIds restart at 0, so the batchId guard " +
+        "would silently skip NEW data) — rotate sinkDir together with the " +
+        "checkpoint")
     stream.writeStream
       .option("checkpointLocation", s"$sinkDir/_checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import java.nio.file.{Files, Paths, StandardCopyOption}
+        import java.nio.file.StandardCopyOption
         val out = Paths.get(s"$sinkDir/batch=$batchId")
         if (!Files.exists(out)) {
           val staging = Paths.get(s"$sinkDir/.inprogress-$batchId")
           graft.sync.TableStore.deleteRecursively(staging) // stale crash
-          gate(spark, g, batch)
+          val unfillable = col("doc_id").isNull || col("text").isNull ||
+            col("lang").isNull
+          val rejectedUnfillable = batch.filter(unfillable)
+            .select(col("doc_id"), col("lang"), lit(0).as("gopher_ok"),
+              lit(0).as("lm_ok"), lit(0).as("keep"))
+          gate(spark, g, batch.filter(!unfillable))
+            .unionByName(rejectedUnfillable)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").parquet(staging.toString)
           Files.move(staging, out, StandardCopyOption.ATOMIC_MOVE)
@@ -187,4 +219,5 @@ object QualityGateStream {
         ()
       }
       .start()
+  }
 }

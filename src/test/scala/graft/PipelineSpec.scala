@@ -165,6 +165,20 @@ class PipelineSpec extends SparkSpec {
     val runner = new graft.analytics.StatementRunner
     val id = runner.executeStatement(byMember)
     assert(runner.awaitResult(id).nonEmpty)
+
+    // maxRows guard: a statement whose result outgrows the bound reports
+    // Failed instead of collect()ing it onto the facade thread — the plan
+    // is CollectLimit, so the driver materializes bound + 1 rows, never
+    // the full frame
+    val bounded = new graft.analytics.StatementRunner(maxRows = 10)
+    val hugeId = bounded.executeStatement(
+      spark.range(1000000).toDF("n"))
+    val ex = intercept[IllegalStateException](bounded.awaitResult(hugeId))
+    assert(ex.getMessage.contains("maxRows"), ex.getMessage)
+    val okId = bounded.executeStatement(spark.range(10).toDF("n"))
+    assert(bounded.awaitResult(okId).size == 10,
+      "results AT the bound still return")
+    bounded.shutdown()
     runner.shutdown()
   }
 
@@ -407,6 +421,93 @@ class PipelineSpec extends SparkSpec {
     val quarantined = spark.read.parquet(quarantineDir)
     assert(quarantined.count() == 1, "exactly the poison payload is quarantined")
     assert(quarantined.select($"raw_line").as[String].head() == poison)
+  }
+
+  test("CdcSource seam: binary payloads (the from_varbyte wire shape) decode and merge") {
+    // the TRUE Kinesis wire format: records arrive as `data: binary` and
+    // the UTF-8 decode is a cast in the plan (ref scripts/setup_redshift
+    // .sh:95 `from_varbyte(kinesis_data,'utf-8')`) — P3's streaming leg
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{BinaryPayloadCdcSource, CdcStream}
+
+    val gen = new CdcGen.Gen(31)
+    val exportDir = tmpDir("binexport")
+    val ckptDir = tmpDir("binckpt")
+    val storeRoot = tmpDir("binstore")
+    val quarantineDir = tmpDir("binquarantine") + "/q"
+    val m0 = gen.member(); val q0 = gen.quest()
+    val mq0 = gen.memberQuest(m0.pk.stripPrefix("M_"), q0.pk.stripPrefix("Q_"))
+    writeLines(exportDir, "data.json", Seq(m0, q0, mq0).map(gen.exportLine))
+
+    var clock = t0
+    val pipeline = new Pipeline(spark, storeRoot, () => new Timestamp(clock))
+    pipeline.initialLoad(exportDir)
+
+    val poison = "this is {{{ not json"
+    val ms = MemoryStream[Array[Byte]](spark)
+    ms.addData(
+      gen.envelope("INSERT", gen.member(), t0 + 10000)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      poison.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      gen.envelope("INSERT", gen.member(), t0 + 11000)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    clock = t0 + 60000
+    val stream = new CdcStream(spark, pipeline.store, () => new Timestamp(clock))
+    val q = stream.start(BinaryPayloadCdcSource(ms.toDS()), ckptDir,
+      Trigger.AvailableNow(), Some(quarantineDir))
+    q.awaitTermination()
+
+    assert(pipeline.member.count() == 3,
+      "both clean binary payloads must decode and merge through the trait")
+    val quarantined = spark.read.parquet(quarantineDir)
+    assert(quarantined.count() == 1, "the poison bytes are quarantined")
+    assert(quarantined.select($"raw_line").as[String].head() == poison,
+      "quarantine keeps the DECODED raw text for triage")
+  }
+
+  test("quarantine replay: a corrected poison line merges; unfixable lines stay") {
+    val gen = new CdcGen.Gen(37)
+    val exportDir = tmpDir("rqexport")
+    val cdcDir = tmpDir("rqcdc")
+    val ckptDir = tmpDir("rqckpt")
+    val storeRoot = tmpDir("rqstore")
+    val m0 = gen.member(); val q0 = gen.quest()
+    val mq0 = gen.memberQuest(m0.pk.stripPrefix("M_"), q0.pk.stripPrefix("Q_"))
+    writeLines(exportDir, "data.json", Seq(m0, q0, mq0).map(gen.exportLine))
+
+    var clock = t0
+    val pipeline = new Pipeline(spark, storeRoot, () => new Timestamp(clock))
+    pipeline.initialLoad(exportDir)
+
+    // one clean insert, one fixable poison (garbage prefixed to a valid
+    // envelope — the classic log-framing/concat producer defect; trailing
+    // garbage won't do, Jackson tolerates it), one hopeless poison
+    val fixable = "<<<garbage " + gen.envelope("INSERT", gen.member(), t0 + 20000)
+    val hopeless = "this is {{{ not json"
+    writeLines(cdcDir, "batch1.json", Seq(
+      gen.envelope("INSERT", gen.member(), t0 + 10000), fixable, hopeless))
+    clock = t0 + 60000
+    pipeline.syncAvailable(cdcDir, ckptDir)
+    assert(pipeline.member.count() == 2, "clean insert merged, poison held back")
+    assert(pipeline.quarantine.count() == 2)
+
+    // fix-and-replay: strip the trailing garbage; the corrected line goes
+    // through the same parse + extraction + watermark-gated merge
+    clock = t0 + 120000
+    val (replayed, remaining) = pipeline.replayQuarantine(
+      regexp_replace(_, "^<<<garbage ", ""))
+    assert(replayed == 1 && remaining == 1, s"($replayed, $remaining)")
+    assert(pipeline.member.count() == 3, "the corrected line merged on replay")
+    val left = pipeline.quarantine
+    assert(left.count() == 1)
+    assert(left.select($"raw_line").as[String].head() == hopeless,
+      "the unfixable line keeps its ORIGINAL raw text, not the failed fix")
+
+    // replay with no fix is a no-op: the hopeless line stays put
+    val (r2, n2) = pipeline.replayQuarantine()
+    assert(r2 == 0 && n2 == 1)
+    assert(pipeline.member.count() == 3)
   }
 
   test("payload seam replay: re-delivering the same payload is a no-op") {

@@ -74,17 +74,61 @@ class QualityGateStreamSpec extends SparkSpec {
     }.toMap
     assert(batchV == v, "stream and batch verdicts must be identical")
 
-    // replay: wipe the checkpoint so the SAME files re-deliver as the
-    // SAME batch ids, and poison the input — the batch=<id> guard must
-    // skip both batches untouched
+    // replay: drop the LAST commit mark — the authentic crash window
+    // between the sink's atomic rename and the checkpoint's commit write
+    // — so the restart re-delivers that batch under the SAME id, and
+    // poison its input file: the batch=<id> guard must skip it untouched.
+    // (Wiping the WHOLE checkpoint is no longer a legal replay
+    // simulation: fresh checkpoint + used sink is the rotation mismatch
+    // run() now refuses — see the rotate-together test.)
     val stamps = Seq(0, 1).map(b =>
       new java.io.File(s"$sink/batch=$b").lastModified())
-    graft.sync.TableStore.deleteRecursively(Paths.get(s"$sink/_checkpoint"))
-    jsonFile(inDir, "b0.json", (10L, shortText, "en"), (11L, shortText, "en"))
+    Files.delete(Paths.get(s"$sink/_checkpoint/commits/1"))
+    // the commit's Hadoop checksum sidecar must crash away with it, or
+    // the re-written commit's rename trips over the stale .crc
+    Files.deleteIfExists(Paths.get(s"$sink/_checkpoint/commits/.1.crc"))
+    jsonFile(inDir, "b1.json", (20L, goodText, "en"), (21L, shortText, "en"))
     start(tmpDir("unused2"))
     assert(verdicts() == v, "re-delivered batches must not change verdicts")
     assert(Seq(0, 1).map(b =>
       new java.io.File(s"$sink/batch=$b").lastModified()) == stamps,
       "re-delivered batches must not rewrite their outputs")
+  }
+
+  test("rotate-together: fresh checkpoint next to a used sink is refused") {
+    val g = QualityGateStream.FrozenGate(Map.empty, Map.empty, 1L, 1L, Map.empty)
+    val inDir = tmpDir("qgate-rot-in")
+    jsonFile(inDir, "b0.json", (1L, goodText, "en"))
+    val sink = tmpDir("qgate-rot-sink")
+    // a previous run's verdicts, but no checkpoint: batchIds would
+    // restart at 0 and the batch=0 guard would silently skip NEW data
+    Files.createDirectories(Paths.get(s"$sink/batch=0"))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING").json(inDir)
+    val ex = intercept[IllegalArgumentException] {
+      QualityGateStream.run(spark, g, stream, sink)
+    }
+    assert(ex.getMessage.contains("rotate"), ex.getMessage)
+  }
+
+  test("unfillable rows get keep=0 verdicts instead of vanishing") {
+    // empty frozen maps: no cutoffs → every judged row passes the LM
+    // screen; the gopher rules still run, so the valid row keeps
+    val g = QualityGateStream.FrozenGate(Map.empty, Map.empty, 1L, 1L, Map.empty)
+    val inDir = tmpDir("qgate-null-in")
+    // rows the schema'd reader cannot fill: null text resp. null lang —
+    // score()'s inner joins would silently drop both
+    Files.write(Paths.get(inDir, "b0.json"), Seq(
+      s"""{"doc_id":1,"text":"$goodText","lang":"en"}""",
+      """{"doc_id":2,"lang":"en"}""",
+      s"""{"doc_id":3,"text":"$goodText"}""").mkString("\n").getBytes)
+    val sink = tmpDir("qgate-null-sink")
+    QualityGateStream.run(spark, g,
+      spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+        .json(inDir), sink).awaitTermination()
+    val v = spark.read.parquet(s"$sink/batch=*").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep")).toMap
+    assert(v == Map(1L -> 1, 2L -> 0, 3L -> 0),
+      s"every input row needs a verdict, unfillable ones keep=0: $v")
   }
 }
