@@ -658,7 +658,68 @@ object PretrainQueries {
            CAST(SUM(n_tok) AS BIGINT) AS doc_chunk_tokens
     FROM ch GROUP BY shard ORDER BY shard ASC"""
 
+  // q186 — packing-efficiency planner: for each candidate sequence
+  // length L, the padding waste of the two packing policies a
+  // pretraining run chooses between — pad-per-doc (each doc split into
+  // ceil(n_tok/L) sequences, every tail padded) versus concat-then-chunk
+  // (q88's policy: one virtual token stream, only the corpus tail pads).
+  // This is the report a run reads to pick seq_len and policy BEFORE
+  // committing GPU-hours: padded-policy waste falls as L shrinks while
+  // sequence count (and attention-window truncation) rises, and the
+  // crossover is a property of THIS corpus's length distribution, not a
+  // universal constant. All-integer: sequence counts and padded tokens
+  // are exact sums, waste is parts-per-thousand via one integer
+  // division. Scale shape: ONE corpus scan; the candidate-L multiply is
+  // a 5-row broadcast cross join; one partial agg → 5 result rows — at
+  // 100 TB this costs exactly one token-count pass, which is why the
+  // planner can run per corpus release.
+  def q186PackingPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val lens = spark.createDataFrame(
+      Seq(128L, 256L, 512L, 1024L, 2048L).map(Tuple1(_))).toDF("seq_len")
+    Tables.documents(spark, dir)
+      .select(size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .crossJoin(broadcast(lens))
+      .groupBy(col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(expr("(n_tok + seq_len - 1) DIV seq_len")).as("padded_sequences"))
+      .withColumn("padded_waste_permille", expr(
+        "((padded_sequences * seq_len - total_tokens) * 1000)" +
+          " DIV (padded_sequences * seq_len)"))
+      .withColumn("packed_sequences",
+        expr("(total_tokens + seq_len - 1) DIV seq_len"))
+      .withColumn("packed_waste_permille", expr(
+        "((packed_sequences * seq_len - total_tokens) * 1000)" +
+          " DIV (packed_sequences * seq_len)"))
+      .select(col("seq_len"), col("n_docs"), col("total_tokens"),
+        col("padded_sequences"), col("padded_waste_permille"),
+        col("packed_sequences"), col("packed_waste_permille"))
+      .orderBy(col("seq_len").asc)
+  }
+  val q186Oracle: String = """
+    WITH t AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    l AS (SELECT CAST(unnest([128, 256, 512, 1024, 2048]) AS BIGINT) AS seq_len),
+    agg AS (
+      SELECT seq_len, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(SUM((n_tok + seq_len - 1) // seq_len) AS BIGINT)
+               AS padded_sequences
+      FROM t CROSS JOIN l GROUP BY seq_len),
+    p AS (
+      SELECT *, (total_tokens + seq_len - 1) // seq_len AS packed_sequences
+      FROM agg)
+    SELECT seq_len, n_docs, total_tokens, padded_sequences,
+      CAST(((padded_sequences * seq_len - total_tokens) * 1000)
+        // (padded_sequences * seq_len) AS BIGINT) AS padded_waste_permille,
+      CAST(packed_sequences AS BIGINT) AS packed_sequences,
+      CAST(((packed_sequences * seq_len - total_tokens) * 1000)
+        // (packed_sequences * seq_len) AS BIGINT) AS packed_waste_permille
+    FROM p ORDER BY seq_len ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_packing_planner" -> (q186PackingPlanner _),
     "q147_corpus_build" -> (q147CorpusBuild _),
     "q136_bpe_vocab" -> (q136BpeVocab _),
     "q139_pack_pipeline" -> (q139PackPipeline _),
@@ -676,6 +737,7 @@ object PretrainQueries {
     "q137_scd2_build" -> (q137Scd2Build _))
 
   val oracles: Map[String, String] = Map(
+    "q186_packing_planner" -> q186Oracle,
     "q136_bpe_vocab" -> q136Oracle,
     "q139_pack_pipeline" -> q139Oracle,
     "q142_negative_sampling" -> q142Oracle,

@@ -80,6 +80,58 @@ object TextQueries {
       JOIN counts cb ON cb.doc_id = doc_b
     ORDER BY doc_a ASC, doc_b ASC"""
 
+  // q187 — dedup threshold curve: the tuning read behind q34/q41/q132's
+  // τ — exact n-gram Jaccard over the df-capped candidate pairs,
+  // histogrammed by integer decile floor(10·|∩|/|∪|), with the
+  // cumulative pairs-at-or-above count per decile. An operator picks the
+  // near-dup threshold by reading where this curve's knee sits instead
+  // of guessing, and re-reads it per corpus release — which is only
+  // affordable because the curve prices ONE q33 pass (hashed-fingerprint
+  // self-join with the broadcast hot-shingle anti-join, never doc×doc)
+  // plus a ≤11-row aggregation. Integer-exact end to end: the decile is
+  // (10·inter) DIV union over exact counts, and the cumulative window
+  // runs on the ≤11-row histogram (single-partition by construction,
+  // not by accident).
+  def q187DedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.ngramJaccardPairs(Tables.documents(spark, dir), n = 3,
+      minIntersect = 2, maxDf = 64)
+    pairs
+      .withColumn("decile", expr("(10 * inter) DIV (n_a + n_b - inter)"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("pairs_at_or_above",
+        sum(col("n_pairs")).over(Window.orderBy(col("decile").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n_pairs"), col("pairs_at_or_above"))
+      .orderBy(col("decile").asc)
+  }
+  val q187Oracle: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    sh AS (
+      SELECT doc_id, shingle FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 64),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    j AS (
+      SELECT (10 * inter) // (ca.n_sh + cb.n_sh - inter) AS decile
+      FROM inter
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b),
+    h AS (SELECT decile, COUNT(*) AS n_pairs FROM j GROUP BY decile)
+    SELECT CAST(decile AS BIGINT) AS decile, n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY decile DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS pairs_at_or_above
+    FROM h ORDER BY decile ASC"""
+
   // q34 — MinHash+LSH near-dup candidates: 8 string-min signatures over
   // md5-salted shingles, 4 bands of 2 rows; pairs sharing ≥1 band.
   // Fully oracle-expressible because the hash is md5 on both engines.
@@ -1439,6 +1491,7 @@ object TextQueries {
     "q92_incremental_dedup" -> (q92IncrementalDedup _),
     "q153_decontaminate" -> (q153Decontaminate _),
     "q88_sequence_packing" -> (q88SequencePacking _),
+    "q187_dedup_threshold_curve" -> (q187DedupThresholdCurve _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_text_quality" -> (q31TextQuality _),
     "q32_lang_profile" -> (q32LangProfile _),
@@ -1471,6 +1524,7 @@ object TextQueries {
     "q92_incremental_dedup" -> q92Oracle,
     "q153_decontaminate" -> q153Oracle,
     "q88_sequence_packing" -> q88Oracle,
+    "q187_dedup_threshold_curve" -> q187Oracle,
     "q30_dedup_exact" -> q30Oracle,
     "q31_text_quality" -> q31Oracle,
     "q32_lang_profile" -> q32Oracle,
