@@ -735,6 +735,90 @@ object CurationQueries {
       FROM documents)
     GROUP BY shard_e0, shard_e1 ORDER BY shard_e0 ASC, shard_e1 ASC"""
 
+  // q188 — mixture entropy / diversity card: per-source token share and
+  // each source's Shannon-entropy contribution — the scalar behind "is
+  // this corpus one crawl wearing four hats?" that q181's per-source
+  // volumes don't summarize, and the quantity domain-mixture tuning
+  // (DoReMi-style reweighting) optimizes against. Exactness follows
+  // q171's micro-nat protocol: the share is an integer permille of exact
+  // token counts, and the entropy term p·ln(1/p) quantizes ONCE to
+  // floor(·1e6) over bit-identical count-derived doubles (the ln is the
+  // only libm call) — so per-source rows hash-match and the corpus
+  // entropy is the exact integer sum of the column. Scale shape: one
+  // token-count scan, a |sources|-row agg, and a window over those
+  // |sources| rows — nothing else.
+  def q188MixtureEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("share_permille",
+        expr("(n_tokens * 1000) DIV total_tokens"))
+      .withColumn("h_micronats", floor(
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+          * log(col("total_tokens").cast("double") / col("n_tokens").cast("double"))
+          * lit(1000000.0)).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("total_tokens"), col("share_permille"), col("h_micronats"))
+      .orderBy(col("source").asc)
+  }
+  val q188Oracle: String = """
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    s AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM s)
+    SELECT source, n_docs, n_tokens, total_tokens,
+           (n_tokens * 1000) // total_tokens AS share_permille,
+           CAST(floor((CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+             * ln(CAST(total_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS h_micronats
+    FROM s CROSS JOIN tot ORDER BY source ASC"""
+
+  // q190 — tokenizer fertility per language: tokens, characters, and
+  // UTF-8 bytes per language with integer chars/bytes-per-100-tokens
+  // ratios — the read a multilingual tokenizer budget is set against
+  // (a language whose bytes-per-token is 2× pays 2× the context window
+  // for the same text; fertility skews mixture decisions q77/q133 make
+  // on doc counts alone). All-integer (ratios via ×100 DIV), one narrow
+  // projection + per-language agg — no shuffle wider than |languages|.
+  def q190TokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"), sum(col("n_bytes")).as("n_bytes"))
+      .withColumn("chars_per_100_tokens",
+        expr("(n_chars * 100) DIV n_tokens"))
+      .withColumn("bytes_per_100_tokens",
+        expr("(n_bytes * 100) DIV n_tokens"))
+      .orderBy(col("lang").asc)
+  val q190Oracle: String = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+           (CAST(SUM(n_chars) AS BIGINT) * 100)
+             // CAST(SUM(n_tok) AS BIGINT) AS chars_per_100_tokens,
+           (CAST(SUM(n_bytes) AS BIGINT) * 100)
+             // CAST(SUM(n_tok) AS BIGINT) AS bytes_per_100_tokens
+    FROM (SELECT lang,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+          FROM documents)
+    GROUP BY lang ORDER BY lang ASC"""
+
   // q181 — corpus data card (datasheets-for-datasets): the per-source
   // governance report a training-data release ships — doc/token volumes,
   // language mix, Gopher-quality keep counts, and exact-dup membership
@@ -820,6 +904,8 @@ object CurationQueries {
     "q75_tfidf" -> (q75TfIdf _),
     "q76_normalize" -> (q76Normalize _),
     "q77_stratified_sample" -> (q77StratifiedSample _),
+    "q188_mixture_entropy" -> (q188MixtureEntropy _),
+    "q190_tokenizer_fertility" -> (q190TokenizerFertility _),
     "q89_curation_pipeline" -> (q89CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -836,5 +922,7 @@ object CurationQueries {
     "q75_tfidf" -> q75Oracle,
     "q76_normalize" -> q76Oracle,
     "q77_stratified_sample" -> q77Oracle,
+    "q188_mixture_entropy" -> q188Oracle,
+    "q190_tokenizer_fertility" -> q190Oracle,
     "q89_curation_pipeline" -> q89Oracle)
 }

@@ -80,6 +80,55 @@ object TextQueries {
       JOIN counts cb ON cb.doc_id = doc_b
     ORDER BY doc_a ASC, doc_b ASC"""
 
+  // q189 — dedup saturation curve: exact-duplicate yield over ingestion
+  // order — documents in doc_id order are grouped into buckets of 100
+  // and each bucket reports how many of its content hashes are NEW
+  // (first seen in this bucket) versus already in the corpus, with the
+  // cumulative distinct count and a per-bucket dup permille. This is the
+  // "is more crawl still buying new content?" read — the marginal-yield
+  // curve data collection is budgeted against; a flattening cum_distinct
+  // means the source is exhausted. Exactness: a hash is NEW exactly when
+  // its MIN doc_id lands in the bucket — a partial-aggregable min, no
+  // ordered scan; the cumulative window runs over n/100 bucket rows
+  // (bounded by corpus/bucket-size, 50 rows at sf0.1 — at 100 TB the
+  // bucket width widens with the corpus, keeping the curve O(100) points
+  // and the window trivially small). One scan, one hash agg, one bucket
+  // agg.
+  def q189DedupSaturation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val firstSeen = docs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    docs.join(firstSeen, Seq("h"))
+      .withColumn("bucket", expr("doc_id DIV 100"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((expr("first_id DIV 100") === col("bucket") &&
+          col("doc_id") === col("first_id")).cast("long")).as("n_new_hashes"))
+      .withColumn("cum_distinct_hashes",
+        sum(col("n_new_hashes")).over(Window.orderBy(col("bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dup_permille",
+        expr("((n_docs - n_new_hashes) * 1000) DIV n_docs"))
+      .select(col("bucket"), col("n_docs"), col("n_new_hashes"),
+        col("cum_distinct_hashes"), col("dup_permille"))
+      .orderBy(col("bucket").asc)
+  }
+  val q189Oracle: String = """
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+    f AS (SELECT h, MIN(doc_id) AS first_id FROM d GROUP BY h),
+    b AS (
+      SELECT d.doc_id // 100 AS bucket, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN f.first_id // 100 = d.doc_id // 100
+                            AND d.doc_id = f.first_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_new_hashes
+      FROM d JOIN f ON f.h = d.h GROUP BY 1)
+    SELECT bucket, n_docs, n_new_hashes,
+           CAST(SUM(n_new_hashes) OVER (ORDER BY bucket ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_distinct_hashes,
+           ((n_docs - n_new_hashes) * 1000) // n_docs AS dup_permille
+    FROM b ORDER BY bucket ASC"""
+
   // q187 — dedup threshold curve: the tuning read behind q34/q41/q132's
   // τ — exact n-gram Jaccard over the df-capped candidate pairs,
   // histogrammed by integer decile floor(10·|∩|/|∪|), with the
@@ -1492,6 +1541,7 @@ object TextQueries {
     "q153_decontaminate" -> (q153Decontaminate _),
     "q88_sequence_packing" -> (q88SequencePacking _),
     "q187_dedup_threshold_curve" -> (q187DedupThresholdCurve _),
+    "q189_dedup_saturation" -> (q189DedupSaturation _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_text_quality" -> (q31TextQuality _),
     "q32_lang_profile" -> (q32LangProfile _),
@@ -1525,6 +1575,7 @@ object TextQueries {
     "q153_decontaminate" -> q153Oracle,
     "q88_sequence_packing" -> q88Oracle,
     "q187_dedup_threshold_curve" -> q187Oracle,
+    "q189_dedup_saturation" -> q189Oracle,
     "q30_dedup_exact" -> q30Oracle,
     "q31_text_quality" -> q31Oracle,
     "q32_lang_profile" -> q32Oracle,

@@ -333,6 +333,38 @@ class PlanSpec extends SparkSpec {
     assert(windows("q141_point_in_time_join") == windows("q63_asof_join"))
   }
 
+  test("q186: packing planner is one scan — the candidate-L multiply never shuffles") {
+    val s = planString("q186_packing_planner")
+    // the 5-row seq_len frame must broadcast (nested-loop against a
+    // broadcast side), and the only hash exchange is the 5-group final agg
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"candidate lengths must broadcast, not shuffle the corpus:\n$s")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles <= 1, s"one token-count pass + one tiny agg, found $shuffles:\n$s")
+  }
+
+  test("q188/q190: mixture/fertility cards agg partial-side, no corpus-wide window") {
+    Seq("q188_mixture_entropy", "q190_tokenizer_fertility").foreach { q =>
+      val s = planString(q)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+      // one source/lang agg exchange; q188's total-tokens window runs on
+      // the |sources|-row aggregate, never on corpus rows
+      assert(shuffles <= 1, s"$q must shuffle only the tiny agg, found $shuffles:\n$s")
+      assert("partial".r.findAllIn(s.toLowerCase).nonEmpty,
+        s"$q must partial-aggregate map-side:\n$s")
+    }
+  }
+
+  test("q189: saturation curve windows over buckets, not documents") {
+    val s = planString("q189_dedup_saturation")
+    // hash agg on h + bucket agg; the cumulative window sits ABOVE the
+    // bucket aggregation, so its input is n/100 rows by construction
+    val windows = "Window".r.findAllIn(s).size
+    assert(windows == 1, s"exactly the cumulative bucket window:\n$s")
+    assert(s.indexOf("Window") < s.indexOf("HashAggregate"),
+      s"the window must consume the bucket AGGREGATE (plans print top-down):\n$s")
+  }
+
   test("q74: bloom probe stays in codegen (no ScalaUDF in the plan)") {
     val s = planString("q74_bloom_prefilter_join")
     assert(!s.contains("ScalaUDF") && !s.contains("BatchEvalPython"),
