@@ -255,6 +255,55 @@ object TextOps {
     * rationale). Consumers that immediately re-shuffle by fp with no
     * positional logic (the incremental screen's corpus side) pass false
     * and skip the extra corpus-text shuffle. */
+  /** Winnowing fingerprint selection — Schleimer, Wilkerson & Aiken 2003
+    * (the MOSS local document fingerprinting algorithm): positioned token
+    * n-gram md5 fingerprints, and every window of `w` consecutive grams
+    * selects its MINIMUM fingerprint (ties to the earliest position); the
+    * document's sketch is the distinct selected set. The point versus
+    * fixed-stride or per-doc-minhash sampling is the LOCAL guarantee:
+    * any token run of length ≥ w + n − 1 shared by two documents
+    * contributes at least one selected fingerprint on BOTH sides — a
+    * match that long can never be missed — while expected density stays
+    * 2/(w+1). (The paper breaks ties RIGHTMOST; earliest-position is the
+    * equally deterministic mirror, chosen because it is one lexicographic
+    * string MIN both engines replicate bit-for-bit.)
+    *
+    * Cross-engine exactness: selection depends on the hash VALUE, so the
+    * fingerprint is md5 hex (identical in any engine, unlike xxhash64)
+    * and the window key is `md5hex:pos` zero-padded — string MIN picks
+    * (smallest fp, earliest pos) in one comparison. Docs shorter than w
+    * grams keep their single truncated window (frame clips at the
+    * partition edge at pos 0). Scale shape: one explode + ONE doc_id
+    * shuffle shared by the length count and the ordered min window; the
+    * per-doc frame is w rows.
+    *
+    * Returns distinct (doc_id, n_grams, fp, pos) selections. */
+  def winnowingSelect(docs: DataFrame, n: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+      .select(col("doc_id"), (col("i") - 1).cast("long").as("pos"),
+        md5(concat_ws(" ",
+          (0 until n).map(o => element_at(col("t"), col("i") + o)): _*)
+          .cast("binary")).as("fp"))
+    val whole = Window.partitionBy(col("doc_id"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(Window.currentRow, w - 1)
+    occ
+      .withColumn("n_grams", count(lit(1)).over(whole))
+      .withColumn("key", concat(col("fp"), lit(":"),
+        lpad(col("pos").cast("string"), 10, "0")))
+      .withColumn("sel_key", min(col("key")).over(win))
+      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0L)))
+      .select(col("doc_id"), col("n_grams"), col("sel_key")).distinct()
+      .select(col("doc_id"), col("n_grams"),
+        substring(col("sel_key"), 1, 32).as("fp"),
+        substring(col("sel_key"), 34, 10).cast("long").as("pos"))
+  }
+
   private[operators] def gramOccurrences(docs: DataFrame, n: Int,
       spread: Boolean = true): DataFrame =
     (if (spread) docs.repartition(col("doc_id")) else docs)

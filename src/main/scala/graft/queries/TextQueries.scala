@@ -80,6 +80,82 @@ object TextQueries {
       JOIN counts cb ON cb.doc_id = doc_b
     ORDER BY doc_a ASC, doc_b ASC"""
 
+  // q191 — winnowing fingerprint sketch (Schleimer et al. 2003, the MOSS
+  // algorithm — see TextOps.winnowingSelect for the guarantee): per-doc
+  // selected-fingerprint counts and density. Density should sit near the
+  // paper's 2/(w+1) expectation (w=4 → ~400‰) on random text and FALL on
+  // self-repetitive text (repeated grams collapse to repeated keys whose
+  // min the window keeps re-selecting) — so the density column itself is
+  // a cheap repetition signal. Integer-exact: counts and a permille DIV.
+  def q191WinnowingSketch(spark: SparkSession, dir: String): DataFrame =
+    TextOps.winnowingSelect(Tables.documents(spark, dir), n = 3, w = 4)
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_selected"))
+      .withColumn("density_permille",
+        expr("(n_selected * 1000) DIV n_grams"))
+      .orderBy(col("doc_id").asc)
+  private def winnowingSelOracle: String = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    occ AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(t[i:i+2], ' ')) AS fp,
+             CAST(len(t) - 2 AS BIGINT) AS n_grams
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks WHERE len(t) >= 3)),
+    k AS (
+      SELECT doc_id, n_grams, pos,
+             fp || ':' || lpad(CAST(pos AS VARCHAR), 10, '0') AS key
+      FROM occ),
+    selw AS (
+      SELECT doc_id, n_grams, pos,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos ASC
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_key
+      FROM k),
+    sel AS (
+      SELECT DISTINCT doc_id, n_grams, sel_key FROM selw
+      WHERE pos <= greatest(n_grams - 4, 0))"""
+  val q191Oracle: String = s"""
+    WITH $winnowingSelOracle
+    SELECT doc_id, n_grams, COUNT(*) AS n_selected,
+           (COUNT(*) * 1000) // n_grams AS density_permille
+    FROM sel GROUP BY doc_id, n_grams ORDER BY doc_id ASC"""
+
+  // q192 — winnowing match pairs: documents ranked by how many SELECTED
+  // fingerprints they share — the MOSS similarity report, and the
+  // winnowing column of the dedup matrix (content-hash q30 / minhash q34
+  // / simhash q37 / exact-substr q161 / perceptual q174): unlike q34's
+  // probabilistic bands, a reported pair's evidence is a concrete set of
+  // shared grams with the ≥ w+n−1 run guarantee behind it. Only selected
+  // fps shuffle (≈ 2/(w+1) of grams); fps selected in > 64 docs are
+  // boilerplate and leave via the broadcast anti-join before the
+  // self-join, exactly q33's cap discipline.
+  def q192WinnowingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sel = TextOps.winnowingSelect(Tables.documents(spark, dir), n = 3, w = 4)
+      .select(col("doc_id"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 64).select(col("fp"))
+    val cool = sel.join(broadcast(hot), Seq("fp"), "left_anti")
+    val pairs = cool.as("a").join(cool.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+    graft.operators.Materialize.thenRelease(pairs, sel)
+  }
+  val q192Oracle: String = s"""
+    WITH $winnowingSelOracle,
+    sf AS (
+      SELECT DISTINCT doc_id, substring(sel_key, 1, 32) AS fp FROM sel),
+    cool AS (
+      SELECT doc_id, fp FROM sf
+      QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 64)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM cool a JOIN cool b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ORDER BY doc_a ASC, doc_b ASC"""
+
   // q189 — dedup saturation curve: exact-duplicate yield over ingestion
   // order — documents in doc_id order are grouped into buckets of 100
   // and each bucket reports how many of its content hashes are NEW
@@ -1542,6 +1618,8 @@ object TextQueries {
     "q88_sequence_packing" -> (q88SequencePacking _),
     "q187_dedup_threshold_curve" -> (q187DedupThresholdCurve _),
     "q189_dedup_saturation" -> (q189DedupSaturation _),
+    "q191_winnowing_sketch" -> (q191WinnowingSketch _),
+    "q192_winnowing_pairs" -> (q192WinnowingPairs _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_text_quality" -> (q31TextQuality _),
     "q32_lang_profile" -> (q32LangProfile _),
@@ -1576,6 +1654,8 @@ object TextQueries {
     "q88_sequence_packing" -> q88Oracle,
     "q187_dedup_threshold_curve" -> q187Oracle,
     "q189_dedup_saturation" -> q189Oracle,
+    "q191_winnowing_sketch" -> q191Oracle,
+    "q192_winnowing_pairs" -> q192Oracle,
     "q30_dedup_exact" -> q30Oracle,
     "q31_text_quality" -> q31Oracle,
     "q32_lang_profile" -> q32Oracle,

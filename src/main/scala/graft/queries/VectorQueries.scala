@@ -173,6 +173,61 @@ object VectorQueries {
         (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
       FROM votes) WHERE rn = 1 ORDER BY query_id ASC"""
 
+  // q193 — hard-negative mining: for each query vector, the top-5
+  // most-similar vectors carrying a DIFFERENT label — the negatives a
+  // contrastive/triplet embedding-training pipeline pairs with each
+  // anchor (easy negatives teach nothing; the hardest ones define the
+  // margin). Same exact-integer cosine protocol as q40/q43; the label
+  // inequality filters BEFORE ranking so every returned rank is a true
+  // cross-label rank. Scale shape: the query side broadcasts onto one
+  // corpus scan (broadcast join with the ≠ predicate — never a corpus
+  // self-shuffle) and the per-query top-5 is a bounded window over the
+  // (query × candidate) pairs, q40's envelope; at corpus scale the
+  // candidate generation swaps to the banded kNN graph (q152) with a
+  // label-inequality filter, same downstream columns.
+  def q193HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        VectorOps.quantize(col("embedding")).as("q_emb"))
+      .withColumn("q_n2", VectorOps.qnorm2(col("q_emb")))
+    val c = emb
+      .select(col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        VectorOps.quantize(col("embedding")).as("c_emb"))
+      .withColumn("c_n2", VectorOps.qnorm2(col("c_emb")))
+    c.join(broadcast(q), col("query_label") =!= col("neighbor_label"))
+      .withColumn("cosine", VectorOps.cosineFromParts(
+        VectorOps.qdot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("neighbor_label"), col("cosine"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+  val q193Oracle: String = s"""
+    WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                      ${oQuant("embedding")} AS qa
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                 ${oQuant("embedding")} AS qb
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, neighbor_label,
+        CAST($oDot AS DOUBLE) /
+        sqrt(CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i]*qa[i])) AS DOUBLE) *
+             CAST(list_sum(list_transform(generate_series(1, len(qb)), i -> qb[i]*qb[i])) AS DOUBLE))
+          AS cosine
+      FROM q, c WHERE query_label <> neighbor_label)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           neighbor_label, cosine
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+            AS rank
+          FROM scored)
+    WHERE rank <= 5 ORDER BY query_id ASC, rank ASC"""
+
   // q44 — IVF ANN: k-means cells + nprobe probing + exact re-rank. The
   // coarse quantizer is engine-trained so the neighbor list is engine-
   // specific — emitted as a per-query recall bound like q42 (minima in
@@ -656,7 +711,8 @@ object VectorQueries {
     "q40_ann_bruteforce" -> (q40AnnBruteforce _),
     "q41_cosine_dedup" -> (q41CosineDedup _),
     "q42_ann_lsh" -> (q42AnnLsh _),
-    "q43_knn_label_vote" -> (q43KnnLabelVote _))
+    "q43_knn_label_vote" -> (q43KnnLabelVote _),
+    "q193_hard_negatives" -> (q193HardNegatives _))
 
   val oracles: Map[String, String] = Map(
     "q175_semantic_decontaminate" -> q175Oracle,
@@ -673,5 +729,6 @@ object VectorQueries {
     "q44_ann_ivf" -> q44Oracle,
     "q170_ann_ivfpq" -> q170Oracle,
     "q129_ann_pq" -> q129Oracle,
-    "q43_knn_label_vote" -> q43Oracle)
+    "q43_knn_label_vote" -> q43Oracle,
+    "q193_hard_negatives" -> q193Oracle)
 }

@@ -507,4 +507,34 @@ class OperatorSpec extends SparkSpec {
     assert(out(2L)._1 == 10L)
     assert(!out.contains(3L), "a fully-duplicated doc must vanish from the scrub")
   }
+
+  test("winnowing guarantee: a shared run of w+n-1 tokens always yields a shared selection") {
+    // Schleimer et al.'s theorem, checked over 30 seeded random doc pairs:
+    // with n=3, w=4 any shared 6-token run must put at least one SELECTED
+    // fingerprint in both sketches — whatever surrounds it. Also pins the
+    // density expectation (~2/(w+1)) loosely on random text.
+    val n = 3; val w = 4
+    val rnd = new scala.util.Random(7)
+    def words(k: Int) = (1 to k).map(_ => f"w${rnd.nextInt(100000)}%05d")
+    val pairs = (0 until 30).map { i =>
+      val shared = words(n + w - 1) // exactly the guaranteed-minimum run
+      val a = (words(rnd.nextInt(40)) ++ shared ++ words(rnd.nextInt(40))).mkString(" ")
+      val b = (words(rnd.nextInt(40)) ++ shared ++ words(rnd.nextInt(40))).mkString(" ")
+      (2L * i, a, 2L * i + 1, b)
+    }
+    val docs = pairs.flatMap { case (ia, a, ib, b) => Seq((ia, a), (ib, b)) }
+      .toDF("doc_id", "text")
+    val sel = TextOps.winnowingSelect(docs, n, w)
+      .select($"doc_id", $"fp").collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getString(1)).toSet }
+    pairs.foreach { case (ia, _, ib, _) =>
+      assert(sel(ia).intersect(sel(ib)).nonEmpty,
+        s"docs $ia/$ib share a ${n + w - 1}-token run but no selected fp")
+    }
+    // density: selected/grams should sit near 2/(w+1)=0.4 on random text
+    val stats = TextOps.winnowingSelect(docs, n, w)
+      .groupBy($"doc_id", $"n_grams").count().collect()
+    val density = stats.map(r => r.getLong(2).toDouble / r.getLong(1)).sum / stats.length
+    assert(density > 0.25 && density < 0.6, f"mean density $density%.2f off 2/(w+1)")
+  }
 }

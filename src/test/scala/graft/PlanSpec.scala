@@ -365,6 +365,22 @@ class PlanSpec extends SparkSpec {
       s"the window must consume the bucket AGGREGATE (plans print top-down):\n$s")
   }
 
+  test("q193: query side broadcasts; the corpus never self-joins") {
+    val s = planString("q193_hard_negatives")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"the label-inequality join must broadcast the 20-row query side:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"),
+      s"the corpus must not shuffle or cartesian against itself:\n$s")
+  }
+
+  test("q191: winnowing shares ONE doc_id shuffle between count and min windows") {
+    val s = planString("q191_winnowing_sketch")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    // doc_id window shuffle + the per-doc stats agg reusing it + distinct:
+    // nothing may shuffle on the fingerprint
+    assert(shuffles <= 2, s"winnowing must not shuffle per-fp, found $shuffles:\n$s")
+  }
+
   test("q74: bloom probe stays in codegen (no ScalaUDF in the plan)") {
     val s = planString("q74_bloom_prefilter_join")
     assert(!s.contains("ScalaUDF") && !s.contains("BatchEvalPython"),
