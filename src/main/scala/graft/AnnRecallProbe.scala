@@ -35,6 +35,21 @@ object AnnRecallProbe {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 5)
     val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
+    if (mode == "sweep-pq") {
+      for {
+        m <- Seq(8, 16)
+        kCodes <- Seq(32, 64)
+        rerank <- Seq(100, 200, 400)
+      } {
+        val approx = VectorOps.pqTopK(spark, q, emb, k = 10,
+          m = m, kCodes = kCodes, rerank = rerank)
+        val rec = VectorOps.recallAgainst(approx, exact)
+          .orderBy(col("query_id")).collect().map(_.getDouble(1))
+        println(f"[pq-sweep] m=$m kCodes=$kCodes rerank=$rerank " +
+          f"min=${rec.min}%.2f mean=${rec.sum / rec.length}%.2f")
+      }
+      spark.stop(); return
+    }
     if (mode == "sweep") {
       for {
         nprobe <- Seq(8, 10, 12)

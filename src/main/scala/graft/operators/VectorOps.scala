@@ -374,7 +374,7 @@ object VectorOps {
     * per block keeps the codebooks deterministic. */
   def pqTopK(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, corpus: DataFrame, k: Int,
-      m: Int = 8, kCodes: Int = 32, rerank: Int = 100,
+      m: Int = 16, kCodes: Int = 32, rerank: Int = 200,
       seed: Long = 42L, indexKey: Option[String] = None): DataFrame = {
 
     val corpusVec = corpus.repartition(col("vec_id"))
