@@ -819,6 +819,68 @@ object CurationQueries {
           FROM documents)
     GROUP BY lang ORDER BY lang ASC"""
 
+  // q194 — character-entropy junk screen: per-doc Shannon entropy over
+  // the character distribution, in exact micro-nats — the curation
+  // screen that catches what length/stopword/LM screens miss: base64
+  // blobs and binary-in-text read HIGH (≈ ln 64 ≈ 4.16e6 µnats/char),
+  // single-char/repetition spam reads LOW (→ 0), natural English sits
+  // ≈ 2.8–3.2e6. Exactness is q171's protocol: each distinct (doc, char)
+  // term (c/n)·ln(n/c) quantizes ONCE to floor(·1e6) over bit-identical
+  // count-derived doubles, so the per-doc sum is an exact BIGINT in any
+  // order. Scale shape: the char explode is scan-proportional and
+  // narrow; both aggs partial-aggregate and co-partition on doc_id
+  // (per-doc alphabet ≤ charset, so the (doc, char) shuffle is bounded
+  // by docs × charset, not corpus bytes).
+  def q194EntropyScreen(spark: SparkSession, dir: String): DataFrame = {
+    val chars = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 1)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+    val counts = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+    counts.join(totals, Seq("doc_id"))
+      .withColumn("term", floor(
+        (col("c").cast("double") / col("n").cast("double"))
+          * log(col("n").cast("double") / col("c").cast("double"))
+          * lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars"), max(col("k")).as("n_distinct_chars"),
+        sum(col("term")).as("entropy_micronats"))
+      .withColumn("is_low_entropy",
+        (col("entropy_micronats") < 1500000L).cast("int"))
+      .withColumn("is_high_entropy",
+        (col("entropy_micronats") > 4000000L).cast("int"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q194Oracle: String = """
+    WITH ch AS (
+      SELECT doc_id, substring(text, i, 1) AS ch
+      FROM (SELECT doc_id, text,
+              unnest(generate_series(1, length(text))) AS i
+            FROM documents WHERE length(text) >= 1)),
+    cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                   COUNT(*) AS k
+            FROM cnt GROUP BY 1),
+    e AS (
+      SELECT cnt.doc_id, MAX(n) AS n_chars, MAX(k) AS n_distinct_chars,
+        CAST(SUM(CAST(floor(
+          (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+            * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+            * 1000000.0) AS BIGINT)) AS BIGINT) AS entropy_micronats
+      FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id GROUP BY 1)
+    SELECT doc_id, n_chars, CAST(n_distinct_chars AS BIGINT)
+             AS n_distinct_chars, entropy_micronats,
+           CASE WHEN entropy_micronats < 1500000 THEN 1 ELSE 0 END
+             AS is_low_entropy,
+           CASE WHEN entropy_micronats > 4000000 THEN 1 ELSE 0 END
+             AS is_high_entropy
+    FROM e ORDER BY doc_id ASC"""
+
   // q181 — corpus data card (datasheets-for-datasets): the per-source
   // governance report a training-data release ships — doc/token volumes,
   // language mix, Gopher-quality keep counts, and exact-dup membership
@@ -906,6 +968,7 @@ object CurationQueries {
     "q77_stratified_sample" -> (q77StratifiedSample _),
     "q188_mixture_entropy" -> (q188MixtureEntropy _),
     "q190_tokenizer_fertility" -> (q190TokenizerFertility _),
+    "q194_entropy_screen" -> (q194EntropyScreen _),
     "q89_curation_pipeline" -> (q89CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -924,5 +987,6 @@ object CurationQueries {
     "q77_stratified_sample" -> q77Oracle,
     "q188_mixture_entropy" -> q188Oracle,
     "q190_tokenizer_fertility" -> q190Oracle,
+    "q194_entropy_screen" -> q194Oracle,
     "q89_curation_pipeline" -> q89Oracle)
 }

@@ -230,6 +230,65 @@ object VectorQueries {
           FROM scored)
     WHERE rank <= 5 ORDER BY query_id ASC, rank ASC"""
 
+  // q195 — cluster cohesion card: per label, the EXACT mean pairwise dot
+  // product of quantized embeddings, from two aggregates and the algebraic
+  // identity Σ_{i≠j} vi·vj = ‖Σv‖² − Σ‖v‖² — O(1) arithmetic per label
+  // after one corpus scan, never a pairwise join (the naive formulation is
+  // n² per label; this is the embedding-space health read — one tight
+  // cluster or a smear? — next to q173's per-vector outlier screen, and
+  // the diagnostic a semantic-dedup threshold or a label-quality audit
+  // starts from). ‖Σv‖² squares centroid-scale sums, so it is computed in
+  // decimal (q173's overflow discipline); Σ‖v‖² stays Int64 (≤ d·Scale²·N,
+  // GramAgg's regime). The mean is one fixed-order double expression over
+  // exact-valued inputs — decimal→double and int→double both round
+  // nearest, so the oracle hash-matches.
+  def q195ClusterCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dimSums = emb
+      .select(col("label"),
+        posexplode(VectorOps.quantize(col("embedding"))).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim")).agg(sum(col("q")).as("s"))
+      .groupBy(col("label"))
+      .agg(sum(col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)"))
+        .as("s_norm2"))
+    val vecNorms = emb
+      .select(col("label"),
+        VectorOps.qnorm2(VectorOps.quantize(col("embedding"))).as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("n2")).as("sum_norm2"))
+    vecNorms.join(dimSums, Seq("label"))
+      .filter(col("n") >= 2)
+      .withColumn("mean_pair_dot",
+        (col("s_norm2").cast("double") - col("sum_norm2").cast("double"))
+          / (col("n") * (col("n") - lit(1L))).cast("double"))
+      .select(col("label"), col("n"), col("sum_norm2"), col("mean_pair_dot"))
+      .orderBy(col("label").asc)
+  }
+  val q195Oracle: String = """
+    WITH d AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+               AS q
+      FROM embeddings),
+    s AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s
+          FROM d GROUP BY 1, 2),
+    sn AS (SELECT label, SUM(CAST(s AS HUGEINT) * s) AS s_norm2
+           FROM s GROUP BY 1),
+    vn AS (
+      SELECT label, COUNT(*) AS n,
+        CAST(SUM(list_sum(list_transform(generate_series(1, len(q)),
+          i -> q[i] * q[i]))) AS BIGINT) AS sum_norm2
+      FROM (SELECT label,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+            FROM embeddings)
+      GROUP BY 1)
+    SELECT vn.label, n, sum_norm2,
+           (CAST(s_norm2 AS DOUBLE) - CAST(sum_norm2 AS DOUBLE))
+             / CAST(n * (n - 1) AS DOUBLE) AS mean_pair_dot
+    FROM vn JOIN sn ON sn.label = vn.label
+    WHERE n >= 2 ORDER BY vn.label ASC"""
+
   // q44 — IVF ANN: k-means cells + nprobe probing + exact re-rank. The
   // coarse quantizer is engine-trained so the neighbor list is engine-
   // specific — emitted as a per-query recall bound like q42 (minima in
@@ -715,7 +774,8 @@ object VectorQueries {
     "q41_cosine_dedup" -> (q41CosineDedup _),
     "q42_ann_lsh" -> (q42AnnLsh _),
     "q43_knn_label_vote" -> (q43KnnLabelVote _),
-    "q193_hard_negatives" -> (q193HardNegatives _))
+    "q193_hard_negatives" -> (q193HardNegatives _),
+    "q195_cluster_cohesion" -> (q195ClusterCohesion _))
 
   val oracles: Map[String, String] = Map(
     "q175_semantic_decontaminate" -> q175Oracle,
@@ -733,5 +793,6 @@ object VectorQueries {
     "q170_ann_ivfpq" -> q170Oracle,
     "q129_ann_pq" -> q129Oracle,
     "q43_knn_label_vote" -> q43Oracle,
-    "q193_hard_negatives" -> q193Oracle)
+    "q193_hard_negatives" -> q193Oracle,
+    "q195_cluster_cohesion" -> q195Oracle)
 }
