@@ -80,6 +80,46 @@ object TextQueries {
       JOIN counts cb ON cb.doc_id = doc_b
     ORDER BY doc_a ASC, doc_b ASC"""
 
+  // q196 — heavy-hitter tokens via mergeable Misra-Gries + exact verify:
+  // the 100 TB answer to "most frequent tokens/grams" — a full
+  // groupBy(token) shuffles the ENTIRE vocabulary (trillions of distinct
+  // grams in a web corpus); the MG summary (HeavyHittersAgg) ships ≤ k
+  // counters per map task up the partial/merge tree, and the ≤ k
+  // candidates are then verified with EXACT counts in one
+  // broadcast-semi-join scan. The candidate SET can vary with merge
+  // order, but the MG guarantee (no item with freq > N/(k+1) is ever
+  // lost) cannot — so the verified output, candidates with exact
+  // count·(k+1) > N, is DETERMINISTIC and hash-checks against the exact
+  // oracle. At most k items can clear the threshold by counting, so the
+  // driver collect and the verify join are both ≤ k rows.
+  def q196HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val toks = Tables.documents(spark, dir).repartition(col("doc_id"))
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hh = udaf(new graft.functions.HeavyHittersAgg(k))
+    val cands = toks.agg(hh(col("tok")).as("c"))
+      .first().getSeq[String](0) // bounded: ≤ k strings
+    val total = toks.count()
+    val candDf = spark.createDataFrame(cands.map(Tuple1(_))).toDF("tok")
+    val out = toks.join(broadcast(candDf), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit((k + 1).toLong) > lit(total))
+      .withColumn("share_permille",
+        expr(s"(cnt * 1000) DIV CAST($total AS BIGINT)"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+    graft.operators.Materialize.thenRelease(out, toks)
+  }
+  val q196Oracle: String = """
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    n AS (SELECT COUNT(*) AS total FROM t),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok)
+    SELECT tok, cnt, (cnt * 1000) // total AS share_permille
+    FROM c CROSS JOIN n
+    WHERE cnt * 65 > total
+    ORDER BY cnt DESC, tok ASC"""
+
   // q191 — winnowing fingerprint sketch (Schleimer et al. 2003, the MOSS
   // algorithm — see TextOps.winnowingSelect for the guarantee): per-doc
   // selected-fingerprint counts and density. Density should sit near the
@@ -1620,6 +1660,7 @@ object TextQueries {
     "q189_dedup_saturation" -> (q189DedupSaturation _),
     "q191_winnowing_sketch" -> (q191WinnowingSketch _),
     "q192_winnowing_pairs" -> (q192WinnowingPairs _),
+    "q196_heavy_hitters" -> (q196HeavyHitters _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_text_quality" -> (q31TextQuality _),
     "q32_lang_profile" -> (q32LangProfile _),
@@ -1656,6 +1697,7 @@ object TextQueries {
     "q189_dedup_saturation" -> q189Oracle,
     "q191_winnowing_sketch" -> q191Oracle,
     "q192_winnowing_pairs" -> q192Oracle,
+    "q196_heavy_hitters" -> q196Oracle,
     "q30_dedup_exact" -> q30Oracle,
     "q31_text_quality" -> q31Oracle,
     "q32_lang_profile" -> q32Oracle,

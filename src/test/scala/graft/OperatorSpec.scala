@@ -508,6 +508,31 @@ class OperatorSpec extends SparkSpec {
     assert(!out.contains(3L), "a fully-duplicated doc must vanish from the scrub")
   }
 
+  test("Misra-Gries guarantee: no above-threshold item lost, under any partitioning") {
+    // known ground truth: a few genuinely heavy items over a long light
+    // tail; the candidate SET may vary with merge order, the guarantee
+    // (every item with freq > N/(k+1) survives) may not — checked under
+    // three hostile partitionings
+    val rnd = new scala.util.Random(11)
+    val heavy = (0 until 5).map(i => s"H$i" -> (400 + rnd.nextInt(400)))
+    val light = (0 until 1500).map(i => s"l$i" -> (1 + rnd.nextInt(3)))
+    val stream = rnd.shuffle(
+      (heavy ++ light).flatMap { case (t, c) => Seq.fill(c)(t) })
+    val n = stream.size.toLong
+    val k = 16
+    val mustSurvive = (heavy ++ light)
+      .filter { case (_, c) => c.toLong * (k + 1) > n }.map(_._1).toSet
+    assert(mustSurvive.nonEmpty, "fixture must contain true heavy hitters")
+    val hh = udaf(new graft.functions.HeavyHittersAgg(k))
+    Seq(1, 3, 13).foreach { p =>
+      val cands = stream.toDF("tok").repartition(p)
+        .agg(hh($"tok")).first().getSeq[String](0).toSet
+      assert(cands.size <= k, s"p=$p: summary exceeded $k counters")
+      assert(mustSurvive.subsetOf(cands),
+        s"p=$p: lost heavy hitters ${mustSurvive -- cands}")
+    }
+  }
+
   test("winnowing guarantee: a shared run of w+n-1 tokens always yields a shared selection") {
     // Schleimer et al.'s theorem, checked over 30 seeded random doc pairs:
     // with n=3, w=4 any shared 6-token run must put at least one SELECTED
