@@ -34,7 +34,13 @@ object ScaleProbe {
     "q156_semantic_dedup", "q34_minhash_lsh", "q158_dsir_select",
     "q161_dup_span_stats", "q162_dup_span_scrub", "q165_span_ingest",
     "q171_lm_perplexity", "q176_curated_corpus", "q182_chunk_bm25",
-    "q183_label_propagation")
+    "q183_label_propagation",
+    // round-10 additions: winnowing (selection + pair join), the
+    // exact-Jaccard threshold curve (q33-bound), the scan-proportional
+    // char-entropy screen, and the MG sketch-then-verify pass whose
+    // shuffles are bounded by k regardless of corpus size
+    "q187_dedup_threshold_curve", "q191_winnowing_sketch",
+    "q192_winnowing_pairs", "q194_entropy_screen", "q196_heavy_hitters")
 
   private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
     .filter(_.getType == MemoryType.HEAP)

@@ -1,0 +1,112 @@
+package graft.operators
+
+import java.io.{File, FileInputStream, FileOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.ml.clustering.KMeansModel
+import org.apache.spark.sql.SparkSession
+
+/** Optional DISK tier under [[AnnIndexCache]]'s in-JVM memo — the "train
+  * once, ship the index" half of the amortization story: the memo
+  * amortizes within one session, this store amortizes across JVMs (a
+  * nightly index-build job trains, every downstream query session
+  * loads). Off by default; enabled by `SPARK_GRAFT_ANN_DIR` (or
+  * [[rootOverride]] in tests).
+  *
+  * Layout: `<root>/<md5(key)>/` holding a `KEY` marker (the full memo
+  * key, compared verbatim on load — an md5 path collision degrades to a
+  * rebuild, never a wrong index) plus `kmeans/` (Spark ML's own writer)
+  * or `codebooks.bin` (Java serialization of the `(dim, books)` pair —
+  * bit-exact double round-trip by construction). Because the memo key
+  * already embeds the dataset VERSION marker and every index parameter,
+  * staleness is structural: a rewritten corpus or changed config is a
+  * different key, hence a different directory — no invalidation
+  * protocol, stale entries are simply never addressed again (prune the
+  * directory by age externally, like any cache dir).
+  *
+  * Failure posture: loads and saves are best-effort — a torn write, a
+  * version-incompatible model dir, or a full disk degrade to an in-JVM
+  * rebuild, never an error on the query path.
+  */
+object AnnIndexStore {
+  /** Test seam; production reads SPARK_GRAFT_ANN_DIR. */
+  @volatile var rootOverride: Option[String] = None
+  private def root: Option[String] =
+    rootOverride.orElse(sys.env.get("SPARK_GRAFT_ANN_DIR"))
+
+  /** Disk loads served this JVM (observability + test assertion). */
+  @volatile private var loads = 0L
+  def diskLoads: Long = loads
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def entry(r: String, key: String): File =
+    new File(r, md5hex(key))
+
+  /** True iff the entry exists AND its KEY marker matches verbatim. */
+  private def keyed(dir: File, key: String): Boolean = {
+    val marker = new File(dir, "KEY")
+    marker.isFile &&
+      new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8) == key
+  }
+
+  private def writeKey(dir: File, key: String): Unit = {
+    dir.mkdirs()
+    Files.write(Paths.get(dir.getPath, "KEY"),
+      key.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** KMeans leg: load the persisted model for `key`, else build and
+    * best-effort persist. The KEY marker is written LAST — a crash
+    * mid-save leaves an unmarked dir that never loads. */
+  def orBuildKMeans(spark: SparkSession, key: String)(
+      build: => KMeansModel): KMeansModel = root match {
+    case None => build
+    case Some(r) =>
+      val dir = entry(r, key)
+      val modelDir = new File(dir, "kmeans")
+      if (keyed(dir, key) && modelDir.isDirectory)
+        try { val m = KMeansModel.load(modelDir.getPath); loads += 1; m }
+        catch { case _: Throwable => build }
+      else {
+        val m = build
+        try { m.write.overwrite().save(modelDir.getPath); writeKey(dir, key) }
+        catch { case _: Throwable => () }
+        m
+      }
+  }
+
+  /** Codebook leg (PQ / IVF-PQ residual books): Java serialization of
+    * the (dim, books) pair — doubles round-trip bit-exactly. */
+  def orBuildCodebooks(key: String)(
+      build: => (Int, Array[Array[Array[Double]]]))
+      : (Int, Array[Array[Array[Double]]]) = root match {
+    case None => build
+    case Some(r) =>
+      val dir = entry(r, key)
+      val bin = new File(dir, "codebooks.bin")
+      if (keyed(dir, key) && bin.isFile)
+        try {
+          val in = new ObjectInputStream(new FileInputStream(bin))
+          try {
+            val v = in.readObject().asInstanceOf[(Int, Array[Array[Array[Double]]])]
+            loads += 1
+            v
+          } finally in.close()
+        } catch { case _: Throwable => build }
+      else {
+        val v = build
+        try {
+          dir.mkdirs()
+          val out = new ObjectOutputStream(new FileOutputStream(bin))
+          try out.writeObject(v) finally out.close()
+          writeKey(dir, key)
+        } catch { case _: Throwable => () }
+        v
+      }
+  }
+}

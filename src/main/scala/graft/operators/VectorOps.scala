@@ -191,10 +191,13 @@ object VectorOps {
       case Some(key) =>
         // v= is the dataset's mtime/size marker: an in-place rewrite of
         // the corpus dir retrains instead of serving the stale quantizer,
-        // and memoKeyed evicts the superseded model rather than leak it
-        AnnIndexCache.memoKeyed(s"ivf:$key:",
-          s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist:seed=$seed")(
-          train())
+        // and memoKeyed evicts the superseded model rather than leak it.
+        // AnnIndexStore adds the cross-JVM disk tier when configured.
+        val prefix = s"ivf:$key:"
+        val rest = s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist:seed=$seed"
+        AnnIndexCache.memoKeyed(prefix, rest)(
+          AnnIndexStore.orBuildKMeans(corpusVec.sparkSession, prefix + rest)(
+            train()))
       case None => train()
     }
   }
@@ -404,10 +407,12 @@ object VectorOps {
     }
     val (dim, codebooks) = indexKey match {
       case Some(key) =>
-        // same staleness guard + eviction as ivfTopK
-        AnnIndexCache.memoKeyed(s"pq:$key:",
-          s"v=${AnnIndexCache.datasetVersion(key)}:m=$m:kCodes=$kCodes" +
-            s":seed=$seed")(train())
+        // same staleness guard + eviction as ivfTopK; disk tier optional
+        val prefix = s"pq:$key:"
+        val rest = s"v=${AnnIndexCache.datasetVersion(key)}:m=$m:kCodes=$kCodes" +
+          s":seed=$seed"
+        AnnIndexCache.memoKeyed(prefix, rest)(
+          AnnIndexStore.orBuildCodebooks(prefix + rest)(train()))
       case None => train()
     }
     val sub = dim / m
@@ -514,9 +519,11 @@ object VectorOps {
     }
     val (dim, codebooks) = indexKey match {
       case Some(key) =>
-        AnnIndexCache.memoKeyed(s"ivfpq:$key:",
-          s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist:m=$m" +
-            s":kCodes=$kCodes:seed=$seed")(train())
+        val prefix = s"ivfpq:$key:"
+        val rest = s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist:m=$m" +
+          s":kCodes=$kCodes:seed=$seed"
+        AnnIndexCache.memoKeyed(prefix, rest)(
+          AnnIndexStore.orBuildCodebooks(prefix + rest)(train()))
       case None => train()
     }
     val sub = dim / m

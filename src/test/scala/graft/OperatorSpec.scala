@@ -408,6 +408,53 @@ class OperatorSpec extends SparkSpec {
         "build key per dataset (and no duplicate ann_build ledger rows)")
   }
 
+  test("AnnIndexStore disk tier: indexes persist across JVM-memo clears, results identical") {
+    // the cross-JVM half of the train-once story: build with the disk
+    // tier on, wipe the in-memory memo (≈ a new session), probe again —
+    // both the coarse quantizer (ML writer) and the residual codebooks
+    // (java-ser) must load from disk and give identical results
+    import graft.operators.{AnnIndexCache, AnnIndexStore}
+    val dataDir = tmpDir("annstoredata")
+    (0L until 40L).map(i =>
+        (i, Array.tabulate(8)(j => ((i % 4) * 3 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dataDir + "/embeddings.parquet")
+    def corpus = spark.read.parquet(dataDir + "/embeddings.parquet")
+    def probe() = VectorOps.ivfPqTopK(spark, corpus.filter($"vec_id" < 2),
+      corpus, k = 3, nlist = 4, nprobe = 4, m = 4, kCodes = 8,
+      indexKey = Some(dataDir))
+      .collect().map(_.toString).sorted.toSeq
+    val storeRoot = tmpDir("annstoreroot")
+    AnnIndexStore.rootOverride = Some(storeRoot)
+    try {
+      AnnIndexCache.invalidate(s"ivf:$dataDir:")
+      AnnIndexCache.invalidate(s"ivfpq:$dataDir:")
+      val r1 = probe()
+      val loads0 = AnnIndexStore.diskLoads
+      assert(new java.io.File(storeRoot).listFiles().nonEmpty,
+        "build must persist index entries")
+      // "new JVM": drop the in-memory memo; disk must serve both legs
+      AnnIndexCache.invalidate(s"ivf:$dataDir:")
+      AnnIndexCache.invalidate(s"ivfpq:$dataDir:")
+      val r2 = probe()
+      assert(AnnIndexStore.diskLoads >= loads0 + 2,
+        "both the kmeans and codebook legs must load from disk")
+      assert(r1 == r2, "disk-loaded index must reproduce results exactly")
+      // wrong-key paranoia: a corrupted KEY marker degrades to rebuild
+      val entries = new java.io.File(storeRoot).listFiles()
+      entries.foreach(e => java.nio.file.Files.write(
+        java.nio.file.Paths.get(e.getPath, "KEY"), "garbage".getBytes))
+      AnnIndexCache.invalidate(s"ivf:$dataDir:")
+      AnnIndexCache.invalidate(s"ivfpq:$dataDir:")
+      val r3 = probe()
+      assert(r1 == r3, "mismatched KEY marker must rebuild, not serve")
+    } finally {
+      AnnIndexStore.rootOverride = None
+      AnnIndexCache.invalidate(s"ivf:$dataDir:")
+      AnnIndexCache.invalidate(s"ivfpq:$dataDir:")
+    }
+  }
+
   test("multimodal decode stub is deterministic and kind-aware") {
     val docs = Seq((0L, "hello world"), (2L, "a video payload " * 20))
       .toDF("doc_id", "text").withColumn("n_chars", length($"text"))
