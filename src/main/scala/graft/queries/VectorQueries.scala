@@ -230,6 +230,92 @@ object VectorQueries {
           FROM scored)
     WHERE rank <= 5 ORDER BY query_id ASC, rank ASC"""
 
+  // q197 — deterministic JL sign projection + distortion audit: project
+  // 64-d quantized embeddings to 16-d with a ±1 matrix whose signs are a
+  // pure function of (dim, j) via md5 parity — no rand(), so any worker,
+  // rerun, or engine derives the IDENTICAL matrix (the
+  // Achlioptas/Johnson-Lindenstrauss database-friendly variant), and the
+  // reduced components are exact integer sums. The audit emits, for
+  // every pair in a fixed sample, the exact cosine in original vs
+  // reduced space and the absolute distortion — the measurement a
+  // cheap-prefilter deployment (project → coarse filter → exact re-rank
+  // on survivors) reads before trusting the reduced space. Scale shape:
+  // the projection is ONE narrow codegen'd projection per row (the 16
+  // sums inline into the expression tree — no explode, no sign-matrix
+  // join, no shuffle); the pair audit is over the fixed sample only.
+  def q197JlProjection(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 64; val r = 16
+    def sign(d: Int, j: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d:$j".getBytes("UTF-8"))
+      // first hex digit < 8 → +1 (top bit of the first byte clear)
+      if ((h(0) & 0x80) == 0) 1L else -1L
+    }
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("q"))
+      .withColumn("p", array((0 until r).map { j =>
+        (0 until dims).map(d =>
+          element_at(col("q"), d + 1) * lit(sign(d, j))).reduce(_ + _)
+      }: _*))
+    val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("p").as("pa"))
+    val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("p").as("pb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_orig", VectorOps.cosineFromParts(
+        VectorOps.qdot(col("qa"), col("qb")),
+        VectorOps.qnorm2(col("qa")), VectorOps.qnorm2(col("qb"))))
+      .withColumn("cos_reduced", VectorOps.cosineFromParts(
+        VectorOps.qdot(col("pa"), col("pb")),
+        VectorOps.qnorm2(col("pa")), VectorOps.qnorm2(col("pb"))))
+      .withColumn("abs_err", abs(col("cos_orig") - col("cos_reduced")))
+      .select(col("vec_a"), col("vec_b"), col("cos_orig"),
+        col("cos_reduced"), col("abs_err"))
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+  }
+  val q197Oracle: String = s"""
+    WITH e AS (
+      SELECT vec_id, ${oQuant("embedding")} AS q
+      FROM embeddings WHERE vec_id < 20),
+    sgn AS (
+      SELECT d, j,
+        CASE WHEN substring(md5(CAST(d AS VARCHAR) || ':' ||
+            CAST(j AS VARCHAR)), 1, 1)
+          IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(generate_series(0, 63)) AS d)
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)),
+    red AS (
+      SELECT vec_id, j, CAST(SUM(q[d + 1] * s) AS BIGINT) AS p
+      FROM e CROSS JOIN sgn GROUP BY vec_id, j),
+    rl AS (SELECT vec_id, list(p ORDER BY j ASC) AS p FROM red GROUP BY vec_id),
+    fv AS (SELECT e.vec_id, q, p FROM e JOIN rl ON rl.vec_id = e.vec_id)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      CAST(list_sum(list_transform(generate_series(1, 64),
+        i -> a.q[i] * b.q[i])) AS DOUBLE) /
+      sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+        i -> a.q[i] * a.q[i])) AS DOUBLE) *
+           CAST(list_sum(list_transform(generate_series(1, 64),
+        i -> b.q[i] * b.q[i])) AS DOUBLE)) AS cos_orig,
+      CAST(list_sum(list_transform(generate_series(1, 16),
+        i -> a.p[i] * b.p[i])) AS DOUBLE) /
+      sqrt(CAST(list_sum(list_transform(generate_series(1, 16),
+        i -> a.p[i] * a.p[i])) AS DOUBLE) *
+           CAST(list_sum(list_transform(generate_series(1, 16),
+        i -> b.p[i] * b.p[i])) AS DOUBLE)) AS cos_reduced,
+      abs(
+        CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> a.q[i] * b.q[i])) AS DOUBLE) /
+        sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> a.q[i] * a.q[i])) AS DOUBLE) *
+             CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> b.q[i] * b.q[i])) AS DOUBLE)) -
+        CAST(list_sum(list_transform(generate_series(1, 16),
+          i -> a.p[i] * b.p[i])) AS DOUBLE) /
+        sqrt(CAST(list_sum(list_transform(generate_series(1, 16),
+          i -> a.p[i] * a.p[i])) AS DOUBLE) *
+             CAST(list_sum(list_transform(generate_series(1, 16),
+          i -> b.p[i] * b.p[i])) AS DOUBLE))) AS abs_err
+    FROM fv a JOIN fv b ON a.vec_id < b.vec_id
+    ORDER BY vec_a ASC, vec_b ASC"""
+
   // q195 — cluster cohesion card: per label, the EXACT mean pairwise dot
   // product of quantized embeddings, from two aggregates and the algebraic
   // identity Σ_{i≠j} vi·vj = ‖Σv‖² − Σ‖v‖² — O(1) arithmetic per label
@@ -775,7 +861,8 @@ object VectorQueries {
     "q42_ann_lsh" -> (q42AnnLsh _),
     "q43_knn_label_vote" -> (q43KnnLabelVote _),
     "q193_hard_negatives" -> (q193HardNegatives _),
-    "q195_cluster_cohesion" -> (q195ClusterCohesion _))
+    "q195_cluster_cohesion" -> (q195ClusterCohesion _),
+    "q197_jl_projection" -> (q197JlProjection _))
 
   val oracles: Map[String, String] = Map(
     "q175_semantic_decontaminate" -> q175Oracle,
@@ -794,5 +881,6 @@ object VectorQueries {
     "q129_ann_pq" -> q129Oracle,
     "q43_knn_label_vote" -> q43Oracle,
     "q193_hard_negatives" -> q193Oracle,
-    "q195_cluster_cohesion" -> q195Oracle)
+    "q195_cluster_cohesion" -> q195Oracle,
+    "q197_jl_projection" -> q197Oracle)
 }
