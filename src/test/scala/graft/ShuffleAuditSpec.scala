@@ -284,6 +284,36 @@ class ShuffleAuditSpec extends SparkSpec {
     assert(l.sameElements(r))
   }
 
+  test("Misra-Gries summary shuffles O(partitions x k), never the vocabulary") {
+    // the q196 scale claim, measured on a stream with a REAL vocabulary
+    // (the testdata documents hold only ~31 distinct tokens — degenerate
+    // for this claim): the MG pass ships one <= k-counter summary per
+    // partition, while the naive groupBy(token) ships one record per
+    // distinct (partition, token) — the vocabulary itself. The
+    // exact-verify stage is excluded: its candidate shuffle is <= k rows
+    // by the counting bound.
+    import org.apache.spark.sql.functions.udaf
+    import spark.implicits._
+    val nPart = 8
+    // 20k-token vocabulary tail + a few heavies, pre-partitioned so the
+    // only measured exchange is each formulation's own aggregation
+    val toks = spark.range(0, 200000, 1, nPart)
+      .select(when(pmod(col("id"), lit(10)) < 3, lit("HEAVY"))
+        .otherwise(concat(lit("t"), pmod(col("id") * 2654435761L, lit(20000L))))
+        .as("tok"))
+    val k = 64
+    val hh = udaf(new graft.functions.HeavyHittersAgg(k))
+    val mg = toks.agg(hh(col("tok")))
+    val naive = toks.groupBy(col("tok")).agg(count(lit(1)))
+    val (opt, base) = audit("MG heavy hitters", mg, naive)
+    assert(opt.records <= nPart,
+      s"MG must ship one summary per partition (${opt.records} > $nPart)")
+    assert(base.records > 1000,
+      s"the naive side must pay the vocabulary (${base.records})")
+    assert(opt.records * 100 < base.records,
+      s"MG shuffle (${opt.records}) must be orders under the groupBy (${base.records})")
+  }
+
   test("broadcast star join keeps the fact table out of the shuffle") {
     def join(bcast: Boolean) = {
       val o = Tables.orders(spark, dir)
