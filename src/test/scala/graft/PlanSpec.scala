@@ -388,4 +388,31 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("bloommightcontain") || s.contains("BloomMightContain"),
       s"expected the native bloom probe expression in the plan:\n$s")
   }
+
+  test("q198: entity resolution blocks with an equi-join, never all-pairs") {
+    val s = finalPlan("q198_entity_resolution")
+    assert(!s.contains("CartesianProduct"),
+      "mention-entity candidates must come from the block equi-join")
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "the levenshtein verify must ride the block join, not a theta join")
+  }
+
+  test("q199: sorted-neighborhood generates candidates with NO join at all") {
+    val s = finalPlan("q199_sorted_neighborhood")
+    assert(!s.contains("Join"),
+      "SNM candidates are window neighbors — any join means the sort-window" +
+        " rewrite regressed to a self-join")
+    assert(s.contains("Window"), "the sliding comparison must be a window")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashShuffles <= 2,
+      s"repartition + one block-sort shuffle at most, got $hashShuffles")
+  }
+
+  test("q200: budget allocations broadcast back onto the corpus") {
+    val s = finalPlan("q200_budget_fill")
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastHashJoin"),
+      "the 5-row per-language allocation table must broadcast")
+    assert(!s.contains("SortMergeJoin"),
+      "the corpus must never shuffle to meet the allocation table")
+  }
 }
