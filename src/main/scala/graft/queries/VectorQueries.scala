@@ -243,20 +243,29 @@ object VectorQueries {
   // the projection is ONE narrow codegen'd projection per row (the 16
   // sums inline into the expression tree — no explode, no sign-matrix
   // join, no shuffle); the pair audit is over the fixed sample only.
+  /** Deterministic ±1 JL sign for matrix cell (d, j): md5 parity of
+    * "d:j" — first hex digit < 8 → +1 (top bit of the first byte clear).
+    * Shared by q197 (distortion audit) and q202 (prefilter → re-rank). */
+  private def jlSign(d: Int, j: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:$j".getBytes("UTF-8"))
+    if ((h(0) & 0x80) == 0) 1L else -1L
+  }
+
+  /** 64→r JL projection as one narrow codegen'd array column over a
+    * quantized vector column `q` — the r sums inline into the expression
+    * tree; no explode, no sign-matrix join, no shuffle. */
+  private def jlProject(q: org.apache.spark.sql.Column, r: Int = 16)
+      : org.apache.spark.sql.Column =
+    array((0 until r).map { j =>
+      (0 until 64).map(d =>
+        element_at(q, d + 1) * lit(jlSign(d, j))).reduce(_ + _)
+    }: _*)
+
   def q197JlProjection(spark: SparkSession, dir: String): DataFrame = {
-    val dims = 64; val r = 16
-    def sign(d: Int, j: Int): Long = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$d:$j".getBytes("UTF-8"))
-      // first hex digit < 8 → +1 (top bit of the first byte clear)
-      if ((h(0) & 0x80) == 0) 1L else -1L
-    }
     val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("q"))
-      .withColumn("p", array((0 until r).map { j =>
-        (0 until dims).map(d =>
-          element_at(col("q"), d + 1) * lit(sign(d, j))).reduce(_ + _)
-      }: _*))
+      .withColumn("p", jlProject(col("q")))
     val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("p").as("pa"))
     val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("p").as("pb"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -315,6 +324,125 @@ object VectorQueries {
           i -> b.p[i] * b.p[i])) AS DOUBLE))) AS abs_err
     FROM fv a JOIN fv b ON a.vec_id < b.vec_id
     ORDER BY vec_a ASC, vec_b ASC"""
+
+  // q202 — JL prefilter → exact re-rank retrieval (the deployment path
+  // q197's distortion audit gates): every corpus vector carries its 32-d
+  // deterministic sign projection next to the 64-d exact vector; a
+  // query's top-C=200 candidates come from REDUCED-space cosine (half
+  // the multiplies per pair, and at 100 TB the reduced vectors are the
+  // only thing the prefilter pass reads — a 2× narrower column), then
+  // only those C survivors pay the exact 64-d re-rank. The audit column
+  // is per-query recall@10 of the two-stage result against the exact
+  // brute-force top-10 — integers, so the verdict hash-matches. On THIS
+  // corpus the audit reads ~0.65 mean recall at C=10% of the corpus:
+  // the synthetic embeddings are near-isotropic (exact top-10 cosines
+  // barely separated from the bulk), which is precisely the geometry a
+  // lossy prefilter cannot rank — the measurement, not an assumed
+  // speedup, is the deliverable, and a deployment reading it here would
+  // keep the exact path (or q44's IVF, which exploits the label-cluster
+  // structure instead of a random projection).
+  // Scale shape: one narrow projection per corpus row; the prefilter is
+  // the only corpus-wide pass (broadcast 20-query probe, per-query top-C
+  // window); the re-rank touches C rows per query. Swap the brute-force
+  // prefilter for q44/q170's IVF routing when the corpus outgrows one
+  // scan — the re-rank stage is unchanged.
+  def q202JlPrefilterRerank(spark: SparkSession, dir: String): DataFrame = {
+    val cBudget = 200
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("q"))
+      .withColumn("p", jlProject(col("q"), r = 32))
+    val probes = all.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("p").as("qp"))
+    val pairs = all.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+    val exCos = VectorOps.cosineFromParts(
+      VectorOps.qdot(col("qq"), col("q")),
+      VectorOps.qnorm2(col("qq")), VectorOps.qnorm2(col("q")))
+    val wRed = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_red").desc, col("vec_id").asc)
+    val wEx = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ex").desc, col("vec_id").asc)
+    val reranked = pairs
+      .withColumn("cos_red", VectorOps.cosineFromParts(
+        VectorOps.qdot(col("qp"), col("p")),
+        VectorOps.qnorm2(col("qp")), VectorOps.qnorm2(col("p"))))
+      .withColumn("r_red", row_number().over(wRed))
+      .filter(col("r_red") <= cBudget)
+      .withColumn("cos_ex", exCos)
+      .withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+    val exactTop = pairs
+      .withColumn("cos_ex", exCos)
+      .withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val hits = reranked.join(exactTop, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("recall10"))
+    reranked.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("top1_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("top1_id"),
+        coalesce(col("recall10"), lit(0L)).as("recall10"))
+      .orderBy(col("query_id").asc)
+  }
+  val q202Oracle: String = s"""
+    WITH e AS (SELECT vec_id, ${oQuant("embedding")} AS q FROM embeddings),
+    sgn AS (
+      SELECT d, j,
+        CASE WHEN substring(md5(CAST(d AS VARCHAR) || ':' ||
+            CAST(j AS VARCHAR)), 1, 1)
+          IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(generate_series(0, 63)) AS d)
+        CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)),
+    red AS (
+      SELECT vec_id, j, CAST(SUM(q[d + 1] * s) AS BIGINT) AS p
+      FROM e CROSS JOIN sgn GROUP BY vec_id, j),
+    rl AS (SELECT vec_id, list(p ORDER BY j ASC) AS p FROM red GROUP BY vec_id),
+    fv AS (SELECT e.vec_id, q, p FROM e JOIN rl ON rl.vec_id = e.vec_id),
+    qs AS (SELECT vec_id AS query_id, q AS qq, p AS qp
+           FROM fv WHERE vec_id < 20),
+    pairs AS (
+      SELECT query_id, f.vec_id AS neighbor_id, qq, f.q AS cq, qp, f.p AS cp
+      FROM qs CROSS JOIN fv f WHERE f.vec_id <> query_id),
+    excos AS (
+      SELECT query_id, neighbor_id, qp, cp,
+        CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> qq[i] * cq[i])) AS DOUBLE) /
+        sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> qq[i] * qq[i])) AS DOUBLE) *
+             CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> cq[i] * cq[i])) AS DOUBLE)) AS cos_ex
+      FROM pairs),
+    redranked AS (
+      SELECT query_id, neighbor_id, cos_ex, row_number() OVER
+          (PARTITION BY query_id ORDER BY
+            CAST(list_sum(list_transform(generate_series(1, 32),
+              i -> qp[i] * cp[i])) AS DOUBLE) /
+            sqrt(CAST(list_sum(list_transform(generate_series(1, 32),
+              i -> qp[i] * qp[i])) AS DOUBLE) *
+                 CAST(list_sum(list_transform(generate_series(1, 32),
+              i -> cp[i] * cp[i])) AS DOUBLE)) DESC, neighbor_id ASC)
+          AS r_red
+      FROM excos),
+    rer AS (
+      SELECT query_id, neighbor_id, row_number() OVER
+          (PARTITION BY query_id ORDER BY cos_ex DESC, neighbor_id ASC)
+          AS rank
+      FROM redranked WHERE r_red <= 200),
+    rtop AS (SELECT query_id, neighbor_id, rank FROM rer WHERE rank <= 10),
+    etop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER
+            (PARTITION BY query_id ORDER BY cos_ex DESC, neighbor_id ASC)
+            AS rank
+        FROM excos) WHERE rank <= 10),
+    hits AS (
+      SELECT query_id, COUNT(*) AS recall10
+      FROM rtop JOIN etop USING (query_id, neighbor_id) GROUP BY query_id)
+    SELECT r.query_id, r.neighbor_id AS top1_id,
+           CAST(COALESCE(h.recall10, 0) AS BIGINT) AS recall10
+    FROM rtop r LEFT JOIN hits h ON h.query_id = r.query_id
+    WHERE r.rank = 1 ORDER BY r.query_id ASC"""
 
   // q195 — cluster cohesion card: per label, the EXACT mean pairwise dot
   // product of quantized embeddings, from two aggregates and the algebraic
@@ -862,7 +990,8 @@ object VectorQueries {
     "q43_knn_label_vote" -> (q43KnnLabelVote _),
     "q193_hard_negatives" -> (q193HardNegatives _),
     "q195_cluster_cohesion" -> (q195ClusterCohesion _),
-    "q197_jl_projection" -> (q197JlProjection _))
+    "q197_jl_projection" -> (q197JlProjection _),
+    "q202_jl_prefilter_rerank" -> (q202JlPrefilterRerank _))
 
   val oracles: Map[String, String] = Map(
     "q175_semantic_decontaminate" -> q175Oracle,
@@ -882,5 +1011,6 @@ object VectorQueries {
     "q43_knn_label_vote" -> q43Oracle,
     "q193_hard_negatives" -> q193Oracle,
     "q195_cluster_cohesion" -> q195Oracle,
-    "q197_jl_projection" -> q197Oracle)
+    "q197_jl_projection" -> q197Oracle,
+    "q202_jl_prefilter_rerank" -> q202Oracle)
 }

@@ -415,4 +415,31 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"),
       "the corpus must never shuffle to meet the allocation table")
   }
+
+  test("q201: KN term tables broadcast onto the exploded token pairs") {
+    val s = planString("q201_kneser_ney")
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastHashJoin"),
+      "the ≤vocab² KN pair-term and first-term tables must broadcast — " +
+        "the exploded corpus pairs must never shuffle for the lookup")
+  }
+
+  test("q202: prefilter probes broadcast; no corpus self-shuffle") {
+    val s = finalPlan("q202_jl_prefilter_rerank")
+    assert(s.contains("BroadcastExchange"),
+      "the 20-query probe set must broadcast onto the single corpus scan")
+    assert(!s.contains("SortMergeJoin"),
+      "the corpus must never shuffle to meet the probes or the recall join")
+    assert(!s.contains("CartesianProduct"),
+      "the probe join must be broadcast-nested-loop, not a cartesian")
+  }
+
+  test("q203: waterfill windows run on the 5-row frame, not the corpus") {
+    val s = finalPlan("q203_unimax_alloc")
+    // the only corpus-wide exchange is the per-language partial agg; the
+    // unpartitioned waterfill windows must sit above 5-row aggregates
+    assert(s.contains("BroadcastExchange"),
+      "the 1-row budget frame and the capped-set totals must broadcast")
+    assert(!s.contains("SortMergeJoin"),
+      "nothing in the waterfill may sort-merge — every join side is tiny")
+  }
 }
