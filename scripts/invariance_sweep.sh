@@ -20,8 +20,19 @@ for sf in $SFS; do
   for cpus in $CPUSET; do
     out=/tmp/graft_sweep_${sf}_c${cpus}
     echo "=== Verify $sf @ local[$cpus] -> $out"
-    SPARK_GRAFT_CPUS=$cpus sbt -batch "runMain graft.Verify /root/testdata/$sf $out" \
-      2>&1 | grep "\[verify\]" || true
+    # A stale dump from a previous run must never be hash-checked green:
+    # clear the output dir first, and fail the sweep if Verify itself
+    # exits nonzero (a crashed Verify would otherwise be invisible).
+    rm -rf "$out"
+    sbtlog=/tmp/graft_sweep_sbt_${sf}_c${cpus}.log
+    if ! SPARK_GRAFT_CPUS=$cpus sbt -batch \
+        "runMain graft.Verify /root/testdata/$sf $out" >"$sbtlog" 2>&1; then
+      echo "Verify FAILED ($sf local[$cpus]) — tail of $sbtlog:"
+      tail -20 "$sbtlog"
+      fail=1
+      continue
+    fi
+    grep "\[verify\]" "$sbtlog" || true
     for th in 1 8; do
       echo "--- oracle check $sf local[$cpus] duckdb-threads=$th"
       if ! DUCKDB_THREADS=$th python3 scripts/check_oracle.py /root/testdata/$sf $out \

@@ -40,7 +40,17 @@ object ScaleProbe {
     // char-entropy screen, and the MG sketch-then-verify pass whose
     // shuffles are bounded by k regardless of corpus size
     "q187_dedup_threshold_curve", "q191_winnowing_sketch",
-    "q192_winnowing_pairs", "q194_entropy_screen", "q196_heavy_hitters")
+    "q192_winnowing_pairs", "q194_entropy_screen", "q196_heavy_hitters",
+    // round-11 extension (r10 verdict #8): the remaining q186-q203
+    // additions that read only documents/embeddings (q198 needs the
+    // customer table, which the derived sf1 set doesn't carry). q202
+    // gates its post-re-plan shape: one scored corpus pass, stacked
+    // windows over one exchange, no recall join.
+    "q186_packing_planner", "q188_mixture_entropy", "q189_dedup_saturation",
+    "q190_tokenizer_fertility", "q193_hard_negatives",
+    "q195_cluster_cohesion", "q197_jl_projection", "q199_sorted_neighborhood",
+    "q200_budget_fill", "q201_kneser_ney", "q202_jl_prefilter_rerank",
+    "q203_unimax_alloc")
 
   private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
     .filter(_.getType == MemoryType.HEAP)
@@ -191,7 +201,13 @@ object ScaleProbe {
     //     memory; a breach means some stage started collecting or
     //     buffering proportionally to the corpus).
     // SPARK_GRAFT_SCALE_GATE=off reverts to report-only.
-    val MaxWallRatio = 8.0
+    // MaxWallRatio sits ABOVE the 10× data ratio (r11, was 8.0): a
+    // scan-proportional query whose sf0.1 cell has outgrown the
+    // overhead-dominated regime (>1 s) scales ~10× under PERFECT
+    // linearity, so an 8× gate would flag a correct linear query as a
+    // regression; 12× allows linear + scheduling slack while still
+    // catching anything super-linear (a quadratic pair path reads ~100×).
+    val MaxWallRatio = 12.0
     val MaxHeapMb = 10240L
     // scaled-banding sf1 cells gate against their unscaled sf0.1 base
     val baseName = Map(

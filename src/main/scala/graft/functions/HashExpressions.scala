@@ -189,6 +189,28 @@ object HashKernels {
     acc
   }
 
+  /** Dense ±1 sign projection of a quantized (long) vector: out[j] =
+    * Σ_d q[d]·signs[j·d0 + d] with the caller-supplied flattened r×d0
+    * sign matrix. The loop kernel replaces what would otherwise be an
+    * r×d0-term inline expression tree — at r=32, d0=64 that tree blows
+    * the JVM's 64 KB method bytecode limit and drops the whole stage
+    * out of codegen (q202's prefilter pass). Exact integer sums, so the
+    * projection is bit-identical to the oracle's per-cell SQL. */
+  def signProject(q: ArrayData, signs: Array[Long], r: Int): ArrayData = {
+    val d0 = signs.length / r
+    val out = new Array[Long](r)
+    var j = 0
+    while (j < r) {
+      var acc = 0L
+      var d = 0
+      val base = j * d0
+      while (d < d0) { acc += q.getLong(d) * signs(base + d); d += 1 }
+      out(j) = acc
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Sign-random-projection signature over a float embedding: bit p =
     * sign(Σ_d w(p,d)·x_d) with w(p,d) = ±1 from a mixed hash of (p,d).
     * Deterministic, model-free, one pass over the vector per plane. */
@@ -274,6 +296,34 @@ case class LongDot(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.longDot($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): LongDot =
     copy(left = l, right = r)
+}
+
+/** `sign_project(array<long>) -> array<long>` — dense ±1 matrix
+  * projection with a compile-time sign matrix (flattened row-major,
+  * r rows × d0 cols), codegen'd as a loop kernel. Replaces the inline
+  * sum-of-products tree for JL-style projections whose generated code
+  * would exceed the 64 KB method limit (see [[HashKernels.signProject]]).
+  * The matrix rides the plan as a reference object (r·d0 longs). */
+case class SignProject(child: Expression, signs: Array[Long], r: Int)
+    extends UnaryExpression {
+  require(signs.length % r == 0, s"sign matrix ${signs.length} not divisible by r=$r")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sign_project needs array<long>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.signProject(input.asInstanceOf[ArrayData], signs, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signMatrix", signs, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.signProject($c, $ref, $r)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SignProject =
+    copy(child = newChild)
 }
 
 /** `srp_bits(array<float>, planes) -> string` — LSH bucket signature,
@@ -385,6 +435,8 @@ object GraftFunctions {
     ColumnBridge.column(MinWindowMd5(ColumnBridge.expression(c), k))
   def long_dot(a: Column, b: Column): Column =
     ColumnBridge.column(LongDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sign_project(c: Column, signs: Array[Long], r: Int): Column =
+    ColumnBridge.column(SignProject(ColumnBridge.expression(c), signs, r))
   def srp_bits(c: Column, planes: Int): Column =
     ColumnBridge.column(SrpSig(ColumnBridge.expression(c), planes))
 

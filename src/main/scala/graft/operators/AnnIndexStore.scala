@@ -47,11 +47,15 @@ object AnnIndexStore {
   private def entry(r: String, key: String): File =
     new File(r, md5hex(key))
 
-  /** True iff the entry exists AND its KEY marker matches verbatim. */
+  /** True iff the entry exists AND its KEY marker matches verbatim.
+    * A torn or unreadable marker (IO/permission failure racing the
+    * isFile check) counts as a mismatch → rebuild: loads are
+    * best-effort and must never throw on the query path. */
   private def keyed(dir: File, key: String): Boolean = {
     val marker = new File(dir, "KEY")
-    marker.isFile &&
+    marker.isFile && (try {
       new String(Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8) == key
+    } catch { case _: java.io.IOException => false })
   }
 
   private def writeKey(dir: File, key: String): Unit = {

@@ -120,6 +120,19 @@ final class Pipeline(spark: SparkSession, storeRoot: String,
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import org.apache.spark.sql.functions.col
     import graft.streaming.{CdcSource, CdcStream, PayloadCdcSource}
+    // Crash-window recovery: the retire step below deletes the
+    // quarantine and THEN promotes the still-bad set from `.replay` —
+    // a crash between the two leaves the only copy of the evidence in
+    // `.replay`. Promote it here instead of (as earlier revisions did)
+    // unconditionally deleting it as stale scratch, which would
+    // permanently destroy unreplayed poison lines. A `.replay` orphan
+    // NEXT TO a live quarantine really is stale scratch (the crash
+    // happened before the delete, so the quarantine is still the
+    // authoritative superset) and is cleared in the retire step.
+    val replayTmp = Paths.get(s"$quarantinePath.replay")
+    if (!Files.exists(Paths.get(quarantinePath)) && Files.exists(replayTmp))
+      Files.move(replayTmp, Paths.get(quarantinePath),
+        StandardCopyOption.ATOMIC_MOVE)
     if (!Files.exists(Paths.get(quarantinePath))) return (0L, 0L)
     val corrupt = CdcSource.CorruptCol
     val meta = Seq("raw_line", "batch_id", "quarantined_at")
@@ -138,9 +151,13 @@ final class Pipeline(spark: SparkSession, storeRoot: String,
         .select(meta.map(col): _*)
       val remaining = stillBad.count()
       // retire replayed rows: materialize the still-bad set BESIDE the
-      // quarantine first, then swap — a crash mid-replay leaves either
-      // the old table or the new one, never a half-written mix
-      val tmp = Paths.get(s"$quarantinePath.replay")
+      // quarantine first, then swap. A crash before the delete leaves
+      // the quarantine authoritative (the .replay orphan is cleared
+      // here on the next run); a crash between the delete and the move
+      // is recovered at entry by promoting .replay (see above) — so
+      // every crash point leaves either the old table, the new one, or
+      // a recoverable .replay, never a silent loss.
+      val tmp = replayTmp
       TableStore.deleteRecursively(tmp)
       if (remaining > 0) stillBad.write.mode("overwrite").parquet(tmp.toString)
       TableStore.deleteRecursively(Paths.get(quarantinePath))

@@ -1,0 +1,362 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import graft.tables.Tables
+
+/** Corpus statistics & split hygiene — the measurement layer a pretrain
+  * pipeline reads before (and after) it commits to a mixture:
+  *
+  *   - q204 vocabulary-growth curve (Heaps' law): distinct-type count as
+  *     a function of corpus position — the read behind "is more data
+  *     still buying vocabulary, or only repetition?";
+  *   - q205 per-source KL divergence from the corpus token distribution:
+  *     the mixture diagnostic behind source weighting (a source with
+  *     near-zero KL adds volume, not signal);
+  *   - q206 deterministic stratified train/val/test split: hash-of-id
+  *     assignment so ANY engine (and any rerun, at any partitioning)
+  *     derives the identical held-out sets;
+  *   - q207 cross-split near-dup leakage audit: the q33-style df-capped
+  *     shingle join restricted to train×holdout — the check that the
+  *     split above is not leaking eval documents into training through
+  *     near-duplicates (the failure mode exact-hash splits cannot see);
+  *   - q208 Zipf slope fit: integer-quantized least squares of log-freq
+  *     on log-rank over the token head — the one-number unigram-shape
+  *     summary next to q189's dup-saturation curve.
+  *
+  * Exactness protocol (the repo's standard): every transcendental is
+  * quantized ONCE per distinct term to integer micro-nats
+  * (floor(ln·1e6), a fixed-shape double expression over exact integer
+  * counts — bit-identical in both engines); all sums run over exact
+  * BIGINTs in any order; the few emitted doubles are single fixed-order
+  * divides over those integers.
+  */
+object StatsQueries {
+
+  /** Deterministic split assignment from the first md5 hex digit of the
+    * STRING of doc_id (both engines hash the identical bytes): digits
+    * 0-b → train (75%), c-d → val (12.5%), e-f → test (12.5%). A pure
+    * function of doc_id — no rand(), no partitioning dependence, and a
+    * NEW document joins a split without reshuffling old ones. */
+  private def splitOf(docId: org.apache.spark.sql.Column) = {
+    val d = substring(md5(docId.cast("string")), 1, 1)
+    when(d.isin("c", "d"), "val")
+      .when(d.isin("e", "f"), "test")
+      .otherwise("train")
+  }
+  private val splitOfSql =
+    """CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+             THEN 'val'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f')
+             THEN 'test'
+            ELSE 'train' END"""
+
+  // q204 — vocabulary growth curve (Heaps' law, Herdan 1960): per
+  // 100-doc bucket of corpus position, the number of NEW types (tokens
+  // first seen in that bucket) and the running type/token totals. Scale
+  // shape: one token-level partial agg (rows bounded by the vocabulary,
+  // map-side combined) for first-seen, one doc-level count agg for
+  // token volume; the cumulative windows run on the n/100-row bucket
+  // frame, and at 100 TB the bucket width widens so that frame stays
+  // thousands of rows — the corpus itself never shuffles.
+  def q204VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val newTypes = tok.groupBy(col("tok")).agg(min(col("doc_id")).as("first_id"))
+      .groupBy(expr("first_id DIV 100").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val vol = tok.groupBy(expr("doc_id DIV 100").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vol.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .select(col("bucket"), col("n_tokens"), col("new_types"),
+        col("cum_tokens"), col("cum_types"))
+      .orderBy(col("bucket").asc)
+  }
+  val q204Oracle: String = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    nt AS (
+      SELECT first_id // 100 AS bucket, COUNT(*) AS new_types
+      FROM (SELECT tok, MIN(doc_id) AS first_id FROM tok GROUP BY tok)
+      GROUP BY 1),
+    vol AS (
+      SELECT doc_id // 100 AS bucket, COUNT(*) AS n_tokens
+      FROM tok GROUP BY 1)
+    SELECT vol.bucket, n_tokens,
+           CAST(COALESCE(new_types, 0) AS BIGINT) AS new_types,
+           CAST(SUM(n_tokens) OVER (ORDER BY vol.bucket ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens,
+           CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY vol.bucket ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_types
+    FROM vol LEFT JOIN nt ON nt.bucket = vol.bucket
+    ORDER BY vol.bucket ASC"""
+
+  // q205 — per-source KL divergence from the corpus token distribution:
+  // KL(P_s ‖ P) = Σ_w p_s(w)·ln(p_s(w)/p(w)) with p_s = c_sw/n_s and
+  // p = c_w/N. Each distinct (source, token) term's log-ratio is one
+  // fixed-shape double expression over four exact integers, quantized
+  // ONCE to micro-nats; the per-source sum Σ c_sw·lq is an exact BIGINT
+  // in any order; kl_nats is two fixed-order divides at the end.
+  // Overflow bound: |lq| ≤ ln(N)·1e6 (~2e7 at N=10¹⁰ tokens) and
+  // Σ c_sw = n_s, so |kl_sum_micro| ≤ n_s·2e7 — Int64-safe to
+  // n_s ≈ 4·10¹¹ tokens PER SOURCE; past that, widen to decimal as
+  // q173/GramAgg document. Scale shape: one (source, token) partial agg
+  // (≤ |sources|·vocab rows), the corpus-wide token table joins it on
+  // token (both vocab-bounded — the corpus itself never reshuffles),
+  // and the output is one row per source.
+  def q205SourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val st = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+    val corpus = tok.groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+    val totals = st.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_s"), count(lit(1)).as("n_types"))
+    val n = tok.agg(count(lit(1)).as("n_total"))
+    // corpus (one row per type) is deliberately NOT broadcast-hinted: a
+    // web-scale vocabulary outgrows a broadcast, and a tok⇄tok shuffle
+    // join between two vocab-bounded aggregates is the correct scale
+    // shape — AQE still picks broadcast whenever the table fits.
+    st.join(corpus, Seq("tok"))
+      .join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("lq", floor(log(
+        (col("c_st").cast("double") * col("n_total").cast("double"))
+          / (col("n_s").cast("double") * col("c_t").cast("double")))
+        * lit(1000000.0)).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), max(col("n_types")).as("n_types"),
+        sum(col("c_st") * col("lq")).as("kl_sum_micro"))
+      .withColumn("kl_nats",
+        col("kl_sum_micro").cast("double") / col("n_tokens") / lit(1000000.0))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("kl_sum_micro"), col("kl_nats"))
+      .orderBy(col("source").asc)
+  }
+  val q205Oracle: String = """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+    st AS (SELECT source, tok, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+    c AS (SELECT tok, COUNT(*) AS c_t FROM tok GROUP BY 1),
+    tot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s,
+                   COUNT(*) AS n_types
+            FROM st GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_total FROM tok),
+    terms AS (
+      SELECT st.source, c_st,
+        CAST(floor(ln((CAST(c_st AS DOUBLE) * CAST(n_total AS DOUBLE))
+          / (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE))) * 1000000.0)
+          AS BIGINT) AS lq
+      FROM st JOIN c ON c.tok = st.tok
+        JOIN tot ON tot.source = st.source CROSS JOIN n)
+    SELECT tot.source, n_s AS n_tokens, n_types,
+           CAST(s.kl_sum_micro AS BIGINT) AS kl_sum_micro,
+           CAST(s.kl_sum_micro AS DOUBLE) / n_s / 1000000.0 AS kl_nats
+    FROM (SELECT source, SUM(c_st * lq) AS kl_sum_micro
+          FROM terms GROUP BY 1) s
+      JOIN tot ON tot.source = s.source
+    ORDER BY tot.source ASC"""
+
+  // q206 — deterministic stratified split accounting: assign every doc
+  // to train/val/test by the md5-of-id digit (splitOf above) and report
+  // per (source, split) document/token counts plus the split's share of
+  // the source's tokens in basis points (integer DIV — exact). The
+  // assignment column is what a corpus-build sink would partition by;
+  // this query is the audit that the strata landed near the 75/12.5/12.5
+  // design across every source. Scale shape: one narrow projection +
+  // one (source, split) partial agg; the share window runs on ≤3 rows
+  // per source.
+  def q206StratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), splitOf(col("doc_id")).as("split"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    d.withColumn("share_bp", expr(
+        "(n_tokens * 10000) DIV (SUM(n_tokens) OVER (PARTITION BY source))"))
+      .select(col("source"), col("split"), col("n_docs"), col("n_tokens"),
+        col("share_bp"))
+      .orderBy(col("source").asc, col("split").asc)
+  }
+  val q206Oracle: String = s"""
+    WITH d AS (
+      SELECT source, $splitOfSql AS split,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents),
+    g AS (SELECT source, split, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+          FROM d GROUP BY 1, 2)
+    SELECT source, split, n_docs, n_tokens,
+           CAST((n_tokens * 10000)
+             // (SUM(n_tokens) OVER (PARTITION BY source)) AS BIGINT)
+             AS share_bp
+    FROM g ORDER BY source ASC, split ASC"""
+
+  // q207 — cross-split near-dup leakage audit: q33's df-capped exact
+  // 3-gram Jaccard machinery, restricted to train × holdout (val∪test)
+  // pairs — the hygiene check that near-duplicates of held-out
+  // documents are not sitting in the training split (the failure mode
+  // an exact-hash split check cannot see, and the reason eval numbers
+  // go quietly stale). Flags pairs at Jaccard ≥ 0.5. Scale shape:
+  // BETTER than q33's self-join — the join is train-side × holdout-side
+  // (the holdout shingle set is ~25% of the corpus), hot boilerplate
+  // shingles leave via the same broadcast anti-join before the join,
+  // and per-shingle fan-out is df-capped at 64 on each side.
+  def q207SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, raw, sh) = q207Pairs(spark, dir)
+    graft.operators.Materialize.thenRelease(pairs, raw, sh)
+  }
+
+  /** Pre-materialize leakage frame + its persisted intermediates — split
+    * out so PlanSpec can pin the JOIN plan (the public query returns a
+    * localCheckpoint scan, which hides it). */
+  private[graft] def q207Pairs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val maxDf = 64
+    val raw = Tables.documents(spark, dir).repartition(col("doc_id"))
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), col("split"), xxhash64(col("sh")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = raw.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    val sh = raw.join(broadcast(hot), Seq("sh"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val trainSide = sh.filter(col("split") === "train")
+      .select(col("sh"), col("doc_id").as("train_id"))
+    val holdSide = sh.filter(col("split") =!= "train")
+      .select(col("sh"), col("doc_id").as("holdout_id"),
+        col("split").as("holdout_split"))
+    val pairs = holdSide.join(trainSide, Seq("sh"))
+      .groupBy(col("holdout_id"), col("holdout_split"), col("train_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("doc_id").as("holdout_id"), col("n_sh").as("n_h")),
+        Seq("holdout_id"))
+      .join(counts.select(col("doc_id").as("train_id"), col("n_sh").as("n_t")),
+        Seq("train_id"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("n_h") + col("n_t") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("holdout_id"), col("holdout_split"), col("train_id"),
+        col("inter"), col("n_h"), col("n_t"), col("jaccard"))
+      .orderBy(col("holdout_id").asc, col("train_id").asc)
+    (pairs, raw, sh)
+  }
+  val q207Oracle: String = s"""
+    WITH toks AS (
+      SELECT doc_id, $splitOfSql AS split, string_split(text, ' ') AS t
+      FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, split, shingle FROM (
+        SELECT doc_id, split,
+          unnest(list_transform(generate_series(1, len(t)-2),
+            i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    sh AS (
+      SELECT doc_id, split, shingle FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 64),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT h.doc_id AS holdout_id, h.split AS holdout_split,
+             t.doc_id AS train_id, COUNT(*) AS inter
+      FROM sh h JOIN sh t ON t.shingle = h.shingle
+      WHERE h.split <> 'train' AND t.split = 'train'
+      GROUP BY 1, 2, 3)
+    SELECT holdout_id, holdout_split, train_id, inter,
+           ch.n_sh AS n_h, ct.n_sh AS n_t,
+           CAST(inter AS DOUBLE) / CAST(ch.n_sh + ct.n_sh - inter AS DOUBLE)
+             AS jaccard
+    FROM inter
+      JOIN counts ch ON ch.doc_id = holdout_id
+      JOIN counts ct ON ct.doc_id = train_id
+    WHERE CAST(inter AS DOUBLE) / CAST(ch.n_sh + ct.n_sh - inter AS DOUBLE)
+            >= 0.5
+    ORDER BY holdout_id ASC, train_id ASC"""
+
+  // q208 — Zipf slope fit: least squares of y = ln(freq) on x = ln(rank)
+  // over the top-200 tokens (ties broken token-asc, so ranks are
+  // deterministic). x and y quantize ONCE per rank to integer
+  // micro-nats; the normal-equation sums (Σx, Σy, Σxy, Σx²) are exact
+  // BIGINTs — at n = 200, x ≤ ln(200)·1e6 and y ≤ ln(N)·1e6, so
+  // n·Σxy ≤ 200²·5.3e6·2e7 ≈ 4e18 stays inside Int64 up to N ≈ 10¹⁰
+  // corpus tokens (document-or-widen past that, GramAgg's discipline);
+  // slope and intercept are fixed-order double divides over the integer
+  // numerator/denominator. Scale shape: one vocab-bounded token agg;
+  // the top-200 head is a TakeOrdered-sized frame, the fit a 1-row agg.
+  def q208ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val nHead = 200
+    val freq = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // top-200 head via orderBy+limit → TakeOrderedAndProject (per-
+    // partition heaps, no global sort); the unpartitioned rank window
+    // then runs on the 200-row head, never on the full vocabulary
+    val ranked = freq
+      .orderBy(col("c").desc, col("tok").asc).limit(nHead)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("tok").asc)))
+      .withColumn("x", floor(log(col("rank").cast("double")) * lit(1000000.0))
+        .cast("long"))
+      .withColumn("y", floor(log(col("c").cast("double")) * lit(1000000.0))
+        .cast("long"))
+    ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope", col("num").cast("double") / col("den").cast("double"))
+      .withColumn("intercept_micro",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double"))
+      .select(col("n"), col("num"), col("den"), col("slope"),
+        col("intercept_micro"))
+  }
+  val q208Oracle: String = """
+    WITH freq AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok),
+    ranked AS (
+      SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+      FROM (SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rank
+            FROM freq)
+      WHERE rank <= 200),
+    s AS (
+      SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM ranked)
+    SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_micro
+    FROM s"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_vocab_growth" -> (q204VocabGrowth _),
+    "q205_source_kl" -> (q205SourceKl _),
+    "q206_stratified_split" -> (q206StratifiedSplit _),
+    "q207_split_leakage" -> (q207SplitLeakage _),
+    "q208_zipf_fit" -> (q208ZipfFit _))
+
+  val oracles: Map[String, String] = Map(
+    "q204_vocab_growth" -> q204Oracle,
+    "q205_source_kl" -> q205Oracle,
+    "q206_stratified_split" -> q206Oracle,
+    "q207_split_leakage" -> q207Oracle,
+    "q208_zipf_fit" -> q208Oracle)
+}

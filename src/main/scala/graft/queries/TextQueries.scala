@@ -585,10 +585,15 @@ object TextQueries {
   // occurrence semantics relationally on the raw strings.
   def q153Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // xxhash64 fingerprints, not md5 (r11): same join semantics with
+    // collision odds ~#shingles²/2⁶⁴ (q33's argument), an 8-byte
+    // broadcast key instead of a 32-char hex string, and roughly a
+    // third of the per-shingle hash CPU — the only real cost in an
+    // otherwise scan+broadcast-join-only plan.
     def sh(d: DataFrame) = d
       .select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), 4)).as("shingle"))
-      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("h"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val bench = sh(docs.filter(pmod(col("doc_id"), lit(50)) === 0))
       .select(col("h")).distinct()
     sh(docs.filter(pmod(col("doc_id"), lit(50)) =!= 0))

@@ -131,7 +131,13 @@ object VectorQueries {
     *   coarse-probe bound). Gate bounds: SRP 0.65, IVF 0.7, PQ 0.8,
     *   IVF-PQ 0.7 at EVERY scale — q44/q170 sit exactly AT 0.7 at two
     *   scales, which is safe only because the trained index is
-    *   layout-deterministic. */
+    *   layout-deterministic. RE-MEASURE REQUIREMENT: that determinism
+    *   is bit-level (k-means|| consumes the seed through JVM libm and
+    *   Spark-internal sampling), so any Spark/JVM/toolchain upgrade
+    *   must re-run `AnnRecallProbe sweep`/`sweep-pq` at all three
+    *   scales and re-derive these minima BEFORE trusting the gates —
+    *   a perturbed fit can flip a zero-headroom bound with no code
+    *   change. */
   private def recallBound(dir: String, atGate: Double, floor: Double): Double =
     if (dir.stripSuffix("/").endsWith("sf0.01")) atGate else floor
 
@@ -252,15 +258,18 @@ object VectorQueries {
     if ((h(0) & 0x80) == 0) 1L else -1L
   }
 
-  /** 64→r JL projection as one narrow codegen'd array column over a
-    * quantized vector column `q` — the r sums inline into the expression
-    * tree; no explode, no sign-matrix join, no shuffle. */
+  /** 64→r JL projection as one narrow codegen'd loop kernel over a
+    * quantized vector column `q` — the driver precomputes the r×64 ±1
+    * matrix once and ships it as a plan reference object; no explode,
+    * no sign-matrix join, no shuffle. (An earlier inline-sum variant
+    * expanded to r×64 expression terms, which at r=32 overflowed the
+    * 64 KB generated-method limit and dropped q202's prefilter stage
+    * out of whole-stage codegen.) */
   private def jlProject(q: org.apache.spark.sql.Column, r: Int = 16)
-      : org.apache.spark.sql.Column =
-    array((0 until r).map { j =>
-      (0 until 64).map(d =>
-        element_at(q, d + 1) * lit(jlSign(d, j))).reduce(_ + _)
-    }: _*)
+      : org.apache.spark.sql.Column = {
+    val signs = Array.tabulate(r * 64)(i => jlSign(i % 64, i / 64))
+    graft.functions.GraftFunctions.sign_project(q, signs, r)
+  }
 
   def q197JlProjection(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
@@ -341,11 +350,19 @@ object VectorQueries {
   // speedup, is the deliverable, and a deployment reading it here would
   // keep the exact path (or q44's IVF, which exploits the label-cluster
   // structure instead of a random projection).
-  // Scale shape: one narrow projection per corpus row; the prefilter is
-  // the only corpus-wide pass (broadcast 20-query probe, per-query top-C
-  // window); the re-rank touches C rows per query. Swap the brute-force
-  // prefilter for q44/q170's IVF routing when the corpus outgrows one
-  // scan — the re-rank stage is unchanged.
+  // Scale shape: ONE corpus-wide pass. Both cosines (reduced + exact)
+  // are scored in the same projection below a single
+  // hashpartitioning(query_id) exchange; the prefilter rank, the exact
+  // brute-force rank, and the within-survivors re-rank are three
+  // stacked row_number windows over that one exchange (the re-rank
+  // window orders survivors-first so it needs no intermediate filter);
+  // the recall@10 audit is then a per-query aggregate over the same
+  // partitioning — no join anywhere, so the corpus never meets itself.
+  // The exact column must be scored for every pair anyway (the audit's
+  // ground truth is the brute-force top-10), so scoring it alongside
+  // cos_red costs no extra scan. Swap the brute-force prefilter for
+  // q44/q170's IVF routing when the corpus outgrows one scan — the
+  // re-rank stage is unchanged.
   def q202JlPrefilterRerank(spark: SparkSession, dir: String): DataFrame = {
     val cBudget = 200
     val all = Tables.embeddings(spark, dir)
@@ -354,6 +371,9 @@ object VectorQueries {
     val probes = all.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("p").as("qp"))
     val pairs = all.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+    val redCos = VectorOps.cosineFromParts(
+      VectorOps.qdot(col("qp"), col("p")),
+      VectorOps.qnorm2(col("qp")), VectorOps.qnorm2(col("p")))
     val exCos = VectorOps.cosineFromParts(
       VectorOps.qdot(col("qq"), col("q")),
       VectorOps.qnorm2(col("qq")), VectorOps.qnorm2(col("q")))
@@ -361,28 +381,22 @@ object VectorQueries {
       .orderBy(col("cos_red").desc, col("vec_id").asc)
     val wEx = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_ex").desc, col("vec_id").asc)
-    val reranked = pairs
-      .withColumn("cos_red", VectorOps.cosineFromParts(
-        VectorOps.qdot(col("qp"), col("p")),
-        VectorOps.qnorm2(col("qp")), VectorOps.qnorm2(col("p"))))
+    // Re-rank rank within the C survivors, without filtering first:
+    // survivors sort ahead of eliminated rows, so row_number 1..C over
+    // this ordering IS the exact-cosine rank among survivors.
+    val wRerank = Window.partitionBy(col("query_id"))
+      .orderBy((col("r_red") <= cBudget).desc, col("cos_ex").desc,
+        col("vec_id").asc)
+    val scored = pairs
+      .withColumn("cos_red", redCos)
+      .withColumn("cos_ex", exCos)
       .withColumn("r_red", row_number().over(wRed))
-      .filter(col("r_red") <= cBudget)
-      .withColumn("cos_ex", exCos)
-      .withColumn("rank", row_number().over(wEx))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
-    val exactTop = pairs
-      .withColumn("cos_ex", exCos)
-      .withColumn("rank", row_number().over(wEx))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    val hits = reranked.join(exactTop, Seq("query_id", "neighbor_id"))
-      .groupBy(col("query_id")).agg(count(lit(1)).as("recall10"))
-    reranked.filter(col("rank") === 1)
-      .select(col("query_id"), col("neighbor_id").as("top1_id"))
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), col("top1_id"),
-        coalesce(col("recall10"), lit(0L)).as("recall10"))
+      .withColumn("r_ex", row_number().over(wEx))
+      .withColumn("r_rr", row_number().over(wRerank))
+    scored.groupBy(col("query_id")).agg(
+      max(when(col("r_rr") === 1, col("vec_id"))).as("top1_id"),
+      sum(when(col("r_red") <= cBudget && col("r_rr") <= 10 &&
+        col("r_ex") <= 10, 1L).otherwise(0L)).as("recall10"))
       .orderBy(col("query_id").asc)
   }
   val q202Oracle: String = s"""

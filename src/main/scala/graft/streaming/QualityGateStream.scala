@@ -111,14 +111,16 @@ object QualityGateStream {
     val uniDf = trainTok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val bigDf = pairsOf(train).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
-    // bound BEFORE collecting — a count() is cheap, and a guard that
-    // runs after the collect cannot prevent the driver blow-up it
-    // exists to prevent
-    val modelRows = uniDf.count() + bigDf.count()
-    require(modelRows <= maxModelRows,
-      s"frozen LM would hold $modelRows rows — prune counts first")
-    val uni = uniDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val big = bigDf.collect()
+    // bound the collect STRUCTURALLY: limit(max+1) caps what can ever
+    // reach the driver (the blow-up guard), and the length check after
+    // it enforces the budget — one job per table instead of the earlier
+    // count()-then-collect() double computation of both aggregations
+    val uniRows = uniDf.limit(maxModelRows + 1).collect()
+    val bigRows = bigDf.limit(maxModelRows + 1).collect()
+    require(uniRows.length + bigRows.length <= maxModelRows,
+      s"frozen LM would hold > $maxModelRows rows — prune counts first")
+    val uni = uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = bigRows
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val n = uni.values.sum
     val v = t.select(explode(col("t")).as("tok")).agg(countDistinct(col("tok")))

@@ -508,6 +508,20 @@ class PipelineSpec extends SparkSpec {
     val (r2, n2) = pipeline.replayQuarantine()
     assert(r2 == 0 && n2 == 1)
     assert(pipeline.member.count() == 3)
+
+    // crash-window recovery: the retire step deletes the quarantine and
+    // THEN promotes `.replay` — simulate dying between the two (the only
+    // copy of the evidence sits in `.replay`) and check the next call
+    // promotes it back instead of destroying it as stale scratch
+    val qp = java.nio.file.Paths.get(s"$storeRoot/_quarantine")
+    java.nio.file.Files.move(qp,
+      java.nio.file.Paths.get(s"$storeRoot/_quarantine.replay"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val (r3, n3) = pipeline.replayQuarantine()
+    assert(r3 == 0 && n3 == 1,
+      s"recovered .replay must hold the still-bad line: ($r3, $n3)")
+    assert(pipeline.quarantine.select($"raw_line").as[String].head() == hopeless,
+      "the recovered quarantine keeps the original poison evidence")
   }
 
   test("payload seam replay: re-delivering the same payload is a no-op") {

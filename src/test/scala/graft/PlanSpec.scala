@@ -433,6 +433,29 @@ class PlanSpec extends SparkSpec {
       "the probe join must be broadcast-nested-loop, not a cartesian")
   }
 
+  test("q207: hot-shingle anti-join broadcasts; leakage join is equi, not cartesian") {
+    // pin the PRE-materialize frame: the public query localCheckpoints,
+    // so its executed plan is just the checkpoint scan
+    val (pairs, raw, sh) =
+      graft.queries.StatsQueries.q207Pairs(spark, dir)
+    pairs.collect()
+    val s = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    raw.unpersist(); sh.unpersist()
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastHashJoin")
+        || s.contains("BroadcastQueryStage"),
+      "the tiny hot-shingle set must broadcast for the map-side anti-join " +
+        "(AQE prints the stage, not the exchange, when the build side is reused)")
+    assert(!s.contains("CartesianProduct"),
+      "train x holdout must join on the shingle hash, never all-pairs")
+  }
+
+  test("q208: zipf head is TakeOrdered; the fit window sees 200 rows, not the vocab") {
+    val s = finalPlan("q208_zipf_fit")
+    assert(s.contains("TakeOrderedAndProject"),
+      "the top-200 head must be per-partition heaps, not a global vocab sort")
+  }
+
   test("q203: waterfill windows run on the 5-row frame, not the corpus") {
     val s = finalPlan("q203_unimax_alloc")
     // the only corpus-wide exchange is the per-language partial agg; the
