@@ -346,7 +346,54 @@ object StatsQueries {
              / CAST(n AS DOUBLE) AS intercept_micro
     FROM s"""
 
+  // q210 — vocabulary-drift / OOV monitor: freeze the vocabulary on the
+  // first half of the corpus (doc_id ≤ max/2 — a pure function of the
+  // data, no sampling), then report per 100-doc bucket of the second
+  // half its token volume, out-of-vocabulary token count, and OOV rate
+  // in permille (integer DIV — exact). This is the standing read behind
+  // "has the incoming distribution drifted from what the tokenizer/LM
+  // was frozen on" — the batch twin of the quality-gate ingest's frozen
+  // artifact, and the number that decides when to RE-freeze. Scale
+  // shape: the frozen vocab is a vocab-bounded distinct (never
+  // collected); the membership join is token-agg ⇄ vocab on the token —
+  // AQE broadcasts it while it fits, and the shuffle-join fallback is
+  // the correct shape when it doesn't; output is n/100 bucket rows.
+  def q210VocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(expr("MAX(doc_id) DIV 2").as("cut"))
+    val tok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .crossJoin(broadcast(cut))
+    val vocab = tok.filter(col("doc_id") <= col("cut"))
+      .select(col("tok")).distinct().withColumn("seen", lit(1))
+    tok.filter(col("doc_id") > col("cut"))
+      .join(vocab, Seq("tok"), "left")
+      .groupBy(expr("doc_id DIV 100").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille", expr("(n_oov * 1000) DIV n_tokens"))
+      .select(col("bucket"), col("n_tokens"), col("n_oov"), col("oov_permille"))
+      .orderBy(col("bucket").asc)
+  }
+  val q210Oracle: String = """
+    WITH cut AS (SELECT MAX(doc_id) // 2 AS cut FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT DISTINCT tok FROM tok CROSS JOIN cut WHERE doc_id <= cut),
+    post AS (SELECT doc_id, t.tok, v.tok IS NOT NULL AS seen
+             FROM tok t CROSS JOIN cut
+               LEFT JOIN vocab v ON v.tok = t.tok
+             WHERE doc_id > cut)
+    SELECT doc_id // 100 AS bucket, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+           (CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) * 1000)
+             // COUNT(*) AS oov_permille
+    FROM post GROUP BY 1 ORDER BY bucket ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_vocab_drift" -> (q210VocabDrift _),
     "q204_vocab_growth" -> (q204VocabGrowth _),
     "q205_source_kl" -> (q205SourceKl _),
     "q206_stratified_split" -> (q206StratifiedSplit _),
@@ -354,6 +401,7 @@ object StatsQueries {
     "q208_zipf_fit" -> (q208ZipfFit _))
 
   val oracles: Map[String, String] = Map(
+    "q210_vocab_drift" -> q210Oracle,
     "q204_vocab_growth" -> q204Oracle,
     "q205_source_kl" -> q205Oracle,
     "q206_stratified_split" -> q206Oracle,

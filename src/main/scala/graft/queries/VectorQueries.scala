@@ -986,7 +986,139 @@ object VectorQueries {
     WHERE n.vec_id % 17 <> 0
     ORDER BY n.vec_id ASC"""
 
+  // q209 — MMR diverse retrieval (maximal marginal relevance, Carbonell
+  // & Goldstein 1998): per query, greedily select k=5 results from the
+  // exact top-20 candidate pool maximizing λ·rel(q,d) −
+  // (1−λ)·max_{s∈S} sim(d,s) — the selection a retrieval-augmented
+  // data pipeline runs when the top-k of a near-dup-heavy corpus would
+  // otherwise return five copies of one document. Determinism: rel and
+  // sim are the repo's exact-integer-part cosines (bit-identical in
+  // both engines); the greedy argmax compares fixed-shape doubles with
+  // cand_id tiebreaks, so all five steps replay identically anywhere.
+  // Scale shape: ONE corpus-wide pass (broadcast 10-probe set, per-query
+  // top-20 window) builds the pool; everything after — the 20×20
+  // pairwise sims and four greedy rounds — runs on the bounded
+  // (queries × 20)-row frame, so MMR costs the same corpus work as
+  // plain top-k retrieval. The rounds are driver-sequenced DataFrame
+  // ops (q183's pattern), never a collect of vectors.
+  def q209MmrDiverse(spark: SparkSession, dir: String): DataFrame = {
+    val kPool = 20; val kOut = 5
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("q"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val pool = emb.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .withColumn("rel", VectorOps.cosineFromParts(
+        VectorOps.qdot(col("qq"), col("q")),
+        VectorOps.qnorm2(col("qq")), VectorOps.qnorm2(col("q"))))
+      .withColumn("rnk", row_number().over(wRel))
+      .filter(col("rnk") <= kPool)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("q"),
+        col("rel"), col("rnk"))
+      // the pool is ≤ queries·kPool rows from here on — one partition
+      // keeps the four greedy rounds from paying 32-way exchanges each
+      .coalesce(1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pa = pool.select(col("query_id"), col("cand_id").as("a"), col("q").as("qa2"))
+    val pb = pool.select(col("query_id"), col("cand_id").as("b"), col("q").as("qb2"))
+    val pairs = pa.join(pb, Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim", VectorOps.cosineFromParts(
+        VectorOps.qdot(col("qa2"), col("qb2")),
+        VectorOps.qnorm2(col("qa2")), VectorOps.qnorm2(col("qb2"))))
+      .select(col("query_id"), col("a"), col("b"), col("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each round materializes (localCheckpoint) so round k's plan reads
+    // round k−1's RESULT instead of replaying the whole greedy lineage —
+    // without this the final action re-derives every prior round's
+    // windows and joins inside one deep tree (measured 10.8 s vs ~1 s).
+    // The selected set is ≤ queries·k rows, so the checkpoint is free
+    // and the per-round joins broadcast it.
+    var selected = pool.filter(col("rnk") === 1)
+      .select(col("query_id"), col("cand_id").as("sel_id"), lit(1).as("step"))
+      .localCheckpoint(true)
+    for (step <- 2 to kOut) {
+      val msim = pairs
+        .join(broadcast(selected.select(col("query_id"), col("sel_id").as("b"))),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("cand_id"))
+        .agg(max(col("sim")).as("msim"))
+      val pick = pool
+        .join(broadcast(selected.select(col("query_id"),
+          col("sel_id").as("cand_id"))), Seq("query_id", "cand_id"), "left_anti")
+        .join(msim, Seq("query_id", "cand_id"))
+        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("msim"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("cand_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id").as("sel_id"),
+          lit(step).as("step"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    val out = selected
+      .select(col("query_id"), col("step").cast("int").as("step"),
+        col("sel_id"))
+      .orderBy(col("query_id").asc, col("step").asc)
+    graft.operators.Materialize.thenRelease(out, pool, pairs)
+  }
+  val q209Oracle: String = {
+    def pick(k: Int, prev: String) = s"""
+    pick$k AS (
+      SELECT query_id, cand_id, $k AS step FROM (
+        SELECT p.query_id, p.cand_id,
+          row_number() OVER (PARTITION BY p.query_id ORDER BY
+            0.7 * p.rel - 0.3 * m.msim DESC, p.cand_id ASC) AS rn
+        FROM pool p
+        JOIN (SELECT pr.query_id, pr.a AS cand_id, MAX(pr.sim) AS msim
+              FROM pairs pr JOIN $prev s
+                ON s.query_id = pr.query_id AND s.cand_id = pr.b
+              GROUP BY 1, 2) m
+          ON m.query_id = p.query_id AND m.cand_id = p.cand_id
+        WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+          WHERE s2.query_id = p.query_id AND s2.cand_id = p.cand_id))
+      WHERE rn = 1),
+    sel$k AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$k)"""
+    s"""
+    WITH e AS (SELECT vec_id, ${oQuant("embedding")} AS q FROM embeddings),
+    probes AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, e.vec_id AS cand_id, e.q,
+        CAST(list_sum(list_transform(generate_series(1, len(qq)),
+          i -> qq[i] * q[i])) AS DOUBLE)
+        / sqrt(CAST(list_sum(list_transform(generate_series(1, len(qq)),
+            i -> qq[i]*qq[i])) AS DOUBLE) *
+          CAST(list_sum(list_transform(generate_series(1, len(q)),
+            i -> q[i]*q[i])) AS DOUBLE)) AS rel
+      FROM probes, e WHERE e.vec_id <> query_id),
+    pool AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rel DESC, cand_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 20),
+    pairs AS (
+      SELECT a.query_id, a.cand_id AS a, b.cand_id AS b,
+        CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+          i -> a.q[i] * b.q[i])) AS DOUBLE)
+        / sqrt(CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+            i -> a.q[i]*a.q[i])) AS DOUBLE) *
+          CAST(list_sum(list_transform(generate_series(1, len(b.q)),
+            i -> b.q[i]*b.q[i])) AS DOUBLE)) AS sim
+      FROM pool a JOIN pool b
+        ON b.query_id = a.query_id AND b.cand_id <> a.cand_id),
+    sel1 AS (SELECT query_id, cand_id, 1 AS step FROM pool WHERE rnk = 1),
+    ${pick(2, "sel1")},
+    ${pick(3, "sel2")},
+    ${pick(4, "sel3")},
+    ${pick(5, "sel4")}
+    SELECT query_id, CAST(step AS INT) AS step, cand_id AS sel_id
+    FROM sel5 ORDER BY query_id ASC, step ASC"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_mmr_diverse" -> (q209MmrDiverse _),
     "q175_semantic_decontaminate" -> (q175SemanticDecontaminate _),
     "q172_gram_matrix" -> (q172GramMatrix _),
     "q173_outlier_screen" -> (q173OutlierScreen _),
@@ -1008,6 +1140,7 @@ object VectorQueries {
     "q202_jl_prefilter_rerank" -> (q202JlPrefilterRerank _))
 
   val oracles: Map[String, String] = Map(
+    "q209_mmr_diverse" -> q209Oracle,
     "q175_semantic_decontaminate" -> q175Oracle,
     "q172_gram_matrix" -> q172Oracle,
     "q173_outlier_screen" -> q173Oracle,
