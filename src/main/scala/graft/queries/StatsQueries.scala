@@ -392,7 +392,151 @@ object StatsQueries {
              // COUNT(*) AS oov_permille
     FROM post GROUP BY 1 ORDER BY bucket ASC"""
 
+  // q211 — greedy k-center coreset (Gonzalez 1985 2-approximation; the
+  // selection behind k-center active learning and dataset-distillation
+  // seeds): start from the lowest vec_id, then 4× pick the vector whose
+  // distance to its NEAREST selected center is largest (cosine distance
+  // 1−cos over the repo's exact integer parts; ties by vec_id). Emits
+  // each center with the covering radius it was chosen at — the reading
+  // a data-pruning pass uses to decide how many representatives a
+  // corpus actually needs (the radius curve flattens when coverage is
+  // achieved). Scale shape: each round is ONE corpus scan against the
+  // ≤k-row broadcast center set (min-dist partial agg per vector, then
+  // a TakeOrdered-1 argmax) — k scans total, no pairwise blowup, no
+  // driver materialization beyond the k chosen ids.
+  def q211KcenterCoreset(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), graft.operators.VectorOps.quantize(col("embedding")).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = emb.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id").as("center_id"), lit(1).as("step"),
+        lit(0.0).as("radius"))
+    var centers = first.localCheckpoint(true)
+    for (step <- 2 to k) {
+      val sel = centers.select(col("center_id"))
+        .join(emb, col("center_id") === col("vec_id"))
+        .select(col("center_id"), col("q").as("qc"))
+      val next = emb
+        .join(broadcast(centers.select(col("center_id"))),
+          col("vec_id") === col("center_id"), "left_anti")
+        .crossJoin(broadcast(sel))
+        .withColumn("dist", lit(1.0) - graft.operators.VectorOps.cosineFromParts(
+          graft.operators.VectorOps.qdot(col("q"), col("qc")),
+          graft.operators.VectorOps.qnorm2(col("q")),
+          graft.operators.VectorOps.qnorm2(col("qc"))))
+        .groupBy(col("vec_id")).agg(min(col("dist")).as("min_d"))
+        .orderBy(col("min_d").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id").as("center_id"), lit(step).as("step"),
+          col("min_d").as("radius"))
+      centers = centers.unionByName(next).localCheckpoint(true)
+    }
+    val out = centers.select(col("step").cast("int").as("step"),
+      col("center_id"), col("radius")).orderBy(col("step").asc)
+    graft.operators.Materialize.thenRelease(out, emb)
+  }
+  val q211Oracle: String = {
+    def dist(qa: String, qb: String) =
+      s"""(1.0 - CAST(list_sum(list_transform(generate_series(1, len($qa)),
+            i -> $qa[i] * $qb[i])) AS DOUBLE)
+          / sqrt(CAST(list_sum(list_transform(generate_series(1, len($qa)),
+              i -> $qa[i]*$qa[i])) AS DOUBLE) *
+            CAST(list_sum(list_transform(generate_series(1, len($qb)),
+              i -> $qb[i]*$qb[i])) AS DOUBLE)))"""
+    def pick(kk: Int, prev: String) = s"""
+    pick$kk AS (
+      SELECT vec_id AS center_id, $kk AS step, min_d AS radius FROM (
+        SELECT e.vec_id, MIN(${dist("e.q", "c.q")}) AS min_d
+        FROM e JOIN e c
+          ON c.vec_id IN (SELECT center_id FROM $prev)
+        WHERE e.vec_id NOT IN (SELECT center_id FROM $prev)
+        GROUP BY e.vec_id)
+      ORDER BY min_d DESC, vec_id ASC LIMIT 1),
+    sel$kk AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$kk)"""
+    s"""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+      FROM embeddings),
+    sel1 AS (
+      SELECT vec_id AS center_id, 1 AS step, 0.0 AS radius
+      FROM e ORDER BY vec_id ASC LIMIT 1),
+    ${pick(2, "sel1")},
+    ${pick(3, "sel2")},
+    ${pick(4, "sel3")},
+    ${pick(5, "sel4")}
+    SELECT CAST(step AS INT) AS step, center_id, radius
+    FROM sel5 ORDER BY step ASC"""
+  }
+
+  // q212 — int8 embedding-quantization audit: per-dimension global
+  // min/max scaling to 8-bit codes (the compression an embedding store
+  // applies before a 100 TB corpus fits its budget), then the
+  // reconstruction-error report per label that decides whether retrieval
+  // can run on codes. Exactness: the code is floor((x−min)/s + 0.5)
+  // clamped to [0,255] — floor(+0.5) spelled out because the engines'
+  // round() half-rule differ; each element's squared error is one
+  // fixed-shape double floored ONCE to pico units (·1e12), so per-label
+  // sums are exact BIGINTs in any order (bounded: (s/2)²·1e12 ≈ 1.6e7
+  // per element — Int64-safe past 10¹⁰ elements/label). Scale shape:
+  // one posexplode pass for the 64-row min/max table (broadcast back),
+  // one scoring pass, one per-label agg — the corpus never shuffles.
+  def q212QuantizationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val ranges = e.groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .withColumn("s", (col("hi") - col("lo")) / lit(255.0))
+    val err = e.join(broadcast(ranges), Seq("dim"))
+      .withColumn("code", when(col("s") === 0.0, lit(0L)).otherwise(
+        greatest(lit(0L), least(lit(255L),
+          floor((col("x") - col("lo")) / col("s") + lit(0.5)).cast("long")))))
+      .withColumn("recon", col("lo") + col("code").cast("double") * col("s"))
+      .withColumn("err_pico",
+        floor((col("x") - col("recon")) * (col("x") - col("recon"))
+          * lit(1e12)).cast("long"))
+    err.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_elems"),
+        sum(col("err_pico")).as("sse_pico"),
+        max(col("err_pico")).as("max_elem_pico"))
+      .withColumn("mse", col("sse_pico").cast("double")
+        / col("n_elems") / lit(1e12))
+      .select(col("label"), col("n_elems"), col("sse_pico"),
+        col("max_elem_pico"), col("mse"))
+      .orderBy(col("label").asc)
+  }
+  val q212Oracle: String = """
+    WITH e AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    r AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi,
+                 (MAX(x) - MIN(x)) / 255.0 AS s
+          FROM e GROUP BY dim),
+    scored AS (
+      SELECT label,
+        CASE WHEN s = 0 THEN 0
+             ELSE GREATEST(0, LEAST(255,
+               CAST(floor((x - lo) / s + 0.5) AS BIGINT))) END AS code,
+        x, lo, s
+      FROM e JOIN r USING (dim)),
+    err AS (
+      SELECT label,
+        CAST(floor((x - (lo + CAST(code AS DOUBLE) * s))
+          * (x - (lo + CAST(code AS DOUBLE) * s)) * 1e12) AS BIGINT)
+          AS err_pico
+      FROM scored)
+    SELECT label, COUNT(*) AS n_elems,
+           CAST(SUM(err_pico) AS BIGINT) AS sse_pico,
+           CAST(MAX(err_pico) AS BIGINT) AS max_elem_pico,
+           CAST(SUM(err_pico) AS DOUBLE) / COUNT(*) / 1e12 AS mse
+    FROM err GROUP BY label ORDER BY label ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_kcenter_coreset" -> (q211KcenterCoreset _),
+    "q212_quantization_audit" -> (q212QuantizationAudit _),
     "q210_vocab_drift" -> (q210VocabDrift _),
     "q204_vocab_growth" -> (q204VocabGrowth _),
     "q205_source_kl" -> (q205SourceKl _),
@@ -401,6 +545,8 @@ object StatsQueries {
     "q208_zipf_fit" -> (q208ZipfFit _))
 
   val oracles: Map[String, String] = Map(
+    "q211_kcenter_coreset" -> q211Oracle,
+    "q212_quantization_audit" -> q212Oracle,
     "q210_vocab_drift" -> q210Oracle,
     "q204_vocab_growth" -> q204Oracle,
     "q205_source_kl" -> q205Oracle,
