@@ -534,7 +534,111 @@ object StatsQueries {
            CAST(SUM(err_pico) AS DOUBLE) / COUNT(*) / 1e12 AS mse
     FROM err GROUP BY label ORDER BY label ASC"""
 
+  // q213 — PMI collocation mining (Church & Hanks 1990): pointwise
+  // mutual information of adjacent token pairs, ln((c12/Np)/((c1/Nu)·
+  // (c2/Nu))), support-filtered at c12 ≥ 5, top-50 by PMI (ties pair-
+  // asc) — the collocation read behind tokenizer-merge candidates and
+  // multi-word-expression detection. Exactness: all five counts are
+  // exact integers; each surviving pair's PMI is one fixed-shape double
+  // quantized ONCE to micro-nats, and the ordering compares those
+  // integers. Scale shape: one explode pass feeds the (w1,w2) partial
+  // agg (vocab²-bounded) and the unigram agg (vocab-bounded); the two
+  // scalar totals broadcast; top-50 is TakeOrdered — the corpus itself
+  // never shuffles.
+  def q213PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val pairs = t
+      .withColumn("a", slice(col("t"), lit(1), size(col("t")) - 1))
+      .withColumn("b", slice(col("t"), lit(2), size(col("t")) - 1))
+      .select(explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col("p.a").as("w1"), col("p.b").as("w2"))
+    val uni = t.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    val totals = uni.agg(sum(col("c")).as("nu"))
+      .crossJoin(pairs.agg(count(lit(1)).as("np")))
+    big
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_micro", floor(log(
+        (col("c12").cast("double") / col("np").cast("double"))
+          / ((col("c1").cast("double") / col("nu").cast("double"))
+            * (col("c2").cast("double") / col("nu").cast("double"))))
+        * lit(1000000.0)).cast("long"))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+      .limit(50)
+  }
+  val q213Oracle: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(t)-1),
+               i -> t[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(t)-1),
+               i -> t[i+1])) AS w2
+      FROM t WHERE len(t) >= 2),
+    uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS tok FROM t) GROUP BY tok),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs
+            GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS nu,
+                   (SELECT COUNT(*) FROM pairs) AS np)
+    SELECT w1, w2, c12,
+      CAST(floor(ln((CAST(c12 AS DOUBLE) / CAST(np AS DOUBLE))
+        / ((CAST(u1.c AS DOUBLE) / CAST(nu AS DOUBLE))
+          * (CAST(u2.c AS DOUBLE) / CAST(nu AS DOUBLE)))) * 1000000.0)
+        AS BIGINT) AS pmi_micro
+    FROM big JOIN uni u1 ON u1.tok = w1 JOIN uni u2 ON u2.tok = w2
+      CROSS JOIN tot
+    ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT 50"""
+
+  // q214 — length-CDF card: per language, document counts at fixed
+  // geometric token-count cut points (≤8 … ≤1024) plus the exact
+  // min/mean-permille/max — the read a packing planner (q186) and a
+  // curriculum scheduler consult before choosing sequence lengths.
+  // Fixed cut points instead of exact deciles ON PURPOSE: exact
+  // per-language quantiles need a per-language global sort (one
+  // partition per language at 100 TB); the CDF at fixed cuts is ONE
+  // conditional aggregate over one scan — same information for the
+  // planner, scan-shaped at any scale. Integers end to end.
+  def q214LengthCard(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = Seq(8, 16, 32, 64, 128, 256, 512, 1024)
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      min(col("n_tok")).as("min_tok"),
+      max(col("n_tok")).as("max_tok"),
+      expr("(SUM(n_tok) * 1000) DIV COUNT(*)").as("mean_tok_permille")) ++
+      cuts.map(c =>
+        sum(when(col("n_tok") <= c, 1L).otherwise(0L)).as(s"le_$c"))
+    d.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("lang").asc)
+  }
+  val q214Oracle: String = {
+    val cuts = Seq(8, 16, 32, 64, 128, 256, 512, 1024)
+    val les = cuts.map(c =>
+      s"CAST(SUM(CASE WHEN n_tok <= $c THEN 1 ELSE 0 END) AS BIGINT) AS le_$c")
+      .mkString(",\n           ")
+    s"""
+    WITH d AS (SELECT lang, len(string_split(text, ' ')) AS n_tok
+               FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+           (CAST(SUM(n_tok) AS BIGINT) * 1000) // COUNT(*)
+             AS mean_tok_permille,
+           $les
+    FROM d GROUP BY lang ORDER BY lang ASC"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_pmi_collocations" -> (q213PmiCollocations _),
+    "q214_length_card" -> (q214LengthCard _),
     "q211_kcenter_coreset" -> (q211KcenterCoreset _),
     "q212_quantization_audit" -> (q212QuantizationAudit _),
     "q210_vocab_drift" -> (q210VocabDrift _),
@@ -545,6 +649,8 @@ object StatsQueries {
     "q208_zipf_fit" -> (q208ZipfFit _))
 
   val oracles: Map[String, String] = Map(
+    "q213_pmi_collocations" -> q213Oracle,
+    "q214_length_card" -> q214Oracle,
     "q211_kcenter_coreset" -> q211Oracle,
     "q212_quantization_audit" -> q212Oracle,
     "q210_vocab_drift" -> q210Oracle,
