@@ -184,11 +184,102 @@ object GraphQueries {
     FROM l3 ORDER BY doc_id ASC"""
   }
 
+  // q215 — triangle census over the near-dup candidate graph (q34/q93's
+  // LSH pair graph): per-document triangle participation and the local
+  // clustering coefficient in permille — the density read that separates
+  // clique-like duplicate clusters (template families: keep ONE) from
+  // chain-like ones (drifting revisions: keep endpoints). Integer-exact:
+  // triangles and degrees are counts, the coefficient is
+  // (2000·t) DIV (d·(d−1)). Plan: every edge oriented a<b once, so each
+  // triangle a<b<c is enumerated exactly once as wedge (a—b—c) closed by
+  // edge (a,c) — two equi-joins on the BOUNDED pair graph (band-blocked
+  // + df-capped upstream), never on the corpus. At a skewed 100 TB graph
+  // the orientation would flip to degree-order (compact-forward) so
+  // wedge fan-out is bounded by the lower-degree endpoint; id-order
+  // suffices here because LSH banding already caps per-bucket degrees.
+  def q215TriangleCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val pairs = TextOps.lshCandidatePairs(
+      TextOps.lshBands(TextOps.minhashSignatures(docs, n = 3, numHashes = 8), 8, 2))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = pairs.as("x")
+      .join(pairs.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+    val tri = wedges
+      .join(pairs.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val tcnt = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("triangles"))
+    val deg = pairs.select(col("a").as("doc_id"))
+      .unionAll(pairs.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val out = deg.join(tcnt, Seq("doc_id"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("lcc_permille", when(col("degree") >= 2,
+        expr("(triangles * 2000) DIV (degree * (degree - 1))"))
+        .otherwise(lit(0L)))
+      .select(col("doc_id"), col("degree"), col("triangles"),
+        col("lcc_permille"))
+      .orderBy(col("doc_id").asc)
+    graft.operators.Materialize.thenRelease(out, pairs)
+  }
+  val q215Oracle: String = {
+    val mins = (0 until 8).map(s => s"MIN(md5(shingle || '|$s')) AS mh$s")
+      .mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS bucket FROM mh")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    bands AS ($bandRows),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    wedge AS (
+      SELECT x.src AS a, x.dst AS b, y.dst AS c
+      FROM pairs x JOIN pairs y ON y.src = x.dst),
+    tri AS (
+      SELECT wedge.a, wedge.b, wedge.c
+      FROM wedge JOIN pairs p ON p.src = wedge.a AND p.dst = wedge.c),
+    tcnt AS (
+      SELECT doc_id, COUNT(*) AS triangles FROM (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b AS doc_id FROM tri
+        UNION ALL SELECT c AS doc_id FROM tri)
+      GROUP BY 1),
+    deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT src AS doc_id FROM pairs
+        UNION ALL SELECT dst AS doc_id FROM pairs)
+      GROUP BY 1)
+    SELECT deg.doc_id, degree,
+           CAST(COALESCE(triangles, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN degree >= 2
+             THEN (COALESCE(triangles, 0) * 2000) // (degree * (degree - 1))
+             ELSE 0 END AS BIGINT) AS lcc_permille
+    FROM deg LEFT JOIN tcnt ON tcnt.doc_id = deg.doc_id
+    ORDER BY deg.doc_id ASC"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_pagerank" -> (q138PageRank _),
-    "q183_label_propagation" -> (q183LabelPropagation _))
+    "q183_label_propagation" -> (q183LabelPropagation _),
+    "q215_triangle_census" -> (q215TriangleCensus _))
 
   val oracles: Map[String, String] = Map(
     "q138_pagerank" -> q138Oracle,
-    "q183_label_propagation" -> q183Oracle)
+    "q183_label_propagation" -> q183Oracle,
+    "q215_triangle_census" -> q215Oracle)
 }

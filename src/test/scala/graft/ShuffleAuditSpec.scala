@@ -314,6 +314,31 @@ class ShuffleAuditSpec extends SparkSpec {
       s"MG shuffle (${opt.records}) must be orders under the groupBy (${base.records})")
   }
 
+  test("decontamination broadcasts the benchmark side, never the corpus shingles") {
+    // q153's claim: the corpus shingle stream meets the (tiny, distinct)
+    // benchmark fingerprint set via broadcast — a shuffle join would put
+    // EVERY corpus shingle occurrence on the wire
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, dir)
+    def sh(d: DataFrame) = d
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 4)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val bench = sh(docs.filter(pmod(col("doc_id"), lit(50)) === 0))
+      .select(col("h")).distinct()
+    val corpus = sh(docs.filter(pmod(col("doc_id"), lit(50)) =!= 0))
+    def scored(bcast: Boolean) = corpus
+      .join(if (bcast) broadcast(bench) else bench, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    withoutAutoBroadcast {
+      val (opt, base) = audit("decontaminate", scored(bcast = true),
+        scored(bcast = false))
+      assert(opt.records < base.records,
+        s"broadcast decon must keep corpus shingles off the wire " +
+          s"(${opt.records} vs ${base.records})")
+    }
+  }
+
   test("broadcast star join keeps the fact table out of the shuffle") {
     def join(bcast: Boolean) = {
       val o = Tables.orders(spark, dir)
