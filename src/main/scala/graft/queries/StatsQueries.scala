@@ -636,7 +636,53 @@ object StatsQueries {
     FROM d GROUP BY lang ORDER BY lang ASC"""
   }
 
+  // q216 — deterministic weighted sampling without replacement
+  // (Efraimidis & Spirakis 2006): per source, the k=10 documents with
+  // the largest key ln(u)/w, weight w = token count, u a hash-derived
+  // uniform — equivalent to sampling ∝ w without replacement, and the
+  // method of choice at 100 TB because the key is computable per row
+  // with NO coordination: the per-stratum top-k is one bounded-heap pass
+  // (a window here), merges associatively across partitions/batches, and
+  // re-derives identically on any engine or rerun (u comes from
+  // md5(doc_id), not rand()). Exactness: u_micro ∈ [1, 10⁶] is an exact
+  // integer; the key is one fixed-shape double; ties break by doc_id.
+  def q216WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("w"))
+      .withColumn("u_micro",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long") % 1000000L + 1L)
+      .withColumn("key",
+        log(col("u_micro").cast("double") / lit(1000001.0))
+          / col("w").cast("double"))
+    d.withColumn("rank", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("key").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("rank").cast("int").as("rank"),
+        col("doc_id"), col("w"))
+      .orderBy(col("source").asc, col("rank").asc)
+  }
+  val q216Oracle: String = """
+    WITH d AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS w,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 1000000 + 1 AS u_micro
+      FROM documents),
+    keyed AS (
+      SELECT source, doc_id, CAST(w AS BIGINT) AS w,
+        ln(CAST(u_micro AS DOUBLE) / 1000001.0) / CAST(w AS DOUBLE) AS key
+      FROM d),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+        ORDER BY key DESC, doc_id ASC) AS rank
+      FROM keyed)
+    SELECT source, CAST(rank AS INT) AS rank, doc_id, w
+    FROM ranked WHERE rank <= 10
+    ORDER BY source ASC, rank ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_weighted_sample" -> (q216WeightedSample _),
     "q213_pmi_collocations" -> (q213PmiCollocations _),
     "q214_length_card" -> (q214LengthCard _),
     "q211_kcenter_coreset" -> (q211KcenterCoreset _),
@@ -649,6 +695,7 @@ object StatsQueries {
     "q208_zipf_fit" -> (q208ZipfFit _))
 
   val oracles: Map[String, String] = Map(
+    "q216_weighted_sample" -> q216Oracle,
     "q213_pmi_collocations" -> q213Oracle,
     "q214_length_card" -> q214Oracle,
     "q211_kcenter_coreset" -> q211Oracle,
