@@ -681,7 +681,97 @@ object StatsQueries {
     FROM ranked WHERE rank <= 10
     ORDER BY source ASC, rank ASC"""
 
+  // q217 — vocabulary coverage curve: for candidate vocabulary sizes
+  // V ∈ {256 … 65536}, the fraction of token OCCURRENCES covered by the
+  // top-V types — the sizing read behind "how big must the tokenizer
+  // vocabulary be before <x>‰ of text stops falling to UNK/bytes".
+  // Integer-exact: ranks tie-break token-asc, coverage is a cumsum of
+  // exact counts, permille by integer DIV. Scale shape: the only sorted
+  // object is the VOCABULARY frequency table (corpus scans once into the
+  // type agg); the cumulative window runs over vocab rows, the cut join
+  // is 5 broadcast rows — same vocab-not-corpus class as q208.
+  def q217VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutsV = Seq(256, 1024, 4096, 16384, 65536)
+    val freq = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("tok").asc)
+    val ranked = freq
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = freq.agg(sum(col("c")).as("n_total"))
+    val cuts = cutsV.toDF("v")
+    ranked.join(broadcast(cuts), col("rank") <= col("v"))
+      .groupBy(col("v"))
+      .agg(max(col("rank")).as("n_types_used"), max(col("cum")).as("covered"))
+      .crossJoin(broadcast(total))
+      .withColumn("covered_permille", expr("(covered * 1000) DIV n_total"))
+      .select(col("v"), col("n_types_used"), col("covered"),
+        col("covered_permille"))
+      .orderBy(col("v").asc)
+  }
+  val q217Oracle: String = """
+    WITH freq AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rank,
+        SUM(c) OVER (ORDER BY c DESC, tok ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM freq),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM freq),
+    cuts AS (SELECT unnest([256, 1024, 4096, 16384, 65536]) AS v)
+    SELECT v, CAST(MAX(rank) AS BIGINT) AS n_types_used,
+           CAST(MAX(cum) AS BIGINT) AS covered,
+           CAST((MAX(cum) * 1000) // n_total AS BIGINT) AS covered_permille
+    FROM ranked JOIN cuts ON rank <= v CROSS JOIN total
+    GROUP BY v, n_total ORDER BY v ASC"""
+
+  // q218 — dedup-weighted effective token count: each document weighted
+  // 1/|its exact-dup cluster| (soft dedup — the accounting used when a
+  // pipeline DOWN-WEIGHTS duplicates instead of dropping them), rolled
+  // up per source: raw vs effective tokens and the duplication inflation
+  // in basis points. Integer-exact: per-doc effective milli-tokens are
+  // (n_tok·1000) DIV csize floored once, sums exact. Scale shape: one
+  // hash agg for cluster sizes (partial-agg'd), one join back on the
+  // content hash, one per-source agg — the q30 dedup pass with a
+  // weighting epilogue, no extra corpus pass.
+  def q218EffectiveTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), md5(col("text")).as("h"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val csize = d.groupBy(col("h")).agg(count(lit(1)).as("csize"))
+    d.join(csize, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("raw_tokens"),
+        sum(expr("(n_tok * 1000) DIV csize")).as("eff_tokens_milli"))
+      .withColumn("inflation_bp",
+        expr("(raw_tokens * 10000000) DIV eff_tokens_milli"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("eff_tokens_milli"), col("inflation_bp"))
+      .orderBy(col("source").asc)
+  }
+  val q218Oracle: String = """
+    WITH d AS (
+      SELECT source, md5(text) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    cs AS (SELECT h, COUNT(*) AS csize FROM d GROUP BY h)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+           CAST(SUM((n_tok * 1000) // csize) AS BIGINT) AS eff_tokens_milli,
+           CAST((SUM(n_tok) * 10000000)
+             // SUM((n_tok * 1000) // csize) AS BIGINT) AS inflation_bp
+    FROM d JOIN cs USING (h)
+    GROUP BY source ORDER BY source ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_vocab_coverage" -> (q217VocabCoverage _),
+    "q218_effective_tokens" -> (q218EffectiveTokens _),
     "q216_weighted_sample" -> (q216WeightedSample _),
     "q213_pmi_collocations" -> (q213PmiCollocations _),
     "q214_length_card" -> (q214LengthCard _),
@@ -695,6 +785,8 @@ object StatsQueries {
     "q208_zipf_fit" -> (q208ZipfFit _))
 
   val oracles: Map[String, String] = Map(
+    "q217_vocab_coverage" -> q217Oracle,
+    "q218_effective_tokens" -> q218Oracle,
     "q216_weighted_sample" -> q216Oracle,
     "q213_pmi_collocations" -> q213Oracle,
     "q214_length_card" -> q214Oracle,
