@@ -50,7 +50,15 @@ object ScaleProbe {
     "q190_tokenizer_fertility", "q193_hard_negatives",
     "q195_cluster_cohesion", "q197_jl_projection", "q199_sorted_neighborhood",
     "q200_budget_fill", "q201_kneser_ney", "q202_jl_prefilter_rerank",
-    "q203_unimax_alloc")
+    "q203_unimax_alloc",
+    // round-11 additions (all documents/embeddings-only): corpus
+    // statistics, split hygiene, retrieval diversity, coreset selection,
+    // quantization audit, graph census, sampling
+    "q204_vocab_growth", "q205_source_kl", "q206_stratified_split",
+    "q207_split_leakage", "q208_zipf_fit", "q209_mmr_diverse",
+    "q210_vocab_drift", "q211_kcenter_coreset", "q212_quantization_audit",
+    "q213_pmi_collocations", "q214_length_card", "q215_triangle_census",
+    "q216_weighted_sample", "q217_vocab_coverage", "q218_effective_tokens")
 
   private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
     .filter(_.getType == MemoryType.HEAP)

@@ -404,6 +404,29 @@ object StatsQueries {
   // ≤k-row broadcast center set (min-dist partial agg per vector, then
   // a TakeOrdered-1 argmax) — k scans total, no pairwise blowup, no
   // driver materialization beyond the k chosen ids.
+  /** One greedy k-center round: the farthest-from-selected vector given
+    * the current ≤k-row center set. Split out so PlanSpec can pin the
+    * round's plan (the public query localCheckpoints each round, which
+    * hides it behind a checkpoint scan). */
+  private[graft] def kcenterRound(emb: DataFrame, centers: DataFrame,
+      step: Int): DataFrame = {
+    val sel = centers.select(col("center_id"))
+      .join(emb, col("center_id") === col("vec_id"))
+      .select(col("center_id"), col("q").as("qc"))
+    emb
+      .join(broadcast(centers.select(col("center_id"))),
+        col("vec_id") === col("center_id"), "left_anti")
+      .crossJoin(broadcast(sel))
+      .withColumn("dist", lit(1.0) - graft.operators.VectorOps.cosineFromParts(
+        graft.operators.VectorOps.qdot(col("q"), col("qc")),
+        graft.operators.VectorOps.qnorm2(col("q")),
+        graft.operators.VectorOps.qnorm2(col("qc"))))
+      .groupBy(col("vec_id")).agg(min(col("dist")).as("min_d"))
+      .orderBy(col("min_d").desc, col("vec_id").asc).limit(1)
+      .select(col("vec_id").as("center_id"), lit(step).as("step"),
+        col("min_d").as("radius"))
+  }
+
   def q211KcenterCoreset(spark: SparkSession, dir: String): DataFrame = {
     val k = 5
     val emb = Tables.embeddings(spark, dir)
@@ -413,24 +436,10 @@ object StatsQueries {
       .select(col("vec_id").as("center_id"), lit(1).as("step"),
         lit(0.0).as("radius"))
     var centers = first.localCheckpoint(true)
-    for (step <- 2 to k) {
-      val sel = centers.select(col("center_id"))
-        .join(emb, col("center_id") === col("vec_id"))
-        .select(col("center_id"), col("q").as("qc"))
-      val next = emb
-        .join(broadcast(centers.select(col("center_id"))),
-          col("vec_id") === col("center_id"), "left_anti")
-        .crossJoin(broadcast(sel))
-        .withColumn("dist", lit(1.0) - graft.operators.VectorOps.cosineFromParts(
-          graft.operators.VectorOps.qdot(col("q"), col("qc")),
-          graft.operators.VectorOps.qnorm2(col("q")),
-          graft.operators.VectorOps.qnorm2(col("qc"))))
-        .groupBy(col("vec_id")).agg(min(col("dist")).as("min_d"))
-        .orderBy(col("min_d").desc, col("vec_id").asc).limit(1)
-        .select(col("vec_id").as("center_id"), lit(step).as("step"),
-          col("min_d").as("radius"))
-      centers = centers.unionByName(next).localCheckpoint(true)
-    }
+    for (step <- 2 to k)
+      centers = centers
+        .unionByName(kcenterRound(emb, centers, step))
+        .localCheckpoint(true)
     val out = centers.select(col("step").cast("int").as("step"),
       col("center_id"), col("radius")).orderBy(col("step").asc)
     graft.operators.Materialize.thenRelease(out, emb)
@@ -769,7 +778,72 @@ object StatsQueries {
     FROM d JOIN cs USING (h)
     GROUP BY source ORDER BY source ASC"""
 
+  // q219 — leakage-aware split repair: q207's audit operationalized.
+  // Every TRAIN document that near-duplicates a holdout document
+  // (Jaccard ≥ 0.5 over the df-capped shingle pairs) moves to a
+  // `quarantine` split — holdout membership never changes, so eval sets
+  // stay frozen while their train-side shadows leave the training mix —
+  // and the output is the repaired per-(source, split) accounting the
+  // corpus-build sink would partition by. Scale shape: q207's machinery
+  // (train×holdout equi-join on hashed shingles, hot-shingle broadcast
+  // anti-join) plus ONE broadcast semi/anti of the leaking-id set
+  // (bounded by actual leaks, not the corpus) onto a single corpus scan.
+  def q219SplitRepair(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, raw, sh) = q207Pairs(spark, dir)
+    val leaking = pairs.select(col("train_id").as("doc_id")).distinct()
+    val out = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), splitOf(col("doc_id")).as("split"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .join(broadcast(leaking.withColumn("leak", lit(1))), Seq("doc_id"), "left")
+      .withColumn("split",
+        when(col("split") === "train" && col("leak") === 1, "quarantine")
+          .otherwise(col("split")))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source").asc, col("split").asc)
+    graft.operators.Materialize.thenRelease(out, raw, sh)
+  }
+  val q219Oracle: String = s"""
+    WITH toks AS (
+      SELECT doc_id, $splitOfSql AS split, string_split(text, ' ') AS t
+      FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, split, shingle FROM (
+        SELECT doc_id, split,
+          unnest(list_transform(generate_series(1, len(t)-2),
+            i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    sh AS (
+      SELECT doc_id, split, shingle FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 64),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT h.doc_id AS holdout_id, t.doc_id AS train_id, COUNT(*) AS inter
+      FROM sh h JOIN sh t ON t.shingle = h.shingle
+      WHERE h.split <> 'train' AND t.split = 'train'
+      GROUP BY 1, 2),
+    leaking AS (
+      SELECT DISTINCT train_id AS doc_id
+      FROM inter
+        JOIN counts ch ON ch.doc_id = holdout_id
+        JOIN counts ct ON ct.doc_id = train_id
+      WHERE CAST(inter AS DOUBLE) / CAST(ch.n_sh + ct.n_sh - inter AS DOUBLE)
+              >= 0.5),
+    repaired AS (
+      SELECT d.source,
+        CASE WHEN s.split = 'train' AND l.doc_id IS NOT NULL
+             THEN 'quarantine' ELSE s.split END AS split,
+        len(string_split(d.text, ' ')) AS n_tok
+      FROM documents d
+        JOIN (SELECT doc_id, $splitOfSql AS split FROM documents) s
+          ON s.doc_id = d.doc_id
+        LEFT JOIN leaking l ON l.doc_id = d.doc_id)
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM repaired GROUP BY 1, 2 ORDER BY source ASC, split ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_split_repair" -> (q219SplitRepair _),
     "q217_vocab_coverage" -> (q217VocabCoverage _),
     "q218_effective_tokens" -> (q218EffectiveTokens _),
     "q216_weighted_sample" -> (q216WeightedSample _),
@@ -785,6 +859,7 @@ object StatsQueries {
     "q208_zipf_fit" -> (q208ZipfFit _))
 
   val oracles: Map[String, String] = Map(
+    "q219_split_repair" -> q219Oracle,
     "q217_vocab_coverage" -> q217Oracle,
     "q218_effective_tokens" -> q218Oracle,
     "q216_weighted_sample" -> q216Oracle,

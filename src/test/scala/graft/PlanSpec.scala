@@ -456,6 +456,47 @@ class PlanSpec extends SparkSpec {
       "the top-200 head must be per-partition heaps, not a global vocab sort")
   }
 
+  test("q205: source totals broadcast; the KL term join is equi, never cartesian") {
+    val s = finalPlan("q205_source_kl")
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastQueryStage"),
+      "the |sources|-row totals and 1-row grand total must broadcast")
+    assert(!s.contains("CartesianProduct"),
+      "the only unconditioned joins are broadcast-of-scalar frames")
+  }
+
+  test("q211: k-center rounds never plan a cartesian (centers broadcast onto the scan)") {
+    // pin one ROUND's plan directly — the public query localCheckpoints
+    // per round, which hides the round plan behind a checkpoint scan
+    import org.apache.spark.sql.functions.{col, lit}
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), graft.operators.VectorOps.quantize(col("embedding")).as("q"))
+    val centers = emb.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id").as("center_id"), lit(1).as("step"),
+        lit(0.0).as("radius")).localCheckpoint(true)
+    val round = graft.queries.StatsQueries.kcenterRound(emb, centers, 2)
+    round.collect()
+    val s = round.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!s.contains("CartesianProduct"),
+      "the corpus meets the <=k center rows via broadcast-nested-loop only")
+    assert(s.contains("TakeOrderedAndProject"),
+      "the per-round argmax must be TakeOrdered-1, not a global sort")
+  }
+
+  test("q216: weighted sampling is scan + window — no join, no corpus sort") {
+    val s = finalPlan("q216_weighted_sample")
+    assert(!s.contains("Join"), "ES keys are per-row; nothing to join")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashShuffles == 1,
+      s"one source-partitioned window shuffle expected, got $hashShuffles")
+  }
+
+  test("q218: effective tokens is one hash-agg pass + join-back, no corpus re-scan") {
+    val s = finalPlan("q218_effective_tokens")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "the cluster-size join must be a hash equi-join on the content hash")
+  }
+
   test("q203: waterfill windows run on the 5-row frame, not the corpus") {
     val s = finalPlan("q203_unimax_alloc")
     // the only corpus-wide exchange is the per-language partial agg; the
