@@ -34,6 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("srp_bits", "srp_bits(array<float>) - 16-plane sign-random-projection signature"),
       (exprs: Seq[Expression]) => SrpSig(exprs.head, 16)))
     ext.injectFunction((
+      FunctionIdentifier("sign_project"),
+      info("sign_project",
+        "sign_project(array<long>) - 64->16 JL sign projection (md5-parity matrix, q197 geometry)"),
+      (exprs: Seq[Expression]) =>
+        SignProject(exprs.head, GraftFunctions.DefaultJlSigns, 16)))
+    ext.injectFunction((
       FunctionIdentifier("bloom_bits"),
       info("bloom_bits", "bloom_bits(string, m, k) - the k bloom bit positions of a value under an m-bit filter (m/k must be integer literals)"),
       (exprs: Seq[Expression]) => {

@@ -423,6 +423,16 @@ case class BloomMightContain(child: Expression, bits: Array[Long], m: Int, k: In
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
+  /** The q197/q202 JL sign matrix (16×64, md5 parity of "d:j") — the
+    * default geometry for the SQL-registered `sign_project`. */
+  private[functions] lazy val DefaultJlSigns: Array[Long] =
+    Array.tabulate(16 * 64) { i =>
+      val (j, d) = (i / 64, i % 64)
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d:$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1L else -1L
+    }
+
   def simhash(c: Column): Column =
     ColumnBridge.column(SimHash(ColumnBridge.expression(c)))
   def bloom_bits(c: Column, m: Int, k: Int): Column =
@@ -448,5 +458,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "min_rolling_hash",
       exprs => MinRollingHash(exprs.head, 16), "scala_udf")
+    // SQL surface for the JL kernel at its q197/q202 geometry (64→16,
+    // md5-parity signs) so `SELECT sign_project(q)` works in spark.sql;
+    // other geometries go through GraftFunctions.sign_project.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_project",
+      exprs => SignProject(exprs.head, DefaultJlSigns, 16), "scala_udf")
   }
 }

@@ -842,7 +842,59 @@ object StatsQueries {
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
     FROM repaired GROUP BY 1, 2 ORDER BY source ASC, split ASC"""
 
+  // q220 — k-anonymous vocabulary release (training-data governance):
+  // the n-gram statistics a provider can publish about a private corpus
+  // without leaking rare strings — only tokens appearing in ≥ k=16
+  // DISTINCT documents are released, counts floored to multiples of 16
+  // (generalization, so a released count never pins an exact value),
+  // plus the suppressed-mass accounting (how many types/occurrences the
+  // release withholds) that makes the redaction itself auditable.
+  // Deterministic integers end to end. Scale shape: one token explode →
+  // (tok, doc) distinct → vocab-bounded agg; the release join is
+  // agg-to-agg; the suppressed summary is one more row-bounded agg.
+  def q220KanonRelease(spark: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val stats = tok.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("c"))
+    val released = stats.filter(col("df") >= k)
+      .select(col("tok"),
+        expr(s"(df DIV $k) * $k").as("df_released"),
+        expr(s"(c DIV $k) * $k").as("c_released"))
+    // the release: top-100 by released count (ties token asc) + ONE
+    // summary row carrying the suppressed mass (tok = '<suppressed>')
+    val top = released
+      .orderBy(col("c_released").desc, col("tok").asc).limit(100)
+    val suppressed = stats.filter(col("df") < k)
+      .agg(count(lit(1)).as("n_types"), coalesce(sum(col("c")), lit(0L)).as("mass"))
+      .select(lit("<suppressed>").as("tok"), col("n_types").as("df_released"),
+        col("mass").as("c_released"))
+    top.unionByName(suppressed)
+      .orderBy(col("c_released").desc, col("tok").asc)
+  }
+  val q220Oracle: String = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    stats AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS c
+      FROM tok GROUP BY tok),
+    released AS (
+      SELECT tok, CAST((df // 16) * 16 AS BIGINT) AS df_released,
+             CAST((c // 16) * 16 AS BIGINT) AS c_released
+      FROM stats WHERE df >= 16),
+    top AS (SELECT * FROM released
+            ORDER BY c_released DESC, tok ASC LIMIT 100),
+    sup AS (
+      SELECT '<suppressed>' AS tok,
+             CAST(COUNT(*) AS BIGINT) AS df_released,
+             CAST(COALESCE(SUM(c), 0) AS BIGINT) AS c_released
+      FROM stats WHERE df < 16)
+    SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM sup)
+    ORDER BY c_released DESC, tok ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_kanon_release" -> (q220KanonRelease _),
     "q219_split_repair" -> (q219SplitRepair _),
     "q217_vocab_coverage" -> (q217VocabCoverage _),
     "q218_effective_tokens" -> (q218EffectiveTokens _),
@@ -859,6 +911,7 @@ object StatsQueries {
     "q208_zipf_fit" -> (q208ZipfFit _))
 
   val oracles: Map[String, String] = Map(
+    "q220_kanon_release" -> q220Oracle,
     "q219_split_repair" -> q219Oracle,
     "q217_vocab_coverage" -> q217Oracle,
     "q218_effective_tokens" -> q218Oracle,

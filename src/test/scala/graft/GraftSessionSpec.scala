@@ -34,6 +34,12 @@ class GraftSessionSpec extends AnyFunSuite {
       assert(dot == 32L)
       assert(s.catalog.functionExists("min_rolling_hash"))
       assert(s.catalog.functionExists("srp_bits"))
+      // sign_project: 64->16 JL kernel at the q197 geometry, from SQL
+      val sp = s.sql(
+        "SELECT sign_project(transform(sequence(1, 64), i -> CAST(i AS LONG))) AS p")
+        .head().getSeq[Long](0)
+      assert(sp.length == 16 && sp.exists(_ != 0L),
+        s"sign_project must emit 16 non-degenerate integer sums: $sp")
       // bloom_bits: k in-range positions, identical to the driver-side
       // probe kernel (the property the store's sidecars depend on)
       val bb = s.sql(
