@@ -56,6 +56,57 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q211: the k-center covering radius never increases across picks") {
+    // Gonzalez greedy invariant: each pick is the farthest point from
+    // the selected set, and adding centers can only shrink (or keep)
+    // every point's nearest-center distance — so the radius sequence is
+    // non-increasing from step 2 on (step 1 is the seed, radius 0)
+    val rows = StatsQueries.q211KcenterCoreset(spark, dir)
+      .orderBy($"step".asc).select($"step", $"radius").collect()
+    assert(rows.head.getDouble(1) == 0.0, "the seed pick has radius 0")
+    val radii = rows.tail.map(_.getDouble(1))
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-12, s"radius increased: $a -> $b")
+    }
+    assert(radii.forall(r => r >= 0.0 && r <= 2.0),
+      "cosine distance lives in [0, 2]")
+  }
+
+  test("q217: coverage is monotone in V and ends at (or below) the full corpus") {
+    val rows = StatsQueries.q217VocabCoverage(spark, dir)
+      .orderBy($"v".asc).collect()
+    val covered = rows.map(_.getAs[Long]("covered"))
+    covered.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, s"coverage must grow with vocabulary size: $a -> $b")
+    }
+    val total = graft.tables.Tables.documents(spark, dir)
+      .select(explode(split($"text", " "))).count()
+    assert(covered.last <= total)
+    rows.foreach(r => assert(r.getAs[Long]("covered_permille") <= 1000L))
+  }
+
+  test("q220: the release is k-anonymous — floored counts, df >= k, audit row present") {
+    val k = 16L
+    val rows = StatsQueries.q220KanonRelease(spark, dir).collect()
+    val (sup, released) = rows.partition(_.getString(0) == "<suppressed>")
+    assert(sup.length == 1, "exactly one suppressed-mass audit row")
+    released.foreach { r =>
+      val (df, c) = (r.getAs[Long]("df_released"), r.getAs[Long]("c_released"))
+      assert(df >= k && df % k == 0 && c % k == 0,
+        s"released stats must be k-floored multiples: ${r.getString(0)} ($df, $c)")
+    }
+    // floored counts never exceed the true counts
+    val truth = graft.tables.Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(countDistinct($"doc_id").as("df"),
+        count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    released.foreach { r =>
+      val (df, c) = truth(r.getString(0))
+      assert(r.getAs[Long]("df_released") <= df && r.getAs[Long]("c_released") <= c)
+    }
+  }
+
   test("q209: the MMR set is no less diverse than plain top-5 (mean pairwise sim)") {
     // compare mean pairwise cosine of the MMR selection vs the plain
     // exact top-5 per query: greedy MMR with λ=0.7 must not INCREASE
