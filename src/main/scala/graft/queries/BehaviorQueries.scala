@@ -225,7 +225,52 @@ object BehaviorQueries {
             AS cents FROM lineitem)
     GROUP BY 1 ORDER BY bin ASC"""
 
+  // q221 — behavioral path mining: the top-20 3-step event-type paths
+  // across all users, with occurrence and distinct-user counts — funnel
+  // DISCOVERY (which journeys exist and how common they are), where
+  // q100's funnel measures one predefined journey. Determinism: each
+  // user's stream orders by (µs, event_id) — replay-exact, q101's
+  // convention. Scale shape: per-user sequence assembly is ONE
+  // partial-agg'd collect bounded by events-per-user (the sessionize
+  // regime; a whale-user cap or per-session windowing is the documented
+  // swap if user streams are unbounded), the path explode is linear in
+  // events, and the report is a TakeOrdered over the path vocabulary.
+  def q221EventPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+        $"event_id")
+    val seqs = e.groupBy($"user_id")
+      .agg(sort_array(collect_list(
+        struct($"us", $"event_id", $"event_type"))).as("s"))
+      .select($"user_id", expr("transform(s, x -> x.event_type)").as("types"))
+    val grams = seqs.filter(size($"types") >= 3)
+      .select($"user_id", explode(expr(
+        "transform(sequence(1, size(types) - 2), " +
+          "i -> concat_ws(' > ', slice(types, i, 3)))")).as("path"))
+    grams.groupBy($"path")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"n_occurrences".desc, $"path".asc)
+      .limit(20)
+  }
+  val q221Oracle: String = """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+               FROM events),
+    s AS (SELECT user_id,
+            list(event_type ORDER BY us ASC, event_id ASC) AS types
+          FROM e GROUP BY user_id),
+    g AS (SELECT user_id,
+            unnest(list_transform(generate_series(1, len(types) - 2),
+              i -> array_to_string(types[i:i+2], ' > '))) AS path
+          FROM s WHERE len(types) >= 3)
+    SELECT path, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM g GROUP BY path
+    ORDER BY n_occurrences DESC, path ASC LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_event_paths" -> (q221EventPaths _),
     "q98_gaps_islands" -> (q98GapsIslands _),
     "q99_cohort_retention" -> (q99CohortRetention _),
     "q100_funnel" -> (q100Funnel _),
@@ -234,6 +279,7 @@ object BehaviorQueries {
     "q103_histogram" -> (q103Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "q221_event_paths" -> q221Oracle,
     "q98_gaps_islands" -> q98Oracle,
     "q99_cohort_retention" -> q99Oracle,
     "q100_funnel" -> q100Oracle,
