@@ -211,6 +211,28 @@ object HashKernels {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** Per-frame energy of a binary payload: frame f's energy is
+    * Σ (byte & 0xFF)² over its `frame` bytes; only FULL frames are
+    * emitted (a partial tail frame would mean a different denominator
+    * per row — the oracle mirrors the truncation). The loop kernel
+    * keeps the whole segmentation inside one codegen'd projection —
+    * the array-HOF formulation would drop the stage to interpreted
+    * per-element lambdas. */
+  def frameEnergies(bytes: Array[Byte], frame: Int): ArrayData = {
+    val n = bytes.length / frame
+    val out = new Array[Long](n)
+    var f = 0
+    while (f < n) {
+      var acc = 0L
+      var i = f * frame
+      val end = i + frame
+      while (i < end) { val v = (bytes(i) & 0xff).toLong; acc += v * v; i += 1 }
+      out(f) = acc
+      f += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Sign-random-projection signature over a float embedding: bit p =
     * sign(Σ_d w(p,d)·x_d) with w(p,d) = ±1 from a mixed hash of (p,d).
     * Deterministic, model-free, one pass over the vector per plane. */
@@ -323,6 +345,28 @@ case class SignProject(child: Expression, signs: Array[Long], r: Int)
       c => s"graft.functions.HashKernels.signProject($c, $ref, $r)")
   }
   override protected def withNewChildInternal(newChild: Expression): SignProject =
+    copy(child = newChild)
+}
+
+/** `frame_energies(binary) -> array<long>` — per-frame Σ byte² over
+  * fixed-size frames (full frames only), codegen'd as a loop kernel.
+  * The segmentation primitive behind VAD-style activity screens on
+  * stubbed PCM payloads (see [[HashKernels.frameEnergies]]). */
+case class FrameEnergies(child: Expression, frame: Int) extends UnaryExpression {
+  require(frame > 0, "frame length must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"frame_energies needs binary, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.frameEnergies(input.asInstanceOf[Array[Byte]], frame)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.frameEnergies($c, $frame)")
+  override protected def withNewChildInternal(newChild: Expression): FrameEnergies =
     copy(child = newChild)
 }
 
@@ -447,6 +491,8 @@ object GraftFunctions {
     ColumnBridge.column(LongDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def sign_project(c: Column, signs: Array[Long], r: Int): Column =
     ColumnBridge.column(SignProject(ColumnBridge.expression(c), signs, r))
+  def frame_energies(c: Column, frame: Int): Column =
+    ColumnBridge.column(FrameEnergies(ColumnBridge.expression(c), frame))
   def srp_bits(c: Column, planes: Int): Column =
     ColumnBridge.column(SrpSig(ColumnBridge.expression(c), planes))
 

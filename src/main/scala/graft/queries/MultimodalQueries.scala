@@ -267,7 +267,60 @@ object MultimodalQueries {
            CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
     FROM comp ORDER BY doc_id ASC"""
 
+  // q222 — VAD-style activity segmentation on the stubbed PCM payload:
+  // the payload bytes stand in for audio samples; 16-byte frames score
+  // Σ byte² through the codegen'd frame_energies loop kernel (the
+  // array-HOF formulation would run interpreted per element), frames at
+  // or above the energy threshold count as ACTIVE, and the per-media
+  // report is (frames, active frames, activity permille, peak energy) —
+  // the voice-activity-detection shape a speech-data pipeline runs to
+  // drop silence before transcription, with the decode stubbed exactly
+  // like q46's codec seam. Integer-exact end to end; only FULL frames
+  // count (the oracle mirrors the truncation). Scale shape: one narrow
+  // codegen'd projection per payload + a per-row aggregate over its own
+  // frame array — embarrassingly parallel, no shuffle at all before the
+  // final ordering.
+  def q222AudioActivity(spark: SparkSession, dir: String): DataFrame = {
+    val thr = 140000L
+    MultimodalOps.asMediaTable(Tables.documents(spark, dir))
+      .filter(col("kind") === "audio")
+      .withColumn("energies",
+        graft.functions.GraftFunctions.frame_energies(col("media"), 16))
+      .withColumn("n_frames", size(col("energies")).cast("long"))
+      .filter(col("n_frames") >= 1)
+      .withColumn("n_active", aggregate(col("energies"), lit(0L),
+        (acc, e) => acc + when(e >= thr, 1L).otherwise(0L)))
+      .withColumn("peak_energy", array_max(col("energies")))
+      .withColumn("active_permille", expr("(n_active * 1000) DIV n_frames"))
+      .select(col("doc_id"), col("n_frames"), col("n_active"),
+        col("active_permille"), col("peak_energy"))
+      .orderBy(col("doc_id").asc)
+  }
+  val q222Oracle: String = """
+    WITH a AS (
+      SELECT doc_id, text, octet_length(encode(text)) // 16 AS n_frames
+      FROM documents WHERE doc_id % 3 = 1),
+    fr AS (
+      SELECT doc_id, n_frames,
+             unnest(generate_series(0, CAST(n_frames - 1 AS INT))) AS f,
+             text
+      FROM a WHERE n_frames >= 1),
+    e AS (
+      SELECT doc_id, n_frames,
+        CAST(list_sum(list_transform(generate_series(1, 16),
+          j -> ascii(text[f*16 + j]) * ascii(text[f*16 + j]))) AS BIGINT)
+          AS energy
+      FROM fr)
+    SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN energy >= 140000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_active,
+           CAST((SUM(CASE WHEN energy >= 140000 THEN 1 ELSE 0 END) * 1000)
+             // n_frames AS BIGINT) AS active_permille,
+           CAST(MAX(energy) AS BIGINT) AS peak_energy
+    FROM e GROUP BY doc_id, n_frames ORDER BY doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_audio_activity" -> (q222AudioActivity _),
     "q180_media_dedup_clusters" -> (q180MediaDedupClusters _),
     "q179_media_embed_topk" -> (q179MediaEmbedTopK _),
     "q174_phash_neardup" -> (q174PhashNearDup _),
@@ -277,6 +330,7 @@ object MultimodalQueries {
     "q96_resize_thumbnail" -> (q96ResizeThumbnail _))
 
   val oracles: Map[String, String] = Map(
+    "q222_audio_activity" -> q222Oracle,
     "q180_media_dedup_clusters" -> q180Oracle,
     "q179_media_embed_topk" -> q179Oracle,
     "q174_phash_neardup" -> q174Oracle,
