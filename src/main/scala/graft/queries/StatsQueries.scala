@@ -893,7 +893,76 @@ object StatsQueries {
     SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM sup)
     ORDER BY c_released DESC, tok ASC"""
 
+  // q223 — token dispersion (Gries 2008 "deviation of proportions"):
+  // for the top-20 tokens, DP = ½·Σ_parts |v_p − s_p| over 100-doc
+  // corpus parts, where s_p is the part's share of all tokens and v_p
+  // the token's share of its own occurrences. DP ≈ 0 = spread evenly
+  // with the corpus (function words, template boilerplate); DP → 1 =
+  // concentrated in few parts (topical/bursty content) — the measure
+  // that separates "frequent because it's everywhere" from "frequent
+  // because one cluster repeats it", which raw frequency (q35/q196)
+  // and PMI (q213) cannot. Exactness: v_p and s_p are ratios of exact
+  // counts; each |v−s| cell is one fixed-shape double floored ONCE to
+  // nano units; the per-token sum is an exact BIGINT. Scale shape: one
+  // (token, part) partial agg for the head tokens (broadcast top-20
+  // semi-join prunes it), part totals are an n/100-row broadcast, and
+  // the DP sum is bounded by 20 × parts.
+  def q223TokenDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(expr("doc_id DIV 100").as("part"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val head = freq.orderBy(col("c").desc, col("tok").asc).limit(20)
+    val partTotals = tok.groupBy(col("part")).agg(count(lit(1)).as("pt"))
+      .crossJoin(broadcast(tok.agg(count(lit(1)).as("n_total"))))
+    val cells = tok.join(broadcast(head.select(col("tok"))), Seq("tok"))
+      .groupBy(col("tok"), col("part")).agg(count(lit(1)).as("cp"))
+    // right join keeps zero-occurrence (token, part) cells: a token
+    // absent from a part still contributes |0 − s_p| to DP
+    val grid = broadcast(head).crossJoin(
+        partTotals.select(col("part"), col("pt"), col("n_total")))
+      .join(cells, Seq("tok", "part"), "left")
+      .withColumn("cp", coalesce(col("cp"), lit(0L)))
+      .withColumn("dev_nano", floor(abs(
+        col("cp").cast("double") / col("c").cast("double")
+          - col("pt").cast("double") / col("n_total").cast("double"))
+        * lit(1000000000.0)).cast("long"))
+    grid.groupBy(col("tok"))
+      .agg(max(col("c")).as("c"), sum(col("dev_nano")).as("sum_dev_nano"))
+      .withColumn("dp", col("sum_dev_nano").cast("double") / lit(2.0e9))
+      .select(col("tok"), col("c"), col("sum_dev_nano"), col("dp"))
+      .orderBy(col("dp").desc, col("tok").asc)
+  }
+  val q223Oracle: String = """
+    WITH tok AS (
+      SELECT doc_id // 100 AS part, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    head AS (SELECT * FROM freq ORDER BY c DESC, tok ASC LIMIT 20),
+    pt AS (SELECT part, COUNT(*) AS pt FROM tok GROUP BY part),
+    n AS (SELECT COUNT(*) AS n_total FROM tok),
+    cells AS (
+      SELECT t.tok, t.part, COUNT(*) AS cp
+      FROM tok t JOIN head h ON h.tok = t.tok
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT head.tok, head.c, pt.part, pt.pt, n_total,
+             COALESCE(cells.cp, 0) AS cp
+      FROM head CROSS JOIN pt CROSS JOIN n
+        LEFT JOIN cells ON cells.tok = head.tok AND cells.part = pt.part),
+    dev AS (
+      SELECT tok, c,
+        CAST(floor(abs(CAST(cp AS DOUBLE) / CAST(c AS DOUBLE)
+          - CAST(pt AS DOUBLE) / CAST(n_total AS DOUBLE))
+          * 1000000000.0) AS BIGINT) AS dev_nano
+      FROM grid)
+    SELECT tok, CAST(MAX(c) AS BIGINT) AS c,
+           CAST(SUM(dev_nano) AS BIGINT) AS sum_dev_nano,
+           CAST(SUM(dev_nano) AS DOUBLE) / 2.0e9 AS dp
+    FROM dev GROUP BY tok ORDER BY dp DESC, tok ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_token_dispersion" -> (q223TokenDispersion _),
     "q220_kanon_release" -> (q220KanonRelease _),
     "q219_split_repair" -> (q219SplitRepair _),
     "q217_vocab_coverage" -> (q217VocabCoverage _),
@@ -911,6 +980,7 @@ object StatsQueries {
     "q208_zipf_fit" -> (q208ZipfFit _))
 
   val oracles: Map[String, String] = Map(
+    "q223_token_dispersion" -> q223Oracle,
     "q220_kanon_release" -> q220Oracle,
     "q219_split_repair" -> q219Oracle,
     "q217_vocab_coverage" -> q217Oracle,
