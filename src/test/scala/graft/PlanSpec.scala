@@ -497,6 +497,21 @@ class PlanSpec extends SparkSpec {
       "the cluster-size join must be a hash equi-join on the content hash")
   }
 
+  test("q222: activity segmentation shuffles only for the final ordering") {
+    val s = finalPlan("q222_audio_activity")
+    assert(!s.contains("Join"), "per-payload segmentation needs no join")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashShuffles == 0,
+      s"the only exchange is the output range sort, got $hashShuffles hash shuffles")
+  }
+
+  test("q217: the cut join broadcasts; the corpus never meets the rank window") {
+    val s = finalPlan("q217_vocab_coverage")
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastNestedLoopJoin"),
+      "the 5-row cut table must broadcast onto the ranked vocab frame")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"))
+  }
+
   test("q203: waterfill windows run on the 5-row frame, not the corpus") {
     val s = finalPlan("q203_unimax_alloc")
     // the only corpus-wide exchange is the per-language partial agg; the
