@@ -961,7 +961,116 @@ object StatsQueries {
            CAST(SUM(dev_nano) AS DOUBLE) / 2.0e9 AS dp
     FROM dev GROUP BY tok ORDER BY dp DESC, tok ASC"""
 
+  // q224 — screen-agreement calibration: Gopher rule-based keep rate per
+  // decile of the LM perplexity score — the read that tells a curation
+  // pipeline whether its cheap rule screen and its model screen measure
+  // the SAME quality axis (flat curve: independent signals, keep both;
+  // monotone curve: redundant, drop the expensive one) and where the
+  // rule screen over/under-fires. Reuses the frozen-gate scorer
+  // (QualityGateStream.freeze/score — the same micro-nat protocol as
+  // q171, so the oracle replays it exactly) and q166's integer rules.
+  // Deciles are a global ntile over (avg_logprob desc, doc_id) — at
+  // 100 TB the cutoffs would come from a broadcast score histogram,
+  // q171's documented swap. All counts exact; keep_permille integer DIV.
+  def q224ScreenCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val g = graft.streaming.QualityGateStream.freeze(spark, docs,
+      withCutoffs = false)
+    val scored = graft.streaming.QualityGateStream.score(spark, g, docs)
+      .select(col("doc_id"), col("avg_logprob"))
+    val rules = TextOps.gopherRules(docs).select(col("doc_id"), col("keep"))
+    scored.join(rules, Seq("doc_id"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("avg_logprob").desc, col("doc_id").asc)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"))
+      .withColumn("keep_permille", expr("(n_keep * 1000) DIV n_docs"))
+      .select(col("decile").cast("int").as("decile"), col("n_docs"),
+        col("n_keep"), col("keep_permille"))
+      .orderBy(col("decile").asc)
+  }
+  val q224Oracle: String = """
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    train_tok AS (
+      SELECT unnest(t) AS tok FROM toks WHERE lang = 'en'),
+    nv AS (
+      SELECT (SELECT COUNT(*) FROM train_tok) AS n,
+             (SELECT COUNT(DISTINCT tok)
+              FROM (SELECT unnest(t) AS tok FROM toks)) AS v),
+    uni AS (SELECT tok, COUNT(*) AS c FROM train_tok GROUP BY tok),
+    train_pairs AS (
+      SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE lang = 'en' AND len(t) >= 2),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM train_pairs GROUP BY w1, w2),
+    doc_pairs AS (
+      SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2),
+    pair_terms AS (
+      SELECT p.w1, p.w2,
+        CAST(FLOOR(CASE WHEN b.c12 IS NOT NULL
+          THEN LN(CAST(b.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+          ELSE LN(0.4 * (CAST(COALESCE(u2.c, 0) + 1 AS DOUBLE)
+                          / CAST(nv.n + nv.v AS DOUBLE)))
+          END * 1000000.0) AS BIGINT) AS lp_micro
+      FROM (SELECT DISTINCT w1, w2 FROM doc_pairs) p
+      LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN uni u1 ON u1.tok = p.w1
+      LEFT JOIN uni u2 ON u2.tok = p.w2
+      CROSS JOIN nv),
+    first_terms AS (
+      SELECT fk.w,
+        CAST(FLOOR(LN(CAST(COALESCE(u.c, 0) + 1 AS DOUBLE)
+                       / CAST(nv.n + nv.v AS DOUBLE))
+          * 1000000.0) AS BIGINT) AS lp_first
+      FROM (SELECT DISTINCT t[1] AS w FROM toks) fk
+      LEFT JOIN uni u ON u.tok = fk.w
+      CROSS JOIN nv),
+    pair_score AS (
+      SELECT doc_id, SUM(lp_micro) AS s_pairs
+      FROM doc_pairs JOIN pair_terms USING (w1, w2) GROUP BY doc_id),
+    lm AS (
+      SELECT fi.doc_id,
+             CAST(ft.lp_first + COALESCE(ps.s_pairs, 0) AS DOUBLE)
+               / len(fi.t) / 1000000.0 AS avg_logprob
+      FROM toks fi
+      JOIN first_terms ft ON ft.w = fi.t[1]
+      LEFT JOIN pair_score ps ON ps.doc_id = fi.doc_id),
+    gtoks AS (
+      SELECT doc_id, string_split(text, ' ') AS t, length(text) AS len
+      FROM documents),
+    gbase AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len - (len(t) - 1) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(t, x -> x IN
+               ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT)
+               AS stop_hits
+      FROM gtoks),
+    tf AS (
+      SELECT doc_id, MAX(c) AS top_freq FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+    rules AS (
+      SELECT b.doc_id,
+        CAST(n_tokens >= 40 AND n_tokens <= 100000
+          AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10
+          AND stop_hits >= 2 AND top_freq * 5 <= n_tokens AS INT) AS keep
+      FROM gbase b JOIN tf USING (doc_id)),
+    dec AS (
+      SELECT lm.doc_id, keep,
+        NTILE(10) OVER (ORDER BY avg_logprob DESC, lm.doc_id ASC) AS decile
+      FROM lm JOIN rules ON rules.doc_id = lm.doc_id)
+    SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_keep,
+           CAST((SUM(keep) * 1000) // COUNT(*) AS BIGINT) AS keep_permille
+    FROM dec GROUP BY decile ORDER BY decile ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_screen_calibration" -> (q224ScreenCalibration _),
     "q223_token_dispersion" -> (q223TokenDispersion _),
     "q220_kanon_release" -> (q220KanonRelease _),
     "q219_split_repair" -> (q219SplitRepair _),
@@ -980,6 +1089,7 @@ object StatsQueries {
     "q208_zipf_fit" -> (q208ZipfFit _))
 
   val oracles: Map[String, String] = Map(
+    "q224_screen_calibration" -> q224Oracle,
     "q223_token_dispersion" -> q223Oracle,
     "q220_kanon_release" -> q220Oracle,
     "q219_split_repair" -> q219Oracle,

@@ -102,8 +102,11 @@ object QualityGateStream {
     * unigram rows by the vocabulary, bigram rows by vocab² (guarded —
     * a natural-language vocabulary would move the model to a frequency-
     * pruned count table, same shape), cutoffs by the language set. */
+  /** `withCutoffs = false` skips the per-language tail-boundary pass (a
+    * full corpus re-score) for callers that only need the frozen COUNTS
+    * — e.g. q224's calibration, which builds its own deciles. */
   def freeze(spark: SparkSession, corpus: DataFrame,
-      maxModelRows: Int = 1 << 20): FrozenGate = {
+      maxModelRows: Int = 1 << 20, withCutoffs: Boolean = true): FrozenGate = {
     import org.apache.spark.sql.expressions.Window
     val t = toks(corpus)
     val train = t.filter(col("lang") === "en")
@@ -126,6 +129,7 @@ object QualityGateStream {
     val v = t.select(explode(col("t")).as("tok")).agg(countDistinct(col("tok")))
       .first().getLong(0)
     val gate0 = FrozenGate(uni, big, n, v, Map.empty)
+    if (!withCutoffs) return gate0
     // tail boundary per language: min mean log-prob of the head∪middle
     // tertiles over the corpus's own scores (exactly q171's bucketing)
     val cutoffs = score(spark, gate0, corpus)
