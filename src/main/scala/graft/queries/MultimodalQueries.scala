@@ -298,18 +298,24 @@ object MultimodalQueries {
   }
   val q222Oracle: String = """
     WITH a AS (
-      SELECT doc_id, text, octet_length(encode(text)) // 16 AS n_frames
+      -- byte-based throughout (hex of the UTF-8 encoding, 2 hex chars
+      -- per byte) so frame boundaries AND energies agree with the
+      -- Spark kernel's byte squaring for multi-byte text, not just for
+      -- the ASCII stub corpus
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 16 AS n_frames
       FROM documents WHERE doc_id % 3 = 1),
     fr AS (
       SELECT doc_id, n_frames,
              unnest(generate_series(0, CAST(n_frames - 1 AS INT))) AS f,
-             text
+             hx
       FROM a WHERE n_frames >= 1),
     e AS (
       SELECT doc_id, n_frames,
-        CAST(list_sum(list_transform(generate_series(1, 16),
-          j -> ascii(text[f*16 + j]) * ascii(text[f*16 + j]))) AS BIGINT)
-          AS energy
+        CAST(list_sum(list_transform(
+          list_transform(generate_series(1, 16),
+            j -> ('0x' || substr(hx, (f*16 + j - 1)*2 + 1, 2))::BIGINT),
+          b -> b * b)) AS BIGINT) AS energy
       FROM fr)
     SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
            CAST(SUM(CASE WHEN energy >= 140000 THEN 1 ELSE 0 END) AS BIGINT)
@@ -319,7 +325,112 @@ object MultimodalQueries {
            CAST(MAX(energy) AS BIGINT) AS peak_energy
     FROM e GROUP BY doc_id, n_frames ORDER BY doc_id ASC"""
 
+  // q226 — cross-modal near-dup agreement (the r11 verdict's second
+  // frontier ask): over the image-kind documents, the TEXT near-dup
+  // channel (q33's df-capped exact 3-gram Jaccard, flagged at ≥ 0.5) and
+  // the MEDIA channel (q174's banded perceptual-hash pairs, Hamming ≤ 10
+  // over the payload bytes) run independently, and the report is the
+  // per-pair agreement matrix — the read a multimodal curation pipeline
+  // uses to decide whether its caption-text dedup and its image dedup
+  // see the SAME duplication (agree=1: either channel alone suffices for
+  // this slice) or complementary duplication (text-only rows: re-encoded
+  // media with copied captions; media-only rows: identical assets under
+  // rewritten text — each class then gets its own policy). Scale shape:
+  // both channels are the existing capped machinery (df-64 shingles,
+  // 64-per-cell phash bands — never all-pairs); the agreement join is
+  // flagged-pairs ⇄ flagged-pairs, output-bounded.
+  def q226CrossmodalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+    val textPairs = graft.operators.TextOps
+      .ngramJaccardPairs(docs, n = 3, minIntersect = 2, maxDf = 64)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("text_dup"))
+    val mediaPairs = MultimodalOps.phashNearDups(spark,
+        MultimodalOps.asMediaTable(docs), maxHamming = 10)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("media_dup"))
+    textPairs.join(mediaPairs, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("text_dup"), lit(0)).as("text_dup"),
+        coalesce(col("media_dup"), lit(0)).as("media_dup"))
+      .withColumn("agree",
+        (col("text_dup") === 1 && col("media_dup") === 1).cast("int"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+  val q226Oracle: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 0),
+    sh0 AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    sh AS (
+      SELECT doc_id, shingle FROM sh0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 64),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    tinter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tp AS (
+      SELECT doc_a, doc_b FROM tinter
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE)
+              / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE) >= 0.5),
+    img AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 0 AND octet_length(encode(text)) >= 64),
+    px AS (
+      SELECT doc_id, unnest(generate_series(0, 63)) AS i, n, text FROM img),
+    pv AS (
+      SELECT doc_id, i,
+             ascii(text[(i*(n//64))+1 : (i*(n//64))+1]) AS p FROM px),
+    pxs AS (SELECT doc_id, SUM(p) AS s FROM pv GROUP BY doc_id),
+    bits AS (
+      SELECT pv.doc_id, i, CASE WHEN p * 64 > s THEN 1 ELSE 0 END AS bit
+      FROM pv JOIN pxs ON pxs.doc_id = pv.doc_id),
+    bands AS (
+      SELECT doc_id, i // 16 AS band,
+             CAST(SUM(bit << (i % 16)) AS BIGINT) AS v
+      FROM bits GROUP BY doc_id, i // 16),
+    capped AS (
+      SELECT doc_id, band, v FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, v ORDER BY doc_id) <= 64),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+    wide AS (
+      SELECT doc_id,
+        CAST(MAX(CASE WHEN band=0 THEN v END) AS BIGINT) AS b0,
+        CAST(MAX(CASE WHEN band=1 THEN v END) AS BIGINT) AS b1,
+        CAST(MAX(CASE WHEN band=2 THEN v END) AS BIGINT) AS b2,
+        CAST(MAX(CASE WHEN band=3 THEN v END) AS BIGINT) AS b3
+      FROM bands GROUP BY doc_id),
+    mp AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+          CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+             + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+            AS INT) AS hamming
+        FROM cand JOIN wide wa ON wa.doc_id = doc_a
+                  JOIN wide wb ON wb.doc_id = doc_b)
+      WHERE hamming <= 10)
+    SELECT COALESCE(tp.doc_a, mp.doc_a) AS doc_a,
+           COALESCE(tp.doc_b, mp.doc_b) AS doc_b,
+           CAST(tp.doc_a IS NOT NULL AS INT) AS text_dup,
+           CAST(mp.doc_a IS NOT NULL AS INT) AS media_dup,
+           CAST(tp.doc_a IS NOT NULL AND mp.doc_a IS NOT NULL AS INT)
+             AS agree
+    FROM tp FULL OUTER JOIN mp
+      ON tp.doc_a = mp.doc_a AND tp.doc_b = mp.doc_b
+    ORDER BY doc_a ASC, doc_b ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_crossmodal_agreement" -> (q226CrossmodalAgreement _),
     "q222_audio_activity" -> (q222AudioActivity _),
     "q180_media_dedup_clusters" -> (q180MediaDedupClusters _),
     "q179_media_embed_topk" -> (q179MediaEmbedTopK _),
@@ -330,6 +441,7 @@ object MultimodalQueries {
     "q96_resize_thumbnail" -> (q96ResizeThumbnail _))
 
   val oracles: Map[String, String] = Map(
+    "q226_crossmodal_agreement" -> q226Oracle,
     "q222_audio_activity" -> q222Oracle,
     "q180_media_dedup_clusters" -> q180Oracle,
     "q179_media_embed_topk" -> q179Oracle,

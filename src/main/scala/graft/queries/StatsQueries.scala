@@ -41,7 +41,7 @@ object StatsQueries {
     * 0-b → train (75%), c-d → val (12.5%), e-f → test (12.5%). A pure
     * function of doc_id — no rand(), no partitioning dependence, and a
     * NEW document joins a split without reshuffling old ones. */
-  private def splitOf(docId: org.apache.spark.sql.Column) = {
+  private[graft] def splitOf(docId: org.apache.spark.sql.Column) = {
     val d = substring(md5(docId.cast("string")), 1, 1)
     when(d.isin("c", "d"), "val")
       .when(d.isin("e", "f"), "test")
@@ -54,21 +54,33 @@ object StatsQueries {
              THEN 'test'
             ELSE 'train' END"""
 
+  /** Corpus-position part width (docs per bucket) for q204/q210/q223.
+    * These queries' scale claim — "the cumulative/DP windows run on an
+    * n/width-row bucket frame that stays small because the width WIDENS
+    * with the corpus" — is enforced by this parameter, not a comment: a
+    * 100 TB deployment threads a width that keeps n/width in the
+    * thousands. The default is the sf-testdata width the oracles pin. */
+  private[graft] val DefaultPartWidth = 100L
+
   // q204 — vocabulary growth curve (Heaps' law, Herdan 1960): per
-  // 100-doc bucket of corpus position, the number of NEW types (tokens
-  // first seen in that bucket) and the running type/token totals. Scale
-  // shape: one token-level partial agg (rows bounded by the vocabulary,
-  // map-side combined) for first-seen, one doc-level count agg for
-  // token volume; the cumulative windows run on the n/100-row bucket
-  // frame, and at 100 TB the bucket width widens so that frame stays
-  // thousands of rows — the corpus itself never shuffles.
-  def q204VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+  // partWidth-doc bucket of corpus position, the number of NEW types
+  // (tokens first seen in that bucket) and the running type/token
+  // totals. Scale shape: one token-level partial agg (rows bounded by
+  // the vocabulary, map-side combined) for first-seen, one doc-level
+  // count agg for token volume; the cumulative windows run on the
+  // n/partWidth-row bucket frame — at 100 TB callers thread a wider
+  // partWidth (DefaultPartWidth scaladoc) so that frame stays thousands
+  // of rows; the corpus itself never shuffles.
+  def q204VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    q204VocabGrowth(spark, dir, DefaultPartWidth)
+  def q204VocabGrowth(spark: SparkSession, dir: String, partWidth: Long)
+      : DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
     val newTypes = tok.groupBy(col("tok")).agg(min(col("doc_id")).as("first_id"))
-      .groupBy(expr("first_id DIV 100").as("bucket"))
+      .groupBy(expr(s"first_id DIV $partWidth").as("bucket"))
       .agg(count(lit(1)).as("new_types"))
-    val vol = tok.groupBy(expr("doc_id DIV 100").as("bucket"))
+    val vol = tok.groupBy(expr(s"doc_id DIV $partWidth").as("bucket"))
       .agg(count(lit(1)).as("n_tokens"))
     val w = Window.orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -80,15 +92,15 @@ object StatsQueries {
         col("cum_tokens"), col("cum_types"))
       .orderBy(col("bucket").asc)
   }
-  val q204Oracle: String = """
+  val q204Oracle: String = s"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
     nt AS (
-      SELECT first_id // 100 AS bucket, COUNT(*) AS new_types
+      SELECT first_id // $DefaultPartWidth AS bucket, COUNT(*) AS new_types
       FROM (SELECT tok, MIN(doc_id) AS first_id FROM tok GROUP BY tok)
       GROUP BY 1),
     vol AS (
-      SELECT doc_id // 100 AS bucket, COUNT(*) AS n_tokens
+      SELECT doc_id // $DefaultPartWidth AS bucket, COUNT(*) AS n_tokens
       FROM tok GROUP BY 1)
     SELECT vol.bucket, n_tokens,
            CAST(COALESCE(new_types, 0) AS BIGINT) AS new_types,
@@ -348,8 +360,8 @@ object StatsQueries {
 
   // q210 — vocabulary-drift / OOV monitor: freeze the vocabulary on the
   // first half of the corpus (doc_id ≤ max/2 — a pure function of the
-  // data, no sampling), then report per 100-doc bucket of the second
-  // half its token volume, out-of-vocabulary token count, and OOV rate
+  // data, no sampling), then report per partWidth-doc bucket of the
+  // second half its token volume, out-of-vocabulary token count, and OOV
   // in permille (integer DIV — exact). This is the standing read behind
   // "has the incoming distribution drifted from what the tokenizer/LM
   // was frozen on" — the batch twin of the quality-gate ingest's frozen
@@ -357,8 +369,11 @@ object StatsQueries {
   // shape: the frozen vocab is a vocab-bounded distinct (never
   // collected); the membership join is token-agg ⇄ vocab on the token —
   // AQE broadcasts it while it fits, and the shuffle-join fallback is
-  // the correct shape when it doesn't; output is n/100 bucket rows.
-  def q210VocabDrift(spark: SparkSession, dir: String): DataFrame = {
+  // the correct shape when it doesn't; output is n/partWidth bucket rows.
+  def q210VocabDrift(spark: SparkSession, dir: String): DataFrame =
+    q210VocabDrift(spark, dir, DefaultPartWidth)
+  def q210VocabDrift(spark: SparkSession, dir: String, partWidth: Long)
+      : DataFrame = {
     val docs = Tables.documents(spark, dir)
     val cut = docs.agg(expr("MAX(doc_id) DIV 2").as("cut"))
     val tok = docs
@@ -368,14 +383,14 @@ object StatsQueries {
       .select(col("tok")).distinct().withColumn("seen", lit(1))
     tok.filter(col("doc_id") > col("cut"))
       .join(vocab, Seq("tok"), "left")
-      .groupBy(expr("doc_id DIV 100").as("bucket"))
+      .groupBy(expr(s"doc_id DIV $partWidth").as("bucket"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_permille", expr("(n_oov * 1000) DIV n_tokens"))
       .select(col("bucket"), col("n_tokens"), col("n_oov"), col("oov_permille"))
       .orderBy(col("bucket").asc)
   }
-  val q210Oracle: String = """
+  val q210Oracle: String = s"""
     WITH cut AS (SELECT MAX(doc_id) // 2 AS cut FROM documents),
     tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -386,7 +401,7 @@ object StatsQueries {
              FROM tok t CROSS JOIN cut
                LEFT JOIN vocab v ON v.tok = t.tok
              WHERE doc_id > cut)
-    SELECT doc_id // 100 AS bucket, COUNT(*) AS n_tokens,
+    SELECT doc_id // $DefaultPartWidth AS bucket, COUNT(*) AS n_tokens,
            CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
            (CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) * 1000)
              // COUNT(*) AS oov_permille
@@ -696,9 +711,13 @@ object StatsQueries {
   // vocabulary be before <x>‰ of text stops falling to UNK/bytes".
   // Integer-exact: ranks tie-break token-asc, coverage is a cumsum of
   // exact counts, permille by integer DIV. Scale shape: the only sorted
-  // object is the VOCABULARY frequency table (corpus scans once into the
-  // type agg); the cumulative window runs over vocab rows, the cut join
-  // is 5 broadcast rows — same vocab-not-corpus class as q208.
+  // object is the top-max(V) HEAD of the vocabulary frequency table —
+  // only ranks ≤ 65536 can ever survive the `rank <= v` cut, so the head
+  // is taken with orderBy+limit (TakeOrderedAndProject: per-partition
+  // heaps, q208's pattern) BEFORE the rank/cumsum window, which therefore
+  // runs on a constant-bounded 65536-row frame instead of the full
+  // vocabulary (Heaps-law ~10⁹⁺ types at 100 TB). n_total still comes
+  // from the untruncated frequency agg; the cut join is 5 broadcast rows.
   def q217VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cutsV = Seq(256, 1024, 4096, 16384, 65536)
@@ -707,6 +726,7 @@ object StatsQueries {
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("c").desc, col("tok").asc)
     val ranked = freq
+      .orderBy(col("c").desc, col("tok").asc).limit(cutsV.max)
       .withColumn("rank", row_number().over(w))
       .withColumn("cum", sum(col("c")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -758,8 +778,13 @@ object StatsQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("raw_tokens"),
         sum(expr("(n_tok * 1000) DIV csize")).as("eff_tokens_milli"))
+      // eff_tokens_milli CAN floor to 0 (every doc in the source shorter
+      // than 1/1000th of its dup-cluster size); Spark DIV-by-zero yields
+      // null while DuckDB // raises — guard BOTH sides with an explicit
+      // CASE so the engines agree on the degenerate input too
       .withColumn("inflation_bp",
-        expr("(raw_tokens * 10000000) DIV eff_tokens_milli"))
+        when(col("eff_tokens_milli") > 0,
+          expr("(raw_tokens * 10000000) DIV eff_tokens_milli")))
       .select(col("source"), col("n_docs"), col("raw_tokens"),
         col("eff_tokens_milli"), col("inflation_bp"))
       .orderBy(col("source").asc)
@@ -773,8 +798,9 @@ object StatsQueries {
     SELECT source, COUNT(*) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
            CAST(SUM((n_tok * 1000) // csize) AS BIGINT) AS eff_tokens_milli,
-           CAST((SUM(n_tok) * 10000000)
-             // SUM((n_tok * 1000) // csize) AS BIGINT) AS inflation_bp
+           CAST(CASE WHEN SUM((n_tok * 1000) // csize) > 0
+             THEN (SUM(n_tok) * 10000000) // SUM((n_tok * 1000) // csize)
+             ELSE NULL END AS BIGINT) AS inflation_bp
     FROM d JOIN cs USING (h)
     GROUP BY source ORDER BY source ASC"""
 
@@ -894,7 +920,7 @@ object StatsQueries {
     ORDER BY c_released DESC, tok ASC"""
 
   // q223 — token dispersion (Gries 2008 "deviation of proportions"):
-  // for the top-20 tokens, DP = ½·Σ_parts |v_p − s_p| over 100-doc
+  // for the top-20 tokens, DP = ½·Σ_parts |v_p − s_p| over partWidth-doc
   // corpus parts, where s_p is the part's share of all tokens and v_p
   // the token's share of its own occurrences. DP ≈ 0 = spread evenly
   // with the corpus (function words, template boilerplate); DP → 1 =
@@ -905,11 +931,15 @@ object StatsQueries {
   // counts; each |v−s| cell is one fixed-shape double floored ONCE to
   // nano units; the per-token sum is an exact BIGINT. Scale shape: one
   // (token, part) partial agg for the head tokens (broadcast top-20
-  // semi-join prunes it), part totals are an n/100-row broadcast, and
-  // the DP sum is bounded by 20 × parts.
-  def q223TokenDispersion(spark: SparkSession, dir: String): DataFrame = {
+  // semi-join prunes it), part totals are an n/partWidth-row broadcast,
+  // and the DP sum is bounded by 20 × parts — partWidth widens with the
+  // corpus (DefaultPartWidth scaladoc) to keep both frames small.
+  def q223TokenDispersion(spark: SparkSession, dir: String): DataFrame =
+    q223TokenDispersion(spark, dir, DefaultPartWidth)
+  def q223TokenDispersion(spark: SparkSession, dir: String, partWidth: Long)
+      : DataFrame = {
     val tok = Tables.documents(spark, dir)
-      .select(expr("doc_id DIV 100").as("part"),
+      .select(expr(s"doc_id DIV $partWidth").as("part"),
         explode(TextOps.tokens(col("text"))).as("tok"))
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val head = freq.orderBy(col("c").desc, col("tok").asc).limit(20)
@@ -933,9 +963,10 @@ object StatsQueries {
       .select(col("tok"), col("c"), col("sum_dev_nano"), col("dp"))
       .orderBy(col("dp").desc, col("tok").asc)
   }
-  val q223Oracle: String = """
+  val q223Oracle: String = s"""
     WITH tok AS (
-      SELECT doc_id // 100 AS part, unnest(string_split(text, ' ')) AS tok
+      SELECT doc_id // $DefaultPartWidth AS part,
+             unnest(string_split(text, ' ')) AS tok
       FROM documents),
     freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
     head AS (SELECT * FROM freq ORDER BY c DESC, tok ASC LIMIT 20),
@@ -962,33 +993,63 @@ object StatsQueries {
     FROM dev GROUP BY tok ORDER BY dp DESC, tok ASC"""
 
   // q224 — screen-agreement calibration: Gopher rule-based keep rate per
-  // decile of the LM perplexity score — the read that tells a curation
-  // pipeline whether its cheap rule screen and its model screen measure
-  // the SAME quality axis (flat curve: independent signals, keep both;
-  // monotone curve: redundant, drop the expensive one) and where the
-  // rule screen over/under-fires. Reuses the frozen-gate scorer
+  // score decile of the LM perplexity score — the read that tells a
+  // curation pipeline whether its cheap rule screen and its model screen
+  // measure the SAME quality axis (flat curve: independent signals, keep
+  // both; monotone curve: redundant, drop the expensive one) and where
+  // the rule screen over/under-fires. Reuses the frozen-gate scorer
   // (QualityGateStream.freeze/score — the same micro-nat protocol as
   // q171, so the oracle replays it exactly) and q166's integer rules.
-  // Deciles are a global ntile over (avg_logprob desc, doc_id) — at
-  // 100 TB the cutoffs would come from a broadcast score histogram,
-  // q171's documented swap. All counts exact; keep_permille integer DIV.
+  // Deciles come from a fixed-grid score HISTOGRAM, not a global ntile
+  // (the q171-documented swap, implemented): each doc's avg_logprob — a
+  // bit-identical double in both engines — floors ONCE to a milli-nat
+  // grid bucket; the bucket histogram is one partial agg bounded by the
+  // GRID (avg log-probs live in a few tens of nats → thousands of
+  // buckets at any corpus size); the cumulative count and grand total
+  // run over that bounded frame; and a bucket whose strictly-better
+  // buckets hold cb docs maps to decile 1 + (cb·10) DIV n_total. The
+  // bucket→decile map broadcasts back onto the scored rows — ONE scored
+  // corpus pass, no single-partition window over corpus rows. All
+  // counts exact; keep_permille integer DIV.
   def q224ScreenCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val (out, base) = q224Frames(spark, dir)
+    graft.operators.Materialize.thenRelease(out, base)
+  }
+
+  /** Pre-materialize calibration frame + its persisted scored base —
+    * split out so PlanSpec can pin the histogram-decile plan (the public
+    * query returns a localCheckpoint scan, which hides it). */
+  private[graft] def q224Frames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val g = graft.streaming.QualityGateStream.freeze(spark, docs,
       withCutoffs = false)
     val scored = graft.streaming.QualityGateStream.score(spark, g, docs)
       .select(col("doc_id"), col("avg_logprob"))
     val rules = TextOps.gopherRules(docs).select(col("doc_id"), col("keep"))
-    scored.join(rules, Seq("doc_id"))
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("avg_logprob").desc, col("doc_id").asc)))
+    val base = scored.join(rules, Seq("doc_id"))
+      .withColumn("bucket", floor(col("avg_logprob") * lit(1000.0))
+        .cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wBefore = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val decMap = base.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("cum_before", coalesce(sum(col("n")).over(wBefore), lit(0L)))
+      .withColumn("n_total", sum(col("n")).over(wAll))
+      .withColumn("decile",
+        (lit(1L) + expr("(cum_before * 10) DIV n_total")).cast("int"))
+      .select(col("bucket"), col("decile"))
+    val out = base.join(broadcast(decMap), Seq("bucket"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("keep").cast("long")).as("n_keep"))
       .withColumn("keep_permille", expr("(n_keep * 1000) DIV n_docs"))
-      .select(col("decile").cast("int").as("decile"), col("n_docs"),
-        col("n_keep"), col("keep_permille"))
+      .select(col("decile"), col("n_docs"), col("n_keep"),
+        col("keep_permille"))
       .orderBy(col("decile").asc)
+    (out, base)
   }
   val q224Oracle: String = """
     WITH toks AS (
@@ -1060,16 +1121,99 @@ object StatsQueries {
           AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10
           AND stop_hits >= 2 AND top_freq * 5 <= n_tokens AS INT) AS keep
       FROM gbase b JOIN tf USING (doc_id)),
-    dec AS (
+    base AS (
       SELECT lm.doc_id, keep,
-        NTILE(10) OVER (ORDER BY avg_logprob DESC, lm.doc_id ASC) AS decile
-      FROM lm JOIN rules ON rules.doc_id = lm.doc_id)
-    SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+             CAST(floor(avg_logprob * 1000.0) AS BIGINT) AS bucket
+      FROM lm JOIN rules ON rules.doc_id = lm.doc_id),
+    hist AS (SELECT bucket, COUNT(*) AS n FROM base GROUP BY bucket),
+    decmap AS (
+      SELECT bucket,
+        CAST(1 + (COALESCE(SUM(n) OVER (ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10)
+             // (SUM(n) OVER ()) AS INT) AS decile
+      FROM hist)
+    SELECT decile, COUNT(*) AS n_docs,
            CAST(SUM(keep) AS BIGINT) AS n_keep,
            CAST((SUM(keep) * 1000) // COUNT(*) AS BIGINT) AS keep_permille
-    FROM dec GROUP BY decile ORDER BY decile ASC"""
+    FROM base JOIN decmap USING (bucket)
+    GROUP BY decile ORDER BY decile ASC"""
+
+  // q225 — leakage-gate ingest: q207's cross-split audit applied AT THE
+  // DOOR (the streaming twin the r11 verdict asked for — q219's repair
+  // becomes unnecessary for data that never enters). The holdout shingle
+  // index freezes once into a bucketed store (LeakageGateStream.freeze —
+  // holdout-df ≤ 64, per-doc counts denormalized onto the rows), then the
+  // TRAIN split arrives in two batches (doc_id parity) and each batch doc
+  // is admitted iff NO holdout doc reaches Jaccard ≥ 1/2 against its
+  // within-batch-df-capped shingle set (3·inter ≥ n_h + n_t — integer-
+  // exact, no doubles). Batches are independent by design (stateless
+  // gate); the exact freeze/gate pair the streaming terminal runs is what
+  // executes here, so the oracle checks the stream's own code path.
+  // Scale shape: one holdout freeze pass; per batch the bucket-pruned
+  // index scan meets the BROADCAST batch shingles (the index never
+  // re-shuffles), both join fan-outs df-capped.
+  def q225LeakageGateIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.LeakageGateStream
+    val docs = Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-leakgate").toString
+    try {
+      val store = new graft.sync.BucketedTableStore(spark, root, 16)
+      LeakageGateStream.freeze(spark, docs, store,
+        new java.sql.Timestamp(1660000000000L))
+      val train = docs.filter(splitOf(col("doc_id")) === "train")
+      Seq(0, 1).map { r =>
+        LeakageGateStream.gate(spark, store,
+            train.filter(pmod(col("doc_id"), lit(2)) === r))
+          .withColumn("batch_id", lit(r))
+      }.reduce(_ unionByName _)
+        .select(col("doc_id"), col("batch_id"), col("n_sh"),
+          col("n_leaks"), col("admit"))
+        .orderBy(col("doc_id").asc)
+    } finally graft.sync.TableStore.deleteRecursively(
+      java.nio.file.Paths.get(root))
+  }
+  val q225Oracle: String = s"""
+    WITH toks AS (
+      SELECT doc_id, $splitOfSql AS split, string_split(text, ' ') AS t
+      FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, split, shingle FROM (
+        SELECT doc_id, split,
+          unnest(list_transform(generate_series(1, len(t)-2),
+            i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    hold AS (
+      SELECT doc_id, shingle FROM sh0 WHERE split <> 'train'
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 64),
+    nh AS (SELECT doc_id AS holdout_id, COUNT(*) AS n_h
+           FROM hold GROUP BY 1),
+    train AS (
+      SELECT doc_id, doc_id % 2 AS batch_id, shingle
+      FROM sh0 WHERE split = 'train'
+      QUALIFY COUNT(*) OVER (PARTITION BY doc_id % 2, shingle) <= 64),
+    nt AS (SELECT doc_id, COUNT(*) AS n_sh FROM train GROUP BY doc_id),
+    inter AS (
+      SELECT t.doc_id, h.doc_id AS holdout_id, COUNT(*) AS i
+      FROM train t JOIN hold h ON h.shingle = t.shingle
+      GROUP BY 1, 2),
+    leaks AS (
+      SELECT inter.doc_id, COUNT(*) AS n_leaks
+      FROM inter
+        JOIN nh USING (holdout_id)
+        JOIN nt ON nt.doc_id = inter.doc_id
+      WHERE 3 * i >= n_h + nt.n_sh
+      GROUP BY 1)
+    SELECT d.doc_id, CAST(d.doc_id % 2 AS INT) AS batch_id,
+           CAST(COALESCE(nt.n_sh, 0) AS BIGINT) AS n_sh,
+           CAST(COALESCE(l.n_leaks, 0) AS BIGINT) AS n_leaks,
+           CAST(COALESCE(l.n_leaks, 0) = 0 AS INT) AS admit
+    FROM (SELECT doc_id FROM toks WHERE split = 'train') d
+      LEFT JOIN nt ON nt.doc_id = d.doc_id
+      LEFT JOIN leaks l ON l.doc_id = d.doc_id
+    ORDER BY d.doc_id ASC"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_leakage_gate_ingest" -> (q225LeakageGateIngest _),
     "q224_screen_calibration" -> (q224ScreenCalibration _),
     "q223_token_dispersion" -> (q223TokenDispersion _),
     "q220_kanon_release" -> (q220KanonRelease _),
@@ -1089,6 +1233,7 @@ object StatsQueries {
     "q208_zipf_fit" -> (q208ZipfFit _))
 
   val oracles: Map[String, String] = Map(
+    "q225_leakage_gate_ingest" -> q225Oracle,
     "q224_screen_calibration" -> q224Oracle,
     "q223_token_dispersion" -> q223Oracle,
     "q220_kanon_release" -> q220Oracle,

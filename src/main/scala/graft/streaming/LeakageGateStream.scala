@@ -1,0 +1,197 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import graft.sync.BucketedTableStore
+
+/** Streaming cross-split leakage gate — q207's audit turned into an
+  * ingest terminal (the round-11 verdict's "streaming twin" ask), and a
+  * fifth terminal shape next to DedupIngestStream / SpanIngestStream
+  * (stateful index + WAL), QualityGateStream (frozen driver-side maps)
+  * and VocabDriftStream (frozen plain table): here the frozen artifact is
+  * a PERSISTED, BUCKETED shingle index of the holdout split (val∪test
+  * under the engine's deterministic md5 split, StatsQueries.splitOf) —
+  * too big to collect (≈25% of the corpus's shingles), never mutated by
+  * batches (holdout membership is frozen by design — the q219 invariant),
+  * and probed bucket-pruned like the stateful ingest indexes. Every
+  * arriving TRAIN-destined batch is screened: a batch doc whose df-capped
+  * 3-gram shingle set has Jaccard ≥ 1/2 against ANY holdout doc is
+  * quarantined before it can leak an eval set into the training mix —
+  * q219's split repair applied at the door instead of after the fact.
+  *
+  * Protocol (integer-exact end to end, replayed by the q225 oracle):
+  *   - freeze: holdout docs → distinct 3-gram shingles (xxhash64 rides
+  *     the engine; the oracle compares shingle STRINGS — only equality
+  *     matters, the q33 collision argument); shingles with holdout-df
+  *     > 64 leave permanently (the boilerplate cap); each surviving row
+  *     carries its doc's surviving count n_h.
+  *   - gate: batch docs → distinct shingles; shingles with WITHIN-BATCH
+  *     df > 64 leave (the batch-side cap — both join fan-outs bounded);
+  *     probe the index reading ONLY the touched buckets; per (batch doc,
+  *     holdout doc) intersection i; leak ⟺ 3·i ≥ n_h + n_t — exactly
+  *     Jaccard ≥ 1/2 over the capped sets, no doubles anywhere.
+  *   The caps deliberately differ from q207's POOLED df-64: a stream
+  *   cannot know future batches' dfs, so each side caps against what it
+  *   can see — the frozen index resp. the batch at hand.
+  *
+  * STATELESS like QualityGateStream: the index never changes, so replay
+  * safety needs only the batchId-guarded sink (staging dir + atomic
+  * rename = the commit mark; a re-delivered batch id is a no-op).
+  * Mirrored contracts: ROTATE-TOGETHER (a fresh checkpoint next to a
+  * sink that already holds batch=* verdicts is refused up front) and
+  * EVERY ROW GETS A VERDICT (rows the reader could not fill are
+  * quarantined with n_sh = 0, never silently dropped — a null-text doc
+  * cannot be PROVEN non-leaking, so the gate stays conservative).
+  *
+  * Scale shape: freeze is one holdout pass (shingle agg + broadcast hot
+  * anti + count join) into the bucketed store; per batch one shingle
+  * explode, one batch-bounded hot-set broadcast anti, one equi-join of
+  * the bucket-pruned index scan against the BROADCAST batch shingles
+  * (the index never re-shuffles — only intersection rows, df-capped on
+  * both sides, enter the per-pair agg), and a per-doc rollup. Nothing
+  * is proportional to the standing corpus except the freeze itself.
+  */
+object LeakageGateStream {
+
+  /** Per-side hot-shingle document-frequency cap (see protocol note). */
+  val MaxDf = 64
+  private val IndexTable = "hsh"
+
+  /** Distinct df-capped shingle rows of `docs`: (doc_id, sh) with the
+    * hot set (df > MaxDf over THESE docs) removed via broadcast anti —
+    * the hot set is ≤ distinct-shingles/MaxDf rows by construction. */
+  private def cappedShingles(docs: DataFrame): DataFrame = {
+    val raw = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+    val hot = raw.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxDf).select(col("sh"))
+    raw.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
+
+  /** One corpus pass → the frozen index table (sh, holdout_id, n_h),
+    * bucketed on the shingle hash (write-once via writeAll and never
+    * merged, so the store's latest-per-key delta resolution — which
+    * would collapse the ≤64 rows sharing a shingle — never runs; `sh`
+    * is purely the ROUTING key). The holdout split is derived inside so
+    * the stream and the q225 batch replay share one split definition.
+    * Returns the index row count — the driver sees ONE long, never a
+    * shingle. */
+  def freeze(spark: SparkSession, corpus: DataFrame,
+      store: BucketedTableStore, ts: Timestamp): Long = {
+    val holdout = corpus.filter(
+      graft.queries.StatsQueries.splitOf(col("doc_id")) =!= "train")
+    val sh = cappedShingles(holdout)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_h"))
+    store.writeAll(IndexTable,
+      sh.join(counts, Seq("doc_id"))
+        .select(col("sh"), col("doc_id").as("holdout_id"), col("n_h"))
+        .withColumn("syncTimestamp", lit(ts)),
+      "sh")
+    store.readBuckets(IndexTable, None).map(_.count()).getOrElse(0L)
+  }
+
+  /** Index rows in the buckets the probe shingles hash into. The only
+    * driver materialization is the touched-bucket id set — bounded by
+    * the store's bucket count (ints), never shingles. */
+  private def indexed(spark: SparkSession, store: BucketedTableStore,
+      probes: DataFrame): DataFrame = {
+    val touched = probes.select(store.bucketCol("sh").as("_b")).distinct()
+      .collect().map(_.getLong(0).toInt).toSet
+    store.readBuckets(IndexTable, Some(touched)) match {
+      case Some(idx) if idx.columns.contains("sh") =>
+        idx.select(col("sh"), col("holdout_id"), col("n_h"))
+      case _ =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("sh", LongType),
+            StructField("holdout_id", LongType),
+            StructField("n_h", LongType))))
+    }
+  }
+
+  /** Gate one batch against the frozen index: one verdict row per batch
+    * doc — (doc_id, n_sh, n_leaks, admit). */
+  def gate(spark: SparkSession, store: BucketedTableStore,
+      batch: DataFrame): DataFrame = {
+    val (out, sh) = gateFrames(spark, store, batch)
+    graft.operators.Materialize.thenRelease(out, sh)
+  }
+
+  /** Pre-materialize verdict frame + its persisted shingle intermediate —
+    * split out so PlanSpec can pin the probe-join plan (the public gate
+    * returns a localCheckpoint scan, which hides it). */
+  private[graft] def gateFrames(spark: SparkSession, store: BucketedTableStore,
+      batch: DataFrame): (DataFrame, DataFrame) = {
+    // three consumers (per-doc counts, probe set, intersection join)
+    val sh = cappedShingles(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val idx = indexed(spark, store, sh.select(col("sh")).distinct())
+    val inter = idx.join(broadcast(sh), Seq("sh"))
+      .groupBy(col("doc_id"), col("holdout_id"), col("n_h"))
+      .agg(count(lit(1)).as("i"))
+    val leaks = inter.join(nt, Seq("doc_id"))
+      .filter(col("i") * lit(3L) >= col("n_h") + col("n_sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaks"))
+    val out = batch.select(col("doc_id"))
+      .join(nt, Seq("doc_id"), "left")
+      .join(leaks, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_leaks"), lit(0L)).as("n_leaks"))
+      .withColumn("admit", (col("n_leaks") === 0).cast("int"))
+    (out, sh)
+  }
+
+  /** Drive a train-destined document stream through the frozen gate.
+    * Verdicts land under `sinkDir/batch=<id>/` via the staging-dir +
+    * atomic-rename commit protocol (see QualityGateStream.run — same
+    * crash story). Returns the started query; callers await. */
+  def run(spark: SparkSession, store: BucketedTableStore, stream: DataFrame,
+      sinkDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import java.nio.file.{Files, Paths}
+    val fresh = !Files.exists(Paths.get(s"$sinkDir/_checkpoint/offsets"))
+    val sinkUsed = Files.exists(Paths.get(sinkDir)) &&
+      scala.util.Using.resource(Files.list(Paths.get(sinkDir))) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.exists(_.getFileName.toString.startsWith("batch="))
+      }
+    require(!(fresh && sinkUsed),
+      s"sinkDir $sinkDir holds a previous run's batch=* verdicts but its " +
+        "checkpoint is fresh (batchIds restart at 0, so the batchId guard " +
+        "would silently skip NEW data) — rotate sinkDir together with the " +
+        "checkpoint")
+    stream.writeStream
+      .option("checkpointLocation", s"$sinkDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import java.nio.file.StandardCopyOption
+        val out = Paths.get(s"$sinkDir/batch=$batchId")
+        if (!Files.exists(out)) {
+          val staging = Paths.get(s"$sinkDir/.inprogress-$batchId")
+          graft.sync.TableStore.deleteRecursively(staging) // stale crash
+          val unfillable = col("doc_id").isNull || col("text").isNull
+          val quarantinedUnfillable = batch.filter(unfillable)
+            .select(col("doc_id"), lit(0L).as("n_sh"),
+              lit(0L).as("n_leaks"), lit(0).as("admit"))
+          gate(spark, store, batch.filter(!unfillable))
+            .unionByName(quarantinedUnfillable)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(staging.toString)
+          Files.move(staging, out, StandardCopyOption.ATOMIC_MOVE)
+        }
+        ()
+      }
+      .start()
+  }
+}

@@ -117,8 +117,16 @@ object QualityGateStream {
     // bound the collect STRUCTURALLY: limit(max+1) caps what can ever
     // reach the driver (the blow-up guard), and the length check after
     // it enforces the budget — one job per table instead of the earlier
-    // count()-then-collect() double computation of both aggregations
+    // count()-then-collect() double computation of both aggregations.
+    // NOTE: limit() on an un-ordered aggregate collects an ARBITRARY
+    // subset when the table exceeds the cap, so the rows are meaningful
+    // only when the require passes — which is why each table fails fast
+    // BEFORE the next one is computed (and the driver never holds more
+    // than one over-budget subset at a time)
     val uniRows = uniDf.limit(maxModelRows + 1).collect()
+    require(uniRows.length <= maxModelRows,
+      s"frozen LM unigram table alone would hold > $maxModelRows rows — " +
+        "prune counts first")
     val bigRows = bigDf.limit(maxModelRows + 1).collect()
     require(uniRows.length + bigRows.length <= maxModelRows,
       s"frozen LM would hold > $maxModelRows rows — prune counts first")

@@ -71,4 +71,27 @@ class BehaviorSpec extends SparkSpec {
       .filter(col("was_filled") === 1 && col("value_ffill").isNull)
     assert(reverted.count() == 0)
   }
+
+  test("q221: path occurrences are bounded by the per-user 3-gram budget") {
+    import spark.implicits._
+    val events = graft.tables.Tables.events(spark, dir)
+    val nUsers = events.select(col("user_id")).distinct().count()
+    // every user with n events contributes exactly max(0, n-2) 3-grams,
+    // so the corpus-wide path mass is fixed by the event stream alone
+    val gramBudget = events.groupBy(col("user_id")).count()
+      .agg(sum(greatest(col("count") - 2, lit(0L)))).as[Long].head()
+    val rows = BehaviorQueries.q221EventPaths(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val occ = r.getAs[Long]("n_occurrences")
+      val users = r.getAs[Long]("n_users")
+      assert(users >= 1 && users <= nUsers,
+        s"path ${r.getString(0)}: n_users $users outside [1, $nUsers]")
+      assert(occ >= users,
+        s"path ${r.getString(0)}: each counted user contributes >= 1 occurrence")
+      assert(occ <= gramBudget)
+    }
+    assert(rows.map(_.getAs[Long]("n_occurrences")).sum <= gramBudget,
+      "top-20 path occurrences cannot exceed the corpus 3-gram budget")
+  }
 }

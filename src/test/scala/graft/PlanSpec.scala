@@ -510,6 +510,80 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastExchange") || s.contains("BroadcastNestedLoopJoin"),
       "the 5-row cut table must broadcast onto the ranked vocab frame")
     assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"))
+    // the r11-verdict scale swap: the rank/cumsum window must consume a
+    // TakeOrderedAndProject head (≤ max cut = 65536 rows, per-partition
+    // heaps), never the full vocabulary in one task
+    assert(s.contains("TakeOrderedAndProject"),
+      "the top-65536 vocab head must be TakeOrdered, not a global sort " +
+        "feeding the single-partition window")
+    assert(s.indexOf("Window") < s.indexOf("TakeOrderedAndProject"),
+      "the window must sit ABOVE the TakeOrdered head (plans print " +
+        "top-down) — the unbounded vocabulary must never reach it")
+  }
+
+  test("q224: deciles come from the bucket histogram — no window over corpus rows") {
+    // pin the PRE-materialize frame: the public query localCheckpoints,
+    // so its executed plan is just the checkpoint scan. The scored base
+    // is cached, so its plan prints NESTED adaptive sections — assert
+    // over the whole string rather than the finalPlan split (which would
+    // truncate at the nested plan's own "== Initial Plan ==").
+    val (out, base) = graft.queries.StatsQueries.q224Frames(spark, dir)
+    out.collect()
+    val s = out.queryExecution.executedPlan.toString
+    base.unpersist()
+    assert(!s.contains("ntile"),
+      "the global ntile over every scored document is the r11-verdict " +
+        "scale-killer — deciles must come from the broadcast histogram map")
+    // EVERY physical Window node may only consume the grid-bounded
+    // bucket HISTOGRAM: top-down, a HashAggregate keyed on bucket must
+    // print between the window and the first row source under it
+    val winIdxs = "Window \\[".r.findAllMatchIn(s).map(_.start).toSeq
+    assert(winIdxs.nonEmpty, "expected the histogram cumsum window")
+    winIdxs.foreach { i =>
+      val rest = s.substring(i)
+      val scanIdx = Seq(rest.indexOf("InMemoryTableScan"),
+        rest.indexOf("FileScan"), rest.indexOf("Scan parquet"))
+        .filter(_ >= 0).min
+      val aggIdx = rest.indexOf("HashAggregate(keys=[bucket")
+      assert(aggIdx >= 0 && aggIdx < scanIdx,
+        "the decile window must consume the bucket histogram aggregate, " +
+          "never a corpus-row frame")
+    }
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastQueryStage")
+        || s.contains("BroadcastHashJoin"),
+      "the bucket→decile map must broadcast back onto the scored rows")
+  }
+
+  test("q225: batch shingles broadcast onto the pruned index; never all-pairs") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-q225pin").toString
+    try {
+      val docs = graft.tables.Tables.documents(spark, dir)
+      val store = new graft.sync.BucketedTableStore(spark, root, 16)
+      graft.streaming.LeakageGateStream.freeze(spark, docs, store,
+        new java.sql.Timestamp(1660000000000L))
+      val batch = docs.filter(
+        graft.queries.StatsQueries.splitOf(col("doc_id")) === "train")
+      val (out, sh) =
+        graft.streaming.LeakageGateStream.gateFrames(spark, store, batch)
+      out.collect()
+      val s = out.queryExecution.executedPlan.toString
+      sh.unpersist()
+      assert(!s.contains("CartesianProduct"),
+        "batch x holdout must meet on the shingle hash, never all-pairs")
+      assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange")
+          || s.contains("BroadcastQueryStage"),
+        "the batch shingles must broadcast onto the bucket-pruned index " +
+          "scan — the index side never re-shuffles")
+    } finally graft.sync.TableStore.deleteRecursively(
+      java.nio.file.Paths.get(root))
+  }
+
+  test("q226: the agreement join and both channels stay equi — no nested loop") {
+    val s = finalPlan("q226_crossmodal_agreement")
+    assert(!s.contains("CartesianProduct"))
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "flagged-pair sets join on (doc_a, doc_b) equality only")
   }
 
   test("q203: waterfill windows run on the 5-row frame, not the corpus") {

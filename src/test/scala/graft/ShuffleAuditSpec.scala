@@ -314,6 +314,55 @@ class ShuffleAuditSpec extends SparkSpec {
       s"MG shuffle (${opt.records}) must be orders under the groupBy (${base.records})")
   }
 
+  test("ES weighted sampling shuffles O(partitions x sources x k), never the corpus") {
+    // q216's scale claim (StatsQueries.scala q216 scaladoc): the
+    // rank <= k filter over the per-source ES-key window lets Spark's
+    // WindowGroupLimit rewrite run a PARTIAL top-k pass before the
+    // exchange, so each map partition ships at most k rows per source —
+    // O(partitions x sources x k) — while the same window without the
+    // rewrite ships every corpus row into the sort. Measured on a frame
+    // with a real per-source row count (the sf testdata is too small for
+    // the bound to bite), A/B'd by disabling the optimizer rule.
+    val nPart = 8
+    val k = 10
+    val nSources = 4
+    val corpusRows = 200000L
+    val keyed = spark.range(0, corpusRows, 1, nPart)
+      .select(concat(lit("s"), pmod(col("id"), lit(nSources))).as("source"),
+        col("id").as("doc_id"),
+        (pmod(col("id") * 2654435761L, lit(997L)) + 1L).as("w"))
+      .withColumn("u_micro",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long") % 1000000L + 1L)
+      .withColumn("key",
+        log(col("u_micro").cast("double") / lit(1000001.0))
+          / col("w").cast("double"))
+    def sample = keyed
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("key").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("doc_id"), col("w"))
+    val confKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+    val saved = spark.conf.get(confKey)
+    val opt = ShuffleMetrics.measure(spark)(ShuffleMetrics.run(sample))
+    val optRows = sample.collect().map(_.mkString("|")).sorted
+    val (naive, naiveRows) =
+      try {
+        spark.conf.set(confKey, "-1")
+        (ShuffleMetrics.measure(spark)(ShuffleMetrics.run(sample)),
+          sample.collect().map(_.mkString("|")).sorted)
+      } finally spark.conf.set(confKey, saved)
+    info(f"ES weighted sample     optimized ${opt.pretty}%-28s naive ${naive.pretty}")
+    assert(optRows.sameElements(naiveRows),
+      "the rewrite must not change the sample")
+    assert(opt.records <= nPart.toLong * nSources * k,
+      s"WindowGroupLimit must bound the shuffle at partitions x sources x " +
+        s"k = ${nPart * nSources * k} rows, measured ${opt.records}")
+    assert(naive.records >= corpusRows,
+      s"the unbounded window must pay the corpus (${naive.records})")
+  }
+
   test("decontamination broadcasts the benchmark side, never the corpus shingles") {
     // q153's claim: the corpus shingle stream meets the (tiny, distinct)
     // benchmark fingerprint set via broadcast — a shuffle join would put

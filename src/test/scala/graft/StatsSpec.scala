@@ -141,4 +141,84 @@ class StatsSpec extends SparkSpec {
     assert(mmrSim <= topSim + 1e-12,
       s"MMR mean pairwise sim $mmrSim > top-5's $topSim — selection is not diversifying")
   }
+
+  test("q219: quarantine comes only out of train; holdout strata stay frozen") {
+    def strata(df: org.apache.spark.sql.DataFrame) = df
+      .select($"source", $"split", $"n_docs", $"n_tokens").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    val before = strata(StatsQueries.q206StratifiedSplit(spark, dir))
+    val after = strata(StatsQueries.q219SplitRepair(spark, dir))
+    assert(after.keys.map(_._2).toSet
+      .subsetOf(Set("train", "val", "test", "quarantine")))
+    // eval sets frozen: every holdout stratum unchanged doc- and token-exact
+    before.keys.filter(k => k._2 == "val" || k._2 == "test").foreach { k =>
+      assert(after.get(k).contains(before(k)),
+        s"holdout stratum $k changed: ${before(k)} -> ${after.get(k)}")
+    }
+    // quarantine ⊆ former train: per source, train' + quarantine == train
+    before.keys.map(_._1).toSet.foreach { (src: String) =>
+      val t0 = before.getOrElse((src, "train"), (0L, 0L))
+      val t1 = after.getOrElse((src, "train"), (0L, 0L))
+      val q1 = after.getOrElse((src, "quarantine"), (0L, 0L))
+      assert(t1._1 + q1._1 == t0._1 && t1._2 + q1._2 == t0._2,
+        s"$src: train must split exactly into train' + quarantine " +
+          s"($t0 -> $t1 + $q1)")
+    }
+  }
+
+  test("q222: activity report is frame-consistent (permille bounds, peak floor)") {
+    val thr = 140000L // mirrors the query's energy threshold
+    val rows = graft.queries.MultimodalQueries
+      .q222AudioActivity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nf = r.getAs[Long]("n_frames")
+      val na = r.getAs[Long]("n_active")
+      val pm = r.getAs[Long]("active_permille")
+      val peak = r.getAs[Long]("peak_energy")
+      assert(nf >= 1 && na >= 0 && na <= nf)
+      assert(pm == na * 1000 / nf && pm >= 0 && pm <= 1000)
+      // an active frame exists iff the peak clears the threshold
+      if (na >= 1) assert(peak >= thr) else assert(peak < thr)
+      // 16 unsigned bytes bound the per-frame energy
+      assert(peak >= 0 && peak <= 16L * 255 * 255)
+    }
+  }
+
+  test("q223: DP lives in [0,1] and the head is the true top-20 by frequency") {
+    val rows = StatsQueries.q223TokenDispersion(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val dp = r.getAs[Double]("dp")
+      assert(r.getAs[Long]("sum_dev_nano") >= 0L)
+      // DP = ½·Σ|v_p − s_p| ≤ ½(Σv + Σs) = 1; nano flooring only shrinks
+      assert(dp >= 0.0 && dp <= 1.0, s"DP $dp outside [0,1]")
+    }
+    val trueHead = graft.tables.Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok".asc).limit(20)
+      .select($"tok").as[String].collect().toSet
+    assert(rows.map(_.getString(0)).toSet == trueHead,
+      "dispersion must be reported for exactly the top-20 frequency head")
+  }
+
+  test("q224: deciles partition the scored set; keep rates permille-exact") {
+    val rows = StatsQueries.q224ScreenCalibration(spark, dir)
+      .orderBy($"decile".asc).collect()
+    val total = graft.tables.Tables.documents(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "decile doc counts must sum to the scored corpus — the histogram " +
+        "bucket→decile map partitions it")
+    val deciles = rows.map(_.getAs[Int]("decile"))
+    assert(deciles.distinct.length == deciles.length)
+    assert(deciles.forall(d => d >= 1 && d <= 10))
+    rows.foreach { r =>
+      val (n, k, pm) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_keep"),
+        r.getAs[Long]("keep_permille"))
+      assert(k >= 0 && k <= n)
+      assert(pm == k * 1000 / n)
+    }
+  }
 }
