@@ -67,9 +67,11 @@ object ScaleProbe {
     "q219_split_repair", "q220_kanon_release", "q221_event_paths",
     "q222_audio_activity", "q223_token_dispersion",
     "q224_screen_calibration",
-    // round-12 additions: the leakage-gate ingest protocol and the
-    // cross-modal dedup-agreement join (both documents-only)
-    "q225_leakage_gate_ingest", "q226_crossmodal_agreement")
+    // round-12 additions: the leakage-gate ingest protocol, the
+    // cross-modal dedup-agreement join, and the media dedup-on-ingest
+    // protocol (all documents-only)
+    "q225_leakage_gate_ingest", "q226_crossmodal_agreement",
+    "q227_media_dedup_ingest")
 
   private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
     .filter(_.getType == MemoryType.HEAP)

@@ -429,7 +429,83 @@ object MultimodalQueries {
       ON tp.doc_a = mp.doc_a AND tp.doc_b = mp.doc_b
     ORDER BY doc_a ASC, doc_b ASC"""
 
+  // q227 — media dedup-on-ingest: the multimodal leg of the at-the-door
+  // dedup family (q150 text exact+MinHash, q165 spans, q160 embeddings —
+  // now payload bytes). The image-kind corpus slice doc_id % 4 ≤ 1 seeds
+  // a persisted perceptual-hash band index; batches % 4 = 2 then 3 are
+  // screened against it (near-dup ⟺ ANY of the four 16-bit aHash bands
+  // is indexed — the same band-collision door signal as q150's `b:`
+  // MinHash buckets; q174's exact-Hamming verify is the pair REPORTER,
+  // not the door), and each batch's ADMITTED payloads' bands guard the
+  // next. Payloads under 64 bytes have no hash and are always admitted.
+  // The oracle replays the whole sequential run — band chain, snapshot
+  // semantics, index growth — in SQL.
+  def q227MediaDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    val media = MultimodalOps.asMediaTable(
+      Tables.documents(spark, dir).repartition(col("doc_id")))
+      .filter(col("kind") === "image")
+    val corpus = media.filter(pmod(col("doc_id"), lit(4)) <= 1)
+    val batches = Seq(2, 3).map(r =>
+      media.filter(pmod(col("doc_id"), lit(4)) === r))
+    val root = java.nio.file.Files.createTempDirectory("graft-mediaingest")
+      .toString
+    // decisions come back lineage-free (localCheckpoint), so the store
+    // directory can be deleted before the caller consumes them
+    try graft.operators.MediaDedupIngest.run(spark, root, corpus, batches)
+      .orderBy(col("doc_id").asc)
+    finally graft.sync.TableStore.deleteRecursively(
+      java.nio.file.Paths.get(root))
+  }
+  val q227Oracle: String = """
+    WITH img AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 0 AND octet_length(encode(text)) >= 64),
+    px AS (
+      SELECT doc_id, unnest(generate_series(0, 63)) AS i, n, text FROM img),
+    pv AS (
+      SELECT doc_id, i,
+             ascii(text[(i*(n//64))+1 : (i*(n//64))+1]) AS p FROM px),
+    pxs AS (SELECT doc_id, SUM(p) AS s FROM pv GROUP BY doc_id),
+    bits AS (
+      SELECT pv.doc_id, i, CASE WHEN p * 64 > s THEN 1 ELSE 0 END AS bit
+      FROM pv JOIN pxs ON pxs.doc_id = pv.doc_id),
+    bands AS (
+      SELECT doc_id, i // 16 AS band,
+             CAST(SUM(bit << (i % 16)) AS BIGINT) AS v
+      FROM bits GROUP BY doc_id, i // 16),
+    idx0 AS (
+      SELECT DISTINCT band, v FROM bands WHERE doc_id % 4 <= 1),
+    all1 AS (SELECT doc_id FROM documents
+             WHERE doc_id % 3 = 0 AND doc_id % 4 = 2),
+    hit1 AS (
+      SELECT DISTINCT b.doc_id FROM bands b JOIN idx0 USING (band, v)
+      WHERE b.doc_id % 4 = 2),
+    dec1 AS (
+      SELECT all1.doc_id, 1 AS batch_id,
+             CAST(hit1.doc_id IS NOT NULL AS INT) AS near_dup,
+             CAST(hit1.doc_id IS NULL AS INT) AS admitted
+      FROM all1 LEFT JOIN hit1 ON hit1.doc_id = all1.doc_id),
+    idx1 AS (
+      SELECT band, v FROM idx0
+      UNION
+      SELECT band, v FROM bands JOIN dec1 ON dec1.doc_id = bands.doc_id
+      WHERE dec1.admitted = 1),
+    all2 AS (SELECT doc_id FROM documents
+             WHERE doc_id % 3 = 0 AND doc_id % 4 = 3),
+    hit2 AS (
+      SELECT DISTINCT b.doc_id FROM bands b JOIN idx1 USING (band, v)
+      WHERE b.doc_id % 4 = 3),
+    dec2 AS (
+      SELECT all2.doc_id, 2 AS batch_id,
+             CAST(hit2.doc_id IS NOT NULL AS INT) AS near_dup,
+             CAST(hit2.doc_id IS NULL AS INT) AS admitted
+      FROM all2 LEFT JOIN hit2 ON hit2.doc_id = all2.doc_id)
+    SELECT doc_id, CAST(batch_id AS INT) AS batch_id, near_dup, admitted
+    FROM (SELECT * FROM dec1 UNION ALL SELECT * FROM dec2)
+    ORDER BY doc_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_media_dedup_ingest" -> (q227MediaDedupIngest _),
     "q226_crossmodal_agreement" -> (q226CrossmodalAgreement _),
     "q222_audio_activity" -> (q222AudioActivity _),
     "q180_media_dedup_clusters" -> (q180MediaDedupClusters _),
@@ -441,6 +517,7 @@ object MultimodalQueries {
     "q96_resize_thumbnail" -> (q96ResizeThumbnail _))
 
   val oracles: Map[String, String] = Map(
+    "q227_media_dedup_ingest" -> q227Oracle,
     "q226_crossmodal_agreement" -> q226Oracle,
     "q222_audio_activity" -> q222Oracle,
     "q180_media_dedup_clusters" -> q180Oracle,

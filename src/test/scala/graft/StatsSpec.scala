@@ -204,6 +204,41 @@ class StatsSpec extends SparkSpec {
       "dispersion must be reported for exactly the top-20 frequency head")
   }
 
+  test("q225: every train doc gets exactly one verdict; flags are consistent") {
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val trainIds = docs
+      .filter(StatsQueries.splitOf($"doc_id") === "train")
+      .select($"doc_id").as[Long].collect().sorted
+    val rows = StatsQueries.q225LeakageGateIngest(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.sameElements(trainIds),
+      "verdicts must cover the train split exactly — holdout is never gated")
+    rows.foreach { r =>
+      val (nLeaks, admit) = (r.getAs[Long]("n_leaks"), r.getAs[Int]("admit"))
+      assert(admit == (if (nLeaks == 0) 1 else 0),
+        "admit must be exactly the no-leak indicator")
+      assert(r.getAs[Int]("batch_id") == (r.getAs[Long]("doc_id") % 2).toInt)
+      assert(r.getAs[Long]("n_sh") >= 0 && nLeaks >= 0)
+    }
+  }
+
+  test("q226: agreement rows are canonical image-slice pairs with a real flag") {
+    val rows = graft.queries.MultimodalQueries
+      .q226CrossmodalAgreement(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (t, m, g) = (r.getAs[Int]("text_dup"), r.getAs[Int]("media_dup"),
+        r.getAs[Int]("agree"))
+      assert(a < b, "pairs are canonical (doc_a < doc_b), each counted once")
+      assert(a % 3 == 0 && b % 3 == 0, "both endpoints are image-kind docs")
+      assert(t == 1 || m == 1, "a row exists only if SOME channel flagged it")
+      assert(g == t * m, "agree is exactly the AND of the two channels")
+    }
+    // no pair may appear twice
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
+
   test("q224: deciles partition the scored set; keep rates permille-exact") {
     val rows = StatsQueries.q224ScreenCalibration(spark, dir)
       .orderBy($"decile".asc).collect()
