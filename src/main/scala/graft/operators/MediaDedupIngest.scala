@@ -12,108 +12,149 @@ import graft.sync.BucketedTableStore
   * [[DedupIngest]] (text exact+MinHash), [[SpanIngest]] (text spans),
   * [[SemanticDedupIngest]] (embeddings) — completed for payload bytes:
   * each arriving media batch is screened against a PERSISTED perceptual-
-  * hash band index that grows with the admissions. Batch k sees every
+  * hash index that grows with the admissions. Batch k sees every
   * admission from batches 1..k-1; the index update is a merge-on-read
   * delta commit (O(batch), not O(corpus)); the corpus is never rescanned.
   *
-  * Fingerprints are [[MultimodalOps.perceptualHashBands]]' four 16-bit
-  * aHash bands, keyed `"p:" + band + ":" + v` in ONE [[BucketedTableStore]]
-  * table — a doc is a near-dup iff ANY band value is indexed (the same
-  * band-collision admission signal [[DedupIngest]] uses for its `b:`
-  * MinHash buckets; the exact-Hamming verify of q174 is the PAIR
-  * reporter's job, not the door's — the door only needs a conservative
-  * membership answer, and a band collision at 16 bits is already a
-  * strong signal on payload bytes). Payloads shorter than 64 bytes have
-  * no hash (the q174 floor) — they can never be near-dups and are always
-  * admitted, contributing nothing to the index.
+  * Candidates-then-VERIFY, not membership: a 16-bit aHash band value is
+  * a CANDIDATE signal only — at 100 TB image corpora (10⁹⁺ payloads)
+  * every one of the 4×65536 band cells is occupied, so a pure
+  * band-membership door (the `b:` signal [[DedupIngest]] can afford in
+  * its 256-bit MinHash bucket space) would saturate and reject
+  * everything. Here a band collision only nominates admitted neighbors
+  * (per-cell candidate fan-out capped at [[MaxCell]] lowest-doc_id index
+  * rows — q174's hot-cell cap, identical-logo clusters must not go
+  * quadratic), and the door verdict is the exact 64-bit Hamming distance
+  * ≤ maxHamming against the nominated rows' full hashes, exactly q174's
+  * verify. The q227 oracle replays the whole sequential run — band
+  * chain, per-cell cap, Hamming verify, snapshot semantics, index
+  * growth — in SQL.
+  *
+  * Index layout ([[SemanticDedupIngest]]'s shape): one
+  * [[BucketedTableStore]] table (`pfp`) of the admitted payloads' BAND
+  * ROWS — key `band:v:doc_id` (unique per row, so delta-merge
+  * resolution never collapses a cell), with the `bb = band:v` column
+  * carrying a bloom sidecar: a probe collects the batch's DISTINCT band
+  * cells (bounded driver set — ≤ 4·|batch| strings, ≤ 4·65536 ever) and
+  * [[BucketedTableStore.readWhereIn]] reads only the store buckets whose
+  * sidecars admit one of them; index size never enters the probe cost.
   *
   * Decisions within one batch are taken against the index AS OF the
   * batch start (snapshot semantics — two identical new payloads in one
-  * batch are both admitted), mirroring [[DedupIngest.decide]] exactly;
-  * the q227 oracle replays the whole sequential run, index growth
-  * included, via the q174 band chain in SQL.
-  *
-  * Scale shape per batch: one codegen'd phash pass over the batch, a
-  * bucket-pruned index probe (touched-bucket ids are the only driver
-  * materialization — ≤ nBuckets ints), one ≤4-rows-per-doc semi-join,
-  * and an O(batch) delta commit with bounded auto-compaction.
+  * batch are both admitted), mirroring [[DedupIngest.decide]]. Payloads
+  * under 64 bytes have no hash (the q174 floor): never near-dups,
+  * always admitted, contribute nothing to the index.
   */
 object MediaDedupIngest {
 
-  /** Band fingerprints of a media frame: (doc_id, fp) with
-    * fp = "p:band:v" — ≤ 4 rows per payload, none under 64 bytes. */
-  def bandFingerprints(spark: SparkSession, media: DataFrame): DataFrame =
-    MultimodalOps.perceptualHashBands(spark, media).toDF()
-      .select(col("doc_id"), posexplode(
-        array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "v")))
-      .select(col("doc_id"),
-        concat(lit("p:"), col("band").cast("string"), lit(":"),
-          col("v").cast("string")).as("fp"))
+  /** Per-(band, value) candidate fan-out cap at probe time (lowest
+    * doc_ids win — deterministic, replayed by the oracle's QUALIFY). */
+  val MaxCell = 64
 
-  /** Seed the index table from an initial corpus (may be empty). */
+  /** Band rows of a media frame: (doc_id, bb, b0..b3) — one row per
+    * (payload, band) with the full 64-bit hash alongside for the
+    * verify; none under 64 bytes. */
+  def bandRows(spark: SparkSession, media: DataFrame): DataFrame =
+    MultimodalOps.perceptualHashBands(spark, media).toDF()
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band", "v")))
+      .select(col("doc_id"),
+        concat(col("band").cast("string"), lit(":"),
+          col("v").cast("string")).as("bb"),
+        col("b0"), col("b1"), col("b2"), col("b3"))
+
+  private def keyed(rows: DataFrame): DataFrame =
+    rows.withColumn("k",
+      concat(col("bb"), lit(":"), col("doc_id").cast("string")))
+
+  /** Seed the index from an initial corpus (may be empty). */
   def seedIndex(store: BucketedTableStore, corpus: DataFrame,
       spark: SparkSession, ts: Timestamp): Unit =
-    store.writeAll("pfp",
-      bandFingerprints(spark, corpus).select(col("fp")).distinct()
-        .withColumn("syncTimestamp", lit(ts)), "fp")
-
-  /** Rows of `probes` whose fp is indexed, reading only touched buckets
-    * (collected: bucket IDS, bounded by the store's bucket count). */
-  private def probeHits(store: BucketedTableStore, probes: DataFrame)
-      : DataFrame = {
-    val touched = probes.select(store.bucketCol("fp").as("_b")).distinct()
-      .collect().map(_.getLong(0).toInt).toSet
-    store.readBuckets("pfp", Some(touched)) match {
-      case Some(idx) if idx.columns.contains("fp") =>
-        probes.join(idx.select(col("fp")), Seq("fp"), "left_semi")
-      case _ => probes.limit(0)
-    }
-  }
+    store.writeAll("pfp", keyed(bandRows(spark, corpus))
+        .withColumn("syncTimestamp", lit(ts)),
+      "k", bloomCols = Seq("bb"))
 
   /** Admit/reject ONE batch against the index as of now — pure read,
     * decisions materialized at call time (bounded: one row per doc;
-    * same vacuum-race rationale as [[DedupIngest.decide]]). */
-  def decide(store: BucketedTableStore, batch: DataFrame, fps: DataFrame,
-      batchId: Long): DataFrame = {
-    val flags = probeHits(store, fps)
-      .groupBy(col("doc_id")).agg(lit(1).as("nd"))
-    Materialize.thenRelease(
+    * same vacuum-race rationale as [[DedupIngest.decide]]). `bb` must
+    * be [[bandRows]] of `batch` (passed in so the caller can persist it
+    * across this and [[applyAdmissions]]). */
+  def decide(store: BucketedTableStore, batch: DataFrame, bb: DataFrame,
+      batchId: Long, maxHamming: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // bounded driver set: distinct band-cell STRINGS of the batch
+    // (≤ 4·|batch|, ≤ 4·65536 ever) — never index rows
+    val probeCells = bb.select(col("bb")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val admPersisted = store.readWhereIn("pfp", "bb", probeCells)
+      .filter(_.columns.contains("doc_id"))
+      .map(_.persist(StorageLevel.MEMORY_AND_DISK))
+    val hits = admPersisted match {
+      case Some(adm) =>
+        // per-cell cap BEFORE the candidate join (hot logo cells),
+        // lowest doc_ids deterministic; then ids-only dedupe, hashes
+        // joined back once per side for the exact Hamming verify
+        val capped = adm
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("bb")).orderBy(col("doc_id").asc)))
+          .filter(col("rn") <= MaxCell)
+          .select(col("bb"), col("doc_id").as("a_id"))
+        val pairIds = bb.select(col("doc_id"), col("bb"))
+          .join(capped, Seq("bb"))
+          .select(col("doc_id"), col("a_id")).distinct()
+        val batchH = bb.select(col("doc_id"), col("b0"), col("b1"),
+          col("b2"), col("b3")).dropDuplicates("doc_id")
+        val admH = adm.select(col("doc_id").as("a_id"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+          .dropDuplicates("a_id")
+        pairIds.join(batchH, Seq("doc_id")).join(admH, Seq("a_id"))
+          .withColumn("hamming",
+            (bit_count(col("b0").bitwiseXOR(col("a0")))
+              + bit_count(col("b1").bitwiseXOR(col("a1")))
+              + bit_count(col("b2").bitwiseXOR(col("a2")))
+              + bit_count(col("b3").bitwiseXOR(col("a3")))).cast("int"))
+          .groupBy(col("doc_id"))
+          .agg(max((col("hamming") <= maxHamming).cast("int")).as("nd"))
+      case None => bb.select(col("doc_id")).limit(0).withColumn("nd", lit(0))
+    }
+    try Materialize.thenRelease(
       batch.select(col("doc_id"))
-        .join(flags, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"), lit(batchId).cast("int").as("batch_id"),
           coalesce(col("nd"), lit(0)).as("near_dup"))
         .withColumn("admitted", (col("near_dup") === 0).cast("int")))
+    finally admPersisted.foreach(_.unpersist(blocking = false))
   }
 
-  /** Merge the admitted docs' band fps into the index (delta commit +
+  /** Merge the admitted docs' band rows into the index (delta commit +
     * bounded auto-compaction; idempotent under re-application). */
-  def applyAdmissions(store: BucketedTableStore, fps: DataFrame,
+  def applyAdmissions(store: BucketedTableStore, bb: DataFrame,
       decisions: DataFrame, ts: Timestamp): Unit =
     store.applyMerge("pfp",
-      fps.join(decisions.filter(col("admitted") === 1).select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
-        .select(col("fp")).distinct()
+      keyed(bb.join(decisions.filter(col("admitted") === 1)
+          .select(col("doc_id")), Seq("doc_id"), "left_semi"))
         .withColumn("eventName", lit("INSERT")),
-      "fp", ts)
+      "k", ts)
 
   /** Seed the index from `corpus`, then ingest `batches` in order.
     * Returns one decision row per batch doc:
     * (doc_id, batch_id, near_dup, admitted), unordered. `t0` stamps the
     * index commits (deterministic clock); it never influences decisions. */
   def run(spark: SparkSession, root: String, corpus: DataFrame,
-      batches: Seq[DataFrame], nBuckets: Int = 16,
+      batches: Seq[DataFrame], nBuckets: Int = 16, maxHamming: Int = 10,
       t0: Long = 1660000000000L): DataFrame = {
     val store = new BucketedTableStore(spark, root, nBuckets,
       deltaMerges = true, autoCompactAfter = 4)
     seedIndex(store, corpus, spark, new Timestamp(t0))
     val decisions = batches.zipWithIndex.map { case (batch, i) =>
-      // the fp frame feeds the probe AND (filtered) the index update —
+      // the band frame feeds the probe AND (filtered) the index update —
       // persisted for the batch's scope only
-      val fps = bandFingerprints(spark, batch)
+      val bb = bandRows(spark, batch)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val decM = decide(store, batch, fps, batchId = i + 1L)
-      applyAdmissions(store, fps, decM, new Timestamp(t0 + (i + 1) * 60000L))
-      fps.unpersist()
+      val decM = decide(store, batch, bb, i + 1L, maxHamming)
+      applyAdmissions(store, bb, decM, new Timestamp(t0 + (i + 1) * 60000L))
+      bb.unpersist()
       decM
     }
     decisions.reduceOption(_.unionByName(_)).getOrElse {

@@ -433,13 +433,15 @@ object MultimodalQueries {
   // dedup family (q150 text exact+MinHash, q165 spans, q160 embeddings —
   // now payload bytes). The image-kind corpus slice doc_id % 4 ≤ 1 seeds
   // a persisted perceptual-hash band index; batches % 4 = 2 then 3 are
-  // screened against it (near-dup ⟺ ANY of the four 16-bit aHash bands
-  // is indexed — the same band-collision door signal as q150's `b:`
-  // MinHash buckets; q174's exact-Hamming verify is the pair REPORTER,
-  // not the door), and each batch's ADMITTED payloads' bands guard the
-  // next. Payloads under 64 bytes have no hash and are always admitted.
-  // The oracle replays the whole sequential run — band chain, snapshot
-  // semantics, index growth — in SQL.
+  // screened against it — a band collision only NOMINATES admitted
+  // neighbors (per-cell cap 64, lowest doc_ids: 16-bit cells saturate at
+  // 100 TB, so membership alone cannot be the verdict) and the door
+  // decision is the exact 64-bit Hamming ≤ 10 against the nominated
+  // rows' full hashes (q174's verify, at the door) — and each batch's
+  // ADMITTED payloads' band rows guard the next. Payloads under 64
+  // bytes have no hash and are always admitted. The oracle replays the
+  // whole sequential run — band chain, per-cell cap, Hamming verify,
+  // snapshot semantics, index growth — in SQL.
   def q227MediaDedupIngest(spark: SparkSession, dir: String): DataFrame = {
     val media = MultimodalOps.asMediaTable(
       Tables.documents(spark, dir).repartition(col("doc_id")))
@@ -473,28 +475,59 @@ object MultimodalQueries {
       SELECT doc_id, i // 16 AS band,
              CAST(SUM(bit << (i % 16)) AS BIGINT) AS v
       FROM bits GROUP BY doc_id, i // 16),
-    idx0 AS (
-      SELECT DISTINCT band, v FROM bands WHERE doc_id % 4 <= 1),
+    wide AS (
+      SELECT doc_id,
+        CAST(MAX(CASE WHEN band=0 THEN v END) AS BIGINT) AS b0,
+        CAST(MAX(CASE WHEN band=1 THEN v END) AS BIGINT) AS b1,
+        CAST(MAX(CASE WHEN band=2 THEN v END) AS BIGINT) AS b2,
+        CAST(MAX(CASE WHEN band=3 THEN v END) AS BIGINT) AS b3
+      FROM bands GROUP BY doc_id),
+    idx0 AS (SELECT band, v, doc_id FROM bands WHERE doc_id % 4 <= 1),
     all1 AS (SELECT doc_id FROM documents
              WHERE doc_id % 3 = 0 AND doc_id % 4 = 2),
-    hit1 AS (
-      SELECT DISTINCT b.doc_id FROM bands b JOIN idx0 USING (band, v)
+    cap1 AS (
+      SELECT band, v, doc_id AS a_id FROM idx0
+      QUALIFY row_number() OVER (PARTITION BY band, v
+        ORDER BY doc_id ASC) <= 64),
+    cand1 AS (
+      SELECT DISTINCT b.doc_id, c.a_id
+      FROM bands b JOIN cap1 c ON c.band = b.band AND c.v = b.v
       WHERE b.doc_id % 4 = 2),
+    hit1 AS (
+      SELECT DISTINCT cand1.doc_id
+      FROM cand1 JOIN wide wb ON wb.doc_id = cand1.doc_id
+                 JOIN wide wa ON wa.doc_id = cand1.a_id
+      WHERE bit_count(xor(wb.b0, wa.b0)) + bit_count(xor(wb.b1, wa.b1))
+          + bit_count(xor(wb.b2, wa.b2)) + bit_count(xor(wb.b3, wa.b3))
+          <= 10),
     dec1 AS (
       SELECT all1.doc_id, 1 AS batch_id,
              CAST(hit1.doc_id IS NOT NULL AS INT) AS near_dup,
              CAST(hit1.doc_id IS NULL AS INT) AS admitted
       FROM all1 LEFT JOIN hit1 ON hit1.doc_id = all1.doc_id),
     idx1 AS (
-      SELECT band, v FROM idx0
-      UNION
-      SELECT band, v FROM bands JOIN dec1 ON dec1.doc_id = bands.doc_id
+      SELECT band, v, doc_id FROM idx0
+      UNION ALL
+      SELECT band, v, b.doc_id FROM bands b
+        JOIN dec1 ON dec1.doc_id = b.doc_id
       WHERE dec1.admitted = 1),
     all2 AS (SELECT doc_id FROM documents
              WHERE doc_id % 3 = 0 AND doc_id % 4 = 3),
-    hit2 AS (
-      SELECT DISTINCT b.doc_id FROM bands b JOIN idx1 USING (band, v)
+    cap2 AS (
+      SELECT band, v, doc_id AS a_id FROM idx1
+      QUALIFY row_number() OVER (PARTITION BY band, v
+        ORDER BY doc_id ASC) <= 64),
+    cand2 AS (
+      SELECT DISTINCT b.doc_id, c.a_id
+      FROM bands b JOIN cap2 c ON c.band = b.band AND c.v = b.v
       WHERE b.doc_id % 4 = 3),
+    hit2 AS (
+      SELECT DISTINCT cand2.doc_id
+      FROM cand2 JOIN wide wb ON wb.doc_id = cand2.doc_id
+                 JOIN wide wa ON wa.doc_id = cand2.a_id
+      WHERE bit_count(xor(wb.b0, wa.b0)) + bit_count(xor(wb.b1, wa.b1))
+          + bit_count(xor(wb.b2, wa.b2)) + bit_count(xor(wb.b3, wa.b3))
+          <= 10),
     dec2 AS (
       SELECT all2.doc_id, 2 AS batch_id,
              CAST(hit2.doc_id IS NOT NULL AS INT) AS near_dup,

@@ -11,24 +11,34 @@ import graft.operators.MediaDedupIngest
   *   - decreasing bytes → bands (0xffff, 0xffff, 0, 0) — no (band, value)
   *     collision with increasing;
   *   - alternating low/high bytes → every band 0xAAAA — disjoint from
-  *     both. */
+  *     both;
+  *   - 16 low bytes then alternating-from-even → bands
+  *     (0, 0x5555, 0x5555, 0x5555): SHARES cell (0, 0) with increasing
+  *     but sits at Hamming 24 — the case that separates the
+  *     candidate-then-verify door from a naive membership door. */
 class MediaDedupIngestSpec extends SparkSpec {
   import spark.implicits._
 
   private val inc = Array.tabulate(80)(i => (33 + i).toByte)
   private val dec = inc.reverse
   private val alt = Array.tabulate(80)(i => (if (i % 2 == 0) 40 else 90).toByte)
+  // i<16 → 40; i≥16 → 90 at even i, 40 at odd: mean 58.75, bits only at
+  // the even i ≥ 16 → (0x0000, 0x5555, 0x5555, 0x5555)
+  private val nearMiss = Array.tabulate(80)(i =>
+    (if (i >= 16 && i % 2 == 0) 90 else 40).toByte)
 
   private def media(rows: (Long, Array[Byte])*) =
     rows.toSeq.toDF("doc_id", "media").withColumn("kind", lit("image"))
 
-  test("cross-batch rejection, snapshot semantics, short-payload admission") {
+  test("verify-at-the-door: exact dups rejected, band-collision-only admitted") {
     val root = tmpDir("mdi")
     val corpus = media(0L -> inc)
     val batches = Seq(
-      media(100L -> inc,            // identical to corpus → rejected
-        101L -> dec,                // band-disjoint → admitted
-        102L -> "tiny".getBytes),   // < 64 bytes: no hash → admitted
+      media(100L -> inc,            // Hamming 0 vs corpus → rejected
+        101L -> dec,                // band-disjoint → no candidates → admitted
+        102L -> "tiny".getBytes,    // < 64 bytes: no hash → admitted
+        103L -> nearMiss),          // shares cell (0,0) with corpus but
+                                    // Hamming 24 > 10 → VERIFY admits it
       media(200L -> dec,            // identical to ADMITTED 101 → rejected
         201L -> alt, 202L -> alt))  // identical pair, NEW: snapshot
                                     // semantics admit BOTH
@@ -40,18 +50,13 @@ class MediaDedupIngestSpec extends SparkSpec {
       java.nio.file.Paths.get(root))
     assert(out == Map(
       100L -> ((1, 1, 0)), 101L -> ((1, 0, 1)), 102L -> ((1, 0, 1)),
+      103L -> ((1, 0, 1)),
       200L -> ((2, 1, 0)), 201L -> ((2, 0, 1)), 202L -> ((2, 0, 1))),
       s"decisions: $out")
   }
 
   test("rejected payloads leave no trace in the index") {
     val root = tmpDir("mdi-trace")
-    // batch 1 rejects doc 100 (dup of corpus). If the rejection leaked
-    // into the index, batch 2's doc 200 — identical to 100 and to the
-    // corpus — would STILL be rejected (same verdict), so probe instead
-    // with a payload that only ever appeared on a rejected doc: impossible
-    // by construction here, so assert the index row count stays at the
-    // corpus + admitted fingerprints only.
     val corpus = media(0L -> inc)
     val batches = Seq(media(100L -> inc), media(200L -> alt))
     try {
@@ -59,22 +64,22 @@ class MediaDedupIngestSpec extends SparkSpec {
         deltaMerges = true, autoCompactAfter = 4)
       MediaDedupIngest.seedIndex(store, corpus, spark,
         new java.sql.Timestamp(1660000000000L))
-      val fps1 = MediaDedupIngest.bandFingerprints(spark, batches(0))
-      val d1 = MediaDedupIngest.decide(store, batches(0), fps1, 1L)
-      MediaDedupIngest.applyAdmissions(store, fps1, d1,
+      val bb1 = MediaDedupIngest.bandRows(spark, batches(0))
+      val d1 = MediaDedupIngest.decide(store, batches(0), bb1, 1L)
+      MediaDedupIngest.applyAdmissions(store, bb1, d1,
         new java.sql.Timestamp(1660000060000L))
       assert(d1.collect().head.getAs[Int]("admitted") == 0)
-      // corpus contributed 2 distinct band values (0 and 0xffff appear in
-      // two bands each → 4 fps); the rejected batch added nothing
+      // the corpus doc contributed one row per band (4); the rejected
+      // batch added nothing
       val n1 = store.readBuckets("pfp", None).get.count()
-      assert(n1 == 4L, s"rejected doc must add no fingerprints (index $n1)")
-      val fps2 = MediaDedupIngest.bandFingerprints(spark, batches(1))
-      val d2 = MediaDedupIngest.decide(store, batches(1), fps2, 2L)
-      MediaDedupIngest.applyAdmissions(store, fps2, d2,
+      assert(n1 == 4L, s"rejected doc must add no band rows (index $n1)")
+      val bb2 = MediaDedupIngest.bandRows(spark, batches(1))
+      val d2 = MediaDedupIngest.decide(store, batches(1), bb2, 2L)
+      MediaDedupIngest.applyAdmissions(store, bb2, d2,
         new java.sql.Timestamp(1660000120000L))
       assert(d2.collect().head.getAs[Int]("admitted") == 1)
       val n2 = store.readBuckets("pfp", None).get.count()
-      assert(n2 == 8L, s"admitted doc must add its 4 band fps (index $n2)")
+      assert(n2 == 8L, s"admitted doc must add its 4 band rows (index $n2)")
     } finally graft.sync.TableStore.deleteRecursively(
       java.nio.file.Paths.get(root))
   }
