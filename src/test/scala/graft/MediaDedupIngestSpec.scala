@@ -80,6 +80,12 @@ class MediaDedupIngestSpec extends SparkSpec {
       assert(d2.collect().head.getAs[Int]("admitted") == 1)
       val n2 = store.readBuckets("pfp", None).get.count()
       assert(n2 == 8L, s"admitted doc must add its 4 band rows (index $n2)")
+      // replay safety the scaladoc claims: re-applying the same
+      // admissions is a no-op for the resolved index (idempotent upsert)
+      MediaDedupIngest.applyAdmissions(store, bb2, d2,
+        new java.sql.Timestamp(1660000180000L))
+      val n3 = store.readBuckets("pfp", None).get.count()
+      assert(n3 == 8L, s"re-applied admissions must resolve unchanged ($n3)")
     } finally graft.sync.TableStore.deleteRecursively(
       java.nio.file.Paths.get(root))
   }

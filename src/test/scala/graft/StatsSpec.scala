@@ -239,6 +239,32 @@ class StatsSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("q224: the histogram decile map is monotone in score") {
+    // the bucket→decile map must assign better scores to lower deciles:
+    // derive per-doc (bucket, decile) from the pre-materialize frames
+    // and check decile is non-increasing as the score bucket rises,
+    // starting at decile 1 for the best bucket
+    val (out, base) = StatsQueries.q224Frames(spark, dir)
+    out.collect() // materialize so base is populated
+    val perBucket = base.select($"bucket").distinct().as[Long].collect().sorted.reverse
+    // rebuild the map exactly as the query does: deciles from cum_before
+    val hist = base.groupBy($"bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    base.unpersist()
+    val total = hist.values.sum
+    var cumBefore = 0L
+    var lastDecile = 0L
+    perBucket.foreach { b =>
+      val decile = 1 + cumBefore * 10 / total
+      assert(decile >= lastDecile, s"decile regressed at bucket $b")
+      assert(decile >= 1 && decile <= 10)
+      if (cumBefore == 0) assert(decile == 1, "the best bucket is decile 1")
+      lastDecile = decile
+      cumBefore += hist(b)
+    }
+    assert(cumBefore == total)
+  }
+
   test("q224: deciles partition the scored set; keep rates permille-exact") {
     val rows = StatsQueries.q224ScreenCalibration(spark, dir)
       .orderBy($"decile".asc).collect()
