@@ -172,12 +172,12 @@ object ScaleProbe {
       graft.queries.VectorQueries.semanticDedup(spark, dir,
         bands = 10, dimsPerBand = 6)
 
-    // q160 at sf1 runs the SCALED banding too, but for the opposite
-    // failure mode: the ingest screen has no per-cell cap (the oracle
-    // replays it uncapped), so at 20k vectors the default 16×4 bands
-    // lose selectivity and the candidate pair set blows UP rather than
-    // starving — wider buckets restore per-cell occupancy, which is the
-    // prescribed scale knob either way
+    // q160 at sf1 runs the SCALED banding too: the ingest screen caps
+    // each cell's nominations at MaxCell=64 (r13), so at 20k vectors the
+    // default 16×4 bands leave the average cell far over the cap and the
+    // door runs cap-starved (bounded but recall-poor) — wider buckets
+    // restore per-cell occupancy near the cap, which is the prescribed
+    // scale knob either way
     def q160Scaled(spark: SparkSession, dir: String): DataFrame = {
       val emb = graft.tables.Tables.embeddings(spark, dir)
         .repartition(col("vec_id"))

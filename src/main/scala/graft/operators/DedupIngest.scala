@@ -4,7 +4,6 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.sync.BucketedTableStore
 
@@ -112,7 +111,7 @@ object DedupIngest {
     Materialize.thenRelease(
       batch.select(col("doc_id"))
         .join(flags, Seq("doc_id"), "left")
-        .select(col("doc_id"), lit(batchId).as("batch_id"),
+        .select(col("doc_id"), lit(batchId).cast("int").as("batch_id"),
           coalesce(col("e"), lit(0)).as("exact_dup"),
           coalesce(col("nd"), lit(0)).as("near_dup"))
         .withColumn("admitted",
@@ -146,6 +145,32 @@ object DedupIngest {
         .withColumn("eventName", lit("INSERT")),
       "fp", ts)
 
+  /** This door under the shared [[IngestDoor]] contract — the probe
+    * frame is [[fingerprints]], decisions are
+    * (doc_id, batch_id, exact_dup, near_dup, admitted). */
+  def door(shingleN: Int = 3, numHashes: Int = 8,
+      rowsPerBand: Int = 2): IngestDoor = new IngestDoor {
+    import org.apache.spark.sql.types._
+    val idCol = "doc_id"
+    val decisionSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("batch_id", IntegerType),
+      StructField("exact_dup", IntegerType),
+      StructField("near_dup", IntegerType),
+      StructField("admitted", IntegerType)))
+    override def defaultBuckets = 32
+    def probeFrame(spark: SparkSession, batch: DataFrame) =
+      fingerprints(batch, shingleN, numHashes, rowsPerBand)
+    def seedIndex(spark: SparkSession, store: BucketedTableStore,
+        corpus: DataFrame, ts: Timestamp) =
+      DedupIngest.seedIndex(store, corpus, ts, shingleN, numHashes, rowsPerBand)
+    def decide(spark: SparkSession, store: BucketedTableStore,
+        batch: DataFrame, probe: DataFrame, batchId: Long) =
+      DedupIngest.decide(store, batch, probe, batchId)
+    def applyAdmissions(store: BucketedTableStore, probe: DataFrame,
+        decisions: DataFrame, ts: Timestamp) =
+      DedupIngest.applyAdmissions(store, probe, decisions, ts)
+  }
+
   /** Seed the index from `corpus`, then ingest `batches` in order.
     * Returns one decision row per batch doc:
     * (doc_id, batch_id, exact_dup, near_dup, admitted), unordered.
@@ -155,35 +180,7 @@ object DedupIngest {
   def run(spark: SparkSession, root: String, corpus: DataFrame,
       batches: Seq[DataFrame], nBuckets: Int = 32, shingleN: Int = 3,
       numHashes: Int = 8, rowsPerBand: Int = 2,
-      t0: Long = 1660000000000L): DataFrame = {
-    val store = new BucketedTableStore(spark, root, nBuckets,
-      deltaMerges = true, autoCompactAfter = 4)
-    seedIndex(store, corpus, new Timestamp(t0), shingleN, numHashes, rowsPerBand)
-
-    val decisions = batches.zipWithIndex.map { case (batch, i) =>
-      // the fingerprint frame feeds the probe AND (filtered) the index
-      // update — persist for the batch's scope, released before returning
-      val fps = fingerprints(batch, shingleN, numHashes, rowsPerBand)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // decide() freezes its decisions at call time, so the index merge
-      // below (and any compaction/vacuum it triggers) cannot perturb or
-      // invalidate them
-      val decM = decide(store, batch, fps, batchId = i + 1L)
-        .withColumn("batch_id", col("batch_id").cast("int"))
-      applyAdmissions(store, fps, decM, new Timestamp(t0 + (i + 1) * 60000L))
-      fps.unpersist()
-      decM
-    }
-    // reduceOption: seeding an index with no batches yet is legal and
-    // returns an empty (schema-correct) decisions frame, not a crash
-    decisions.reduceOption(_.unionByName(_)).getOrElse {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("batch_id", IntegerType),
-          StructField("exact_dup", IntegerType),
-          StructField("near_dup", IntegerType),
-          StructField("admitted", IntegerType))))
-    }
-  }
+      t0: Long = 1660000000000L): DataFrame =
+    door(shingleN, numHashes, rowsPerBand)
+      .ingestAll(spark, root, corpus, batches, nBuckets, t0)
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
+
+import graft.sync.BucketedTableStore
+
+/** The at-the-door ingest protocol the four dedup doors share —
+  * [[DedupIngest]] (text exact+MinHash), [[SpanIngest]] (token spans),
+  * [[SemanticDedupIngest]] (embeddings), [[MediaDedupIngest]] (payload
+  * bytes). Until round 13 the four implemented the sequential contract
+  * by CONVENTION only, which is exactly how one of them (q160) shipped
+  * without the hot-cell cap the newest one (q227) had: drift. This trait
+  * makes the contract code:
+  *
+  *   - SEED: the persisted index table exists before the first probe
+  *     (possibly from an EMPTY corpus — the store stages an
+  *     empty-but-schemaed bucket so cold starts read back fine);
+  *   - per batch, in order: derive the probe frame ONCE (persisted —
+  *     it feeds both the decision and the index update), DECIDE against
+  *     the index as of the batch start (pure read, decisions
+  *     materialized and lineage-free, snapshot semantics within the
+  *     batch), APPLY the admissions as an O(batch) delta commit;
+  *     rejected rows leave no trace;
+  *   - batch k's decisions therefore see every admission from batches
+  *     1..k-1, and the standing corpus is never rescanned.
+  *
+  * [[graft.streaming.IngestDoorStream]] wraps any door in the
+  * foreachBatch + write-ahead-decision-log machinery; the
+  * IngestDoorProtocolSpec suite runs every door through the shared
+  * contract cases (sequential growth, rejected-no-trace, snapshot
+  * semantics, empty seed).
+  */
+trait IngestDoor {
+
+  /** Id column of arriving rows ("doc_id" / "vec_id"). */
+  def idCol: String
+
+  /** Full decision schema: (idCol, batch_id, …flags…, admitted). */
+  def decisionSchema: StructType
+
+  /** The derived frame a batch probes with AND (filtered to admissions)
+    * merges into the index — computed once per batch and persisted
+    * across both uses by [[ingestAll]] / the stream wrapper. */
+  def probeFrame(spark: SparkSession, batch: DataFrame): DataFrame
+
+  /** Create the index table from the initial corpus (may be empty). */
+  def seedIndex(spark: SparkSession, store: BucketedTableStore,
+      corpus: DataFrame, ts: Timestamp): Unit
+
+  /** Admit/reject ONE batch against the index as of now — pure read,
+    * decisions MATERIALIZED (lineage-free) per [[Materialize]]'s
+    * vacuum-race contract, one row per batch id, `admitted` ∈ {0,1}. */
+  def decide(spark: SparkSession, store: BucketedTableStore,
+      batch: DataFrame, probe: DataFrame, batchId: Long): DataFrame
+
+  /** Delta-merge the ADMITTED rows' probe entries into the index —
+    * O(batch), idempotent under re-application (the stream wrapper's
+    * crash-replay leans on this). */
+  def applyAdmissions(store: BucketedTableStore, probe: DataFrame,
+      decisions: DataFrame, ts: Timestamp): Unit
+
+  /** Store bucket count a standalone run uses by default. */
+  def defaultBuckets: Int = 16
+
+  /** Schema-correct empty decisions frame (seed-only runs, empty unions). */
+  final def emptyDecisions(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], decisionSchema)
+
+  /** The shared sequential loop: seed the index from `corpus`, then
+    * ingest `batches` in order; one decision row per batch id,
+    * unordered. `t0` stamps the index commits (deterministic clock — a
+    * replayable run must not read the wall clock); it never influences
+    * decisions. */
+  final def ingestAll(spark: SparkSession, root: String, corpus: DataFrame,
+      batches: Seq[DataFrame], nBuckets: Int,
+      t0: Long = 1660000000000L): DataFrame = {
+    val store = new BucketedTableStore(spark, root, nBuckets,
+      deltaMerges = true, autoCompactAfter = 4)
+    seedIndex(spark, store, corpus, new Timestamp(t0))
+    val decisions = batches.zipWithIndex.map { case (batch, i) =>
+      // probe frame feeds decide AND the admissions merge — persisted
+      // for the batch's scope only
+      val probe = probeFrame(spark, batch)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // decide() freezes its decisions at call time, so the index merge
+      // below (and any compaction/vacuum it triggers) cannot perturb or
+      // invalidate them
+      val dec = decide(spark, store, batch, probe, batchId = i + 1L)
+      applyAdmissions(store, probe, dec, new Timestamp(t0 + (i + 1) * 60000L))
+      probe.unpersist()
+      dec
+    }
+    // seeding an index with no batches yet is legal and returns an
+    // empty (schema-correct) decisions frame, not a crash
+    decisions.reduceOption(_.unionByName(_)).getOrElse(emptyDecisions(spark))
+  }
+}

@@ -137,33 +137,35 @@ object MediaDedupIngest {
         .withColumn("eventName", lit("INSERT")),
       "k", ts)
 
+  /** This door under the shared [[IngestDoor]] contract — the probe
+    * frame is [[bandRows]], decisions are
+    * (doc_id, batch_id, near_dup, admitted). */
+  def door(maxHamming: Int = 10): IngestDoor = new IngestDoor {
+    import org.apache.spark.sql.types._
+    val idCol = "doc_id"
+    val decisionSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("batch_id", IntegerType),
+      StructField("near_dup", IntegerType),
+      StructField("admitted", IntegerType)))
+    def probeFrame(spark: SparkSession, batch: DataFrame) =
+      bandRows(spark, batch)
+    def seedIndex(spark: SparkSession, store: BucketedTableStore,
+        corpus: DataFrame, ts: Timestamp) =
+      MediaDedupIngest.seedIndex(store, corpus, spark, ts)
+    def decide(spark: SparkSession, store: BucketedTableStore,
+        batch: DataFrame, probe: DataFrame, batchId: Long) =
+      MediaDedupIngest.decide(store, batch, probe, batchId, maxHamming)
+    def applyAdmissions(store: BucketedTableStore, probe: DataFrame,
+        decisions: DataFrame, ts: Timestamp) =
+      MediaDedupIngest.applyAdmissions(store, probe, decisions, ts)
+  }
+
   /** Seed the index from `corpus`, then ingest `batches` in order.
     * Returns one decision row per batch doc:
     * (doc_id, batch_id, near_dup, admitted), unordered. `t0` stamps the
     * index commits (deterministic clock); it never influences decisions. */
   def run(spark: SparkSession, root: String, corpus: DataFrame,
       batches: Seq[DataFrame], nBuckets: Int = 16, maxHamming: Int = 10,
-      t0: Long = 1660000000000L): DataFrame = {
-    val store = new BucketedTableStore(spark, root, nBuckets,
-      deltaMerges = true, autoCompactAfter = 4)
-    seedIndex(store, corpus, spark, new Timestamp(t0))
-    val decisions = batches.zipWithIndex.map { case (batch, i) =>
-      // the band frame feeds the probe AND (filtered) the index update —
-      // persisted for the batch's scope only
-      val bb = bandRows(spark, batch)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val decM = decide(store, batch, bb, i + 1L, maxHamming)
-      applyAdmissions(store, bb, decM, new Timestamp(t0 + (i + 1) * 60000L))
-      bb.unpersist()
-      decM
-    }
-    decisions.reduceOption(_.unionByName(_)).getOrElse {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("batch_id", IntegerType),
-          StructField("near_dup", IntegerType),
-          StructField("admitted", IntegerType))))
-    }
-  }
+      t0: Long = 1660000000000L): DataFrame =
+    door(maxHamming).ingestAll(spark, root, corpus, batches, nBuckets, t0)
 }

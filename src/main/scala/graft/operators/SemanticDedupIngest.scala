@@ -28,18 +28,28 @@ import graft.sync.BucketedTableStore
   * probe cost, exactly like the fingerprint index's pruning.
   *
   * Scale shape per batch: candidates = batch bands ⋈ retrieved admitted
-  * bands on `bb` (collision-bounded, never all-pairs), one exact
-  * LongDot cosine per distinct pair, one per-vector flag aggregation,
-  * one O(batch) delta commit of the admissions' band rows. At 100 TB add
-  * q152's per-cell cap upstream of the join (a hot bucket is the same
-  * skew bomb there); the small-SF oracle replays uncapped so every
-  * decision hash-checks.
+  * bands on `bb` (collision-bounded, never all-pairs) with the admitted
+  * side capped at [[MaxCell]] lowest vec_ids per band bucket BEFORE the
+  * join — a hot SRP cell (e.g. the all-zeros sign pattern over
+  * near-zero embeddings) is the same skew bomb q152/q227 cap, and
+  * without the cap the door join goes quadratic in the cell. Then one
+  * exact LongDot cosine per distinct nominated pair, one per-vector
+  * flag aggregation, one O(batch) delta commit of the admissions' band
+  * rows. The oracle replays the cap (QUALIFY over the same
+  * lowest-vec_id order), so every decision hash-checks at every scale.
   *
   * Determinism: quantized integer vectors end to end — banding compares
   * exact ints, cosines are one IEEE divide of exact ints — so a SQL
   * oracle replays the whole sequential run, index growth included.
   */
 object SemanticDedupIngest {
+
+  /** Per-(band, bucket) candidate fan-out cap at probe time (lowest
+    * vec_ids win — deterministic, replayed by the oracle's QUALIFY).
+    * [[MediaDedupIngest.MaxCell]]'s value, for the same reason: a cell
+    * nominates at most this many admitted neighbors per probe, so a hot
+    * bucket bounds the candidate join instead of squaring it. */
+  val MaxCell = 64
 
   /** Band rows of an embedding frame: (vec_id, bb, q, n2) — one row per
     * (vector, band), q152's axis-aligned sign banding on the QUANTIZED
@@ -80,6 +90,7 @@ object SemanticDedupIngest {
     * admitted). */
   def decide(store: BucketedTableStore, batch: DataFrame, bb: DataFrame,
       batchId: Long, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val probeBuckets = bb.select(col("bb")).distinct()
       .collect().map(_.getString(0)).toSeq // ≤ bands × 2^dimsPerBand strings
     // the retrieved admitted slice feeds the pair join AND the vector
@@ -89,6 +100,16 @@ object SemanticDedupIngest {
       .map(_.persist(StorageLevel.MEMORY_AND_DISK))
     val hits = admPersisted match {
       case Some(adm) =>
+        // per-cell cap BEFORE the candidate join (hot sign-pattern
+        // cells), lowest vec_ids deterministic; exact per cell because
+        // readWhereIn returns every index row of each probed bb (bloom
+        // pruning is bucket-conservative), and rows of unprobed cells
+        // that ride along never join
+        val capped = adm
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("bb")).orderBy(col("vec_id").asc)))
+          .filter(col("rn") <= MaxCell)
+          .select(col("bb"), col("vec_id").as("a_id"))
         // candidate-pair dedupe carries ONLY ids through its shuffle: a
         // vector sharing several band buckets with the same admitted
         // neighbor must score once, but deduping rows that carry the
@@ -96,7 +117,7 @@ object SemanticDedupIngest {
         // (~0.5 KiB/side) per collision — ids first, vectors joined
         // back once per side after the distinct
         val pairIds = bb.select(col("vec_id"), col("bb"))
-          .join(adm.select(col("bb"), col("vec_id").as("a_id")), Seq("bb"))
+          .join(capped, Seq("bb"))
           .select(col("vec_id"), col("a_id")).distinct()
         val batchVecs = bb.select(col("vec_id"), col("q"), col("n2"))
           .dropDuplicates("vec_id")
@@ -127,23 +148,36 @@ object SemanticDedupIngest {
         .withColumn("eventName", lit("INSERT")),
       "k", ts)
 
+  /** This door under the shared [[IngestDoor]] contract — the probe
+    * frame is [[bandRows]], decisions are
+    * (vec_id, batch_id, near_dup, admitted). */
+  def door(bands: Int = 16, dimsPerBand: Int = 4,
+      tau: Double = 0.45): IngestDoor = new IngestDoor {
+    import org.apache.spark.sql.types._
+    val idCol = "vec_id"
+    val decisionSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("batch_id", IntegerType),
+      StructField("near_dup", IntegerType),
+      StructField("admitted", IntegerType)))
+    def probeFrame(spark: SparkSession, batch: DataFrame) =
+      bandRows(batch, bands, dimsPerBand)
+    def seedIndex(spark: SparkSession, store: BucketedTableStore,
+        corpus: DataFrame, ts: Timestamp) =
+      SemanticDedupIngest.seedIndex(store, corpus, ts, bands, dimsPerBand)
+    def decide(spark: SparkSession, store: BucketedTableStore,
+        batch: DataFrame, probe: DataFrame, batchId: Long) =
+      SemanticDedupIngest.decide(store, batch, probe, batchId, tau)
+    def applyAdmissions(store: BucketedTableStore, probe: DataFrame,
+        decisions: DataFrame, ts: Timestamp) =
+      SemanticDedupIngest.applyAdmissions(store, probe, decisions, ts)
+  }
+
   /** Seed from `corpus`, then ingest `batches` in order; one decision row
     * per batch vector. `t0` stamps commits (never influences decisions). */
   def run(spark: SparkSession, root: String, corpus: DataFrame,
       batches: Seq[DataFrame], nBuckets: Int = 16, bands: Int = 16,
       dimsPerBand: Int = 4, tau: Double = 0.45,
-      t0: Long = 1660000000000L): DataFrame = {
-    val store = new BucketedTableStore(spark, root, nBuckets,
-      deltaMerges = true, autoCompactAfter = 4)
-    seedIndex(store, corpus, new Timestamp(t0), bands, dimsPerBand)
-    val decisions = batches.zipWithIndex.map { case (batch, i) =>
-      val bb = bandRows(batch, bands, dimsPerBand)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val dec = decide(store, batch, bb, batchId = i + 1L, tau)
-      applyAdmissions(store, bb, dec, new Timestamp(t0 + (i + 1) * 60000L))
-      bb.unpersist()
-      dec
-    }
-    decisions.reduce(_.unionByName(_))
-  }
+      t0: Long = 1660000000000L): DataFrame =
+    door(bands, dimsPerBand, tau)
+      .ingestAll(spark, root, corpus, batches, nBuckets, t0)
 }

@@ -4,7 +4,6 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.sync.BucketedTableStore
 
@@ -108,35 +107,35 @@ object SpanIngest {
         .withColumn("eventName", lit("INSERT")),
       "fp", ts)
 
+  /** This door under the shared [[IngestDoor]] contract — the probe
+    * frame is the positioned gram [[occurrences]], decisions are
+    * (doc_id, batch_id, n_spans, dup_tokens, total_tokens, admitted). */
+  def door(n: Int): IngestDoor = new IngestDoor {
+    import org.apache.spark.sql.types._
+    val idCol = "doc_id"
+    val decisionSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("batch_id", IntegerType),
+      StructField("n_spans", LongType), StructField("dup_tokens", LongType),
+      StructField("total_tokens", LongType),
+      StructField("admitted", IntegerType)))
+    def probeFrame(spark: SparkSession, batch: DataFrame) =
+      occurrences(batch, n)
+    def seedIndex(spark: SparkSession, store: BucketedTableStore,
+        corpus: DataFrame, ts: Timestamp) =
+      SpanIngest.seedIndex(store, corpus, n, ts)
+    def decide(spark: SparkSession, store: BucketedTableStore,
+        batch: DataFrame, probe: DataFrame, batchId: Long) =
+      SpanIngest.decide(store, batch, probe, n, batchId)
+    def applyAdmissions(store: BucketedTableStore, probe: DataFrame,
+        decisions: DataFrame, ts: Timestamp) =
+      SpanIngest.applyAdmissions(store, probe, decisions, ts)
+  }
+
   /** Seed the index from `corpus`, then ingest `batches` in order.
     * Returns one decision row per batch doc, unordered. `t0` stamps the
     * index commits (deterministic clock); it never influences decisions. */
   def run(spark: SparkSession, root: String, corpus: DataFrame,
       batches: Seq[DataFrame], n: Int, nBuckets: Int = 16,
-      t0: Long = 1660000000000L): DataFrame = {
-    val store = new BucketedTableStore(spark, root, nBuckets,
-      deltaMerges = true, autoCompactAfter = 4)
-    seedIndex(store, corpus, n, new Timestamp(t0))
-    val decisions = batches.zipWithIndex.map { case (batch, i) =>
-      // occurrences feed the probe, the span merge AND (filtered) the
-      // index update — persisted for the batch's scope only
-      val occ = occurrences(batch, n)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val decM = decide(store, batch, occ, n, batchId = i + 1L)
-      applyAdmissions(store, occ, decM, new Timestamp(t0 + (i + 1) * 60000L))
-      occ.unpersist()
-      decM
-    }
-    // reduceOption: seeding an index with no batches yet is legal and
-    // returns an empty (schema-correct) decisions frame, not a crash
-    decisions.reduceOption(_.unionByName(_)).getOrElse {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("batch_id", IntegerType),
-          StructField("n_spans", LongType), StructField("dup_tokens", LongType),
-          StructField("total_tokens", LongType),
-          StructField("admitted", IntegerType))))
-    }
-  }
+      t0: Long = 1660000000000L): DataFrame =
+    door(n).ingestAll(spark, root, corpus, batches, nBuckets, t0)
 }

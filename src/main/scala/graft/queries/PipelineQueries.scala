@@ -162,9 +162,69 @@ object PipelineQueries {
     ORDER BY totalDollarsEarned DESC, memberId ASC"""
   }
 
+  /** Fixed drop point for q228's oracle replay input. */
+  private val variantReplayDir = "/tmp/graft_q228_replay"
+
+  // q228 — VariantType round-trip through the CDC envelope: the
+  // Spark-4-native DYNAMIC path for the reference's SUPER column (SURVEY
+  // §1.2's stated alternative to the typed-struct envelope the pipeline
+  // runs on — ref scripts/setup_redshift.sh:103 `json_parse(...)` and
+  // sql/incremental_sync_member_quests.sql:29 `eventData."NewImage".
+  // "dollarsEarned"."N"::float`). Each seeded envelope LINE is parsed
+  // with parse_json into one Variant value and navigated back out with
+  // variant_get per-access casts — late-bound schema, no StructType
+  // anywhere — including the reference's string→float AttributeValue
+  // cast and the DIV-1000 event-second truncation. The oracle reads the
+  // deposited lines with DuckDB's JSON path navigation; PipelineSpec
+  // separately pins that this dynamic path extracts EXACTLY what the
+  // typed-struct extraction does on the same envelopes.
+  def q228VariantCdcExtract(spark: SparkSession, dir: String): DataFrame = {
+    val gen = new CdcGen.Gen(77)
+    val ticks = (1 to 15).map(_ => gen.tick())
+    val lines = ticks.zipWithIndex.flatMap { case ((m, q, mq), i) =>
+      val ts = t0 + 1000L * i
+      Seq(gen.envelope("INSERT", m, ts),
+        gen.envelope("INSERT", q, ts + 100),
+        gen.envelope("INSERT", mq, ts + 200),
+        gen.envelope("MODIFY",
+          mq.copy(attrs = mq.attrs + ("dollarsEarned" -> Right(10.5 + i))),
+          ts + 300))
+    }
+    Files.createDirectories(Paths.get(variantReplayDir))
+    Files.write(Paths.get(variantReplayDir, "cdc.json"),
+      lines.mkString("\n").getBytes)
+    import org.apache.spark.sql.functions._
+    // the engine reads back the SAME artifact the oracle replays
+    spark.read.text(s"$variantReplayDir/cdc.json")
+      .select(parse_json(col("value")).as("v"))
+      .select(
+        expr("variant_get(v, '$.eventName', 'string')").as("eventName"),
+        expr("variant_get(v, '$.dynamodb.Keys.pk.S', 'string')").as("pk"),
+        expr("variant_get(v, '$.dynamodb.Keys.sk.S', 'string')").as("sk"),
+        expr("variant_get(v, '$.dynamodb.ApproximateCreationDateTime', 'long')")
+          .as("ms"),
+        expr("CAST(variant_get(v, '$.dynamodb.NewImage.dollarsEarned.N'," +
+          " 'string') AS DOUBLE)").as("dollarsEarned"))
+      .withColumn("event_sec", expr("ms DIV 1000"))
+      .orderBy(col("ms").asc)
+  }
+  val q228Oracle: String = s"""
+    SELECT eventName,
+           dynamodb."Keys".pk."S" AS pk,
+           dynamodb."Keys".sk."S" AS sk,
+           dynamodb.ApproximateCreationDateTime AS ms,
+           CAST(dynamodb.NewImage.dollarsEarned."N" AS DOUBLE)
+             AS dollarsEarned,
+           dynamodb.ApproximateCreationDateTime // 1000 AS event_sec
+    FROM read_json_auto('$variantReplayDir/cdc.json',
+                        format='newline_delimited')
+    ORDER BY ms ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q23_cdc_pipeline_e2e" -> (q23CdcPipelineE2E _))
+    "q23_cdc_pipeline_e2e" -> (q23CdcPipelineE2E _),
+    "q228_variant_cdc_extract" -> (q228VariantCdcExtract _))
 
   val oracles: Map[String, String] = Map(
-    "q23_cdc_pipeline_e2e" -> q23Oracle)
+    "q23_cdc_pipeline_e2e" -> q23Oracle,
+    "q228_variant_cdc_extract" -> q228Oracle)
 }

@@ -67,10 +67,12 @@ object StatsQueries {
   // (tokens first seen in that bucket) and the running type/token
   // totals. Scale shape: one token-level partial agg (rows bounded by
   // the vocabulary, map-side combined) for first-seen, one doc-level
-  // count agg for token volume; the cumulative windows run on the
-  // n/partWidth-row bucket frame — at 100 TB callers thread a wider
-  // partWidth (DefaultPartWidth scaladoc) so that frame stays thousands
-  // of rows; the corpus itself never shuffles.
+  // count agg for token volume; the cumulative totals run through
+  // CumsumOps (per-group partials → broadcast prefix offsets →
+  // group-partitioned window), so no task ever windows the whole
+  // n/partWidth bucket frame even before a 100 TB caller widens
+  // partWidth (DefaultPartWidth scaladoc); the corpus itself never
+  // shuffles.
   def q204VocabGrowth(spark: SparkSession, dir: String): DataFrame =
     q204VocabGrowth(spark, dir, DefaultPartWidth)
   def q204VocabGrowth(spark: SparkSession, dir: String, partWidth: Long)
@@ -82,12 +84,10 @@ object StatsQueries {
       .agg(count(lit(1)).as("new_types"))
     val vol = tok.groupBy(expr(s"doc_id DIV $partWidth").as("bucket"))
       .agg(count(lit(1)).as("n_tokens"))
-    val w = Window.orderBy(col("bucket").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    vol.join(newTypes, Seq("bucket"), "left")
+    val buckets = vol.join(newTypes, Seq("bucket"), "left")
       .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("cum_types", sum(col("new_types")).over(w))
+    graft.operators.CumsumOps.runningSums(buckets, "bucket",
+      Seq("n_tokens" -> "cum_tokens", "new_types" -> "cum_types"))
       .select(col("bucket"), col("n_tokens"), col("new_types"),
         col("cum_tokens"), col("cum_types"))
       .orderBy(col("bucket").asc)

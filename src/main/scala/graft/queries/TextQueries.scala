@@ -205,24 +205,23 @@ object TextQueries {
   // curve data collection is budgeted against; a flattening cum_distinct
   // means the source is exhausted. Exactness: a hash is NEW exactly when
   // its MIN doc_id lands in the bucket — a partial-aggregable min, no
-  // ordered scan; the cumulative window runs over n/100 bucket rows
-  // (bounded by corpus/bucket-size, 50 rows at sf0.1 — at 100 TB the
-  // bucket width widens with the corpus, keeping the curve O(100) points
-  // and the window trivially small). One scan, one hash agg, one bucket
-  // agg.
+  // ordered scan; the cumulative count runs through CumsumOps (per-group
+  // partial sums → broadcast prefix offsets → group-partitioned window),
+  // so no window task ever sees the whole n/100-row bucket frame even
+  // when the bucket width lags the corpus. One scan, one hash agg, one
+  // bucket agg.
   def q189DedupSaturation(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("h"))
     val firstSeen = docs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
-    docs.join(firstSeen, Seq("h"))
+    val buckets = docs.join(firstSeen, Seq("h"))
       .withColumn("bucket", expr("doc_id DIV 100"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum((expr("first_id DIV 100") === col("bucket") &&
           col("doc_id") === col("first_id")).cast("long")).as("n_new_hashes"))
-      .withColumn("cum_distinct_hashes",
-        sum(col("n_new_hashes")).over(Window.orderBy(col("bucket").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    graft.operators.CumsumOps.runningSums(buckets, "bucket",
+      Seq("n_new_hashes" -> "cum_distinct_hashes"))
       .withColumn("dup_permille",
         expr("((n_docs - n_new_hashes) * 1000) DIV n_docs"))
       .select(col("bucket"), col("n_docs"), col("n_new_hashes"),
@@ -819,21 +818,46 @@ object TextQueries {
   // production corpus runs after the heuristic filters of q31): a linear
   // model over hashed bag-of-words features, applied as the operator
   // shape a trained model needs at 100 TB — a broadcast-joined weight
-  // table (vocab = MBs) against streamed token rows (the corpus = TBs),
-  // one per-doc aggregation. The "trained" weights are seeded
-  // deterministically from each token's md5 hash so both engines derive
-  // the identical model without shipping one: w(tok) ∈ [-1000, 1000].
-  // Integer weight sums keep the hash exact; the logistic probability is
-  // one per-row double op (IEEE-identical cross-engine). At scale the
-  // weight table swaps for real learned weights — the plan is the same.
+  // table against streamed token rows (the corpus = TBs), one per-doc
+  // aggregation. The feature space is HASH-BOUNDED (fastText's bucket
+  // trick, q158's DSIR shape): each token maps to one of B=512 buckets
+  // via md5, and the model is B weight rows — so the broadcast is a
+  // fixed few KB at ANY corpus size, where a per-type table would grow
+  // with the vocabulary (1e9+ types at 100 TB) and kill the driver.
+  // The "trained" weights are seeded deterministically from each
+  // bucket's md5 so both engines derive the identical model without
+  // shipping one: w(bucket) ∈ [-1000, 1000]. Integer weight sums keep
+  // the hash exact; the logistic probability is one per-row double op
+  // (IEEE-identical cross-engine). At scale the weight table swaps for
+  // real learned weights over the same hashed space — the plan is
+  // identical.
+  private[graft] val QualityBuckets = 512
+  /** md5-hash a token into the bounded feature space [0, B). */
+  private def qualityBucket(tok: org.apache.spark.sql.Column) =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % QualityBuckets
+  /** The B-row "model": bucket → deterministic weight. Built from a
+    * range, NOT from the corpus — the plan must not scan documents. */
+  private def qualityWeights(spark: SparkSession): DataFrame =
+    spark.range(QualityBuckets).select(col("id").as("bkt"),
+      (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 2001L - 1000L).as("w"))
+  private val qualityOracleCtes = s"""
+    qtoks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % $QualityBuckets AS bkt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)),
+    qw AS (
+      SELECT b AS bkt,
+             ('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15))::BIGINT
+               % 2001 - 1000 AS w
+      FROM (SELECT unnest(generate_series(0, ${QualityBuckets - 1})) AS b))"""
   def q155QualityModel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("tok"))
-    val weights = toks.select(col("tok")).distinct()
-      .withColumn("w",
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 2001L - 1000L)
-    toks.join(broadcast(weights), Seq("tok"))
+    toks.withColumn("bkt", qualityBucket(col("tok")))
+      .join(broadcast(qualityWeights(spark)), Seq("bkt"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("score_sum"))
       .withColumn("quality",
@@ -845,16 +869,11 @@ object TextQueries {
         col("quality"), col("verdict"))
       .orderBy(col("doc_id").asc)
   }
-  val q155Oracle: String = """
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-    w AS (
-      SELECT tok,
-             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS w
-      FROM (SELECT DISTINCT tok FROM toks)),
+  val q155Oracle: String = s"""
+    WITH $qualityOracleCtes,
     scored AS (
-      SELECT doc_id, COUNT(*) AS n_tok, SUM(w.w) AS score_sum
-      FROM toks JOIN w USING (tok) GROUP BY doc_id)
+      SELECT doc_id, COUNT(*) AS n_tok, SUM(qw.w) AS score_sum
+      FROM qtoks JOIN qw USING (bkt) GROUP BY doc_id)
     SELECT doc_id, n_tok, CAST(score_sum AS BIGINT) AS score_sum,
            1.0 / (1.0 + exp(-CAST(score_sum AS DOUBLE) / (n_tok * 1000.0)))
              AS quality,
@@ -1276,10 +1295,10 @@ object TextQueries {
     val docs = Tables.documents(spark, dir)
     val toksQ = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("tok"))
-    val weights = toksQ.select(col("tok")).distinct()
-      .withColumn("w",
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 2001L - 1000L)
-    val qual = toksQ.join(broadcast(weights), Seq("tok"))
+    // q155's hash-bounded model: B weight rows broadcast, never a
+    // vocabulary-sized table (see q155's scaladoc)
+    val qual = toksQ.withColumn("bkt", qualityBucket(col("tok")))
+      .join(broadcast(qualityWeights(spark)), Seq("bkt"))
       .groupBy(col("doc_id")).agg(sum(col("w")).as("score_sum"))
     val lex100 = bm25Scores(spark, dir)
       .orderBy(col("score").desc, col("doc_id").asc).limit(100)
@@ -1299,15 +1318,11 @@ object TextQueries {
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(20)
   }
-  val q169Oracle: String = bm25Ctes + """,
-    qtoks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-    qw AS (
-      SELECT tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2001 - 1000 AS w
-      FROM (SELECT DISTINCT tok FROM qtoks)),
+  val q169Oracle: String = bm25Ctes + s""",
+    $qualityOracleCtes,
     qual AS (
       SELECT doc_id, SUM(w) AS score_sum
-      FROM qtoks JOIN qw USING (tok) GROUP BY doc_id),
+      FROM qtoks JOIN qw USING (bkt) GROUP BY doc_id),
     lex100 AS (
       SELECT doc_id, CAST(ROW_NUMBER() OVER (
         ORDER BY score DESC, doc_id ASC) AS INT) AS r_lex

@@ -753,12 +753,16 @@ object VectorQueries {
   // q160 — SEMANTIC dedup-on-ingest: q150's sequential persisted-index
   // protocol (batch k's decisions see batches 1..k-1's admissions, the
   // corpus is never rescanned) over EMBEDDINGS instead of fingerprints —
-  // SRP band buckets block, exact quantized cosines ≥ 0.45 reject, and
-  // the admitted vectors' band rows delta-merge into a bloom-sidecar'd
-  // BucketedTableStore so each probe reads only the store buckets the
-  // batch's (≤ bands × 2^dims) band buckets hash into. The oracle
-  // replays the full sequential run — band collisions, cosines, and
-  // index growth — so every admit/reject decision hash-checks.
+  // SRP band buckets block (each cell nominating at most MaxCell=64
+  // lowest-vec_id admitted neighbors, q227's hot-cell cap: a saturated
+  // sign-pattern bucket must bound the candidate join, not square it),
+  // exact quantized cosines ≥ 0.45 against the nominated rows reject,
+  // and the admitted vectors' band rows delta-merge into a
+  // bloom-sidecar'd BucketedTableStore so each probe reads only the
+  // store buckets the batch's (≤ bands × 2^dims) band buckets hash
+  // into. The oracle replays the full sequential run — band collisions,
+  // per-cell cap (QUALIFY), cosines, and index growth — so every
+  // admit/reject decision hash-checks.
   def q160SemanticDedupIngest(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val emb = Tables.embeddings(spark, dir).repartition(col("vec_id"))
@@ -783,30 +787,45 @@ object VectorQueries {
         array_to_string(list_transform(generate_series(1, 4),
           i -> CASE WHEN q[band*4 + i] > 0 THEN '1' ELSE '0' END), '') AS bb
       FROM n CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) b),
-    pairs AS (
-      SELECT DISTINCT d.vec_id AS dv, a.vec_id AS av
-      FROM bands d JOIN bands a ON d.bb = a.bb AND d.vec_id <> a.vec_id),
-    cos AS (
-      SELECT p.dv, p.av,
-        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+    idx0 AS (SELECT bb, vec_id FROM bands WHERE vec_id % 4 <= 1),
+    cap1 AS (
+      SELECT bb, vec_id AS av FROM idx0
+      QUALIFY row_number() OVER (PARTITION BY bb ORDER BY vec_id ASC) <= 64),
+    cand1 AS (
+      SELECT DISTINCT d.vec_id AS dv, c.av
+      FROM bands d JOIN cap1 c ON c.bb = d.bb WHERE d.vec_id % 4 = 2),
+    hit1 AS (
+      SELECT DISTINCT p.dv
+      FROM cand1 p JOIN n x ON x.vec_id = p.dv JOIN n y ON y.vec_id = p.av
+      WHERE CAST(list_sum(list_transform(generate_series(1, len(x.q)),
           i -> x.q[i]*y.q[i])) AS DOUBLE)
-          / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) AS cosine
-      FROM pairs p JOIN n x ON x.vec_id = p.dv JOIN n y ON y.vec_id = p.av),
-    adm0 AS (SELECT vec_id FROM embeddings WHERE vec_id % 4 <= 1),
+          / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) >= 0.45),
     b1 AS (
       SELECT d.vec_id, 1 AS batch_id,
-        CASE WHEN EXISTS (SELECT 1 FROM cos c WHERE c.dv = d.vec_id
-            AND c.av IN (SELECT vec_id FROM adm0) AND c.cosine >= 0.45)
-          THEN 1 ELSE 0 END AS near_dup
-      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 2) d),
-    adm1 AS (SELECT vec_id FROM adm0 UNION
-             SELECT vec_id FROM b1 WHERE near_dup = 0),
+        CAST(hit1.dv IS NOT NULL AS INT) AS near_dup
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 2) d
+      LEFT JOIN hit1 ON hit1.dv = d.vec_id),
+    idx1 AS (SELECT bb, vec_id FROM idx0
+             UNION ALL
+             SELECT b.bb, b.vec_id FROM bands b
+               JOIN b1 ON b1.vec_id = b.vec_id WHERE b1.near_dup = 0),
+    cap2 AS (
+      SELECT bb, vec_id AS av FROM idx1
+      QUALIFY row_number() OVER (PARTITION BY bb ORDER BY vec_id ASC) <= 64),
+    cand2 AS (
+      SELECT DISTINCT d.vec_id AS dv, c.av
+      FROM bands d JOIN cap2 c ON c.bb = d.bb WHERE d.vec_id % 4 = 3),
+    hit2 AS (
+      SELECT DISTINCT p.dv
+      FROM cand2 p JOIN n x ON x.vec_id = p.dv JOIN n y ON y.vec_id = p.av
+      WHERE CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i]*y.q[i])) AS DOUBLE)
+          / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) >= 0.45),
     b2 AS (
       SELECT d.vec_id, 2 AS batch_id,
-        CASE WHEN EXISTS (SELECT 1 FROM cos c WHERE c.dv = d.vec_id
-            AND c.av IN (SELECT vec_id FROM adm1) AND c.cosine >= 0.45)
-          THEN 1 ELSE 0 END AS near_dup
-      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 3) d),
+        CAST(hit2.dv IS NOT NULL AS INT) AS near_dup
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 3) d
+      LEFT JOIN hit2 ON hit2.dv = d.vec_id),
     allb AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
     SELECT vec_id, batch_id, near_dup,
            CASE WHEN near_dup = 0 THEN 1 ELSE 0 END AS admitted

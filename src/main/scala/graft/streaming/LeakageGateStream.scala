@@ -50,15 +50,32 @@ import graft.sync.BucketedTableStore
   * Scale shape: freeze is one holdout pass (shingle agg + broadcast hot
   * anti + count join) into the bucketed store; per batch one shingle
   * explode, one batch-bounded hot-set broadcast anti, one equi-join of
-  * the bucket-pruned index scan against the BROADCAST batch shingles
-  * (the index never re-shuffles — only intersection rows, df-capped on
-  * both sides, enter the per-pair agg), and a per-doc rollup. Nothing
-  * is proportional to the standing corpus except the freeze itself.
+  * the bucket-pruned index scan against the batch shingles — broadcast
+  * ONLY while the measured probe row count stays under
+  * [[MaxBroadcastShingleRows]] (a micro-batch always does; a
+  * corpus-proportional replay batch like q225's half-train split takes
+  * a shuffle join instead of an unbounded driver broadcast) — and a
+  * per-doc rollup. Only intersection rows, df-capped on both sides,
+  * enter the per-pair agg; nothing is proportional to the standing
+  * corpus except the freeze itself.
+  *
+  * Verdict policy, identical on BOTH entry paths (stream terminal and
+  * batch [[gate]]): a row the gate cannot even shingle (null doc_id or
+  * text) cannot be PROVEN non-leaking → quarantined with n_sh = 0; a
+  * well-formed doc whose shingle set is EMPTY (< 3 tokens) is admitted
+  * by design — two tokens cannot carry an eval document, and the q225
+  * oracle replays exactly that.
   */
 object LeakageGateStream {
 
   /** Per-side hot-shingle document-frequency cap (see protocol note). */
   val MaxDf = 64
+
+  /** Probe-side broadcast bound: the batch shingle frame broadcasts
+    * only when its measured row count is at or under this (~16 MB of
+    * (sh, doc_id) longs) — the enforcement behind the scale claim, not
+    * a comment. Larger batches shuffle-join against the pruned index. */
+  val MaxBroadcastShingleRows = 1L << 20
   private val IndexTable = "hsh"
 
   /** Distinct df-capped shingle rows of `docs`: (doc_id, sh) with the
@@ -117,11 +134,19 @@ object LeakageGateStream {
   }
 
   /** Gate one batch against the frozen index: one verdict row per batch
-    * doc — (doc_id, n_sh, n_leaks, admit). */
+    * doc — (doc_id, n_sh, n_leaks, admit). Unfillable rows (null
+    * doc_id/text) are quarantined here, so the batch path and the
+    * stream terminal hand out identical verdicts for the same row (the
+    * conservative-quarantine policy in the object scaladoc). */
   def gate(spark: SparkSession, store: BucketedTableStore,
       batch: DataFrame): DataFrame = {
-    val (out, sh) = gateFrames(spark, store, batch)
-    graft.operators.Materialize.thenRelease(out, sh)
+    val unfillable = col("doc_id").isNull || col("text").isNull
+    val quarantined = batch.filter(unfillable)
+      .select(col("doc_id"), lit(0L).as("n_sh"),
+        lit(0L).as("n_leaks"), lit(0).as("admit"))
+    val (out, sh) = gateFrames(spark, store, batch.filter(!unfillable))
+    graft.operators.Materialize.thenRelease(
+      out.unionByName(quarantined), sh)
   }
 
   /** Pre-materialize verdict frame + its persisted shingle intermediate —
@@ -134,7 +159,11 @@ object LeakageGateStream {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val idx = indexed(spark, store, sh.select(col("sh")).distinct())
-    val inter = idx.join(broadcast(sh), Seq("sh"))
+    // size-gated hint: count the PERSISTED probe frame (materialized
+    // here anyway) and broadcast only under the documented bound — a
+    // corpus-proportional batch must never become a driver broadcast
+    val probe = if (sh.count() <= MaxBroadcastShingleRows) broadcast(sh) else sh
+    val inter = idx.join(probe, Seq("sh"))
       .groupBy(col("doc_id"), col("holdout_id"), col("n_h"))
       .agg(count(lit(1)).as("i"))
     val leaks = inter.join(nt, Seq("doc_id"))
@@ -180,12 +209,9 @@ object LeakageGateStream {
         if (!Files.exists(out)) {
           val staging = Paths.get(s"$sinkDir/.inprogress-$batchId")
           graft.sync.TableStore.deleteRecursively(staging) // stale crash
-          val unfillable = col("doc_id").isNull || col("text").isNull
-          val quarantinedUnfillable = batch.filter(unfillable)
-            .select(col("doc_id"), lit(0L).as("n_sh"),
-              lit(0L).as("n_leaks"), lit(0).as("admit"))
-          gate(spark, store, batch.filter(!unfillable))
-            .unionByName(quarantinedUnfillable)
+          // gate() itself quarantines unfillable rows — one policy,
+          // both entry paths
+          gate(spark, store, batch)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").parquet(staging.toString)
           Files.move(staging, out, StandardCopyOption.ATOMIC_MOVE)

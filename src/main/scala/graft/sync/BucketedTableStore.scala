@@ -844,6 +844,17 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       withBucket.sortWithinPartitions(col("_bucket"), col(c)))
     sorted.withColumn("_bp", col("_bucket"))
       .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
+    // An EMPTY frame stages no _bp dirs at all (dynamic-partition writes
+    // emit nothing for zero rows), which would commit a table with no
+    // schema on disk — the staging read-back below and every later read
+    // or merge would then fail schema inference. Seed bucket 0 with an
+    // empty-but-schemaed parquet dir instead (the merge path's trick for
+    // all-removed buckets): empty-seeded tables — the ingest doors'
+    // documented empty-corpus start — read back with their full schema.
+    if (!(0 until nBuckets).exists(b => Files.exists(staging.resolve(s"_bp=$b"))))
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sorted.schema)
+        .write.mode("overwrite").parquet(staging.resolve("_bp=0").toString)
     Files.createDirectories(tableDir(name))
     val specs = statsCols.map(c => (c, StatKind.of(df.schema(c).dataType)))
     // bloom geometry is fixed at table creation like the bucket count:

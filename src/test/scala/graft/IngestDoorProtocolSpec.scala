@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{DedupIngest, IngestDoor, MediaDedupIngest,
+  SemanticDedupIngest, SpanIngest}
+import graft.streaming.IngestDoorStream
+import graft.sync.BucketedTableStore
+
+/** ONE spec suite for the at-the-door protocol, parameterized over all
+  * four doors (text fingerprints, token spans, embeddings, media
+  * payloads) — the drift-killer the round-12 verdict asked for: every
+  * door passes the SAME sequential-growth, snapshot-semantics,
+  * rejected-no-trace, and stream crash-replay cases, driven purely
+  * through the [[IngestDoor]] / [[IngestDoorStream]] contract.
+  *
+  * Each fixture maps abstract rows (id, contentKey) into its door's
+  * arriving frame; equal contentKeys mean duplicate content, distinct
+  * keys mean content no screen flags (disjoint tokens / grams /
+  * directions / band-distant payloads).
+  */
+class IngestDoorProtocolSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Fixture(name: String, door: IngestDoor, table: String,
+      cleanCols: Seq[String], intraBatchDetects: Boolean,
+      mk: Seq[(Long, Int)] => DataFrame)
+
+  private def text(k: Int) = (0 until 12).map(t => s"k${k}t$t").mkString(" ")
+  private def vec(axis: Int) =
+    Array.tabulate(64)(i => if (i == axis) 1f else 0.01f)
+  private val mediaPatterns = Seq(
+    Array.tabulate(80)(i => (33 + i).toByte),  // increasing
+    Array.tabulate(80)(i => (112 - i).toByte), // decreasing — band-disjoint
+    Array.tabulate(80)(i => (if (i % 2 == 0) 40 else 90).toByte)) // 0xAAAA
+
+  private val fixtures = Seq(
+    Fixture("text", DedupIngest.door(), "fp", Seq("doc_id", "text"),
+      intraBatchDetects = false,
+      rows => rows.map { case (id, k) => (id, text(k)) }.toDF("doc_id", "text")),
+    Fixture("span", SpanIngest.door(8), "gfp", Seq("doc_id", "text"),
+      // within-batch cross-doc gram duplication is flagged BY DESIGN
+      // (SpanIngest.decide's batchDupFps) — the one door whose
+      // intra-batch policy is detection, not snapshot admission
+      intraBatchDetects = true,
+      rows => rows.map { case (id, k) => (id, text(k)) }.toDF("doc_id", "text")),
+    Fixture("semantic", SemanticDedupIngest.door(), "sv",
+      Seq("vec_id", "embedding"), intraBatchDetects = false,
+      rows => rows.map { case (id, k) => (id, vec(k)) }
+        .toDF("vec_id", "embedding")),
+    Fixture("media", MediaDedupIngest.door(), "pfp", Seq("doc_id", "media"),
+      intraBatchDetects = false,
+      rows => rows.map { case (id, k) => (id, "image", mediaPatterns(k)) }
+        .toDF("doc_id", "kind", "media")))
+
+  private def flags(df: DataFrame, idCol: String): Map[Long, Int] =
+    df.collect().map(r =>
+      r.getAs[Long](idCol) -> r.getAs[Int]("admitted")).toMap
+
+  for (f <- fixtures) {
+    test(s"${f.name}: sequential growth — batch k sees earlier admissions") {
+      val root = tmpDir(s"door-${f.name}-seq")
+      val out = flags(f.door.ingestAll(spark, root, f.mk(Seq(0L -> 0)),
+        Seq(f.mk(Seq(10L -> 0, 11L -> 1)),   // dup of corpus; fresh
+          f.mk(Seq(20L -> 1, 21L -> 2))),    // dup of batch-1 ADMISSION; fresh
+        nBuckets = 4), f.door.idCol)
+      assert(out == Map(10L -> 0, 11L -> 1, 20L -> 0, 21L -> 1),
+        s"${f.name}: $out")
+    }
+
+    test(s"${f.name}: intra-batch policy — snapshot admission or detection") {
+      val root = tmpDir(s"door-${f.name}-snap")
+      val out = flags(f.door.ingestAll(spark, root, f.mk(Seq(0L -> 0)),
+        Seq(f.mk(Seq(30L -> 2, 31L -> 2))), nBuckets = 4), f.door.idCol)
+      val expected =
+        if (f.intraBatchDetects) Map(30L -> 0, 31L -> 0)
+        else Map(30L -> 1, 31L -> 1)
+      assert(out == expected, s"${f.name}: $out")
+    }
+
+    test(s"${f.name}: rejected rows leave no trace in the index") {
+      val root = tmpDir(s"door-${f.name}-trace")
+      val store = new BucketedTableStore(spark, root, 4,
+        deltaMerges = true, autoCompactAfter = 4)
+      f.door.seedIndex(spark, store, f.mk(Seq(0L -> 0)),
+        new Timestamp(1660000000000L))
+      val n0 = store.readBuckets(f.table, None).get.count()
+      val b = f.mk(Seq(40L -> 0)) // dup of the corpus → rejected
+      val probe = f.door.probeFrame(spark, b)
+      val dec = f.door.decide(spark, store, b, probe, 1L)
+      f.door.applyAdmissions(store, probe, dec,
+        new Timestamp(1660000060000L))
+      assert(flags(dec, f.door.idCol) == Map(40L -> 0))
+      val n1 = store.readBuckets(f.table, None).get.count()
+      assert(n1 == n0, s"${f.name}: index grew $n0 -> $n1 on a rejection")
+    }
+
+    test(s"${f.name}: stream replay is inert — WAL skips decide, re-apply idempotent") {
+      val root = tmpDir(s"door-${f.name}-wal")
+      val wal = tmpDir(s"door-${f.name}-waldir")
+      val stream = new IngestDoorStream(spark, f.door, root, wal,
+        nBuckets = 4, cleanCols = f.cleanCols,
+        now = () => new Timestamp(1660000000000L))
+      stream.seed(f.mk(Seq(0L -> 0)))
+      val batch = f.mk(Seq(50L -> 0, 51L -> 1))
+      stream.ingest(batch, 1L)
+      val store = new BucketedTableStore(spark, root, 4,
+        deltaMerges = true, autoCompactAfter = 8)
+      val dec1 = flags(spark.read.parquet(s"$wal/batch_id=1"), f.door.idCol)
+      val n1 = store.readBuckets(f.table, None).get.count()
+      stream.ingest(batch, 1L) // re-delivered epoch (crash before commit)
+      val dec2 = flags(spark.read.parquet(s"$wal/batch_id=1"), f.door.idCol)
+      assert(dec1 == Map(50L -> 0, 51L -> 1), s"${f.name}: $dec1")
+      assert(dec2 == dec1, s"${f.name}: replay changed logged decisions")
+      val n2 = store.readBuckets(f.table, None).get.count()
+      assert(n2 == n1, s"${f.name}: replay changed the index $n1 -> $n2")
+    }
+  }
+}

@@ -55,6 +55,28 @@ class MediaDedupIngestSpec extends SparkSpec {
       s"decisions: $out")
   }
 
+  test("empty-corpus seed: the door opens cold and grows from admissions") {
+    // the scaladoc's "may be empty" claim, exercised: writeAll stages an
+    // empty-but-schemaed bucket so the seeded table reads back with its
+    // schema, probes return no candidates, and the index grows from the
+    // first batch's admissions alone
+    val root = tmpDir("mdi-empty")
+    val corpus = media()
+    val batches = Seq(
+      media(100L -> inc),             // cold index → no candidates → admit
+      media(200L -> inc,              // dup of batch-1 ADMISSION → reject
+        201L -> dec))                 // new → admit
+    val out = try MediaDedupIngest.run(spark, root, corpus, batches)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("batch_id"), r.getAs[Int]("near_dup"),
+          r.getAs[Int]("admitted")))).toMap
+    finally graft.sync.TableStore.deleteRecursively(
+      java.nio.file.Paths.get(root))
+    assert(out == Map(
+      100L -> ((1, 0, 1)), 200L -> ((2, 1, 0)), 201L -> ((2, 0, 1))),
+      s"decisions: $out")
+  }
+
   test("rejected payloads leave no trace in the index") {
     val root = tmpDir("mdi-trace")
     val corpus = media(0L -> inc)

@@ -48,6 +48,38 @@ class PipelineSpec extends SparkSpec {
     assert(evTime.getTime == (t0 / 1000) * 1000)
   }
 
+  test("variant envelope path extracts exactly what the typed struct does") {
+    // SURVEY §1.2's two stated SUPER mappings — typed StructType envelope
+    // (the pipeline's path) and Spark 4 VariantType (q228's path) — must
+    // agree field-for-field on the same envelope lines, including the
+    // AttributeValue string→double cast and the DIV-1000 event second
+    val gen = new CdcGen.Gen(7)
+    val (m, _, mq) = gen.tick()
+    val lines = Seq(
+      gen.envelope("INSERT", m, t0 + 1234),
+      gen.envelope("MODIFY",
+        mq.copy(attrs = mq.attrs + ("dollarsEarned" -> Right(42.25))),
+        t0 + 2345))
+    val raw = spark.read.schema(CdcSchemas.envelope).json(lines.toDS)
+    val typed = Extraction.extract(raw).select(
+      col("eventName"), col("pk"), col("sk"),
+      Extraction.imgN("dollarsEarned").as("dollarsEarned"),
+      Extraction.eventTime.as("et"))
+    val variant = lines.toDF("value")
+      .select(parse_json(col("value")).as("v"))
+      .select(
+        expr("variant_get(v, '$.eventName', 'string')").as("eventName"),
+        expr("variant_get(v, '$.dynamodb.Keys.pk.S', 'string')").as("pk"),
+        expr("variant_get(v, '$.dynamodb.Keys.sk.S', 'string')").as("sk"),
+        expr("CAST(variant_get(v, '$.dynamodb.NewImage.dollarsEarned.N'," +
+          " 'string') AS DOUBLE)").as("dollarsEarned"),
+        timestamp_seconds(
+          expr("variant_get(v, '$.dynamodb.ApproximateCreationDateTime'," +
+            " 'long') DIV 1000")).as("et"))
+    assert(typed.collect().toSet == variant.collect().toSet,
+      "the dynamic Variant path and the typed-struct path diverged")
+  }
+
   test("initial load routes by pk prefix and strips prefixes strictly") {
     val gen = new CdcGen.Gen(2)
     val m = gen.member(); val mUp = gen.member(upper = true)

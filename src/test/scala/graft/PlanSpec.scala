@@ -357,12 +357,14 @@ class PlanSpec extends SparkSpec {
 
   test("q189: saturation curve windows over buckets, not documents") {
     val s = planString("q189_dedup_saturation")
-    // hash agg on h + bucket agg; the cumulative window sits ABOVE the
-    // bucket aggregation, so its input is n/100 rows by construction
+    // hash agg on h + bucket agg; the CumsumOps pair (group-partitioned
+    // running sum + prefix-offset window over the group frame) sits
+    // ABOVE the bucket aggregation, so no window input exceeds the
+    // n/100-row bucket frame — and the per-row one is group-partitioned
     val windows = "Window".r.findAllIn(s).size
-    assert(windows == 1, s"exactly the cumulative bucket window:\n$s")
+    assert(windows == 2, s"the CumsumOps window pair, nothing more:\n$s")
     assert(s.indexOf("Window") < s.indexOf("HashAggregate"),
-      s"the window must consume the bucket AGGREGATE (plans print top-down):\n$s")
+      s"the windows must consume the bucket AGGREGATE (plans print top-down):\n$s")
   }
 
   test("q193: query side broadcasts; the corpus never self-joins") {
@@ -552,6 +554,48 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastExchange") || s.contains("BroadcastQueryStage")
         || s.contains("BroadcastHashJoin"),
       "the bucket→decile map must broadcast back onto the scored rows")
+  }
+
+  test("q155/q169: quality-model weights come from a Range, never the vocabulary") {
+    // r12-verdict scale-killer: the old plan DISTINCTed the corpus
+    // vocabulary and broadcast it (1e9+ types at 100 TB kills the
+    // driver). The model is now B=512 hashed-bucket rows built from
+    // spark.range — pin that the broadcast side is a Range and that no
+    // vocabulary-sized aggregate feeds it.
+    val s155 = planString("q155_quality_model")
+    assert(s155.contains("Range (0, 512"),
+      "the weight table must be built from a 512-row Range, not the corpus")
+    val docScans = "Scan parquet|FileScan parquet".r.findAllIn(s155).size
+    assert(docScans == 1,
+      s"q155 must scan documents exactly once (found $docScans scans — " +
+        "a second scan means the model is being derived from the corpus)")
+    assert(!s155.contains("HashAggregate(keys=[tok"),
+      "no token-keyed aggregate may exist — the vocabulary must never " +
+        "be materialized")
+    val s169 = planString("q169_hybrid_rrf")
+    assert(s169.contains("Range (0, 512"),
+      "q169's quality ranker must reuse the Range-built bounded model")
+  }
+
+  test("q189/q204: running sums never window the full bucket frame") {
+    // r12-verdict finding #3: Window.orderBy(bucket) with no partitioning
+    // is linear-in-corpus at true scale. CumsumOps splits it into a
+    // group-partitioned window plus a prefix-offset window over the
+    // groupWidth-times-smaller group frame — pin that every window
+    // ordering by bucket is partitioned by the __g group column.
+    for (name <- Seq("q189_dedup_saturation", "q204_vocab_growth")) {
+      val s = planString(name)
+      val winLines = s.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(winLines.nonEmpty, s"$name: expected CumsumOps windows")
+      winLines.filter(l => l.contains("bucket#")).foreach { l =>
+        assert(l.contains("__g#"),
+          s"$name: a window over bucket order must be partitioned by the " +
+            s"CumsumOps group column, got: $l")
+      }
+      assert(s.contains("BroadcastExchange") || s.contains("BroadcastQueryStage")
+          || s.contains("BroadcastHashJoin"),
+        s"$name: the prefix offsets must broadcast back onto the bucket frame")
+    }
   }
 
   test("q225: batch shingles broadcast onto the pruned index; never all-pairs") {

@@ -50,4 +50,63 @@ class SemanticDedupIngestSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "ingest must release every persisted intermediate")
   }
+
+  test("empty-corpus seed: the door opens cold and grows from admissions") {
+    val corpus = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val batch1 = Seq(vec(10L, axis = 0, eps = 0f)).toDF("vec_id", "embedding")
+    val batch2 = Seq(
+      vec(20L, axis = 0, eps = 0.01f), // near-dup of batch-1's ADMISSION
+      vec(21L, axis = 1, eps = 0f)     // new direction
+    ).toDF("vec_id", "embedding")
+    val root = tmpDir("semingest-empty")
+    val d = SemanticDedupIngest.run(spark, root, corpus,
+      Seq(batch1, batch2), nBuckets = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("batch_id"), r.getAs[Int]("near_dup"),
+          r.getAs[Int]("admitted")))).toMap
+    assert(d == Map(
+      10L -> ((1, 0, 1)), 20L -> ((2, 1, 0)), 21L -> ((2, 0, 1))),
+      s"decisions: $d")
+  }
+
+  test("hot band cell nominates at most MaxCell admitted neighbors") {
+    // 65 all-positive corpus vectors: every dim > 0, so ALL of them share
+    // the single "1111" sign bucket in every one of the 16 bands — the
+    // hot-cell regime (identical-sign near-zero embeddings) the MaxCell
+    // cap exists for. Cell occupancy 65 > MaxCell=64, so the HIGHEST
+    // vec_id (164, the only spread-direction vector) is capped out of
+    // every cell's nomination list.
+    assert(SemanticDedupIngest.MaxCell == 64)
+    val base = Array.fill(64)(0.01f)
+    // ids 100..163: dominant single axis id-100 (mutual cosines ≈ 0)
+    val axisVecs = (0 until 64).map { i =>
+      (100L + i) -> base.clone().updated(i, 1.01f)
+    }
+    // id 164: direction spread over axes 0..15 — cosine vs any single
+    // axis vector ≈ 1/4 < 0.45, so nothing else is near it
+    val spread = base.clone()
+    (0 until 16).foreach(i => spread(i) = 1.0f)
+    val corpus = (axisVecs :+ (164L -> spread)).toDF("vec_id", "embedding")
+    val batch = Seq(
+      // true near-dup of id 140 (cell rank 41 ≤ 64 → nominated) → reject
+      400L -> base.clone().updated(40, 1.02f),
+      // true near-dup ONLY of id 164 — capped out of every cell, so the
+      // door never scores the pair and must ADMIT: the bounded-fan-out
+      // trade, deterministic and oracle-replayed
+      500L -> spread.clone().updated(20, 0.02f)
+    ).toDF("vec_id", "embedding")
+
+    val root = tmpDir("semingest-hot")
+    val d = SemanticDedupIngest.run(spark, root, corpus, Seq(batch),
+      nBuckets = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("near_dup"), r.getAs[Int]("admitted")))).toMap
+
+    assert(d(400L) == ((1, 0)),
+      "near-dup of a nominated (rank <= MaxCell) vector must reject")
+    assert(d(500L) == ((0, 1)),
+      "a neighbor capped out of every cell must never be scored — " +
+        "the cap bounds candidate fan-out at MaxCell per cell")
+    assert(d.size == 2)
+  }
 }
