@@ -71,7 +71,11 @@ object ScaleProbe {
     // cross-modal dedup-agreement join, and the media dedup-on-ingest
     // protocol (all documents-only)
     "q225_leakage_gate_ingest", "q226_crossmodal_agreement",
-    "q227_media_dedup_ingest")
+    "q227_media_dedup_ingest",
+    // round-13 additions: the two re-planned quality-model queries — the
+    // hash-bounded B=512 weight table is exactly the shape whose
+    // regression (a vocabulary-sized broadcast) this gate exists to catch
+    "q155_quality_model", "q169_hybrid_rrf")
 
   private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
     .filter(_.getType == MemoryType.HEAP)

@@ -97,6 +97,37 @@ class IngestDoorProtocolSpec extends SparkSpec {
       assert(n1 == n0, s"${f.name}: index grew $n0 -> $n1 on a rejection")
     }
 
+    test(s"${f.name}: empty-corpus seed opens the door cold") {
+      val root = tmpDir(s"door-${f.name}-empty")
+      val out = flags(f.door.ingestAll(spark, root,
+        f.mk(Seq.empty).limit(0),               // empty, schema-correct
+        Seq(f.mk(Seq(60L -> 0)),                // cold index → admit
+          f.mk(Seq(61L -> 0))),                 // dup of batch-1 admission
+        nBuckets = 4), f.door.idCol)
+      assert(out == Map(60L -> 1, 61L -> 0), s"${f.name}: $out")
+    }
+
+    test(s"${f.name}: torn WAL write (no _SUCCESS) is overwritten cleanly on replay") {
+      val root = tmpDir(s"door-${f.name}-torn")
+      val wal = tmpDir(s"door-${f.name}-torndir")
+      val stream = new IngestDoorStream(spark, f.door, root, wal,
+        nBuckets = 4, cleanCols = f.cleanCols,
+        now = () => new Timestamp(1660000000000L))
+      stream.seed(f.mk(Seq(0L -> 0)))
+      // a predecessor crashed mid-parquet-job: data fragments, no marker
+      val torn = java.nio.file.Paths.get(wal, "batch_id=1")
+      java.nio.file.Files.createDirectories(torn)
+      java.nio.file.Files.write(torn.resolve("part-junk.parquet"),
+        Array[Byte](1, 2, 3))
+      assert(!stream.decided(1L))
+      stream.ingest(f.mk(Seq(70L -> 0, 71L -> 1)), 1L)
+      // the index was untouched at crash time, so the recompute is
+      // against the pre-batch snapshot and the verdicts are the normal ones
+      val dec = flags(spark.read.parquet(s"$wal/batch_id=1"), f.door.idCol)
+      assert(dec == Map(70L -> 0, 71L -> 1), s"${f.name}: $dec")
+      assert(stream.decided(1L))
+    }
+
     test(s"${f.name}: stream replay is inert — WAL skips decide, re-apply idempotent") {
       val root = tmpDir(s"door-${f.name}-wal")
       val wal = tmpDir(s"door-${f.name}-waldir")
