@@ -75,7 +75,9 @@ object ScaleProbe {
     // round-13 additions: the two re-planned quality-model queries — the
     // hash-bounded B=512 weight table is exactly the shape whose
     // regression (a vocabulary-sized broadcast) this gate exists to catch
-    "q155_quality_model", "q169_hybrid_rrf")
+    // — and the dedup-horizon protocol (retire cost must track the
+    // EXPIRED set, not the corpus)
+    "q155_quality_model", "q169_hybrid_rrf", "q229_dedup_retention")
 
   private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
     .filter(_.getType == MemoryType.HEAP)

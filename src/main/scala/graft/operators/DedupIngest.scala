@@ -152,6 +152,8 @@ object DedupIngest {
       rowsPerBand: Int = 2): IngestDoor = new IngestDoor {
     import org.apache.spark.sql.types._
     val idCol = "doc_id"
+    val indexTable = "fp"
+    val indexKey = "fp"
     val decisionSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("batch_id", IntegerType),
       StructField("exact_dup", IntegerType),

@@ -39,6 +39,12 @@ trait IngestDoor {
   /** Id column of arriving rows ("doc_id" / "vec_id"). */
   def idCol: String
 
+  /** The door's index table name in its [[BucketedTableStore]]. */
+  def indexTable: String
+
+  /** The index table's key column. */
+  def indexKey: String
+
   /** Full decision schema: (idCol, batch_id, …flags…, admitted). */
   def decisionSchema: StructType
 
@@ -65,6 +71,34 @@ trait IngestDoor {
 
   /** Store bucket count a standalone run uses by default. */
   def defaultBuckets: Int = 16
+
+  /** Dedup-horizon maintenance: drop every index entry committed before
+    * `cutoff`, so content older than the retention window stops guarding
+    * the door (re-crawled pages re-admit after the horizon — the bounded
+    * dedup window production pipelines run, and the lever that keeps an
+    * unbounded ingest's index from growing forever). An EXPLICIT
+    * maintenance pass, priced like compaction: one O(index) scan, then
+    * bucket-local tombstone deltas for the expired keys only (O(expired)
+    * commit — untouched buckets never rewrite). A key re-admitted after
+    * its retirement gets a fresh commit stamp (newest-wins), so the
+    * horizon is measured from the LAST admission, not the first.
+    * Returns the number of retired entries; `ts` stamps the tombstones. */
+  final def retireBefore(store: BucketedTableStore, cutoff: Timestamp,
+      ts: Timestamp): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    store.readBuckets(indexTable, None) match {
+      case Some(idx) if idx.columns.contains("syncTimestamp") =>
+        val old = idx.filter(col("syncTimestamp") < lit(cutoff))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = old.count()
+          if (n > 0) store.applyMerge(indexTable,
+            old.withColumn("eventName", lit("REMOVE")), indexKey, ts)
+          n
+        } finally old.unpersist(blocking = false)
+      case _ => 0L
+    }
+  }
 
   /** Schema-correct empty decisions frame (seed-only runs, empty unions). */
   final def emptyDecisions(spark: SparkSession): DataFrame =

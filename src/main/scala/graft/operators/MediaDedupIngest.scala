@@ -143,6 +143,8 @@ object MediaDedupIngest {
   def door(maxHamming: Int = 10): IngestDoor = new IngestDoor {
     import org.apache.spark.sql.types._
     val idCol = "doc_id"
+    val indexTable = "pfp"
+    val indexKey = "k"
     val decisionSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("batch_id", IntegerType),
       StructField("near_dup", IntegerType),

@@ -155,6 +155,8 @@ object SemanticDedupIngest {
       tau: Double = 0.45): IngestDoor = new IngestDoor {
     import org.apache.spark.sql.types._
     val idCol = "vec_id"
+    val indexTable = "sv"
+    val indexKey = "k"
     val decisionSchema = StructType(Seq(StructField("vec_id", LongType),
       StructField("batch_id", IntegerType),
       StructField("near_dup", IntegerType),

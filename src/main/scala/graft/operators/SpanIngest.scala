@@ -113,6 +113,8 @@ object SpanIngest {
   def door(n: Int): IngestDoor = new IngestDoor {
     import org.apache.spark.sql.types._
     val idCol = "doc_id"
+    val indexTable = "gfp"
+    val indexKey = "fp"
     val decisionSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("batch_id", IntegerType),
       StructField("n_spans", LongType), StructField("dup_tokens", LongType),

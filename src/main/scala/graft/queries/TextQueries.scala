@@ -814,6 +814,95 @@ object TextQueries {
     FROM allb ORDER BY doc_id ASC"""
   }
 
+  // q229 — dedup horizon (bounded retention window on the ingest door):
+  // q150's sequential protocol with a RETIRE pass between the batches —
+  // the maintenance lever that keeps an unbounded ingest's fingerprint
+  // index from growing forever, and the bounded dedup window production
+  // pipelines actually run (a page re-crawled after the horizon is new
+  // content again). Seed at t0, batch 1 admits at t0+60s, then
+  // IngestDoor.retireBefore(t0+30s) tombstones every seed fingerprint
+  // (O(expired) bucket-local deltas — untouched buckets never rewrite),
+  // and batch 2 is screened against the batch-1 admissions ONLY: dups of
+  // the retired corpus re-admit, dups of live admissions still reject.
+  // The retired-entry count rides every row as n_retired, so the oracle
+  // hash-checks the horizon bookkeeping too (= the corpus's distinct
+  // exact + band fingerprints; batch-1 admissions are stamped past the
+  // cutoff and survive — an admitted doc's fingerprints are new by
+  // definition, so seed and admission stamps never mix).
+  def q229DedupRetention(spark: SparkSession, dir: String): DataFrame = {
+    import java.sql.Timestamp
+    import org.apache.spark.storage.StorageLevel
+    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) <= 1)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(4)) === 2)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+    val root = Files.createTempDirectory("graft-retire").toString
+    val t0 = 1660000000000L
+    try {
+      val door = DedupIngest.door()
+      val store = new graft.sync.BucketedTableStore(spark, root, 16,
+        deltaMerges = true, autoCompactAfter = 4)
+      door.seedIndex(spark, store, corpus, new Timestamp(t0))
+      val p1 = door.probeFrame(spark, b1).persist(StorageLevel.MEMORY_AND_DISK)
+      val d1 = door.decide(spark, store, b1, p1, 1L)
+      door.applyAdmissions(store, p1, d1, new Timestamp(t0 + 60000))
+      p1.unpersist()
+      val retired = door.retireBefore(store, new Timestamp(t0 + 30000),
+        new Timestamp(t0 + 90000))
+      val p2 = door.probeFrame(spark, b2).persist(StorageLevel.MEMORY_AND_DISK)
+      val d2 = door.decide(spark, store, b2, p2, 2L)
+      door.applyAdmissions(store, p2, d2, new Timestamp(t0 + 120000))
+      p2.unpersist()
+      d1.unionByName(d2)
+        .withColumn("n_retired", lit(retired))
+        .orderBy(col("doc_id").asc)
+    } finally graft.sync.TableStore.deleteRecursively(Paths.get(root))
+  }
+  val q229Oracle: String = {
+    val mins = (0 until 8).map(s => s"MIN(md5(shingle || '|$s')) AS mh$s").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS bucket FROM mh")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    bands AS ($bandRows),
+    bb AS (SELECT doc_id, CAST(band AS VARCHAR) || ':' || bucket AS bb FROM bands),
+    hs AS (SELECT doc_id, md5(text) AS h FROM documents),
+    ceh AS (SELECT DISTINCT h FROM hs WHERE doc_id % 4 <= 1),
+    cbb AS (SELECT DISTINCT bb FROM bb WHERE doc_id % 4 <= 1),
+    b1 AS (
+      SELECT d.doc_id, 1 AS batch_id,
+        CASE WHEN d.h IN (SELECT h FROM ceh) THEN 1 ELSE 0 END AS exact_dup,
+        CASE WHEN EXISTS (SELECT 1 FROM bb x WHERE x.doc_id = d.doc_id
+                          AND x.bb IN (SELECT bb FROM cbb))
+             THEN 1 ELSE 0 END AS near_dup
+      FROM hs d WHERE d.doc_id % 4 = 2),
+    b1adm AS (SELECT doc_id FROM b1 WHERE exact_dup = 0 AND near_dup = 0),
+    eh1 AS (SELECT h FROM hs WHERE doc_id IN (SELECT doc_id FROM b1adm)),
+    bb1 AS (SELECT bb FROM bb WHERE doc_id IN (SELECT doc_id FROM b1adm)),
+    b2 AS (
+      SELECT d.doc_id, 2 AS batch_id,
+        CASE WHEN d.h IN (SELECT h FROM eh1) THEN 1 ELSE 0 END AS exact_dup,
+        CASE WHEN EXISTS (SELECT 1 FROM bb x WHERE x.doc_id = d.doc_id
+                          AND x.bb IN (SELECT bb FROM bb1))
+             THEN 1 ELSE 0 END AS near_dup
+      FROM hs d WHERE d.doc_id % 4 = 3),
+    nret AS (SELECT (SELECT COUNT(*) FROM ceh) + (SELECT COUNT(*) FROM cbb)
+               AS n_retired),
+    allb AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT doc_id, batch_id, exact_dup, near_dup,
+      CASE WHEN exact_dup = 0 AND near_dup = 0 THEN 1 ELSE 0 END AS admitted,
+      CAST(n_retired AS BIGINT) AS n_retired
+    FROM allb CROSS JOIN nret ORDER BY doc_id ASC"""
+  }
+
   // q155 — model-based quality scoring (the fastText-shaped step every
   // production corpus runs after the heuristic filters of q31): a linear
   // model over hashed bag-of-words features, applied as the operator
@@ -1670,6 +1759,7 @@ object TextQueries {
     "q162_dup_span_scrub" -> (q162DupSpanScrub _),
     "q155_quality_model" -> (q155QualityModel _),
     "q150_dedup_on_ingest" -> (q150DedupOnIngest _),
+    "q229_dedup_retention" -> (q229DedupRetention _),
     "q148_setsim_join" -> (q148SetsimJoin _),
     "q125_regex_tokens" -> (q125RegexTokens _),
     "q93_dedup_clusters" -> (q93DedupClusters _),
@@ -1707,6 +1797,7 @@ object TextQueries {
     "q162_dup_span_scrub" -> q162Oracle,
     "q155_quality_model" -> q155Oracle,
     "q150_dedup_on_ingest" -> q150Oracle,
+    "q229_dedup_retention" -> q229Oracle,
     "q148_setsim_join" -> q148Oracle,
     "q125_regex_tokens" -> q125Oracle,
     "q93_dedup_clusters" -> q93Oracle,

@@ -128,6 +128,30 @@ class IngestDoorProtocolSpec extends SparkSpec {
       assert(stream.decided(1L))
     }
 
+    test(s"${f.name}: dedup horizon — retired entries stop guarding the door") {
+      val root = tmpDir(s"door-${f.name}-retire")
+      val store = new BucketedTableStore(spark, root, 4,
+        deltaMerges = true, autoCompactAfter = 4)
+      val t0 = 1660000000000L
+      f.door.seedIndex(spark, store, f.mk(Seq(0L -> 0)), new Timestamp(t0))
+      val b1 = f.mk(Seq(80L -> 1))
+      val p1 = f.door.probeFrame(spark, b1)
+      val d1 = f.door.decide(spark, store, b1, p1, 1L)
+      f.door.applyAdmissions(store, p1, d1, new Timestamp(t0 + 60000))
+      assert(flags(d1, f.door.idCol) == Map(80L -> 1))
+      // horizon between the seed and batch 1: the seed retires, 80 stays
+      val retired = f.door.retireBefore(store, new Timestamp(t0 + 30000),
+        new Timestamp(t0 + 90000))
+      assert(retired > 0, s"${f.name}: expected seed entries to retire")
+      // dup of the RETIRED seed re-admits; dup of the live admission
+      // still rejects — the horizon runs from the LAST admission
+      val b2 = f.mk(Seq(90L -> 0, 91L -> 1))
+      val p2 = f.door.probeFrame(spark, b2)
+      val d2 = f.door.decide(spark, store, b2, p2, 2L)
+      assert(flags(d2, f.door.idCol) == Map(90L -> 1, 91L -> 0),
+        s"${f.name}: ${flags(d2, f.door.idCol)}")
+    }
+
     test(s"${f.name}: stream replay is inert — WAL skips decide, re-apply idempotent") {
       val root = tmpDir(s"door-${f.name}-wal")
       val wal = tmpDir(s"door-${f.name}-waldir")
