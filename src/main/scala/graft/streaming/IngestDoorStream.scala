@@ -68,6 +68,16 @@ final class IngestDoorStream(spark: SparkSession, door: IngestDoor,
   def decided(batchId: Long): Boolean =
     Files.exists(batchDir(batchId).resolve("_SUCCESS"))
 
+  /** Dedup-horizon maintenance between micro-batches
+    * ([[IngestDoor.retireBefore]] on this stream's store): run it while
+    * the query is idle (between triggers, or from a scheduled
+    * maintenance pass) — it only tombstones entries stamped before
+    * `cutoff`, so it composes with the WAL exactly like a compaction
+    * does: replayed batches re-apply their logged decisions regardless
+    * of what has since retired. Returns the retired-entry count. */
+  def retireBefore(cutoff: Timestamp): Long =
+    door.retireBefore(store, cutoff, now())
+
   /** One micro-batch, replay-safe; exposed for direct spec drive. */
   def ingest(batch: DataFrame, batchId: Long): Unit = {
     // persisted for the batch's scope: the cleaned frame feeds the probe

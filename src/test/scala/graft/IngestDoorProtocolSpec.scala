@@ -171,6 +171,15 @@ class IngestDoorProtocolSpec extends SparkSpec {
       assert(dec2 == dec1, s"${f.name}: replay changed logged decisions")
       val n2 = store.readBuckets(f.table, None).get.count()
       assert(n2 == n1, s"${f.name}: replay changed the index $n1 -> $n2")
+      // horizon maintenance between micro-batches composes with the WAL:
+      // retiring everything stamped so far empties the live index, and a
+      // replayed batch STILL skips decide (decisions come from the log,
+      // not the mutated index)
+      val retired = stream.retireBefore(new Timestamp(1660000000001L))
+      assert(retired == n1, s"${f.name}: expected the whole index retired")
+      stream.ingest(batch, 1L)
+      assert(flags(spark.read.parquet(s"$wal/batch_id=1"), f.door.idCol)
+        == dec1, s"${f.name}: post-retire replay must keep logged decisions")
     }
   }
 }
