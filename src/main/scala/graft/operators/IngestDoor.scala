@@ -82,6 +82,16 @@ trait IngestDoor {
     * commit — untouched buckets never rewrite). A key re-admitted after
     * its retirement gets a fresh commit stamp (newest-wins), so the
     * horizon is measured from the LAST admission, not the first.
+    *
+    * The scan term is inherent to the hash-by-key layout (timestamps
+    * spread uniformly over buckets, so no zone map prunes them). If a
+    * 100 TB deployment retires often enough for that scan to dominate,
+    * the layout lever is GENERATIONAL index tables — one store table
+    * per coarse commit window, retire = drop whole generations as
+    * metadata, probes fan over the live generations — trading probe
+    * fan-out for O(1) retirement; this verb keeps the single-table
+    * layout because probing stays single-lookup and retirement is
+    * occasional by construction (a horizon is months, not batches).
     * Returns the number of retired entries; `ts` stamps the tombstones. */
   final def retireBefore(store: BucketedTableStore, cutoff: Timestamp,
       ts: Timestamp): Long = {
