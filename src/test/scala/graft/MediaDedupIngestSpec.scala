@@ -55,6 +55,47 @@ class MediaDedupIngestSpec extends SparkSpec {
       s"decisions: $out")
   }
 
+  test("streaming twin: parquet micro-batches screen sequentially via start()") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("mdistream")
+    val decDir = tmpDir("mdistream-dec")
+    val inDir = tmpDir("mdistream-in")
+    val ckpt = tmpDir("mdistream-ckpt")
+    val stream = new graft.streaming.MediaDedupIngestStream(
+      spark, root, decDir, nBuckets = 4,
+      now = () => new java.sql.Timestamp(1660000000000L))
+    stream.seed(media(0L -> inc))
+
+    def parquetFile(name: String, mtime: Long,
+        rows: (Long, Array[Byte])*): Unit = {
+      val tmp = tmpDir(s"mdistream-stage-$name")
+      media(rows: _*).select("doc_id", "kind", "media").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      }
+      val dest = Paths.get(inDir, name)
+      Files.move(part, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val t = System.currentTimeMillis()
+    parquetFile("f1.parquet", t - 60000,
+      10L -> inc,   // Hamming 0 vs corpus → reject
+      11L -> dec)   // band-disjoint → admit
+    parquetFile("f2.parquet", t,
+      20L -> dec,   // dup of batch-0 ADMISSION → reject
+      21L -> alt)   // new → admit
+    stream.start(inDir, ckpt, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+
+    val d = spark.read.parquet(decDir).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("near_dup"), r.getAs[Int]("admitted")))).toMap
+    assert(d == Map(10L -> ((1, 0)), 11L -> ((0, 1)),
+      20L -> ((1, 0)), 21L -> ((0, 1))), s"decisions: $d")
+  }
+
   test("empty-corpus seed: the door opens cold and grows from admissions") {
     // the scaladoc's "may be empty" claim, exercised: writeAll stages an
     // empty-but-schemaed bucket so the seeded table reads back with its

@@ -51,6 +51,49 @@ class SemanticDedupIngestSpec extends SparkSpec {
       "ingest must release every persisted intermediate")
   }
 
+  test("streaming twin: parquet micro-batches screen sequentially via start()") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("semstream")
+    val decDir = tmpDir("semstream-dec")
+    val inDir = tmpDir("semstream-in")
+    val ckpt = tmpDir("semstream-ckpt")
+    val stream = new graft.streaming.SemanticDedupIngestStream(
+      spark, root, decDir, nBuckets = 4,
+      now = () => new java.sql.Timestamp(1660000000000L))
+    stream.seed(Seq(vec(0L, axis = 0, eps = 0f)).toDF("vec_id", "embedding"))
+
+    // one parquet file per micro-batch, ordered by mtime (the same
+    // maxFilesPerTrigger discipline the JSON doors' stream specs use)
+    def parquetFile(name: String, mtime: Long,
+        rows: (Long, Array[Float])*): Unit = {
+      val tmp = tmpDir(s"semstream-stage-$name")
+      rows.toDF("vec_id", "embedding").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      }
+      val dest = Paths.get(inDir, name)
+      Files.move(part, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    val t = System.currentTimeMillis()
+    parquetFile("f1.parquet", t - 60000,
+      10L -> vec(10L, axis = 0, eps = 0.01f)._2, // dup of corpus → reject
+      11L -> vec(11L, axis = 1, eps = 0f)._2)    // new direction → admit
+    parquetFile("f2.parquet", t,
+      20L -> vec(20L, axis = 1, eps = 0.01f)._2, // dup of batch-0 ADMISSION
+      21L -> vec(21L, axis = 2, eps = 0f)._2)    // new → admit
+    stream.start(inDir, ckpt, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+
+    val d = spark.read.parquet(decDir).collect().map(r =>
+      r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("near_dup"), r.getAs[Int]("admitted")))).toMap
+    assert(d == Map(10L -> ((1, 0)), 11L -> ((0, 1)),
+      20L -> ((1, 0)), 21L -> ((0, 1))), s"decisions: $d")
+  }
+
   test("empty-corpus seed: the door opens cold and grows from admissions") {
     val corpus = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val batch1 = Seq(vec(10L, axis = 0, eps = 0f)).toDF("vec_id", "embedding")
