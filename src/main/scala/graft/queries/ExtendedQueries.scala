@@ -408,7 +408,53 @@ object ExtendedQueries {
     FROM est e JOIN ex x USING (l_returnflag)
     ORDER BY e.l_returnflag ASC"""
 
+  // q230 — co-located (bucketed) no-shuffle join: the 100 TB strategy for
+  // repeatedly-joined big tables (the reference's DISTKEY intent,
+  // setup_redshift.sh:90, lifted to its real use case). Both sides are
+  // written ONCE as hash-bucketed+sorted tables on the join key
+  // (JoinOps.bucketize → CLUSTERED BY ... SORTED BY in the warehouse);
+  // the subsequent equi-join and the orderkey-grouped aggregate then
+  // satisfy their ClusteredDistribution straight from the bucketed scans
+  // — the physical plan has ZERO ShuffleExchange (PlanSpec pins it). At
+  // 100 TB this converts every fact⋈fact orderkey join from a full
+  // two-sided shuffle into a metadata decision, paid once at write time.
+  // Results are layout-independent (same rows whatever the bucket
+  // count), so the oracle is the plain join+agg.
+  def q230ColocatedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // per-sfDir table names: concurrent runs over different scales must
+    // not clobber each other's warehouse entries
+    val sfx = (dir.hashCode & 0x7fffffff).toString
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("orderkey"),
+      col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+    val liName = s"graft_q230_li_$sfx"
+    val ordName = s"graft_q230_ord_$sfx"
+    val bucketed = graft.operators.JoinOps.bucketize(
+      spark, Map(liName -> li, ordName -> ord), "orderkey", buckets = 8)
+    // MERGE hint: this operator models fact⋈fact where broadcast is
+    // impossible at the target scale — without it the sf0.001 test data
+    // auto-broadcasts the small side and the co-located path never plans
+    bucketed(liName).join(bucketed(ordName).hint("merge"), Seq("orderkey"))
+      .groupBy(col("orderkey"), col("o_orderpriority"))
+      .agg(
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("orderkey").asc)
+      .limit(20)
+  }
+  val q230Oracle: String = """
+    SELECT l_orderkey AS orderkey, o_orderpriority,
+      CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, orderkey ASC LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_colocated_join" -> (q230ColocatedJoin _),
     "q140_sample_quantile" -> (q140SampleQuantile _),
     "q94_stream_update_mode" -> (q94StreamUpdateMode _),
     "q84_countmin_freq" -> (q84CountMinFreq _),
@@ -424,6 +470,7 @@ object ExtendedQueries {
     "q55_stream_tumbling" -> (q55StreamTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "q230_colocated_join" -> q230Oracle,
     "q57_approx_sketches" -> q57Oracle,
     "q82_sketch_rollup" -> q82Oracle,
     "q84_countmin_freq" -> q84Oracle,

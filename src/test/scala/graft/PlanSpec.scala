@@ -639,4 +639,19 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"),
       "nothing in the waterfill may sort-merge — every join side is tiny")
   }
+
+  test("q230: bucketed join + bucket-keyed agg plan with ZERO shuffle") {
+    val s = finalPlan("q230_colocated_join")
+    // both scans are bucketed on orderkey, so the join AND the
+    // orderkey-grouped aggregate satisfy their distributions from the
+    // layout — any Exchange hashpartitioning here means the co-located
+    // write was wasted and a 100 TB fact⋈fact join re-shuffles both sides
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles == 0,
+      s"bucketed join must not shuffle either side (found $shuffles)")
+    assert(s.contains("SortMergeJoin"),
+      "the co-located join is a sort-merge over aligned buckets")
+    assert(s.contains("TakeOrderedAndProject"),
+      "the top-20 must stay a TakeOrdered head, not a global sort")
+  }
 }
