@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticQueries, BehaviorQueries, CoreQueries, CurationQueries, ExtendedQueries, FunctionQueries, GraphQueries, InsightQueries, MultimodalQueries, PipelineQueries, PlanningQueries, PretrainQueries, ResolutionQueries, SourceQueries, SqlDepthQueries, StatsQueries, StreamingQueries, TemporalQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticQueries, BehaviorQueries, CoreQueries, CurationQueries, ExtendedQueries, FunctionQueries, GovernanceQueries, GraphQueries, InsightQueries, MultimodalQueries, PipelineQueries, PlanningQueries, PretrainQueries, ResolutionQueries, SourceQueries, SqlDepthQueries, StatsQueries, StreamingQueries, TemporalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ PipelineQueries.queries ++ TextQueries.queries ++
       VectorQueries.queries ++ MultimodalQueries.queries ++ ExtendedQueries.queries ++
-      FunctionQueries.queries ++ TemporalQueries.queries ++ AnalyticQueries.queries ++ StreamingQueries.queries ++ SourceQueries.queries ++ CurationQueries.queries ++ BehaviorQueries.queries ++ InsightQueries.queries ++ SqlDepthQueries.queries ++ PretrainQueries.queries ++ GraphQueries.queries ++ ResolutionQueries.queries ++ PlanningQueries.queries ++ StatsQueries.queries
+      FunctionQueries.queries ++ TemporalQueries.queries ++ AnalyticQueries.queries ++ StreamingQueries.queries ++ SourceQueries.queries ++ CurationQueries.queries ++ BehaviorQueries.queries ++ InsightQueries.queries ++ SqlDepthQueries.queries ++ PretrainQueries.queries ++ GraphQueries.queries ++ ResolutionQueries.queries ++ PlanningQueries.queries ++ StatsQueries.queries ++ GovernanceQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ PipelineQueries.oracles ++ TextQueries.oracles ++
       VectorQueries.oracles ++ MultimodalQueries.oracles ++ ExtendedQueries.oracles ++
-      FunctionQueries.oracles ++ TemporalQueries.oracles ++ AnalyticQueries.oracles ++ StreamingQueries.oracles ++ SourceQueries.oracles ++ CurationQueries.oracles ++ BehaviorQueries.oracles ++ InsightQueries.oracles ++ SqlDepthQueries.oracles ++ PretrainQueries.oracles ++ GraphQueries.oracles ++ ResolutionQueries.oracles ++ PlanningQueries.oracles ++ StatsQueries.oracles
+      FunctionQueries.oracles ++ TemporalQueries.oracles ++ AnalyticQueries.oracles ++ StreamingQueries.oracles ++ SourceQueries.oracles ++ CurationQueries.oracles ++ BehaviorQueries.oracles ++ InsightQueries.oracles ++ SqlDepthQueries.oracles ++ PretrainQueries.oracles ++ GraphQueries.oracles ++ ResolutionQueries.oracles ++ PlanningQueries.oracles ++ StatsQueries.oracles ++ GovernanceQueries.oracles
 }

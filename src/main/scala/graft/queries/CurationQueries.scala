@@ -952,7 +952,69 @@ object CurationQueries {
     LEFT JOIN duph d ON d.h = t.h
     GROUP BY t.source ORDER BY t.source ASC"""
 
+  // q231 — taxonomy keyword tagging: label every document with the topics
+  // whose dictionary terms (uni- AND bigram phrases) it contains, in ONE
+  // corpus pass. The scale discipline: per-doc candidate terms are
+  // derived with per-row ARRAY ops (tokens + adjacent-bigram transform —
+  // no shuffle, no window), then a single broadcast join against the
+  // topic dictionary tags them; K regex/LIKE passes over 100 TB (the
+  // naive spelling, and the oracle's — fine at oracle scale) would scan
+  // the corpus K times and never fold into one codegen stage. Output is
+  // the per-topic reach card: documents reached, total term hits, and
+  // distinct terms that fired.
+  def q231KeywordTag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dict = taxonomy.toDF("topic", "term")
+    val docs = Tables.documents(spark, dir)
+    val cand = docs
+      .withColumn("t", TextOps.tokens(col("text")))
+      .withColumn("grams",
+        concat(col("t"),
+          when(size(col("t")) >= 2,
+            transform(sequence(lit(1), size(col("t")) - 1),
+              i => concat_ws(" ", slice(col("t"), i, lit(2)))))
+            .otherwise(array())))
+      .select(col("doc_id"), explode(col("grams")).as("term"))
+    cand.join(broadcast(dict), Seq("term"))
+      .groupBy(col("topic"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_hits"),
+        countDistinct(col("term")).as("n_terms_fired"))
+      .orderBy(col("topic").asc)
+  }
+  /** Topic → dictionary terms (unigrams and bigram phrases over the
+    * synthetic corpus vocabulary). Broadcast-sized by construction — a
+    * production taxonomy is 10³–10⁵ terms, still driver-trivial. */
+  private val taxonomy: Seq[(String, String)] = Seq(
+    "execution" -> "scan", "execution" -> "filter", "execution" -> "sort",
+    "execution" -> "merge", "execution" -> "hash join",
+    "execution" -> "table scan",
+    "storage" -> "table", "storage" -> "row", "storage" -> "column",
+    "storage" -> "part",
+    "streaming" -> "stream", "streaming" -> "batch", "streaming" -> "window",
+    "perf" -> "fast", "perf" -> "slow", "perf" -> "big table")
+  val q231Oracle: String = {
+    val dictSql = taxonomy
+      .map { case (t, k) => s"('$t', '$k')" }.mkString(", ")
+    s"""
+    WITH dict(topic, term) AS (VALUES $dictSql),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_concat(t,
+        CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t) - 1),
+          i -> t[i] || ' ' || t[i + 1]) ELSE [] END)) AS term
+      FROM toks)
+    SELECT topic,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_hits,
+           COUNT(DISTINCT term) AS n_terms_fired
+    FROM grams JOIN dict USING (term)
+    GROUP BY topic ORDER BY topic ASC"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_keyword_tag" -> (q231KeywordTag _),
     "q181_data_card" -> (q181DataCard _),
     "q178_epoch_shuffle" -> (q178EpochShuffle _),
     "q177_quality_gate_ingest" -> (q177QualityGateIngest _),
@@ -972,6 +1034,7 @@ object CurationQueries {
     "q89_curation_pipeline" -> (q89CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "q231_keyword_tag" -> q231Oracle,
     "q181_data_card" -> q181Oracle,
     "q178_epoch_shuffle" -> q178Oracle,
     "q177_quality_gate_ingest" -> q177Oracle,

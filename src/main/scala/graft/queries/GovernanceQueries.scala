@@ -1,0 +1,276 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sync.TableStore
+import graft.tables.Tables
+
+/** Dataset-governance operators: the auditability layer a production
+  * corpus needs once it is a versioned, regulated artifact rather than a
+  * one-shot dump —
+  *
+  *   - q233: corpus version DIFF (what changed between release v0 and v1:
+  *     adds, takedowns, re-crawls — the churn report a data card cites),
+  *     read through the store's retained snapshots (q149's time travel,
+  *     here as the input to an audit instead of a point read);
+  *   - q235: deletion PROPAGATION (right-to-be-forgotten): a forget-set
+  *     of documents is removed from the corpus AND every derived
+  *     artifact — chunks, dedup index (with owner re-election), shard
+  *     manifest — with a per-artifact audit proving zero residuals.
+  *
+  * Both run their mutation through [[TableStore]] versioned snapshots, so
+  * the BEFORE state stays readable for the audit (and for regulators) —
+  * the same reason transactional table formats retain snapshots. All
+  * checksums/hashes are md5-derived (exact hex/int on both engines), so
+  * the full audit frames hash-check against the DuckDB oracle.
+  *
+  * Scale shape: every diff/propagation step is an equi-join or
+  * anti-join on doc_id / content-hash — bucket-colocatable at 100 TB
+  * (q230's layout; BucketedTableStore prunes the probe side) — and the
+  * audit outputs are per-source / per-artifact aggregates, never
+  * row-level dumps. The only collect is the ≤(sources×4 | 4)-row audit
+  * frame itself, materialized so the temp stores can be deleted before
+  * returning (q23's discipline).
+  */
+object GovernanceQueries {
+
+  /** Full md5 hex of the document text — the content identity used by
+    * both governance queries (DuckDB: `md5(text)`). */
+  private def chash(c: Column): Column = md5(c.cast("binary"))
+
+  /** 60-bit integer view of the content hash for XOR checksums
+    * (q157's manifest spelling). */
+  private def chashInt(c: Column): Column =
+    conv(substring(chash(c), 1, 15), 16, 10).cast("long")
+
+  // -----------------------------------------------------------------
+  // q233 — corpus version diff: release v0 (chars ≥ 300) vs release v1
+  // (floor loosened to ≥ 250 = ADDS; every 11th doc taken down =
+  // REMOVES; every 7th re-crawled with new content = CHANGES). Both
+  // releases are written as store versions and read BACK via the
+  // version pointers (v0 through time travel), then full-outer-joined
+  // on doc_id into the churn report a release audit publishes.
+  def q233CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-q233-store").toString
+    try {
+      val store = new TableStore(spark, root)
+      store.write("corpus", corpusV0(spark, dir))
+      store.write("corpus", corpusV1(spark, dir))
+      val v0 = store.readAt("corpus", 0).get
+      val v1 = store.read("corpus").get
+      val joined = v0.select(col("doc_id"), col("source").as("src0"),
+          col("chash").as("h0"))
+        .join(v1.select(col("doc_id"), col("source").as("src1"),
+          col("chash").as("h1")), Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h0").isNull, lit("added"))
+            .when(col("h1").isNull, lit("removed"))
+            .when(col("h0") =!= col("h1"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .withColumn("source", coalesce(col("src1"), col("src0")))
+      val report = joined.groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source").asc, col("status").asc)
+      val rows = report.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
+    } finally TableStore.deleteRecursively(Paths.get(root))
+  }
+
+  private def corpusV0(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("n_chars") >= 300)
+      .select(col("doc_id"), col("source"), chash(col("text")).as("chash"))
+
+  private def corpusV1(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("n_chars") >= 250)
+      .filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .select(col("doc_id"), col("source"),
+        chash(when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+          .as("chash"))
+
+  val q233Oracle: String = """
+    WITH v0 AS (
+      SELECT doc_id, source, md5(text) AS chash
+      FROM documents WHERE n_chars >= 300),
+    v1 AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                      ELSE text END) AS chash
+      FROM documents WHERE n_chars >= 250 AND doc_id % 11 <> 0),
+    j AS (
+      SELECT COALESCE(v1.source, v0.source) AS source,
+        CASE WHEN v0.doc_id IS NULL THEN 'added'
+             WHEN v1.doc_id IS NULL THEN 'removed'
+             WHEN v0.chash <> v1.chash THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM v0 FULL OUTER JOIN v1 USING (doc_id))
+    SELECT source, status, COUNT(*) AS n_docs
+    FROM j GROUP BY source, status
+    ORDER BY source ASC, status ASC"""
+
+  // -----------------------------------------------------------------
+  // q235 — deletion propagation: every 13th doc_id is a forget request.
+  // v0 of four artifacts (corpus, 32-token chunks, dedup index keyed on
+  // content hash with min-doc_id owner, 8-shard XOR manifest) is
+  // written to the store; the forget-set then propagates — corpus and
+  // chunks by anti-join, index and manifest by recompute-over-survivors
+  // (the index re-ELECTS an owner when the old one is forgotten; the
+  // manifest's checksums shift wherever a shard lost docs). The audit
+  // frame proves it: rows before/after, rows touched, and a residual
+  // count (v1 rows still referencing a forgotten doc) that must be 0.
+  def q235ForgetPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-q235-store").toString
+    try {
+      val store = new TableStore(spark, root)
+      val base = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("chash", chash(col("text")))
+        .withColumn("hnum", chashInt(col("text")))
+      val corpus0 = base.select("doc_id", "source", "chash")
+      val chunks0 = base
+        .withColumn("t", graft.operators.TextOps.tokens(col("text")))
+        .withColumn("n_chunks",
+          ceil(size(col("t")).cast("double") / 32.0).cast("long"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1L), col("n_chunks"))).as("chunk_id"),
+          col("t"))
+        .withColumn("n_toks",
+          least(lit(32L), size(col("t")) - (col("chunk_id") - 1) * 32))
+        .drop("t")
+      def index(c: DataFrame): DataFrame = c.groupBy(col("chash"))
+        .agg(min(col("doc_id")).as("owner"), count(lit(1)).as("n_dups"))
+      def manifest(c: DataFrame): DataFrame = c
+        .withColumn("shard", pmod(col("doc_id"), lit(8L)).cast("int"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(doc_id)").as("id_checksum"),
+          expr("bit_xor(hnum)").as("content_checksum"))
+      val withH = (c: DataFrame) => c.join(
+        base.select(col("doc_id"), col("hnum")), Seq("doc_id"))
+      store.write("corpus", corpus0)
+      store.write("chunks", chunks0)
+      store.write("dedup_index", index(corpus0))
+      store.write("manifest", manifest(withH(corpus0)))
+
+      val forget = base.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"))
+      val corpus1 = store.read("corpus").get
+        .join(forget, Seq("doc_id"), "left_anti")
+      val chunks1 = store.read("chunks").get
+        .join(forget, Seq("doc_id"), "left_anti")
+      store.write("corpus", corpus1)
+      store.write("chunks", chunks1)
+      store.write("dedup_index", index(store.read("corpus").get))
+      store.write("manifest", manifest(withH(store.read("corpus").get)))
+
+      def audit(name: String, touched: DataFrame, residual: DataFrame)
+          : DataFrame = {
+        val before = store.readAt(name, 0).get.count()
+        val after = store.read(name).get.count()
+        spark.range(1).select(
+          lit(name).as("artifact"),
+          lit(before).as("rows_before"),
+          lit(after).as("rows_after"),
+          lit(touched.count()).as("n_touched"),
+          lit(residual.count()).as("residual"))
+      }
+      val corpusTouched = store.readAt("corpus", 0).get
+        .join(forget, Seq("doc_id"), "left_semi")
+      val chunksTouched = store.readAt("chunks", 0).get
+        .join(forget, Seq("doc_id"), "left_semi")
+      val idx0 = store.readAt("dedup_index", 0).get
+        .select(col("chash"), col("owner").as("owner0"))
+      val idx1 = store.read("dedup_index").get
+        .select(col("chash"), col("owner").as("owner1"))
+      val idxTouched = idx0.join(idx1, Seq("chash"), "left_outer")
+        .filter(col("owner1").isNull || col("owner0") =!= col("owner1"))
+      val man0 = store.readAt("manifest", 0).get
+      val man1 = store.read("manifest").get
+      val manTouched = man0.select(col("shard"), col("n_docs").as("n0"),
+          col("id_checksum").as("i0"), col("content_checksum").as("c0"))
+        .join(man1, Seq("shard"), "left_outer")
+        .filter(col("n_docs").isNull || col("n0") =!= col("n_docs") ||
+          col("i0") =!= col("id_checksum") ||
+          col("c0") =!= col("content_checksum"))
+      val forgetIds = forget
+      val report = audit("corpus", corpusTouched,
+          store.read("corpus").get.join(forgetIds, Seq("doc_id"), "left_semi"))
+        .unionByName(audit("chunks", chunksTouched,
+          store.read("chunks").get.join(forgetIds, Seq("doc_id"), "left_semi")))
+        .unionByName(audit("dedup_index", idxTouched,
+          store.read("dedup_index").get
+            .join(forgetIds, col("owner") === col("doc_id"), "left_semi")))
+        .unionByName(audit("manifest", manTouched,
+          // shard rows carry no doc ids — residual is structural zero
+          spark.range(0).select(lit(0L).as("z"))))
+        .orderBy(col("artifact").asc)
+      val rows = report.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
+    } finally TableStore.deleteRecursively(Paths.get(root))
+  }
+
+  val q235Oracle: String = """
+    WITH base AS (
+      SELECT doc_id, source, text, md5(text) AS chash,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS hnum,
+             len(string_split(text, ' ')) AS n_toks_doc
+      FROM documents),
+    forget AS (SELECT doc_id FROM base WHERE doc_id % 13 = 0),
+    corpus0 AS (SELECT doc_id, chash FROM base),
+    corpus1 AS (SELECT doc_id, chash FROM base
+                WHERE doc_id NOT IN (SELECT doc_id FROM forget)),
+    chunks0 AS (
+      SELECT doc_id, unnest(generate_series(1,
+        CAST(ceil(n_toks_doc / 32.0) AS BIGINT))) AS chunk_id
+      FROM base),
+    chunks1 AS (SELECT * FROM chunks0
+                WHERE doc_id NOT IN (SELECT doc_id FROM forget)),
+    idx0 AS (SELECT chash, MIN(doc_id) AS owner FROM corpus0 GROUP BY chash),
+    idx1 AS (SELECT chash, MIN(doc_id) AS owner FROM corpus1 GROUP BY chash),
+    man0 AS (
+      SELECT doc_id % 8 AS shard, COUNT(*) AS n_docs,
+             bit_xor(b.doc_id) AS i_ck, bit_xor(hnum) AS c_ck
+      FROM corpus0 JOIN base b USING (doc_id) GROUP BY 1),
+    man1 AS (
+      SELECT doc_id % 8 AS shard, COUNT(*) AS n_docs,
+             bit_xor(b.doc_id) AS i_ck, bit_xor(hnum) AS c_ck
+      FROM corpus1 JOIN base b USING (doc_id) GROUP BY 1)
+    SELECT 'corpus' AS artifact,
+      (SELECT COUNT(*) FROM corpus0) AS rows_before,
+      (SELECT COUNT(*) FROM corpus1) AS rows_after,
+      (SELECT COUNT(*) FROM corpus0 WHERE doc_id IN (SELECT doc_id FROM forget)) AS n_touched,
+      (SELECT COUNT(*) FROM corpus1 WHERE doc_id IN (SELECT doc_id FROM forget)) AS residual
+    UNION ALL
+    SELECT 'chunks',
+      (SELECT COUNT(*) FROM chunks0),
+      (SELECT COUNT(*) FROM chunks1),
+      (SELECT COUNT(*) FROM chunks0 WHERE doc_id IN (SELECT doc_id FROM forget)),
+      (SELECT COUNT(*) FROM chunks1 WHERE doc_id IN (SELECT doc_id FROM forget))
+    UNION ALL
+    SELECT 'dedup_index',
+      (SELECT COUNT(*) FROM idx0),
+      (SELECT COUNT(*) FROM idx1),
+      (SELECT COUNT(*) FROM idx0 o LEFT JOIN idx1 n USING (chash)
+       WHERE n.chash IS NULL OR o.owner <> n.owner),
+      (SELECT COUNT(*) FROM idx1 WHERE owner IN (SELECT doc_id FROM forget))
+    UNION ALL
+    SELECT 'manifest',
+      (SELECT COUNT(*) FROM man0),
+      (SELECT COUNT(*) FROM man1),
+      (SELECT COUNT(*) FROM man0 o LEFT JOIN man1 n USING (shard)
+       WHERE n.shard IS NULL OR o.n_docs <> n.n_docs
+          OR o.i_ck <> n.i_ck OR o.c_ck <> n.c_ck),
+      0
+    ORDER BY artifact ASC"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_corpus_diff" -> (q233CorpusDiff _),
+    "q235_forget_propagation" -> (q235ForgetPropagation _))
+
+  val oracles: Map[String, String] = Map(
+    "q233_corpus_diff" -> q233Oracle,
+    "q235_forget_propagation" -> q235Oracle)
+}

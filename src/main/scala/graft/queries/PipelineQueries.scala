@@ -220,11 +220,122 @@ object PipelineQueries {
                         format='newline_delimited')
     ORDER BY ms ASC"""
 
+  /** Fixed drop point for q234's oracle replay input. */
+  private val driftReplayDir = "/tmp/graft_q234_replay"
+
+  // q234 — CDC schema-drift detection: the producer starts shipping
+  // attributes the typed extraction doesn't project (quest items gain
+  // `category`, memberQuests gain `bonusPoints`) — the silent-loss mode
+  // of every fixed-schema CDC pipeline (the reference's MV,
+  // ref scripts/setup_redshift.sh:91-104, would drop them forever). The
+  // envelope's NewImage is deliberately a MAP (model.CdcSchemas.image),
+  // so unknown attributes SURVIVE parsing; the detector explodes the
+  // map keys, anti-joins the per-entity projection lists the pipeline
+  // actually extracts (a broadcast-sized frame), and reports each
+  // drifted field with its entity, event count, first-seen event time,
+  // and — the "evolved extraction" proof — the numeric payload already
+  // aggregated through the standard AttributeValue `."N"` cast. At
+  // 100 TB this is one pass over the stream batch: map explode +
+  // broadcast anti-join + per-field agg; nothing rescans.
+  def q234SchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val gen = new CdcGen.Gen(91)
+    val lines =
+      (1 to 10).flatMap { i =>
+        val (m, q, mq) = gen.tick()
+        val ts = t0 + 1000L * i
+        Seq(gen.envelope("INSERT", m, ts),
+          gen.envelope("INSERT", q, ts + 100),
+          gen.envelope("INSERT", mq, ts + 200))
+      } ++
+        (1 to 10).flatMap { i =>
+          val (m, q, mq) = gen.tick()
+          val ts = t0 + 100000L + 1000L * i
+          // the producer's NEW schema: drifted attributes appear
+          val q2 = q.copy(attrs = q.attrs +
+            ("category" -> Left(if (i % 2 == 0) "daily" else "weekly")))
+          val mq2 = mq.copy(attrs = mq.attrs +
+            ("bonusPoints" -> Right(10.25 * i)))
+          Seq(gen.envelope("INSERT", m, ts),
+            gen.envelope("INSERT", q2, ts + 100),
+            gen.envelope("INSERT", mq2, ts + 200))
+        }
+    Files.createDirectories(Paths.get(driftReplayDir))
+    Files.write(Paths.get(driftReplayDir, "cdc.json"),
+      lines.mkString("\n").getBytes)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val env = spark.read.schema(graft.model.CdcSchemas.envelope)
+      .json(s"$driftReplayDir/cdc.json")
+    val known = knownAttrs.toDF("entity", "field")
+    env
+      .select(col("dynamodb.Keys.pk.S").as("pk"),
+        col("dynamodb.ApproximateCreationDateTime").as("ms"),
+        explode(col("dynamodb.NewImage")).as(Seq("field", "v")))
+      .withColumn("entity",
+        when(col("pk").startsWith("MQ#"), lit("member_quest"))
+          .when(col("pk").startsWith("M_"), lit("member"))
+          .otherwise(lit("quest")))
+      .join(broadcast(known), Seq("entity", "field"), "left_anti")
+      .groupBy(col("entity"), col("field"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("first_seen_ms"),
+        count(col("v.N")).as("n_numeric"),
+        sum(col("v.N").cast("decimal(18,6)")).cast("double")
+          .as("numeric_sum"))
+      .orderBy(col("entity").asc, col("field").asc)
+  }
+  /** The attributes each entity's typed extraction projects (everything
+    * Extraction/Merge read out of Keys/NewImage — ref
+    * sql/incremental_sync_members.sql:26-31 and siblings). */
+  private val knownAttrs: Seq[(String, String)] = Seq(
+    "member" -> "pk", "member" -> "sk", "member" -> "memberId",
+    "quest" -> "pk", "quest" -> "sk", "quest" -> "questId",
+    "member_quest" -> "pk", "member_quest" -> "sk",
+    "member_quest" -> "questId", "member_quest" -> "dollarsEarned")
+  val q234Oracle: String = {
+    val knownSql = knownAttrs
+      .map { case (e, f) => s"('$e', '$f')" }.mkString(", ")
+    s"""
+    WITH known(entity, field) AS (VALUES $knownSql),
+    cdc AS (
+      SELECT dynamodb FROM read_json('$driftReplayDir/cdc.json',
+        format='newline_delimited', columns={dynamodb: 'JSON'})),
+    ev AS (
+      SELECT dynamodb,
+        CASE WHEN starts_with(dynamodb->>'$$.Keys.pk.S', 'MQ#')
+               THEN 'member_quest'
+             WHEN starts_with(dynamodb->>'$$.Keys.pk.S', 'M_')
+               THEN 'member'
+             ELSE 'quest' END AS entity,
+        CAST(dynamodb->'$$.ApproximateCreationDateTime' AS BIGINT) AS ms
+      FROM cdc),
+    keyed AS (
+      SELECT entity, ms, dynamodb,
+             unnest(json_keys(dynamodb, '$$.NewImage')) AS field
+      FROM ev),
+    fields AS (
+      SELECT entity, ms, field,
+        json_extract_string(dynamodb,
+          '$$.NewImage.' || field || '.N') AS nval
+      FROM keyed)
+    SELECT entity, field, COUNT(*) AS n_events,
+           MIN(ms) AS first_seen_ms,
+           COUNT(nval) AS n_numeric,
+           CAST(SUM(CAST(nval AS DECIMAL(18,6))) AS DOUBLE) AS numeric_sum
+    FROM fields f
+    WHERE NOT EXISTS (SELECT 1 FROM known k
+                      WHERE k.entity = f.entity AND k.field = f.field)
+    GROUP BY entity, field
+    ORDER BY entity ASC, field ASC"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_cdc_pipeline_e2e" -> (q23CdcPipelineE2E _),
-    "q228_variant_cdc_extract" -> (q228VariantCdcExtract _))
+    "q228_variant_cdc_extract" -> (q228VariantCdcExtract _),
+    "q234_schema_drift" -> (q234SchemaDrift _))
 
   val oracles: Map[String, String] = Map(
     "q23_cdc_pipeline_e2e" -> q23Oracle,
-    "q228_variant_cdc_extract" -> q228Oracle)
+    "q228_variant_cdc_extract" -> q228Oracle,
+    "q234_schema_drift" -> q234Oracle)
 }

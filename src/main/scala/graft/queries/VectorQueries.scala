@@ -1136,7 +1136,153 @@ object VectorQueries {
     FROM sel5 ORDER BY query_id ASC, step ASC"""
   }
 
+  // q232 — bitext mining by margin-based mutual nearest neighbors
+  // (the CCMatrix/LASER alignment criterion, re-expressed relationally):
+  // the corpus splits into two "languages" (even/odd vec_id — the
+  // deterministic stand-in for an embedding space shared by two actual
+  // languages), candidate cross-side pairs come from the SAME
+  // integer-exact sign-band blocking as q152's kNN graph (capped per
+  // (band, bucket, side), so a hot cell bounds at cap² cross pairs and
+  // the corpus never goes quadratic), and each pair is scored by the
+  // RATIO margin: cos(x,y) normalized by the mean of each endpoint's
+  // top-k candidate cosines. A pair is mined when each side is the
+  // other's best-margin candidate (mutual argmax) and the margin
+  // clears 1 — "these two are each other's match, and more similar than
+  // either is to its neighborhood". Exactness protocol: cosines floor
+  // to micro-ints shifted to [0, 2e6], the k-sums are exact BIGINTs,
+  // and the margin is ONE IEEE division of exact integers — so the
+  // full mined-pair set hash-checks against the oracle's replay.
+  def q232BitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val maxBucket = 64
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("q"))
+      .withColumn("n2", VectorOps.qnorm2(col("q")))
+      .withColumn("side", pmod(col("vec_id"), lit(2)))
+    val bandStructs = (0 until 16).map { b =>
+      val bits = concat((1 to 4).map(i =>
+        when(element_at(col("q"), b * 4 + i) > 0, lit("1"))
+          .otherwise(lit("0"))): _*)
+      struct(lit(b).as("band"), bits.as("bucket"))
+    }
+    val banded = e
+      .select(col("vec_id"), col("side"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("side"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // per-side cap: a cell saturated by ONE side must not starve the
+    // other side's membership (q227's MaxCell discipline, keyed by side)
+    val capW = Window.partitionBy(col("band"), col("bucket"), col("side"))
+      .orderBy(col("vec_id").asc)
+    val capped = banded.withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= maxBucket).drop("rn")
+    val cand = capped.filter(col("side") === 0).as("a")
+      .join(capped.filter(col("side") === 1).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+        col("n2").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+        col("n2").as("nb")), Seq("vec_b"))
+      .withColumn("cosine", VectorOps.cosineFromParts(
+        VectorOps.qdot(col("qa"), col("qb")), col("na"), col("nb")))
+      // shift to non-negative so neighborhood sums can't cancel to zero
+      .withColumn("s",
+        (floor(col("cosine") * lit(1000000.0)).cast("long") + lit(1000000L)))
+      .select(col("vec_a"), col("vec_b"), col("cosine"), col("s"))
+      // reused by both k-sum passes AND the margin join — candidate-pair
+      // sized (≤ cells × cap², never corpus²); Verify/Bench clear caches
+      // between queries
+      .persist()
+    val wa = Window.partitionBy(col("vec_a"))
+      .orderBy(col("s").desc, col("vec_b").asc)
+    val wb = Window.partitionBy(col("vec_b"))
+      .orderBy(col("s").desc, col("vec_a").asc)
+    val sumsA = scored.withColumn("r", row_number().over(wa))
+      .filter(col("r") <= k).groupBy(col("vec_a"))
+      .agg(sum(col("s")).as("ssum_a"), count(lit(1)).as("cnt_a"))
+    val sumsB = scored.withColumn("r", row_number().over(wb))
+      .filter(col("r") <= k).groupBy(col("vec_b"))
+      .agg(sum(col("s")).as("ssum_b"), count(lit(1)).as("cnt_b"))
+    val margined = scored
+      .join(sumsA, Seq("vec_a")).join(sumsB, Seq("vec_b"))
+      .withColumn("margin",
+        (lit(2.0) * col("s") * col("cnt_a") * col("cnt_b")).cast("double")
+          / (col("ssum_a") * col("cnt_b") + col("ssum_b") * col("cnt_a"))
+            .cast("double"))
+    val ra = Window.partitionBy(col("vec_a"))
+      .orderBy(col("margin").desc, col("vec_b").asc)
+    val rb = Window.partitionBy(col("vec_b"))
+      .orderBy(col("margin").desc, col("vec_a").asc)
+    margined
+      .withColumn("rank_a", row_number().over(ra))
+      .withColumn("rank_b", row_number().over(rb))
+      .filter(col("rank_a") === 1 && col("rank_b") === 1 &&
+        col("margin") > 1.0)
+      .select(col("vec_a"), col("vec_b"), col("cosine"), col("margin"))
+      .orderBy(col("vec_a").asc)
+  }
+  val q232Oracle: String = s"""
+    WITH e AS (SELECT vec_id, vec_id % 2 AS side,
+                      ${oQuant("embedding")} AS q FROM embeddings),
+    n AS (SELECT vec_id, side, q,
+          list_sum(list_transform(generate_series(1, len(q)), i -> q[i]*q[i])) AS n2
+          FROM e),
+    bands AS (
+      SELECT vec_id, side, band,
+        array_to_string(list_transform(generate_series(1, 4),
+          i -> CASE WHEN q[band*4 + i] > 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM n CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band) b),
+    capped AS (
+      SELECT vec_id, side, band, bucket FROM bands
+      QUALIFY row_number() OVER (PARTITION BY band, bucket, side
+                                 ORDER BY vec_id) <= 64),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.side = 0 AND b.side = 1),
+    scored AS (
+      SELECT vec_a, vec_b,
+        CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i]*b.q[i])) AS DOUBLE) /
+        sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cosine
+      FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b),
+    shifted AS (
+      SELECT vec_a, vec_b, cosine,
+             CAST(floor(cosine * 1000000.0) AS BIGINT) + 1000000 AS s
+      FROM scored),
+    sums_a AS (
+      SELECT vec_a, SUM(s) AS ssum_a, COUNT(*) AS cnt_a FROM (
+        SELECT * FROM shifted
+        QUALIFY row_number() OVER (PARTITION BY vec_a
+                                   ORDER BY s DESC, vec_b ASC) <= 4)
+      GROUP BY vec_a),
+    sums_b AS (
+      SELECT vec_b, SUM(s) AS ssum_b, COUNT(*) AS cnt_b FROM (
+        SELECT * FROM shifted
+        QUALIFY row_number() OVER (PARTITION BY vec_b
+                                   ORDER BY s DESC, vec_a ASC) <= 4)
+      GROUP BY vec_b),
+    margined AS (
+      SELECT sh.vec_a, sh.vec_b, sh.cosine,
+        CAST(2.0 * sh.s * cnt_a * cnt_b AS DOUBLE)
+          / CAST(ssum_a * cnt_b + ssum_b * cnt_a AS DOUBLE) AS margin
+      FROM shifted sh JOIN sums_a USING (vec_a) JOIN sums_b USING (vec_b)),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY vec_a
+                           ORDER BY margin DESC, vec_b ASC) AS rank_a,
+        row_number() OVER (PARTITION BY vec_b
+                           ORDER BY margin DESC, vec_a ASC) AS rank_b
+      FROM margined)
+    SELECT vec_a, vec_b, cosine, margin FROM ranked
+    WHERE rank_a = 1 AND rank_b = 1 AND margin > 1.0
+    ORDER BY vec_a ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_bitext_margin" -> (q232BitextMargin _),
     "q209_mmr_diverse" -> (q209MmrDiverse _),
     "q175_semantic_decontaminate" -> (q175SemanticDecontaminate _),
     "q172_gram_matrix" -> (q172GramMatrix _),
@@ -1159,6 +1305,7 @@ object VectorQueries {
     "q202_jl_prefilter_rerank" -> (q202JlPrefilterRerank _))
 
   val oracles: Map[String, String] = Map(
+    "q232_bitext_margin" -> q232Oracle,
     "q209_mmr_diverse" -> q209Oracle,
     "q175_semantic_decontaminate" -> q175Oracle,
     "q172_gram_matrix" -> q172Oracle,

@@ -640,6 +640,15 @@ class PlanSpec extends SparkSpec {
       "nothing in the waterfill may sort-merge — every join side is tiny")
   }
 
+  test("q232: bitext candidates stay banded equi-joins — no cross product") {
+    val s = finalPlan("q232_bitext_margin")
+    assert(!s.contains("CartesianProduct"),
+      "cross-side candidate generation must go through (band, bucket) " +
+        "equality, never all-pairs")
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "every join in the mining pipeline is an equi-join")
+  }
+
   test("q230: bucketed join + bucket-keyed agg plan with ZERO shuffle") {
     val s = finalPlan("q230_colocated_join")
     // both scans are bucketed on orderkey, so the join AND the
