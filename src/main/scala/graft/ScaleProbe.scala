@@ -77,7 +77,20 @@ object ScaleProbe {
     // regression (a vocabulary-sized broadcast) this gate exists to catch
     // — and the dedup-horizon protocol (retire cost must track the
     // EXPIRED set, not the corpus)
-    "q155_quality_model", "q169_hybrid_rrf", "q229_dedup_retention")
+    "q155_quality_model", "q169_hybrid_rrf", "q229_dedup_retention",
+    // round-14 additions (documents/embeddings-only; q230 reads
+    // lineitem/orders which the derived sf1 set doesn't carry — its
+    // zero-shuffle property is PlanSpec-pinned instead; q234 reads its
+    // own fixed-size generated fixture, scale-invariant by construction):
+    // keyword tagging (one corpus pass + broadcast dict), bitext mining
+    // (capped banded candidates — the cell cap is what the gate watches),
+    // corpus diff and forget propagation (equi/anti-join cascades whose
+    // cost must track the corpus linearly)
+    "q231_keyword_tag", "q232_bitext_margin", "q233_corpus_diff",
+    "q235_forget_propagation",
+    // KS drift: corpus collapses to per-(source, length) histograms in
+    // one pass; the pair grid is value-domain-bounded, not corpus-bounded
+    "q236_ks_drift")
 
   private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
     .filter(_.getType == MemoryType.HEAP)

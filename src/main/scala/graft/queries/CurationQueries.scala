@@ -966,20 +966,29 @@ object CurationQueries {
     import spark.implicits._
     val dict = taxonomy.toDF("topic", "term")
     val docs = Tables.documents(spark, dir)
+    // candidate grams via sequence+element_at (codegen'd — the array-HOF
+    // spelling is CodegenFallback, q135's note): position i yields the
+    // unigram t[i] and, below the last position, the bigram "t[i] t[i+1]"
     val cand = docs
       .withColumn("t", TextOps.tokens(col("text")))
-      .withColumn("grams",
-        concat(col("t"),
-          when(size(col("t")) >= 2,
-            transform(sequence(lit(1), size(col("t")) - 1),
-              i => concat_ws(" ", slice(col("t"), i, lit(2)))))
-            .otherwise(array())))
-      .select(col("doc_id"), explode(col("grams")).as("term"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")))).as("i"))
+      .select(col("doc_id"),
+        explode(when(col("i") < size(col("t")),
+          array(element_at(col("t"), col("i")),
+            concat_ws(" ", element_at(col("t"), col("i")),
+              element_at(col("t"), col("i") + 1))))
+          .otherwise(array(element_at(col("t"), col("i"))))).as("term"))
+    // two-stage: collapse to (topic, term, doc) BEFORE the distinct
+    // aggregates so the Expand runs over the tagged frame (≤ docs×dict
+    // rows), not the raw gram stream
     cand.join(broadcast(dict), Seq("term"))
+      .groupBy(col("topic"), col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("topic"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_hits"),
+        sum(col("c")).as("n_hits"),
         countDistinct(col("term")).as("n_terms_fired"))
       .orderBy(col("topic").asc)
   }

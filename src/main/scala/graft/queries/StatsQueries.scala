@@ -1212,7 +1212,90 @@ object StatsQueries {
       LEFT JOIN leaks l ON l.doc_id = d.doc_id
     ORDER BY d.doc_id ASC"""
 
+  // q236 — two-sample Kolmogorov–Smirnov drift test between every pair
+  // of sources on the doc-length distribution: KS = max |ECDF_a − ECDF_b|
+  // over the union of observed values — the standard "did this source's
+  // shape move" read next to q205's KL (which needs binning and misses
+  // location shifts KS catches). EXACT cross-engine: with cum counts as
+  // BIGINTs, |cum_a·n_b − cum_b·n_a| is an exact integer numerator and
+  // KS is ONE IEEE divide by n_a·n_b. Scale shape: the corpus collapses
+  // to per-(source, length) histograms in one partial-agg'd pass
+  // (bounded by the VALUE DOMAIN, not the corpus — bucketize first at
+  // 100 TB if lengths are unbounded); all windows partition by the
+  // source pair over ≤|domain| rows.
+  def q236KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = h.select(col("source").as("src_a")).distinct()
+      .join(h.select(col("source").as("src_b")).distinct(),
+        col("src_a") < col("src_b"))
+    // per-pair merged value grid: each pair sees the union of both
+    // sources' observed lengths, with that pair's counts (0 when absent)
+    val grid = pairs
+      .join(h.select(col("source"), col("n_chars")).distinct(),
+        col("source") === col("src_a") || col("source") === col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_chars")).distinct()
+      .join(h.select(col("source").as("src_a"), col("n_chars"),
+        col("c").as("c_a")), Seq("src_a", "n_chars"), "left_outer")
+      .join(h.select(col("source").as("src_b"), col("n_chars"),
+        col("c").as("c_b")), Seq("src_b", "n_chars"), "left_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+    val wCum = Window.partitionBy(col("src_a"), col("src_b"))
+      .orderBy(col("n_chars").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("src_a"), col("src_b"))
+    grid
+      .withColumn("cum_a", sum(col("c_a")).over(wCum))
+      .withColumn("cum_b", sum(col("c_b")).over(wCum))
+      .withColumn("n_a", sum(col("c_a")).over(wAll))
+      .withColumn("n_b", sum(col("c_b")).over(wAll))
+      .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        .as("ks_num"))
+      .withColumn("ks",
+        col("ks_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("ks_num"), col("ks"))
+      .orderBy(col("src_a").asc, col("src_b").asc)
+  }
+  val q236Oracle: String = """
+    WITH h AS (
+      SELECT source, n_chars, COUNT(*) AS c FROM documents
+      GROUP BY source, n_chars),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM (SELECT DISTINCT source FROM h) a
+      JOIN (SELECT DISTINCT source FROM h) b ON a.source < b.source),
+    grid AS (
+      SELECT DISTINCT p.src_a, p.src_b, h.n_chars
+      FROM pairs p JOIN h ON h.source = p.src_a OR h.source = p.src_b),
+    filled AS (
+      SELECT g.src_a, g.src_b, g.n_chars,
+             COALESCE(ha.c, 0) AS c_a, COALESCE(hb.c, 0) AS c_b
+      FROM grid g
+      LEFT JOIN h ha ON ha.source = g.src_a AND ha.n_chars = g.n_chars
+      LEFT JOIN h hb ON hb.source = g.src_b AND hb.n_chars = g.n_chars),
+    cums AS (
+      SELECT src_a, src_b,
+        SUM(c_a) OVER (PARTITION BY src_a, src_b ORDER BY n_chars
+                       ROWS UNBOUNDED PRECEDING) AS cum_a,
+        SUM(c_b) OVER (PARTITION BY src_a, src_b ORDER BY n_chars
+                       ROWS UNBOUNDED PRECEDING) AS cum_b,
+        SUM(c_a) OVER (PARTITION BY src_a, src_b) AS n_a,
+        SUM(c_b) OVER (PARTITION BY src_a, src_b) AS n_b
+      FROM filled)
+    SELECT src_a, src_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+           CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+             / CAST(n_a * n_b AS DOUBLE) AS ks
+    FROM cums
+    GROUP BY src_a, src_b, n_a, n_b
+    ORDER BY src_a ASC, src_b ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_ks_drift" -> (q236KsDrift _),
     "q225_leakage_gate_ingest" -> (q225LeakageGateIngest _),
     "q224_screen_calibration" -> (q224ScreenCalibration _),
     "q223_token_dispersion" -> (q223TokenDispersion _),
@@ -1233,6 +1316,7 @@ object StatsQueries {
     "q208_zipf_fit" -> (q208ZipfFit _))
 
   val oracles: Map[String, String] = Map(
+    "q236_ks_drift" -> q236Oracle,
     "q225_leakage_gate_ingest" -> q225Oracle,
     "q224_screen_calibration" -> q224Oracle,
     "q223_token_dispersion" -> q223Oracle,
