@@ -154,7 +154,8 @@ object VectorOps {
     *
     * `corpusVec` must carry a `features` (ml Vector) column. */
   private def coarseQuantizer(corpusVec: DataFrame, nlist: Int, seed: Long,
-      indexKey: Option[String]): org.apache.spark.ml.clustering.KMeansModel = {
+      indexKey: Option[String], keyTag: String = "")
+      : org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
     def train(): org.apache.spark.ml.clustering.KMeansModel = {
       val trainTarget = 65536L
@@ -194,7 +195,8 @@ object VectorOps {
         // and memoKeyed evicts the superseded model rather than leak it.
         // AnnIndexStore adds the cross-JVM disk tier when configured.
         val prefix = s"ivf:$key:"
-        val rest = s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist:seed=$seed"
+        val rest =
+          s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist:seed=$seed$keyTag"
         AnnIndexCache.memoKeyed(prefix, rest)(
           AnnIndexStore.orBuildKMeans(corpusVec.sparkSession, prefix + rest)(
             train()))
@@ -202,24 +204,64 @@ object VectorOps {
     }
   }
 
-  def ivfTopK(spark: org.apache.spark.sql.SparkSession,
-      queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 8, seed: Long = 42L,
-      indexKey: Option[String] = None): DataFrame = {
+  /** corpus frame → (neighbor_id, embedding, features) with the ml Vector
+    * column the quantizer consumes. */
+  private def toCorpusVec(corpus: DataFrame): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-
-    val corpusVec = corpus.repartition(col("vec_id"))
+    corpus.repartition(col("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("embedding"))
       .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
-    val model = coarseQuantizer(corpusVec, nlist, seed, indexKey)
-    val assigned = model.transform(corpusVec)
+  }
+
+  /** Frozen-model cell assignment: nearest trained centroid per vector —
+    * the operation an APPEND pays (no retrain, no touch of the model). */
+  private def assignCells(model: org.apache.spark.ml.clustering.KMeansModel,
+      corpusVec: DataFrame): DataFrame =
+    model.transform(corpusVec)
       .select(col("neighbor_id"),
         quantize(col("embedding")).as("c_emb"),
         col("prediction").as("cell"))
       .withColumn("c_n2", qnorm2(col("c_emb")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // each query scores all nlist centroids (tiny) and keeps nprobe cells
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 8, seed: Long = 42L,
+      indexKey: Option[String] = None): DataFrame = {
+    val corpusVec = toCorpusVec(corpus)
+    val model = coarseQuantizer(corpusVec, nlist, seed, indexKey)
+    val assigned = assignCells(model, corpusVec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfProbe(spark, queries, model, assigned, k, nprobe)
+  }
+
+  /** Incremental-index variant: the coarse quantizer trains on `base`
+    * ONLY and is then FROZEN; `append` rides in through [[assignCells]]
+    * alone — the exact maintenance path a nightly-trained deployment
+    * runs when new embeddings arrive between retrains (FAISS's add-
+    * after-train): assignment cost is O(append × nlist), the trained
+    * artifact is untouched, and the postings union serves queries
+    * immediately. Recall degrades only as far as the base centroids
+    * misrepresent the appended distribution — q237 gates that number.
+    * `keyTag` keeps the base-trained model's memo entry distinct from
+    * the full-corpus model at the same (key, nlist, seed). */
+  def ivfTopKAppend(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, base: DataFrame, append: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 8, seed: Long = 42L,
+      indexKey: Option[String] = None): DataFrame = {
+    val baseVec = toCorpusVec(base)
+    val model = coarseQuantizer(baseVec, nlist, seed, indexKey,
+      keyTag = ":train=base")
+    val assigned = assignCells(model, baseVec)
+      .unionByName(assignCells(model, toCorpusVec(append)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfProbe(spark, queries, model, assigned, k, nprobe)
+  }
+
+  /** Shared IVF probe: each query scores all nlist centroids (tiny,
+    * broadcast), keeps nprobe cells, exact-re-ranks their postings. */
+  private def ivfProbe(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, model: org.apache.spark.ml.clustering.KMeansModel,
+      assigned: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray)
     }.toSeq

@@ -1281,7 +1281,40 @@ object VectorQueries {
     WHERE rank_a = 1 AND rank_b = 1 AND margin > 1.0
     ORDER BY vec_a ASC"""
 
+  // q237 — incremental ANN index maintenance (add-after-train): the
+  // coarse quantizer trains on the BASE 75% of the corpus and is then
+  // FROZEN; the remaining 25% appends through nearest-centroid
+  // assignment alone — no retrain, no touch of the trained artifact,
+  // postings union serves queries immediately (the FAISS add() path; at
+  // 100 TB the nightly job retrains, every intra-day batch appends).
+  // Gated like q44: recall@10 of the appended index against the exact
+  // brute-force truth over the FULL corpus must clear the bound — the
+  // measured price of serving appends from yesterday's centroids.
+  // Measured minima (base-trained quantizer, layout-deterministic by
+  // the same hash-filter/fixed-repartition/sort discipline as q44's):
+  // sf0.001 0.8, sf0.01 0.8, sf0.1 0.6 — vs full-corpus IVF's
+  // 0.9/0.7(0.8 at this split)/0.7: the append price shows exactly
+  // where theory puts it, at the largest corpus whose appended tail the
+  // base centroids describe least well. Gate: tight 0.75 at the sf0.01
+  // correctness gate, 0.55 floor elsewhere (throughput scales).
+  def q237AnnIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+    val appendBatch = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
+    VectorOps.recallAgainst(
+      VectorOps.ivfTopKAppend(spark, q, base, appendBatch, k = 10,
+        indexKey = Some(dir)), exact)
+      .select(col("query_id"),
+        (col("recall") >= recallBound(dir, 0.75, 0.55)).cast("int")
+          .as("recall_ok"))
+      .orderBy(col("query_id").asc)
+  }
+  val q237Oracle: String = annRecallOracle
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_ann_index_append" -> (q237AnnIndexAppend _),
     "q232_bitext_margin" -> (q232BitextMargin _),
     "q209_mmr_diverse" -> (q209MmrDiverse _),
     "q175_semantic_decontaminate" -> (q175SemanticDecontaminate _),
@@ -1305,6 +1338,7 @@ object VectorQueries {
     "q202_jl_prefilter_rerank" -> (q202JlPrefilterRerank _))
 
   val oracles: Map[String, String] = Map(
+    "q237_ann_index_append" -> q237Oracle,
     "q232_bitext_margin" -> q232Oracle,
     "q209_mmr_diverse" -> q209Oracle,
     "q175_semantic_decontaminate" -> q175Oracle,
