@@ -90,7 +90,11 @@ object ScaleProbe {
     "q235_forget_propagation",
     // KS drift: corpus collapses to per-(source, length) histograms in
     // one pass; the pair grid is value-domain-bounded, not corpus-bounded
-    "q236_ks_drift")
+    "q236_ks_drift",
+    // ANN append: the sf1 cell re-trains the base quantizer at 15k
+    // vectors and appends 5k through assignment — probe cost must track
+    // the query set, append cost the batch
+    "q237_ann_index_append")
 
   private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
     .filter(_.getType == MemoryType.HEAP)

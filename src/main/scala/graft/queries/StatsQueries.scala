@@ -1222,7 +1222,10 @@ object StatsQueries {
   // to per-(source, length) histograms in one partial-agg'd pass
   // (bounded by the VALUE DOMAIN, not the corpus — bucketize first at
   // 100 TB if lengths are unbounded); all windows partition by the
-  // source pair over ≤|domain| rows.
+  // source pair over ≤|domain| rows. The pair grid is quadratic in the
+  // SOURCE CATALOG (a metadata dimension, 10s–1000s of sources), never
+  // in rows — scope the pair set (e.g. each source vs a reference
+  // release) when the catalog itself is huge.
   def q236KsDrift(spark: SparkSession, dir: String): DataFrame = {
     val h = Tables.documents(spark, dir)
       .groupBy(col("source"), col("n_chars"))
