@@ -70,7 +70,13 @@ object AnnRecallProbe {
       "srp-lsh" -> VectorOps.lshTopK(q, emb, k = 10),
       "ivf" -> VectorOps.ivfTopK(spark, q, emb, k = 10),
       "pq" -> VectorOps.pqTopK(spark, q, emb, k = 10),
-      "ivfpq" -> VectorOps.ivfPqTopK(spark, q, emb, k = 10)
+      "ivfpq" -> VectorOps.ivfPqTopK(spark, q, emb, k = 10),
+      // q237's add-after-train tier: base-trained frozen quantizer,
+      // appends assigned without retrain — re-measure when the split or
+      // quantizer discipline changes (bounds: 0.75 tight / 0.55 floor)
+      "ivf-app" -> VectorOps.ivfTopKAppend(spark, q,
+        emb.filter(pmod(col("vec_id"), lit(4)) =!= 3),
+        emb.filter(pmod(col("vec_id"), lit(4)) === 3), k = 10)
     ).foreach { case (name, approx) =>
       val rec = VectorOps.recallAgainst(approx, exact)
         .orderBy(col("query_id")).collect()

@@ -76,4 +76,16 @@ object CdcSchemas {
     "approximatearrivaltimestamp", "partitionkey", "shardid", "sequencenumber",
     "eventID", "awsRegion", "eventName", "userIdentity", "tableName",
     "eventSource", "pk", "sk", "eventData")
+
+  /** The Keys/NewImage attributes each entity's typed extraction actually
+    * consumes (ref sql/incremental_sync_members.sql:26-31 and siblings) —
+    * the projection lists the schema-drift detectors (q234 batch,
+    * SchemaDriftStream continuous) anti-join against: any NewImage key
+    * outside this list is a producer-side schema change the fixed-column
+    * pipeline would silently drop. */
+  val extractedAttrs: Seq[(String, String)] = Seq(
+    "member" -> "pk", "member" -> "sk", "member" -> "memberId",
+    "quest" -> "pk", "quest" -> "sk", "quest" -> "questId",
+    "member_quest" -> "pk", "member_quest" -> "sk",
+    "member_quest" -> "questId", "member_quest" -> "dollarsEarned")
 }

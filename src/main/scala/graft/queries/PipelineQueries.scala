@@ -284,14 +284,11 @@ object PipelineQueries {
           .as("numeric_sum"))
       .orderBy(col("entity").asc, col("field").asc)
   }
-  /** The attributes each entity's typed extraction projects (everything
-    * Extraction/Merge read out of Keys/NewImage — ref
-    * sql/incremental_sync_members.sql:26-31 and siblings). */
-  private val knownAttrs: Seq[(String, String)] = Seq(
-    "member" -> "pk", "member" -> "sk", "member" -> "memberId",
-    "quest" -> "pk", "quest" -> "sk", "quest" -> "questId",
-    "member_quest" -> "pk", "member_quest" -> "sk",
-    "member_quest" -> "questId", "member_quest" -> "dollarsEarned")
+  /** The attributes each entity's typed extraction projects — canonical
+    * list lives in [[graft.model.CdcSchemas.extractedAttrs]] (shared with
+    * the continuous monitor, SchemaDriftStream). */
+  private def knownAttrs: Seq[(String, String)] =
+    graft.model.CdcSchemas.extractedAttrs
   val q234Oracle: String = {
     val knownSql = knownAttrs
       .map { case (e, f) => s"('$e', '$f')" }.mkString(", ")

@@ -640,6 +640,24 @@ class PlanSpec extends SparkSpec {
       "nothing in the waterfill may sort-merge — every join side is tiny")
   }
 
+  test("q231: dictionary broadcasts onto ONE corpus pass — no per-keyword rescans") {
+    val s = finalPlan("q231_keyword_tag")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      "the taxonomy dictionary must broadcast onto the gram stream")
+    assert(!s.contains("SortMergeJoin"),
+      "the corpus-sized gram stream must never shuffle for the dict join")
+    val docScans = "Location: InMemoryFileIndex".r.findAllIn(s).size
+    assert(docScans <= 2, // initial+final under AQE print at most twice
+      s"one corpus pass expected — found $docScans scan sites")
+  }
+
+  test("q233/q236: governance joins stay equi — no cross product anywhere") {
+    for (name <- Seq("q233_corpus_diff", "q236_ks_drift")) {
+      val s = finalPlan(name)
+      assert(!s.contains("CartesianProduct"), s"$name must not cross-join")
+    }
+  }
+
   test("q232: bitext candidates stay banded equi-joins — no cross product") {
     val s = finalPlan("q232_bitext_margin")
     assert(!s.contains("CartesianProduct"),
