@@ -94,7 +94,17 @@ object ScaleProbe {
     // ANN append: the sf1 cell re-trains the base quantizer at 15k
     // vectors and appends 5k through assignment — probe cost must track
     // the query set, append cost the batch
-    "q237_ann_index_append")
+    "q237_ann_index_append",
+    // round-14 continuation: the DP release (one corpus scan to a
+    // source×lang grid, noise is a projection — any heap growth means a
+    // driver-side collect crept in) and the sequential KS drift monitor
+    // (value-domain-bounded grids; the gate watches that cost tracks the
+    // length domain, not corpus rows)
+    "q238_dp_release", "q239_dist_drift",
+    // Poisson bootstrap: the ×32 explode partial-aggregates in its own
+    // stage, so sf1 cost must stay ~linear in the corpus (32× the scan
+    // work, shuffle still sources×32 rows)
+    "q240_bootstrap_ci")
 
   private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
     .filter(_.getType == MemoryType.HEAP)

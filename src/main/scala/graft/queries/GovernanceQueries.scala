@@ -19,7 +19,12 @@ import graft.tables.Tables
   *   - q235: deletion PROPAGATION (right-to-be-forgotten): a forget-set
   *     of documents is removed from the corpus AND every derived
   *     artifact — chunks, dedup index (with owner re-election), shard
-  *     manifest — with a per-artifact audit proving zero residuals.
+  *     manifest — with a per-artifact audit proving zero residuals;
+  *   - q238: differentially-private count RELEASE (the geometric
+  *     mechanism at ε = ln 2, sampled purely in integers from md5 bits
+  *     so the release is deterministic and hash-checks cross-engine) —
+  *     the publish-outside-the-boundary protocol next to q220's
+  *     k-anonymity.
   *
   * Both run their mutation through [[TableStore]] versioned snapshots, so
   * the BEFORE state stays readable for the audit (and for regulators) —
@@ -266,11 +271,79 @@ object GovernanceQueries {
       0
     ORDER BY artifact ASC"""
 
+  // -----------------------------------------------------------------
+  // q238 — differentially-private count release: per-(source, lang) doc
+  // counts published under the GEOMETRIC MECHANISM (Ghosh, Roughgarden
+  // & Sundararajan 2009 — the discrete analogue of Laplace, and the
+  // optimal mechanism for sensitivity-1 counting queries). Next to
+  // q220's k-anonymity (suppress + floor) this is the other standard
+  // release protocol: publish EVERY cell, but perturbed with two-sided
+  // geometric noise calibrated to the query's sensitivity.
+  //
+  // The whole release is DETERMINISTIC and pure-integer, so it
+  // hash-checks cross-engine with zero libm calls:
+  //   - each cell's randomness is the 60-bit integer of
+  //     md5('q238|' || source || '|' || lang) — a fixed public seed, as
+  //     in any seeded replayable release;
+  //   - noise = G1 − G2 with Gi ~ Geometric(1/2) (failures before first
+  //     success): the difference of two iid geometrics is EXACTLY the
+  //     two-sided geometric with decay α = 1/2, i.e. ε = ln(1/α) = ln 2;
+  //   - each Gi is the count of trailing zeros of a 30-bit hash half —
+  //     bit i is an independent fair coin, so P(ctz = t) = 2^-(t+1):
+  //     Geometric(1/2) exactly. ctz(x) = length(bin(x & −x)) − 1, and
+  //     OR-ing bit 30 in first caps the tail at 30 (mass 2^-30) AND
+  //     guards x = 0 — one expression, both engines.
+  //   - released = max(count + noise, 0): clamping is post-processing,
+  //     which never degrades the DP guarantee.
+  // Every document lands in exactly one (source, lang) cell, so the
+  // per-cell sensitivity is 1 and PARALLEL composition makes the whole
+  // table ε = ln 2.
+  //
+  // Scale shape: ONE corpus scan partial-aggregated to the bounded
+  // (source × lang) grid; the noise is a per-row projection over that
+  // tiny frame — no join, no second shuffle, nothing driver-side. At
+  // 100 TB this is exactly the histogram-release pass a privacy team
+  // runs over the crawl ledger.
+  def q238DpRelease(spark: SparkSession, dir: String): DataFrame = {
+    def ctz(x: Column): Column = length(bin(x.bitwiseAND(lit(0L) - x))) - 1
+    val bit30 = lit(1L << 30)
+    val h = conv(substring(md5(concat(lit("q238|"), col("source"),
+      lit("|"), col("lang"))), 1, 15), 16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("h", h)
+      .withColumn("noise",
+        (ctz(col("h").bitwiseAND(bit30 - 1).bitwiseOR(bit30)) -
+          ctz(shiftright(col("h"), 30).bitwiseOR(bit30))).cast("long"))
+      .select(col("source"), col("lang"),
+        greatest(col("n_true") + col("noise"), lit(0L)).as("n_released"))
+      .orderBy(col("source").asc, col("lang").asc)
+  }
+  val q238Oracle: String = """
+    WITH counts AS (
+      SELECT source, lang, COUNT(*) AS n_true,
+             ('0x' || substr(md5('q238|' || source || '|' || lang), 1, 15))::BIGINT AS h
+      FROM documents GROUP BY source, lang),
+    noised AS (
+      SELECT source, lang, n_true,
+        (length(bin(((h & 1073741823) | 1073741824) &
+                    -((h & 1073741823) | 1073741824))) - 1)
+        - (length(bin(((h >> 30) | 1073741824) &
+                      -((h >> 30) | 1073741824))) - 1) AS noise
+      FROM counts)
+    SELECT source, lang,
+           CAST(greatest(n_true + noise, 0) AS BIGINT) AS n_released
+    FROM noised
+    ORDER BY source ASC, lang ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q233_corpus_diff" -> (q233CorpusDiff _),
-    "q235_forget_propagation" -> (q235ForgetPropagation _))
+    "q235_forget_propagation" -> (q235ForgetPropagation _),
+    "q238_dp_release" -> (q238DpRelease _))
 
   val oracles: Map[String, String] = Map(
     "q233_corpus_diff" -> q233Oracle,
-    "q235_forget_propagation" -> q235Oracle)
+    "q235_forget_propagation" -> q235Oracle,
+    "q238_dp_release" -> q238Oracle)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1297,7 +1297,207 @@ object StatsQueries {
     GROUP BY src_a, src_b, n_a, n_b
     ORDER BY src_a ASC, src_b ASC"""
 
+  // q239 — sequential distribution-drift monitor: q236's two-sample KS
+  // AT THE DOOR. A frozen calibration slice (doc_id % 10 == 0) is the
+  // reference length-ECDF; batches 1..9 then arrive in order and each
+  // is KS-tested against that frozen reference — the standing alarm for
+  // "the producer's length distribution moved" (a preprocessor change,
+  // a new boilerplate stripper, a truncation bug) that q234's schema
+  // detector cannot see because the SCHEMA is unchanged. Batches ≥ 6
+  // carry an injected +40·(b−5)-char shift (the synthetic drift, q233's
+  // injection discipline) so the monitor demonstrably separates the
+  // sampling-noise floor from a real move at sf ≥ 0.1.
+  //
+  // EXACT cross-engine, stronger than q236: the released statistic is
+  // the integer rational itself — ks_num = max |cum_b·n_ref − cum_ref·n_b|
+  // with both denominators alongside — so there is NO divide anywhere
+  // and the drifted verdict (KS ≥ 1/4) is the integer comparison
+  // 4·ks_num ≥ n_batch·n_ref. Small batches flag loudly (a KS test is
+  // sample-size-sensitive by nature); the τ = 1/4 wall is calibrated to
+  // the shifted batches at sf0.1's ~500-doc batches.
+  //
+  // Scale shape: ONE corpus scan collapses to per-(batch, length)
+  // histograms (value-domain-bounded, like q236); the grid is
+  // batches × length-domain, every window partitions by batch_id, and
+  // the reference histogram rides a broadcast-sized frame. Cost tracks
+  // the batch count and the value domain, never corpus rows.
+  // [[graft.streaming.DistDriftStream]] is the continuous twin (same
+  // formula per micro-batch, stateless batchId-guarded sink).
+  def q239DistDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ref = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .groupBy(col("n_chars").as("len")).agg(count(lit(1)).as("c_ref"))
+    val hb = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .withColumn("batch_id", pmod(col("doc_id"), lit(10)))
+      .withColumn("len", col("n_chars") +
+        when(col("batch_id") >= 6, (col("batch_id") - 5) * 40)
+          .otherwise(lit(0)))
+      .groupBy(col("batch_id"), col("len")).agg(count(lit(1)).as("c_b"))
+    val grid = hb.select(col("batch_id"), col("len"))
+      .union(hb.select(col("batch_id")).distinct()
+        .crossJoin(broadcast(ref.select(col("len")))))
+      .distinct()
+      .join(hb, Seq("batch_id", "len"), "left_outer")
+      .join(broadcast(ref), Seq("len"), "left_outer")
+      .na.fill(0L, Seq("c_b", "c_ref"))
+    val wCum = Window.partitionBy(col("batch_id")).orderBy(col("len").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("batch_id"))
+    grid
+      .withColumn("cum_b", sum(col("c_b")).over(wCum))
+      .withColumn("cum_r", sum(col("c_ref")).over(wCum))
+      .withColumn("n_b", sum(col("c_b")).over(wAll))
+      .withColumn("n_r", sum(col("c_ref")).over(wAll))
+      .groupBy(col("batch_id"), col("n_b"), col("n_r"))
+      .agg(max(abs(col("cum_b") * col("n_r") - col("cum_r") * col("n_b")))
+        .as("ks_num"))
+      .select(col("batch_id").cast("long").as("batch_id"),
+        col("n_b").as("n_batch"), col("n_r").as("n_ref"), col("ks_num"),
+        (col("ks_num") * 4 >= col("n_b") * col("n_r")).cast("int")
+          .as("drifted"))
+      .orderBy(col("batch_id").asc)
+  }
+  val q239Oracle: String = """
+    WITH ref AS (
+      SELECT n_chars AS len, COUNT(*) AS c_ref FROM documents
+      WHERE doc_id % 10 = 0 GROUP BY 1),
+    hb AS (
+      SELECT doc_id % 10 AS batch_id,
+             n_chars + CASE WHEN doc_id % 10 >= 6
+                            THEN 40 * (doc_id % 10 - 5) ELSE 0 END AS len,
+             COUNT(*) AS c_b
+      FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+    grid AS (
+      SELECT DISTINCT batch_id, len FROM (
+        SELECT batch_id, len FROM hb
+        UNION ALL
+        SELECT b.batch_id, r.len
+        FROM (SELECT DISTINCT batch_id FROM hb) b CROSS JOIN ref r)),
+    filled AS (
+      SELECT g.batch_id, g.len,
+             COALESCE(hb.c_b, 0) AS c_b, COALESCE(ref.c_ref, 0) AS c_ref
+      FROM grid g
+      LEFT JOIN hb ON hb.batch_id = g.batch_id AND hb.len = g.len
+      LEFT JOIN ref ON ref.len = g.len),
+    cums AS (
+      SELECT batch_id,
+        SUM(c_b) OVER (PARTITION BY batch_id ORDER BY len
+                       ROWS UNBOUNDED PRECEDING) AS cum_b,
+        SUM(c_ref) OVER (PARTITION BY batch_id ORDER BY len
+                         ROWS UNBOUNDED PRECEDING) AS cum_r,
+        SUM(c_b) OVER (PARTITION BY batch_id) AS n_b,
+        SUM(c_ref) OVER (PARTITION BY batch_id) AS n_r
+      FROM filled)
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(n_b AS BIGINT) AS n_batch, CAST(n_r AS BIGINT) AS n_ref,
+           CAST(MAX(abs(cum_b * n_r - cum_r * n_b)) AS BIGINT) AS ks_num,
+           CAST(MAX(abs(cum_b * n_r - cum_r * n_b)) * 4
+                >= n_b * n_r AS INT) AS drifted
+    FROM cums
+    GROUP BY batch_id, n_b, n_r
+    ORDER BY batch_id ASC"""
+
+  // q240 — deterministic Poisson-bootstrap confidence intervals (the
+  // scale-out bootstrap: Chamandy et al. 2012, "Estimating uncertainty
+  // for massive data streams" — each row carries B independent
+  // Poisson(1) replicate weights instead of being resampled, so the
+  // bootstrap needs NO resampling shuffle and composes with any
+  // partial-aggregable statistic). Here: per-source mean doc length
+  // with a B = 32 replicate envelope [min, max] (≈ 94% coverage — each
+  // tail holds ~1/(B+1) of the replicate distribution).
+  //
+  // DETERMINISTIC cross-engine: replicate r's weight for a doc is the
+  // inverse-CDF of Poisson(1) applied to the 60-bit md5(doc_id|r)
+  // integer — the CDF thresholds are PRECOMPUTED 2^60-scaled integer
+  // constants (k = 0..8; the k > 8 tail holds 2^-20 of the mass and
+  // rounds into the top bucket), so the weight is a pure integer CASE
+  // chain; per-replicate sums are exact BIGINTs; each replicate mean is
+  // one fixed-shape IEEE divide; min/max over them pick ONE such value
+  // (no float accumulation). Replicates whose weights all landed 0
+  // (possible for small sources: P = e^-n_docs) are excluded from the
+  // envelope and REPORTED via n_valid_reps, not silently divided by 0.
+  //
+  // Scale shape: explode ×B feeds STRAIGHT into a partial aggregate
+  // (map-side combine in the same stage), so the corpus is scanned
+  // once, the 32× blowup never hits a shuffle, and the exchange carries
+  // sources × B rows. The envelope windows run per source over ≤ B
+  // replicate rows. This is the production answer to "is this corpus
+  // statistic stable" that naive resampling (B full shuffles) cannot
+  // afford at 100 TB.
+  def q240BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    // floor(CDF_Poisson(1)(k) · 2^60), k = 0..8
+    val thr = Seq(424136118829305329L, 848272237658610659L,
+      1060340297073263324L, 1131029650211480879L, 1148701988496035267L,
+      1152236456152946145L, 1152825534095764625L, 1152909688087595836L,
+      1152920207336574738L)
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("|"), col("rep").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = thr.zipWithIndex.foldRight(lit(9): Column) {
+      case ((t, k), rest) => when(col("u") < t, lit(k)).otherwise(rest)
+    }
+    val reps = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rep", explode(sequence(lit(0), lit(B - 1))))
+      .withColumn("u", u)
+      .withColumn("w", w.cast("long"))
+      .groupBy(col("source"), col("rep"))
+      .agg(sum(col("w") * col("n_chars")).as("s"), sum(col("w")).as("n"))
+      .filter(col("n") > 0)
+      .withColumn("m", col("s").cast("double") / col("n").cast("double"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_valid_reps"),
+        min(col("m")).as("ci_lo"), max(col("m")).as("ci_hi"))
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_len"))
+      .withColumn("mean_len",
+        col("sum_len").cast("double") / col("n_docs").cast("double"))
+      .join(reps, Seq("source"))
+      .select(col("source"), col("n_docs"), col("mean_len"),
+        col("n_valid_reps"), col("ci_lo"), col("ci_hi"))
+      .orderBy(col("source").asc)
+  }
+  val q240Oracle: String = """
+    WITH reps AS (SELECT unnest(range(32)) AS rep),
+    u AS (
+      SELECT d.source, d.n_chars, r.rep,
+        ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' ||
+                            CAST(r.rep AS VARCHAR)), 1, 15))::BIGINT AS u
+      FROM documents d CROSS JOIN reps r),
+    wt AS (
+      SELECT source, rep, n_chars,
+        CASE WHEN u < 424136118829305329 THEN 0
+             WHEN u < 848272237658610659 THEN 1
+             WHEN u < 1060340297073263324 THEN 2
+             WHEN u < 1131029650211480879 THEN 3
+             WHEN u < 1148701988496035267 THEN 4
+             WHEN u < 1152236456152946145 THEN 5
+             WHEN u < 1152825534095764625 THEN 6
+             WHEN u < 1152909688087595836 THEN 7
+             WHEN u < 1152920207336574738 THEN 8
+             ELSE 9 END AS w
+      FROM u),
+    agg AS (
+      SELECT source, rep, SUM(w * n_chars) AS s, SUM(w) AS n
+      FROM wt GROUP BY source, rep),
+    env AS (
+      SELECT source, COUNT(*) AS n_valid_reps,
+             MIN(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS ci_lo,
+             MAX(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS ci_hi
+      FROM agg WHERE n > 0 GROUP BY source),
+    point AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_len
+      FROM documents GROUP BY source)
+    SELECT p.source, p.n_docs,
+           CAST(p.sum_len AS DOUBLE) / p.n_docs AS mean_len,
+           e.n_valid_reps, e.ci_lo, e.ci_hi
+    FROM point p JOIN env e USING (source)
+    ORDER BY p.source ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_bootstrap_ci" -> (q240BootstrapCi _),
+    "q239_dist_drift" -> (q239DistDrift _),
     "q236_ks_drift" -> (q236KsDrift _),
     "q225_leakage_gate_ingest" -> (q225LeakageGateIngest _),
     "q224_screen_calibration" -> (q224ScreenCalibration _),
@@ -1319,6 +1519,8 @@ object StatsQueries {
     "q208_zipf_fit" -> (q208ZipfFit _))
 
   val oracles: Map[String, String] = Map(
+    "q240_bootstrap_ci" -> q240Oracle,
+    "q239_dist_drift" -> q239Oracle,
     "q236_ks_drift" -> q236Oracle,
     "q225_leakage_gate_ingest" -> q225Oracle,
     "q224_screen_calibration" -> q224Oracle,

@@ -188,36 +188,12 @@ object LeakageGateStream {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import java.nio.file.{Files, Paths}
-    val fresh = !Files.exists(Paths.get(s"$sinkDir/_checkpoint/offsets"))
-    val sinkUsed = Files.exists(Paths.get(sinkDir)) &&
-      scala.util.Using.resource(Files.list(Paths.get(sinkDir))) { s =>
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.exists(_.getFileName.toString.startsWith("batch="))
-      }
-    require(!(fresh && sinkUsed),
-      s"sinkDir $sinkDir holds a previous run's batch=* verdicts but its " +
-        "checkpoint is fresh (batchIds restart at 0, so the batchId guard " +
-        "would silently skip NEW data) — rotate sinkDir together with the " +
-        "checkpoint")
-    stream.writeStream
-      .option("checkpointLocation", s"$sinkDir/_checkpoint")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import java.nio.file.StandardCopyOption
-        val out = Paths.get(s"$sinkDir/batch=$batchId")
-        if (!Files.exists(out)) {
-          val staging = Paths.get(s"$sinkDir/.inprogress-$batchId")
-          graft.sync.TableStore.deleteRecursively(staging) // stale crash
-          // gate() itself quarantines unfillable rows — one policy,
-          // both entry paths
-          gate(spark, store, batch)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite").parquet(staging.toString)
-          Files.move(staging, out, StandardCopyOption.ATOMIC_MOVE)
-        }
-        ()
-      }
-      .start()
+    MonitorSink.start(stream, sinkDir, "verdicts", trigger) {
+      (batch, batchId) =>
+        // gate() itself quarantines unfillable rows — one policy,
+        // both entry paths
+        gate(spark, store, batch)
+          .withColumn("batch_id", lit(batchId))
+    }
   }
 }

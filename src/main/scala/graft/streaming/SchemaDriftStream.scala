@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -67,36 +65,13 @@ object SchemaDriftStream {
     * atomic-rename commit protocol (QualityGateStream's crash story). */
   def run(spark: SparkSession, stream: DataFrame, sinkDir: String,
       trigger: Trigger = Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val fresh = !Files.exists(Paths.get(s"$sinkDir/_checkpoint/offsets"))
-    val sinkUsed = Files.exists(Paths.get(sinkDir)) &&
-      scala.util.Using.resource(Files.list(Paths.get(sinkDir))) { s =>
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.exists(_.getFileName.toString.startsWith("batch="))
-      }
-    require(!(fresh && sinkUsed),
-      s"sinkDir $sinkDir holds a previous run's batch=* drift rows but " +
-        "its checkpoint is fresh (batchIds restart at 0, so the batchId " +
-        "guard would silently skip NEW data) — rotate sinkDir together " +
-        "with the checkpoint")
-    stream.writeStream
-      .option("checkpointLocation", s"$sinkDir/_checkpoint")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val out = Paths.get(s"$sinkDir/batch=$batchId")
-        if (!Files.exists(out)) {
-          val staging = Paths.get(s"$sinkDir/.inprogress-$batchId")
-          graft.sync.TableStore.deleteRecursively(staging) // stale crash
-          val unfillable =
-            col("dynamodb").isNull || col("dynamodb.Keys.pk.S").isNull
-          val nBad = batch.filter(unfillable).count()
-          driftFrame(spark, batch.filter(!unfillable), batchId, nBad)
-            .coalesce(1)
-            .write.mode("overwrite").parquet(staging.toString)
-          Files.move(staging, out, StandardCopyOption.ATOMIC_MOVE)
-        }
-        ()
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    MonitorSink.start(stream, sinkDir, "drift rows", trigger) {
+      (batch, batchId) =>
+        val unfillable =
+          col("dynamodb").isNull || col("dynamodb.Keys.pk.S").isNull
+        val nBad = batch.filter(unfillable).count()
+        driftFrame(spark, batch.filter(!unfillable), batchId, nBad)
+          .coalesce(1)
+    }
 }

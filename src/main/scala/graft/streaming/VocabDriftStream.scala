@@ -54,49 +54,25 @@ object VocabDriftStream {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import java.nio.file.{Files, Paths}
-    val fresh = !Files.exists(Paths.get(s"$sinkDir/_checkpoint/offsets"))
-    val sinkUsed = Files.exists(Paths.get(sinkDir)) &&
-      scala.util.Using.resource(Files.list(Paths.get(sinkDir))) { s =>
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.exists(_.getFileName.toString.startsWith("batch="))
-      }
-    require(!(fresh && sinkUsed),
-      s"sinkDir $sinkDir holds a previous run's batch=* drift rows but its " +
-        "checkpoint is fresh (batchIds restart at 0, so the batchId guard " +
-        "would silently skip NEW data) — rotate sinkDir together with the " +
-        "checkpoint")
-    stream.writeStream
-      .option("checkpointLocation", s"$sinkDir/_checkpoint")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import java.nio.file.StandardCopyOption
-        val out = Paths.get(s"$sinkDir/batch=$batchId")
-        if (!Files.exists(out)) {
-          val staging = Paths.get(s"$sinkDir/.inprogress-$batchId")
-          graft.sync.TableStore.deleteRecursively(staging) // stale crash
-          val vocab = spark.read.parquet(vocabDir)
-            .withColumn("seen", lit(1))
-          val unfillable = col("doc_id").isNull || col("text").isNull
-          val nBad = batch.filter(unfillable).count()
-          batch.filter(!unfillable)
-            .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-            .join(vocab, Seq("tok"), "left")
-            .agg(count_distinct(col("doc_id")).as("n_docs"),
-              count(lit(1)).as("n_tokens"),
-              sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_oov"))
-            .select(lit(batchId).as("batch_id"), col("n_docs"),
-              col("n_tokens"), col("n_oov"),
-              when(col("n_tokens") > 0,
-                expr("(n_oov * 1000) DIV n_tokens")).otherwise(lit(0L))
-                .as("oov_permille"),
-              lit(nBad).as("n_unfillable"))
-            .coalesce(1)
-            .write.mode("overwrite").parquet(staging.toString)
-          Files.move(staging, out, StandardCopyOption.ATOMIC_MOVE)
-        }
-        ()
-      }
-      .start()
+    MonitorSink.start(stream, sinkDir, "drift rows", trigger) {
+      (batch, batchId) =>
+        val vocab = spark.read.parquet(vocabDir)
+          .withColumn("seen", lit(1))
+        val unfillable = col("doc_id").isNull || col("text").isNull
+        val nBad = batch.filter(unfillable).count()
+        batch.filter(!unfillable)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .join(vocab, Seq("tok"), "left")
+          .agg(count_distinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(lit(batchId).as("batch_id"), col("n_docs"),
+            col("n_tokens"), col("n_oov"),
+            when(col("n_tokens") > 0,
+              expr("(n_oov * 1000) DIV n_tokens")).otherwise(lit(0L))
+              .as("oov_permille"),
+            lit(nBad).as("n_unfillable"))
+          .coalesce(1)
+    }
   }
 }

@@ -51,4 +51,39 @@ class GovernanceSpec extends SparkSpec {
     // the diff actually exercises all four transitions at this scale
     assert(statuses == Set("added", "removed", "changed", "unchanged"))
   }
+
+  test("q238: the SQL noise construction equals the pure-Scala geometric sampler") {
+    // reference implementation of the release's randomness, independent
+    // of either engine: md5 hex → 60-bit int → two 30-bit halves →
+    // ctz(half | 2^30) each Geometric(1/2) → difference is the two-sided
+    // geometric at α = 1/2 (ε = ln 2)
+    def refNoise(source: String, lang: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"q238|$source|$lang".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val bit30 = 1L << 30
+      def ctz(x: Long) = java.lang.Long.numberOfTrailingZeros(x).toLong
+      ctz((h & (bit30 - 1)) | bit30) - ctz((h >> 30) | bit30)
+    }
+    val truth = graft.tables.Tables.documents(spark, dir)
+      .groupBy("source", "lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val released = graft.queries.GovernanceQueries.q238DpRelease(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(released.keySet == truth.keySet,
+      "the geometric mechanism publishes EVERY cell (no suppression)")
+    released.foreach { case (k, rel) =>
+      val want = math.max(truth(k) + refNoise(k._1, k._2), 0L)
+      assert(rel == want, s"cell $k: released $rel, reference $want")
+      assert(rel >= 0L)
+    }
+    // the ctz cap bounds any single cell's distortion at ±30
+    released.foreach { case (k, rel) =>
+      assert(math.abs(rel - truth(k)) <= 30L ||
+        (rel == 0L && truth(k) <= 30L), s"cell $k noise out of bounds")
+    }
+  }
 }

@@ -681,4 +681,44 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"),
       "the top-20 must stay a TakeOrdered head, not a global sort")
   }
+
+  test("q238: the DP release is one scan + one agg exchange — no join at all") {
+    val s = finalPlan("q238_dp_release")
+    assert(!s.contains("Join"),
+      "the geometric-mechanism noise is a per-row projection over the " +
+        "aggregated grid — any join means a noise table crept in")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(shuffles == 1,
+      s"one partial→final agg exchange expected, found $shuffles")
+    val scans = "Location: InMemoryFileIndex".r.findAllIn(s).size
+    assert(scans <= 2, // initial+final under AQE print at most twice
+      s"one corpus scan expected — found $scans scan sites")
+  }
+
+  test("q239: KS windows partition by batch_id; the reference broadcasts") {
+    val s = finalPlan("q239_dist_drift")
+    assert(!s.contains("CartesianProduct"),
+      "the batch×reference grid rides a broadcast, never a cartesian shuffle")
+    val winLines = s.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, "expected the cum-count windows")
+    winLines.foreach { l =>
+      assert(l.contains("batch_id#"),
+        s"every ECDF window must partition by batch_id, got: $l")
+    }
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastQueryStage"),
+      "the frozen reference histogram must ride a broadcast")
+  }
+
+  test("q240: the ×32 replicate blowup is an explode aggregated before its exchange") {
+    val s = finalPlan("q240_bootstrap_ci")
+    assert(s.contains("Generate explode"),
+      "replicate weights must ride an explode, never a join against a rep table")
+    assert(!s.contains("CartesianProduct"), "no cartesian anywhere")
+    // map-side combine: a partial aggregate must sit between the explode
+    // and the shuffle, so the exchange carries sources×32 rows, not
+    // corpus×32 rows
+    assert("Exchange hashpartitioning[\\s\\S]*partial_sum[\\s\\S]*Generate explode".r
+        .findFirstIn(s).isDefined,
+      s"expected partial agg between the explode and its exchange:\n${s.take(1200)}")
+  }
 }
