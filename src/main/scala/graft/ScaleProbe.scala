@@ -232,7 +232,15 @@ object ScaleProbe {
         Seq(("sf1", "q156_scaled_banding", () => q156Scaled(spark, sf1)),
           ("sf0.1", "q160_dedup_ingest", () =>
             SparkEntry.queries("q160_semantic_dedup_ingest")(spark, src)),
-          ("sf1", "q160_scaled_banding", () => q160Scaled(spark, sf1)))
+          ("sf1", "q160_scaled_banding", () => q160Scaled(spark, sf1)),
+          // graph-ANN walk: the sf1 cell widens queryMod 16→160 so the
+          // EVAL leg (brute-force hit flags) keeps a fixed ~125-query
+          // panel — the serving path (entries + hops) is what the decade
+          // measures; an unscaled panel would grow the eval quadratically
+          ("sf0.1", "q242_graph_walk", () =>
+            SparkEntry.queries("q242_graph_ann_search")(spark, src)),
+          ("sf1", "q242_scaled_panel", () => graft.queries.VectorQueries
+            .q242GraphAnnSearch(spark, sf1, hops = 3, queryMod = 160)))
 
     val results = cells.map { case (label, name, fn) =>
       val runs = (1 to 2).map { _ =>
@@ -284,7 +292,8 @@ object ScaleProbe {
     // scaled-banding sf1 cells gate against their unscaled sf0.1 base
     val baseName = Map(
       "q156_scaled_banding" -> "q156_semantic_dedup",
-      "q160_scaled_banding" -> "q160_dedup_ingest")
+      "q160_scaled_banding" -> "q160_dedup_ingest",
+      "q242_scaled_panel" -> "q242_graph_walk")
     val at01 = results.filter(_._1 == "sf0.1").map(r => r._2 -> r._3).toMap
     val breaches = results.filter(_._1 == "sf1").flatMap {
       case (_, name, sec, mb, _) =>

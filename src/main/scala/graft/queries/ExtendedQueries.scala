@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -453,7 +453,86 @@ object ExtendedQueries {
     GROUP BY 1, 2
     ORDER BY revenue DESC, orderkey ASC LIMIT 20"""
 
+  // q241 — join-key skew profile: the pre-flight diagnostic a 100 TB
+  // join runs BEFORE committing to a shuffle strategy (q230 removes the
+  // shuffle when the layout is yours to choose; q241 measures the skew
+  // when it is not). For each candidate key the per-key counts collapse
+  // to a COUNT-OF-COUNTS histogram — (multiplicity, how many keys have
+  // it) — which is value-domain-bounded, so every downstream statistic
+  // (median/p99.9 multiplicity via an integer histogram walk, hottest
+  // key, skew factor, salt recommendation) is computed over a tiny
+  // frame, never over keys. All INTEGER-exact, zero divides except two
+  // floor divisions:
+  //   - skew_bp = max_count·n_keys·10000 DIV n_rows — the hottest key's
+  //     load relative to a perfectly uniform key (10000 bp = uniform);
+  //   - salt_factor = ceil(max_count·P / n_rows) at P = 32 partitions —
+  //     how many ways the hottest key must split so no task exceeds the
+  //     average partition, i.e. the salting factor AQE's skew-join
+  //     would have to synthesize at runtime.
+  // Scale shape: the per-key count IS the join's own shuffle paid once
+  // as a dry run (at 100 TB, hash-sample keys — md5(k) mod S — upstream
+  // for a fixed-size profile; the estimator is the same histogram);
+  // the windows run per profiled column over histogram rows only.
+  def q241SkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, tbl: String, key: Column): DataFrame =
+      df.groupBy(key.cast("long").as("k")).agg(count(lit(1)).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("n_keys"))
+        .select(lit(tbl).as("tbl"), col("c"), col("n_keys"))
+    val hist =
+      profile(Tables.events(spark, dir), "events.user_id", col("user_id"))
+        .unionByName(profile(Tables.lineitem(spark, dir),
+          "lineitem.l_orderkey", col("l_orderkey")))
+        .unionByName(profile(Tables.orders(spark, dir),
+          "orders.o_custkey", col("o_custkey")))
+    val wCum = Window.partitionBy(col("tbl")).orderBy(col("c").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("tbl"))
+    hist
+      .withColumn("cum_keys", sum(col("n_keys")).over(wCum))
+      .withColumn("nk", sum(col("n_keys")).over(wAll))
+      .withColumn("nr", sum(col("c") * col("n_keys")).over(wAll))
+      .groupBy(col("tbl"), col("nk").as("n_keys"), col("nr").as("n_rows"))
+      .agg(max(col("c")).as("max_count"),
+        min(when(col("cum_keys") * 2 >= col("nk"), col("c")))
+          .as("p50_count"),
+        min(when(col("cum_keys") * 1000 >= col("nk") * 999, col("c")))
+          .as("p999_count"))
+      .withColumn("skew_bp",
+        expr("max_count * n_keys * 10000 DIV n_rows"))
+      .withColumn("salt_factor",
+        expr("(max_count * 32 + n_rows - 1) DIV n_rows"))
+      .select(col("tbl"), col("n_keys"), col("n_rows"), col("max_count"),
+        col("p50_count"), col("p999_count"), col("skew_bp"),
+        col("salt_factor"))
+      .orderBy(col("tbl").asc)
+  }
+  val q241Oracle: String = """
+    WITH keys AS (
+      SELECT 'events.user_id' AS tbl, user_id AS k FROM events
+      UNION ALL SELECT 'lineitem.l_orderkey', l_orderkey FROM lineitem
+      UNION ALL SELECT 'orders.o_custkey', o_custkey FROM orders),
+    kc AS (SELECT tbl, k, COUNT(*) AS c FROM keys GROUP BY tbl, k),
+    hist AS (SELECT tbl, c, COUNT(*) AS n_keys FROM kc GROUP BY tbl, c),
+    cums AS (
+      SELECT tbl, c, n_keys,
+        SUM(n_keys) OVER (PARTITION BY tbl ORDER BY c
+                          ROWS UNBOUNDED PRECEDING) AS cum_keys,
+        SUM(n_keys) OVER (PARTITION BY tbl) AS nk,
+        SUM(c * n_keys) OVER (PARTITION BY tbl) AS nr
+      FROM hist)
+    SELECT tbl, CAST(nk AS BIGINT) AS n_keys, CAST(nr AS BIGINT) AS n_rows,
+           MAX(c) AS max_count,
+           MIN(CASE WHEN cum_keys * 2 >= nk THEN c END) AS p50_count,
+           MIN(CASE WHEN cum_keys * 1000 >= nk * 999 THEN c END)
+             AS p999_count,
+           CAST(MAX(c) * nk * 10000 // nr AS BIGINT) AS skew_bp,
+           CAST((MAX(c) * 32 + nr - 1) // nr AS BIGINT) AS salt_factor
+    FROM cums
+    GROUP BY tbl, nk, nr
+    ORDER BY tbl ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_skew_profile" -> (q241SkewProfile _),
     "q230_colocated_join" -> (q230ColocatedJoin _),
     "q140_sample_quantile" -> (q140SampleQuantile _),
     "q94_stream_update_mode" -> (q94StreamUpdateMode _),
@@ -470,6 +549,7 @@ object ExtendedQueries {
     "q55_stream_tumbling" -> (q55StreamTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "q241_skew_profile" -> q241Oracle,
     "q230_colocated_join" -> q230Oracle,
     "q57_approx_sketches" -> q57Oracle,
     "q82_sketch_rollup" -> q82Oracle,

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.VectorQueries
+
+/** Graph-search ANN (q242): the provable walk properties and the
+  * measured-quality gate that set-recall alone would misread on
+  * near-tie-dense data (see the q242 scaladoc's measurements). */
+class GraphAnnSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  /** Per-query cosine mass of the top-3 of a walk result. */
+  private def mass(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.filter(col("rank") <= 3)
+      .groupBy(col("query_id"))
+      .agg(sum(col("cosine")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("hop monotonicity: each hop's top-3 mass never decreases") {
+    // frontier(h+1) ⊇ beam(h), re-scored identically ⇒ the k-th best
+    // candidate can only improve — the property that makes "more hops"
+    // a safe knob at any scale
+    val byHop = (1 to 3).map(h =>
+      mass(VectorQueries.q242GraphAnnSearch(spark, dir, hops = h)))
+    for (h <- 0 until 2; (qid, m) <- byHop(h)) {
+      val next = byHop(h + 1)(qid)
+      assert(next >= m - 1e-9,
+        s"query $qid: hop ${h + 2} mass $next < hop ${h + 1} mass $m")
+    }
+  }
+
+  test("quality gate: the walk captures >= 0.8 of the exact top-3 cosine mass") {
+    import graft.operators.VectorOps
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val queries = emb.filter(pmod(col("vec_id"), lit(16)) === 0)
+    // brute-force exact top-3, self excluded (the walk's ground truth)
+    val exact = VectorOps.bruteForceTopK(queries, emb, k = 4)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("r") <= 3)
+      .select(col("query_id"), col("cosine"), col("r").as("rank"))
+    val exactMass = mass(exact)
+    val gotMass = mass(VectorQueries.q242GraphAnnSearch(spark, dir))
+    assert(gotMass.keySet == exactMass.keySet, "every query must answer")
+    val ratios = gotMass.map { case (q, g) => g / exactMass(q) }
+    val mean = ratios.sum / ratios.size
+    assert(mean >= 0.8, f"mean cosine-mass ratio $mean%.3f < 0.8")
+    ratios.foreach(r => assert(r <= 1.0 + 1e-9, s"walk cannot beat exact: $r"))
+  }
+
+  test("result hygiene: no self-matches, contiguous ranks, corpus members only") {
+    val res = VectorQueries.q242GraphAnnSearch(spark, dir)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id"))
+    }
+    val ranks = rows.groupBy(_.getAs[Long]("query_id"))
+      .map { case (_, rs) => rs.map(_.getAs[Int]("rank")).sorted.toSeq }
+    ranks.foreach(rs => assert(rs == (1 to rs.size), s"ranks $rs"))
+    val corpus = graft.tables.Tables.embeddings(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(corpus(r.getAs[Long]("neighbor_id"))))
+  }
+}

@@ -721,4 +721,19 @@ class PlanSpec extends SparkSpec {
         .findFirstIn(s).isDefined,
       s"expected partial agg between the explode and its exchange:\n${s.take(1200)}")
   }
+
+  test("q241: skew statistics window the count-of-counts histogram per column") {
+    val s = finalPlan("q241_skew_profile")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), "no join belongs in a profile")
+    val winLines = s.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, "expected the histogram-walk windows")
+    winLines.foreach { l =>
+      assert(l.contains("tbl#"),
+        s"every histogram window must partition by the profiled column, got: $l")
+    }
+    // per profiled key: key-count agg then histogram agg — both partial'd
+    assert(s.contains("partial_count"),
+      "the per-key count must partial-aggregate map-side")
+  }
 }
