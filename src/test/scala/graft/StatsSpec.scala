@@ -282,4 +282,52 @@ class StatsSpec extends SparkSpec {
       assert(pm == k * 1000 / n)
     }
   }
+
+  test("q239: the KS rational is bounded, every batch reports, the flag is derived") {
+    val rows = graft.queries.StatsQueries.q239DistDrift(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("batch_id")).toSet == (1L to 9L).toSet,
+      "every arriving batch gets a verdict")
+    rows.foreach { r =>
+      val (nb, nr, ks, drifted) = (r.getAs[Long]("n_batch"),
+        r.getAs[Long]("n_ref"), r.getAs[Long]("ks_num"),
+        r.getAs[Int]("drifted"))
+      assert(nb > 0 && nr > 0)
+      // KS = max |cum_b·n_r − cum_r·n_b| ≤ n_b·n_r (ECDFs live in [0,1])
+      assert(ks >= 0 && ks <= nb * nr, s"ks_num $ks out of [0, ${nb * nr}]")
+      assert((drifted == 1) == (ks * 4 >= nb * nr),
+        "the flag must be exactly the τ = 1/4 integer comparison")
+    }
+  }
+
+  test("q240: envelopes are ordered, replicate accounting is bounded") {
+    val rows = graft.queries.StatsQueries.q240BootstrapCi(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, mean) = (r.getAs[Double]("ci_lo"),
+        r.getAs[Double]("ci_hi"), r.getAs[Double]("mean_len"))
+      val nv = r.getAs[Long]("n_valid_reps")
+      assert(lo <= hi, s"envelope inverted: $lo > $hi")
+      assert(nv >= 1 && nv <= 32, s"n_valid_reps $nv out of [1, 32]")
+      // a weighted mean of positive lengths stays within the value range
+      // the point estimate lives in — sanity, not a coverage theorem
+      assert(lo > 0 && hi < mean * 32 + 1)
+    }
+  }
+
+  test("q241: histogram-walk statistics are ordered and the salt is sane") {
+    val rows = graft.queries.ExtendedQueries.q241SkewProfile(spark, dir)
+      .collect()
+    assert(rows.length == 3, "three profiled key columns")
+    rows.foreach { r =>
+      val (p50, p999, mx) = (r.getAs[Long]("p50_count"),
+        r.getAs[Long]("p999_count"), r.getAs[Long]("max_count"))
+      assert(p50 <= p999 && p999 <= mx,
+        s"percentile walk must be monotone: $p50 / $p999 / $mx")
+      assert(r.getAs[Long]("salt_factor") >= 1L,
+        "even a uniform key needs one partition")
+      // max_count ≥ mean multiplicity always ⟹ skew_bp ≥ 10000 exactly
+      assert(r.getAs[Long]("skew_bp") >= 10000L)
+      assert(r.getAs[Long]("n_rows") >= r.getAs[Long]("n_keys"))
+    }
+  }
 }
