@@ -104,7 +104,10 @@ object ScaleProbe {
     // Poisson bootstrap: the ×32 explode partial-aggregates in its own
     // stage, so sf1 cost must stay ~linear in the corpus (32× the scan
     // work, shuffle still sources×32 rows)
-    "q240_bootstrap_ci")
+    "q240_bootstrap_ci",
+    // augmentation: a pure map — sf1 cost must track the corpus scan
+    // (per-row cost is the row's own token count, nothing accumulates)
+    "q243_augmentation")
 
   private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
     .filter(_.getType == MemoryType.HEAP)

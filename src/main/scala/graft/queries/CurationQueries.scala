@@ -1022,7 +1022,65 @@ object CurationQueries {
     GROUP BY topic ORDER BY topic ASC"""
   }
 
+  // q243 — deterministic augmentation with provenance: token-dropout
+  // copies (the cheap text-augmentation a contrastive/denoising trainer
+  // consumes — each source doc yields aug_id ∈ {1, 2} variants, every
+  // token kept iff the 60-bit md5(doc|aug|pos) integer clears the
+  // keep threshold 7/8·2^60, i.e. a deterministic 12.5% dropout) plus
+  // the accounting a pipeline must ship with synthetic data: tokens
+  // in/out per copy and the md5 content hash of the augmented text (the
+  // provenance row linking derived data back to its source — q157's
+  // manifest discipline applied to generated content).
+  //
+  // Fully deterministic cross-engine: the dropout decision is an integer
+  // compare per (doc, aug, position) — Spark's 0-based filter() lambda
+  // index is shifted to DuckDB's 1-based list_filter convention — and
+  // the content hash is md5 of the space-rejoined survivors.
+  //
+  // Scale shape: a PURE MAP — order-preserving array HOFs on the token
+  // array, no explode, no shuffle before the gate's final ordering; the
+  // corpus streams through once and each row's cost is its own token
+  // count. The per-token md5 inside the HOF is CodegenFallback — at
+  // 100 TB the lever is the same one the minhash kernels took (a native
+  // codegen Expression in functions/HashExpressions); the plan shape
+  // (map-only) is already the scale shape.
+  def q243Augmentation(spark: SparkSession, dir: String): DataFrame = {
+    val KeepThr = 1008806316530991104L // 7/8 · 2^60 exactly
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .withColumn("aug_id", explode(array(lit(1), lit(2))))
+      .withColumn("kept", filter(col("t"), (_, i) =>
+        conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit("|"),
+          col("aug_id").cast("string"), lit("|"),
+          (i + 1).cast("string"))), 1, 15), 16, 10).cast("long") < KeepThr))
+      .select(col("doc_id"), col("aug_id"),
+        size(col("t")).cast("long").as("n_in"),
+        size(col("kept")).cast("long").as("n_out"),
+        md5(array_join(col("kept"), " ")).as("aug_hash"))
+      .orderBy(col("doc_id").asc, col("aug_id").asc)
+  }
+  val q243Oracle: String = """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    a AS (SELECT doc_id, t, unnest([1, 2]) AS aug_id FROM d),
+    k AS (
+      SELECT doc_id, aug_id, t,
+        list_filter(t, (x, i) ->
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                              CAST(aug_id AS VARCHAR) || '|' ||
+                              CAST(i AS VARCHAR)), 1, 15))::BIGINT
+            < 1008806316530991104) AS kept
+      FROM a)
+    SELECT doc_id, aug_id,
+           CAST(len(t) AS BIGINT) AS n_in,
+           CAST(len(kept) AS BIGINT) AS n_out,
+           md5(array_to_string(kept, ' ')) AS aug_hash
+    FROM k
+    ORDER BY doc_id ASC, aug_id ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_augmentation" -> (q243Augmentation _),
     "q231_keyword_tag" -> (q231KeywordTag _),
     "q181_data_card" -> (q181DataCard _),
     "q178_epoch_shuffle" -> (q178EpochShuffle _),
@@ -1043,6 +1101,7 @@ object CurationQueries {
     "q89_curation_pipeline" -> (q89CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "q243_augmentation" -> q243Oracle,
     "q231_keyword_tag" -> q231Oracle,
     "q181_data_card" -> q181Oracle,
     "q178_epoch_shuffle" -> q178Oracle,
