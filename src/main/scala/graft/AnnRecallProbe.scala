@@ -35,6 +35,42 @@ object AnnRecallProbe {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 5)
     val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
+    if (mode == "graph") {
+      // q242's quality read: set-recall@3 + cosine-mass ratio vs exact,
+      // over the full query panel (vec_id % 16 == 0) — the measurement
+      // behind the GraphAnnSpec gate and the scaladoc's quoted numbers
+      val t0 = System.nanoTime()
+      val walk = graft.queries.VectorQueries.q242GraphAnnSearch(spark, dir)
+        .collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val qs = emb.filter(pmod(col("vec_id"), lit(16)) === 0)
+      val ex = VectorOps.bruteForceTopK(qs, emb, k = 4)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+        .filter(col("r") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .collect()
+      val exSet = ex.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val exMass = ex.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getDouble(2)).sum).toMap
+      val gotSet = walk.groupBy(_.getAs[Long]("query_id")).view
+        .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+      val gotMass = walk.groupBy(_.getAs[Long]("query_id")).view
+        .mapValues(_.map(_.getAs[Double]("cosine")).sum).toMap
+      val recalls = exSet.map { case (q, s) =>
+        (gotSet.getOrElse(q, Set.empty) & s).size.toDouble / s.size }
+      val ratios = exMass.map { case (q, m) => gotMass.getOrElse(q, 0.0) / m }
+      println(f"[graph-ann] dir=$dir queries=${exSet.size} " +
+        f"set-recall@3 mean=${recalls.sum / recalls.size}%.3f " +
+        f"min=${recalls.min}%.2f  mass mean=${ratios.sum / ratios.size}%.3f " +
+        f"p10=${ratios.toSeq.sorted.apply(ratios.size / 10)}%.3f  " +
+        f"walk=${secs}%.1f s")
+      spark.stop(); return
+    }
     if (mode == "sweep-pq") {
       for {
         m <- Seq(8, 16)
@@ -73,10 +109,16 @@ object AnnRecallProbe {
       "ivfpq" -> VectorOps.ivfPqTopK(spark, q, emb, k = 10),
       // q237's add-after-train tier: base-trained frozen quantizer,
       // appends assigned without retrain — re-measure when the split or
-      // quantizer discipline changes (bounds: 0.75 tight / 0.55 floor)
+      // quantizer discipline changes. Both the plain and the
+      // spill-re-assigned (q237's production config) variants print, so
+      // the drift price AND the spill recovery are both on record.
       "ivf-app" -> VectorOps.ivfTopKAppend(spark, q,
         emb.filter(pmod(col("vec_id"), lit(4)) =!= 3),
-        emb.filter(pmod(col("vec_id"), lit(4)) === 3), k = 10)
+        emb.filter(pmod(col("vec_id"), lit(4)) === 3), k = 10),
+      "ivf-app-spill2" -> VectorOps.ivfTopKAppend(spark, q,
+        emb.filter(pmod(col("vec_id"), lit(4)) =!= 3),
+        emb.filter(pmod(col("vec_id"), lit(4)) === 3), k = 10,
+        spillAppend = 2)
     ).foreach { case (name, approx) =>
       val rec = VectorOps.recallAgainst(approx, exact)
         .orderBy(col("query_id")).collect()

@@ -9,6 +9,17 @@ import scala.util.Random
   */
 object CdcGen {
 
+  /** The connector record shape (ref scripts/setup_redshift.sh:91-104):
+    * the stream's transport metadata as columns beside the opaque
+    * `kinesis_data` payload blob. Field names match the external
+    * schema's column names verbatim. */
+  final case class KinesisRecord(
+      kinesis_data: Array[Byte],
+      approximate_arrival_timestamp: java.sql.Timestamp,
+      partition_key: String,
+      shard_id: String,
+      sequence_number: String)
+
   val memberNames: Seq[String] = Seq( // ref lib/lambda/index.ts:41-50
     "Liam", "Olivia", "Noah", "Emma", "Oliver", "Charlotte", "Elijah", "Amelia")
   val questNames: Seq[String] = Seq( // ref lib/lambda/index.ts:71-75
@@ -70,11 +81,33 @@ object CdcGen {
       eventCounter += 1
       val arrival = if (arrivalMs >= 0) arrivalMs else tsMs + 120
       val arrivalTs = java.time.Instant.ofEpochMilli(arrival).toString
+      s"""{"approximate_arrival_timestamp": "$arrivalTs", "partition_key": "${item.pk}", "shard_id": "shardId-000000000000", "sequence_number": "${f"$eventCounter%020d"}", ${payloadBody(eventName, item, tsMs)}}"""
+    }
+
+    /** The DynamoDB-stream fields alone — what actually travels INSIDE a
+      * Kinesis record's data blob (ref scripts/setup_redshift.sh:95-103
+      * parses these out of `kinesis_data`; :91-94's metadata is the
+      * connector's, never the payload's). */
+    private def payloadBody(eventName: String, item: Item, tsMs: Long): String = {
       val newImage =
         if (eventName == "REMOVE") "" else s""", "NewImage": ${item.attrJson}"""
       val oldImage =
         if (eventName == "INSERT") "" else s""", "OldImage": ${item.attrJson}"""
-      s"""{"approximate_arrival_timestamp": "$arrivalTs", "partition_key": "${item.pk}", "shard_id": "shardId-000000000000", "sequence_number": "${f"$eventCounter%020d"}", "eventID": "${uuid().replace("-", "").substring(0, 24)}", "awsRegion": "us-east-1", "eventName": "$eventName", "userIdentity": null, "tableName": "activity-tracking", "eventSource": "aws:dynamodb", "dynamodb": {"ApproximateCreationDateTime": $tsMs, "Keys": {"pk": {"S": "${item.pk}"}, "sk": {"S": "${item.sk}"}}$newImage$oldImage}}"""
+      s""""eventID": "${uuid().replace("-", "").substring(0, 24)}", "awsRegion": "us-east-1", "eventName": "$eventName", "userIdentity": null, "tableName": "activity-tracking", "eventSource": "aws:dynamodb", "dynamodb": {"ApproximateCreationDateTime": $tsMs, "Keys": {"pk": {"S": "${item.pk}"}, "sk": {"S": "${item.sk}"}}$newImage$oldImage}"""
+    }
+
+    /** One connector-shaped record: metadata as FIELDS next to the opaque
+      * UTF-8 payload — the frame a real Kinesis connector hands over
+      * ([[graft.streaming.KinesisRecordCdcSource]]'s input shape). */
+    def kinesisRecord(eventName: String, item: Item, tsMs: Long,
+        arrivalMs: Long = -1): CdcGen.KinesisRecord = {
+      eventCounter += 1
+      val arrival = if (arrivalMs >= 0) arrivalMs else tsMs + 120
+      CdcGen.KinesisRecord(
+        s"{${payloadBody(eventName, item, tsMs)}}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        new java.sql.Timestamp(arrival),
+        item.pk, "shardId-000000000000", f"$eventCounter%020d")
     }
 
     /** Export file line (FIXTURES.md §3). */

@@ -65,6 +65,13 @@ object CdcSchemas {
     StructField("eventSource", StringType),
     StructField("dynamodb", dynamodbStruct)))
 
+  /** What actually travels INSIDE a Kinesis record's data blob: the
+    * DynamoDB stream envelope WITHOUT the four transport-metadata fields
+    * — those are the CONNECTOR's record columns (ref scripts/
+    * setup_redshift.sh:91-94 selects them from the stream itself; :95-103
+    * parses only these fields out of `kinesis_data`). */
+  val streamPayload: StructType = StructType(envelope.fields.drop(4))
+
   /** DynamoDB PITR export line: `{"Item": {attr: AttributeValue}}`
     * (FIXTURES.md §3; ref scripts/initial_load_from_export.sh:168). */
   val exportLine: StructType = StructType(Seq(

@@ -194,9 +194,21 @@ object VectorOps {
         // the corpus dir retrains instead of serving the stale quantizer,
         // and memoKeyed evicts the superseded model rather than leak it.
         // AnnIndexStore adds the cross-JVM disk tier when configured.
-        val prefix = s"ivf:$key:"
+        // keyTag lives in the PREFIX, not the rest: memoKeyed evicts
+        // other entries under one prefix, so a tag in the rest would put
+        // the full-corpus model (q44/q170) and the base-trained append
+        // model (q237) in ONE eviction family — alternating queries then
+        // retrain on every call, which is exactly the r14 bench drift
+        // (q237 2.57 s vs its 1.20 s memo-hit pin). Distinct prefixes
+        // let both models coexist; dataset-rewrite eviction still works
+        // within each family via the v= marker in the rest.
+        // "full" names the untagged family explicitly — a bare "ivf:key:"
+        // prefix would still be a string-prefix of the tagged one and
+        // evict across families
+        val tagSeg = if (keyTag.isEmpty) "full" else keyTag.stripPrefix(":")
+        val prefix = s"ivf:$key:$tagSeg:"
         val rest =
-          s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist:seed=$seed$keyTag"
+          s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist:seed=$seed"
         AnnIndexCache.memoKeyed(prefix, rest)(
           AnnIndexStore.orBuildKMeans(corpusVec.sparkSession, prefix + rest)(
             train()))
@@ -247,14 +259,73 @@ object VectorOps {
   def ivfTopKAppend(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, base: DataFrame, append: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 8, seed: Long = 42L,
-      indexKey: Option[String] = None): DataFrame = {
+      indexKey: Option[String] = None, spillAppend: Int = 1): DataFrame = {
     val baseVec = toCorpusVec(base)
     val model = coarseQuantizer(baseVec, nlist, seed, indexKey,
       keyTag = ":train=base")
-    val assigned = assignCells(model, baseVec)
-      .unionByName(assignCells(model, toCorpusVec(append)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Drift-bounded re-assignment (spillAppend > 1): each APPENDED
+    // vector is posted under its `spillAppend` nearest cells instead of
+    // one — FAISS's guidance is retrain-nightly/append-intraday, and
+    // the spill is the intra-day half of that bargain: the frozen
+    // quantizer describes the appended tail worst near cell boundaries
+    // (exactly where add-after-train recall dies), so boundary appends
+    // go into BOTH candidate cells. Base postings stay single-cell (the
+    // trained centroids describe the base by construction), the trained
+    // artifact is untouched, and the postings grow by |append| rows —
+    // the bounded price of serving appends from yesterday's centroids.
+    // Recall is monotone in the candidate set (any candidate scoring
+    // above the k-th exact neighbor IS an exact top-k member), so spill
+    // can only raise it — measured at sf0.1: 0.6 → ≥ 0.8 min.
+    def buildPostings(): DataFrame =
+      assignCells(model, baseVec)
+        .unionByName(
+          if (spillAppend <= 1) assignCells(model, toCorpusVec(append))
+          else assignCellsSpill(model, toCorpusVec(append), spillAppend))
+    val assigned = indexKey match {
+      case Some(key) =>
+        // The postings ARE the index state a deployment persists (the
+        // model memo alone re-pays two corpus assignment passes per
+        // query). localCheckpoint, not persist: blocks survive callers'
+        // clearCache sweeps, carry no lineage, and are freed by the
+        // context cleaner on eviction. Session-scoped key: a checkpoint
+        // RDD must not leak across SparkSessions; memoKeyed eviction
+        // retires the previous session's entry.
+        val sess = Integer.toHexString(System.identityHashCode(spark))
+        AnnIndexCache.memoKeyed(s"ivfpost:$key:train=base:",
+          s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist" +
+            s":seed=$seed:spill=$spillAppend:sess=$sess")(
+          buildPostings().localCheckpoint(true))
+      case None =>
+        buildPostings()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     ivfProbe(spark, queries, model, assigned, k, nprobe)
+  }
+
+  /** [[assignCells]] with write-side multi-probe: each vector lands in
+    * its `spill` nearest cells (distance asc, cell asc — deterministic).
+    * Scoring runs against the broadcast centroid table exactly like the
+    * read-side probe, so cost is O(rows × nlist) with no shuffle before
+    * the per-vector top-`spill` window. */
+  private def assignCellsSpill(model: org.apache.spark.ml.clustering.KMeansModel,
+      corpusVec: DataFrame, spill: Int): DataFrame = {
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val centroidDf = corpusVec.sparkSession.createDataFrame(centroids)
+      .toDF("cell", "centroid")
+    corpusVec.crossJoin(broadcast(centroidDf))
+      .withColumn("dist2", aggregate(
+        zip_with(col("embedding").cast("array<double>"), col("centroid"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("neighbor_id"))
+          .orderBy(col("dist2").asc, col("cell").asc)))
+      .filter(col("rn") <= spill)
+      .select(col("neighbor_id"), quantize(col("embedding")).as("c_emb"),
+        col("cell"))
+      .withColumn("c_n2", qnorm2(col("c_emb")))
   }
 
   /** Shared IVF probe: each query scores all nlist centroids (tiny,

@@ -473,6 +473,12 @@ object ExtendedQueries {
   // as a dry run (at 100 TB, hash-sample keys — md5(k) mod S — upstream
   // for a fixed-size profile; the estimator is the same histogram);
   // the windows run per profiled column over histogram rows only.
+  // INTEGER BOUND: skew_bp's max_count·n_keys·10000 stays inside
+  // signed 64-bit while max_count·n_keys < 9.2e14 — e.g. hottest key
+  // ≤ 1e6 rows with ≤ 9e8 distinct keys, or any profile where the
+  // hash-sampled dry run (the 100 TB path above) caps both factors.
+  // A full-table profile past that bound must compute skew_bp in
+  // DECIMAL(38,0) on both engines; the sampled path never needs to.
   def q241SkewProfile(spark: SparkSession, dir: String): DataFrame = {
     def profile(df: DataFrame, tbl: String, key: Column): DataFrame =
       df.groupBy(key.cast("long").as("k")).agg(count(lit(1)).as("c"))

@@ -283,8 +283,16 @@ object GovernanceQueries {
   // The whole release is DETERMINISTIC and pure-integer, so it
   // hash-checks cross-engine with zero libm calls:
   //   - each cell's randomness is the 60-bit integer of
-  //     md5('q238|' || source || '|' || lang) — a fixed public seed, as
-  //     in any seeded replayable release;
+  //     md5('q238|' || salt || '|' || source || '|' || lang). THE SALT
+  //     IS THE GUARANTEE: with the benchmark's salt = "" the seed is
+  //     derivable from the published cell labels, so anyone can
+  //     reconstruct the noise and recover n_true exactly — the ε = ln 2
+  //     bound below is VOID for that configuration (it exists only so
+  //     the release hash-checks against the DuckDB oracle). A real
+  //     release MUST pass a salt kept secret from every reader (or use
+  //     true randomness); secrecy of the per-cell noise bits is what
+  //     the DP accounting assumes. GovernanceSpec's refNoise
+  //     demonstrates the attack on the public-seed configuration.
   //   - noise = G1 − G2 with Gi ~ Geometric(1/2) (failures before first
   //     success): the difference of two iid geometrics is EXACTLY the
   //     two-sided geometric with decay α = 1/2, i.e. ε = ln(1/α) = ln 2;
@@ -304,10 +312,19 @@ object GovernanceQueries {
   // tiny frame — no join, no second shuffle, nothing driver-side. At
   // 100 TB this is exactly the histogram-release pass a privacy team
   // runs over the crawl ledger.
-  def q238DpRelease(spark: SparkSession, dir: String): DataFrame = {
+  def q238DpRelease(spark: SparkSession, dir: String): DataFrame =
+    q238DpRelease(spark, dir, salt = "")
+
+  /** The release with the noise salt exposed. `salt = ""` is the
+    * benchmark's replayable (and therefore NOT private) configuration;
+    * production passes a secret salt — same plan, same cost, and the
+    * ε = ln 2 guarantee actually holds because readers cannot
+    * reconstruct the per-cell noise. */
+  def q238DpRelease(spark: SparkSession, dir: String, salt: String)
+      : DataFrame = {
     def ctz(x: Column): Column = length(bin(x.bitwiseAND(lit(0L) - x))) - 1
     val bit30 = lit(1L << 30)
-    val h = conv(substring(md5(concat(lit("q238|"), col("source"),
+    val h = conv(substring(md5(concat(lit(s"q238|$salt|"), col("source"),
       lit("|"), col("lang"))), 1, 15), 16, 10).cast("long")
     Tables.documents(spark, dir)
       .groupBy(col("source"), col("lang"))
@@ -323,7 +340,7 @@ object GovernanceQueries {
   val q238Oracle: String = """
     WITH counts AS (
       SELECT source, lang, COUNT(*) AS n_true,
-             ('0x' || substr(md5('q238|' || source || '|' || lang), 1, 15))::BIGINT AS h
+             ('0x' || substr(md5('q238||' || source || '|' || lang), 1, 15))::BIGINT AS h
       FROM documents GROUP BY source, lang),
     noised AS (
       SELECT source, lang, n_true,
@@ -340,7 +357,7 @@ object GovernanceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q233_corpus_diff" -> (q233CorpusDiff _),
     "q235_forget_propagation" -> (q235ForgetPropagation _),
-    "q238_dp_release" -> (q238DpRelease _))
+    "q238_dp_release" -> ((s: SparkSession, d: String) => q238DpRelease(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q233_corpus_diff" -> q233Oracle,

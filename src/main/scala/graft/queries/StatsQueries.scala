@@ -1218,7 +1218,10 @@ object StatsQueries {
   // shape move" read next to q205's KL (which needs binning and misses
   // location shifts KS catches). EXACT cross-engine: with cum counts as
   // BIGINTs, |cum_a·n_b − cum_b·n_a| is an exact integer numerator and
-  // KS is ONE IEEE divide by n_a·n_b. Scale shape: the corpus collapses
+  // KS is ONE IEEE divide by n_a·n_b — exact while n_a·n_b < 2^63
+  // (~3e9 rows per side; see q239's INTEGER BOUND note — downsample
+  // giant sides, a KS ECDF gains nothing past 1e9 samples).
+  // Scale shape: the corpus collapses
   // to per-(source, length) histograms in one partial-agg'd pass
   // (bounded by the VALUE DOMAIN, not the corpus — bucketize first at
   // 100 TB if lengths are unbounded); all windows partition by the
@@ -1315,6 +1318,14 @@ object StatsQueries {
   // 4·ks_num ≥ n_batch·n_ref. Small batches flag loudly (a KS test is
   // sample-size-sensitive by nature); the τ = 1/4 wall is calibrated to
   // the shifted batches at sf0.1's ~500-doc batches.
+  // INTEGER BOUND (q236 shares it): cum·n products and the 4·ks_num
+  // comparison stay inside signed 64-bit while n_batch·n_ref < 2^61,
+  // i.e. ~1.5e9 rows PER SIDE — far past any micro-batch, and past any
+  // sane reference (a KS ECDF gains nothing from >1e9 samples). A
+  // reference frozen from a full 100 TB corpus should be downsampled
+  // to that bound; the alternative — computing the rational in
+  // DECIMAL(38,0) on both engines — costs the codegen'd integer path
+  // for a regime the test statistically never needs.
   //
   // Scale shape: ONE corpus scan collapses to per-(batch, length)
   // histograms (value-domain-bounded, like q236); the grid is
@@ -1415,7 +1426,10 @@ object StatsQueries {
   // one fixed-shape IEEE divide; min/max over them pick ONE such value
   // (no float accumulation). Replicates whose weights all landed 0
   // (possible for small sources: P = e^-n_docs) are excluded from the
-  // envelope and REPORTED via n_valid_reps, not silently divided by 0.
+  // envelope and REPORTED via n_valid_reps, not silently divided by 0;
+  // the envelope joins back LEFT so even a source whose 32 replicates
+  // ALL zeroed out (P ≈ e^-32n) still reports — n_valid_reps = 0 and
+  // NULL ci bounds, never a silently dropped row.
   //
   // Scale shape: explode ×B feeds STRAIGHT into a partial aggregate
   // (map-side combine in the same stage), so the corpus is scanned
@@ -1453,9 +1467,10 @@ object StatsQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_len"))
       .withColumn("mean_len",
         col("sum_len").cast("double") / col("n_docs").cast("double"))
-      .join(reps, Seq("source"))
+      .join(reps, Seq("source"), "left_outer")
       .select(col("source"), col("n_docs"), col("mean_len"),
-        col("n_valid_reps"), col("ci_lo"), col("ci_hi"))
+        coalesce(col("n_valid_reps"), lit(0L)).as("n_valid_reps"),
+        col("ci_lo"), col("ci_hi"))
       .orderBy(col("source").asc)
   }
   val q240Oracle: String = """
@@ -1491,8 +1506,9 @@ object StatsQueries {
       FROM documents GROUP BY source)
     SELECT p.source, p.n_docs,
            CAST(p.sum_len AS DOUBLE) / p.n_docs AS mean_len,
-           e.n_valid_reps, e.ci_lo, e.ci_hi
-    FROM point p JOIN env e USING (source)
+           CAST(COALESCE(e.n_valid_reps, 0) AS BIGINT) AS n_valid_reps,
+           e.ci_lo, e.ci_hi
+    FROM point p LEFT JOIN env e USING (source)
     ORDER BY p.source ASC"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

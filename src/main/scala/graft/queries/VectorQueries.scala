@@ -1290,13 +1290,23 @@ object VectorQueries {
   // Gated like q44: recall@10 of the appended index against the exact
   // brute-force truth over the FULL corpus must clear the bound — the
   // measured price of serving appends from yesterday's centroids.
-  // Measured minima (base-trained quantizer, layout-deterministic by
-  // the same hash-filter/fixed-repartition/sort discipline as q44's):
-  // sf0.001 0.8, sf0.01 0.8, sf0.1 0.6 — vs full-corpus IVF's
-  // 0.9/0.7(0.8 at this split)/0.7: the append price shows exactly
-  // where theory puts it, at the largest corpus whose appended tail the
-  // base centroids describe least well. Gate: tight 0.75 at the sf0.01
-  // correctness gate, 0.55 floor elsewhere (throughput scales).
+  // DRIFT-BOUNDED RE-ASSIGNMENT (round 15): appended vectors spill into
+  // their 2 nearest cells (write-side multi-probe — FAISS's
+  // retrain-nightly guidance says the frozen quantizer's miss
+  // concentrates at cell boundaries, which is where the intra-day
+  // append distribution drifts first; spilling boundary appends into
+  // both candidate cells bounds that miss without touching the trained
+  // artifact). This query's 25% appended fraction is past the
+  // re-assignment threshold, so the pass is on (spillAppend = 2).
+  // Measured minima (AnnRecallProbe, identical at cpus {4,7,32} — the
+  // same hash-filter/fixed-repartition/sort layout determinism as
+  // q44's): plain append sf0.001/0.01/0.1 = 0.8/0.8/0.6; WITH spill
+  // 0.9/0.8/0.7 — the sf0.1 drift price fully recovered to full-corpus
+  // IVF's floor, at |append| extra posting rows. Gate: tight 0.75 at
+  // the sf0.01 correctness gate, 0.7 floor elsewhere (zero headroom on
+  // the measured min, safe for the same layout-determinism reason as
+  // q44's 0.7-at-0.7 gates; re-measure on any Spark/JVM upgrade per
+  // the recallBound scaladoc).
   def q237AnnIndexAppend(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val base = emb.filter(pmod(col("vec_id"), lit(4)) =!= 3)
@@ -1305,9 +1315,9 @@ object VectorQueries {
     val exact = VectorOps.bruteForceTopK(q, emb, k = 10)
     VectorOps.recallAgainst(
       VectorOps.ivfTopKAppend(spark, q, base, appendBatch, k = 10,
-        indexKey = Some(dir)), exact)
+        indexKey = Some(dir), spillAppend = 2), exact)
       .select(col("query_id"),
-        (col("recall") >= recallBound(dir, 0.75, 0.55)).cast("int")
+        (col("recall") >= recallBound(dir, 0.75, 0.7)).cast("int")
           .as("recall_ok"))
       .orderBy(col("query_id").asc)
   }
@@ -1319,14 +1329,20 @@ object VectorQueries {
   // partition- (IVF q44), code- (PQ q129/q170) and hash- (LSH q42)
   // based ones. The corpus-resident structure is the degree-4 kNN graph
   // (built once, q152's integer-deterministic machinery); a query is
-  // ROUTED IN through its own SRP band buckets (q42's LSH cells — up to
-  // 8 lowest-id members, so out-of-corpus queries need no node) and then
+  // ROUTED IN through its own SRP band buckets PLUS, per band, the 4
+  // buckets at Hamming distance 1 (LSH multi-probe at the door —
+  // query-side only, the corpus cells are untouched) and then
   // runs HOPS = 3 rounds of {expand frontier along graph edges} →
-  // {score candidates by exact quantized cosine} → {keep BEAM = 8 best
+  // {score candidates by exact quantized cosine} → {keep BEAM = 12 best
   // per query} — the LSH-entry + graph-refine walk (a flat NSW search;
   // fixed global entries strand queries in a band-clustered graph's
   // islands, measured recall 0.05 — routing by the query's cells is
-  // what makes the walk navigable). Every step is an equi-join on vec_id plus a
+  // what makes the walk navigable). The graph itself is built
+  // door-shaped (uncapped probe side ⋈ capped nominee cells, so a hot
+  // cell costs H·cap, never H²) and SYMMETRIZED (every node's top-4
+  // edges run both ways, NSW practice) — capping both sides orphaned
+  // every vector outside its cells' lowest-64 into unreachable islands,
+  // which was the r14 recall ceiling. Every step is an equi-join on vec_id plus a
   // per-query window over ≤ BEAM·(degree+1) candidate rows, so a 100 TB
   // corpus costs each query hops × beam × degree edge lookups (bucket-
   // pruned point reads on the stored graph), never a scan; the final
@@ -1341,14 +1357,15 @@ object VectorQueries {
   // gate recall flags instead of replaying results).
   // Measured quality at sf0.1 (125 queries × 2000 vectors, a smooth
   // cosine continuum with p99 ≈ 0.29 vs top-3 ≈ 0.37 — near-tie-dense):
-  // set-recall@3 0.53, cosine-MASS ratio vs exact top-3 0.94 mean /
-  // 0.87 p10 (GraphAnnSpec gates it) — the walk finds 94% of the
-  // available similarity, the misses are continuum near-ties. Measured
-  // non-levers on this shape, for the record: NN-descent-refined edges,
-  // degree 8, beam 16, recall@10 framing — all ±0.03; the binding
-  // constraint is the SRP view itself, which is also what makes the
-  // result replayable. Hop gains are small but PROVABLY monotone
-  // (each frontier contains the previous beam).
+  // set-recall@3 mean 0.73, cosine-MASS ratio vs exact top-3 0.97 mean
+  // / 0.93 p10; sf0.001/sf0.01 both 1.00/1.00 (AnnRecallProbe `graph`
+  // mode; GraphAnnSpec gates it). Round-15 decomposition of the climb
+  // from 0.53: +0.00 from a second transposed SRP entry view (dropped),
+  // +0.07 from Hamming-1 multi-probe entries, +0.08 from the
+  // coverage+symmetry graph build, +0.04 from beam 8→12; hops 3→4
+  // measured +0.00. Earlier non-levers still hold: NN-descent edges,
+  // degree 8, recall@10 framing — ±0.03. Hop gains are PROVABLY
+  // monotone (each frontier contains the previous beam).
   def q242GraphAnnSearch(spark: SparkSession, dir: String): DataFrame =
     q242GraphAnnSearch(spark, dir, hops = 3)
 
@@ -1361,7 +1378,7 @@ object VectorQueries {
     * growing quadratically with the corpus. */
   private[graft] def q242GraphAnnSearch(spark: SparkSession, dir: String,
       hops: Int, queryMod: Int = 16): DataFrame = {
-    val Beam = 8; val Hops = hops; val Degree = 4
+    val Beam = 12; val Hops = hops; val Degree = 4
     val emb = Tables.embeddings(spark, dir)
     val e = emb.repartition(col("vec_id"))
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("q"))
@@ -1385,38 +1402,67 @@ object VectorQueries {
           .select(col(idc), col("bb.band").as("band"),
             col("bb.bucket").as("bucket"))
       }
-      // corpus cells capped at 64 lowest ids — the graph build's cap, so
-      // a hot bucket bounds entry fan-out the same way it bounds edges;
-      // ALL nominated members are scored and the beam keeps the best 8
-      // (capping nominations by id INSTEAD of scoring them strands the
-      // walk just like fixed entries do — measured recall 0.08)
-      val corpusBands = bandsOf(e, "vec_id")
+      // corpus cells capped at 64 lowest ids — the graph build's
+      // nominee cap, so a hot bucket bounds entry fan-out the same way
+      // it bounds edges; ALL nominated members are scored and the beam
+      // keeps the best BEAM (capping nominations by id INSTEAD of
+      // scoring them strands the walk just like fixed entries do —
+      // measured recall 0.08)
+      val rawBands = bandsOf(e, "vec_id")
+      val corpusBands = rawBands
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("band"), col("bucket"))
             .orderBy(col("vec_id").asc)))
         .filter(col("rn") <= 64).drop("rn")
-      val entries = bandsOf(e.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
-          .select(col("vec_id").as("qid"), col("q")), "qid")
+      // MULTI-PROBE entry routing (round 15): each query probes its own
+      // SRP cell AND the 4 cells at Hamming distance 1 per band — the
+      // classic LSH multi-probe read trick, applied only at the DOOR
+      // (the graph walk refines from wherever it enters, so the lever
+      // that matters is entry diversity; fixed entries measured 0.05,
+      // own-cell entries 0.53, own+adjacent cells raise set-recall@3 to
+      // the gated floor below). QUERY side only: corpus cells stay
+      // single-bucket (shared with the graph build), so the index is
+      // untouched and the cost is the extra nominations' scoring,
+      // bounded by 5 × bands × MaxCell per query before dedup.
+      val qe = e.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+        .select(col("vec_id").as("qid"), col("q"))
+      val qBands = bandsOf(qe, "qid")
+      val flip = (j: Int) => concat(
+        substring(col("bucket"), 1, j - 1),
+        when(substring(col("bucket"), j, 1) === "1", lit("0"))
+          .otherwise(lit("1")),
+        substring(col("bucket"), j + 1, 4 - j))
+      val qProbes = qBands.select(col("qid"), col("band"),
+        explode(array(col("bucket") +: (1 to 4).map(flip): _*)).as("bucket"))
+      val entries = qProbes
         .join(corpusBands, Seq("band", "bucket"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cand")).distinct()
+        .select(col("qid"), col("vec_id").as("cand"))
+        .filter(col("cand") =!= col("qid")).distinct()
       val cvec = e.select(col("vec_id").as("cand"), col("q").as("cv"),
         col("n2").as("cn"))
       // the graph shares the banded/capped frames with entry routing —
-      // one banding pass builds BOTH (a second VectorOps.knnGraph call
-      // would re-quantize and re-band the whole corpus); identical
-      // semantics to knnGraph(emb, k = Degree), localCheckpoint'd so the
-      // per-hop expansions re-read a materialized edge list
-      val candPairs = corpusBands.as("a")
+      // one banding pass builds BOTH (a second banding call would
+      // re-quantize and re-band the whole corpus); localCheckpoint'd so
+      // the per-hop expansions re-read a materialized edge list.
+      // COVERAGE + SYMMETRY (round 15): the edge build probes with the
+      // UNCAPPED band rows and nominates from the CAPPED cells — the
+      // q160-door join shape. Capping BOTH sides (the old build) leaves
+      // every vector outside its cells' lowest-64 with NO edges at all:
+      // at sf0.1's ~125-member cells that orphaned nearly half the
+      // corpus into unreachable islands, which — not entry routing — was
+      // the set-recall ceiling (measured 0.53; entry levers alone moved
+      // it only to 0.61). One capped side still bounds a hot cell
+      // LINEARLY (H × 64, never H²), and now every node owns its top-4
+      // outgoing edges by construction — no islands, standard kNN
+      // digraph.
+      val candPairs = rawBands.as("a")
         .join(corpusBands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
         .distinct()
-      val edges = VectorOps.topKByQuery(
-        candPairs.select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"))
-          .unionAll(candPairs.select(col("vec_b").as("query_id"),
-            col("vec_a").as("neighbor_id")))
+      val knn = VectorOps.topKByQuery(
+        candPairs
           .join(e.select(col("vec_id").as("query_id"), col("q").as("qa"),
             col("n2").as("na")), Seq("query_id"))
           .join(e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
@@ -1424,7 +1470,17 @@ object VectorQueries {
           .withColumn("cosine", VectorOps.cosineFromParts(
             VectorOps.qdot(col("qa"), col("qb")), col("na"), col("nb")))
           .select(col("query_id"), col("neighbor_id"), col("cosine")), Degree)
+      // SYMMETRIZE (NSW practice): every node's top-4 edges run both
+      // ways, so owning outgoing edges ⇒ being REACHABLE through them —
+      // without the reverse leg a node outside its cells' capped
+      // nominee set is never a dst and the walk can't find it (the
+      // actual island mechanism; a popular node's reverse fan-out is
+      // bounded by its nominations, never quadratic)
+      val edges = knn
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        .unionByName(knn
+          .select(col("neighbor_id").as("src"), col("query_id").as("dst")))
+        .distinct()
         .localCheckpoint()
       def scoreTopBeam(frontier: DataFrame): DataFrame = frontier
         .join(qset, Seq("qid"))
@@ -1459,6 +1515,12 @@ object VectorQueries {
           .orderBy(col("cosine").desc, col("cand").asc)))
         .filter(col("xr") <= 3)
         .select(col("qid"), col("cand"), lit(1).as("hit"))
+      // localCheckpoint the RESULT too: the walk already executed
+      // eagerly (per-hop checkpoints), so the eval leg and final joins
+      // are the only lineage left — materializing them HERE, while `e`
+      // is still cached, means the finally-unpersist below can never
+      // force an uncached recompute of the quantize/norm pass (the
+      // returned frame is a materialized RDD, not a plan over `e`)
       beam
         .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("cosine").desc, col("cand").asc)))
@@ -1468,6 +1530,7 @@ object VectorQueries {
           col("cand").as("neighbor_id"), col("cosine"),
           coalesce(col("hit"), lit(0)).as("hit"))
         .orderBy(col("query_id").asc, col("rank").asc)
+        .localCheckpoint()
     } finally { e.unpersist(blocking = false); () }
   }
   private def hopCtes(hops: Int, beam: Int): String =
@@ -1492,15 +1555,45 @@ object VectorQueries {
     }.mkString(",\n    ")
   val q242Oracle: String = s"""
     WITH $knnGraphCtes,
-    edges AS (SELECT query_id AS src, neighbor_id AS dst
-              FROM ranked WHERE rank <= 4),
+    gcand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM bands a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.vec_id <> b.vec_id),
+    gscored AS (
+      SELECT query_id, neighbor_id,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i]*y.q[i])) AS DOUBLE) /
+        sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) AS cosine
+      FROM gcand JOIN n x ON x.vec_id = query_id
+                 JOIN n y ON y.vec_id = neighbor_id),
+    gknn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+          AS rank
+        FROM gscored) r WHERE rank <= 4),
+    edges AS (
+      SELECT query_id AS src, neighbor_id AS dst FROM gknn
+      UNION
+      SELECT neighbor_id AS src, query_id AS dst FROM gknn),
     qset AS (SELECT vec_id AS qid, q AS qv, n2 AS qn
              FROM n WHERE vec_id % 16 = 0),
+    qprobes AS (
+      SELECT vec_id, band, bucket FROM bands WHERE vec_id % 16 = 0
+      UNION
+      SELECT b.vec_id, b.band,
+             substr(b.bucket, 1, j.j - 1) ||
+             (CASE WHEN substr(b.bucket, j.j, 1) = '1'
+                   THEN '0' ELSE '1' END) ||
+             substr(b.bucket, j.j + 1, 4 - j.j) AS bucket
+      FROM bands b CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j) j
+      WHERE b.vec_id % 16 = 0),
     entries AS (
       SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS cand
-      FROM bands qb JOIN capped cb
+      FROM qprobes qb JOIN capped cb
         ON cb.band = qb.band AND cb.bucket = qb.bucket
-      WHERE qb.vec_id % 16 = 0 AND cb.vec_id <> qb.vec_id),
+      WHERE cb.vec_id <> qb.vec_id),
     beam0 AS (
       SELECT qid, cand, cosine FROM (
         SELECT en.qid, en.cand,
@@ -1510,8 +1603,8 @@ object VectorQueries {
         FROM entries en JOIN qset qs ON qs.qid = en.qid
           JOIN n c ON c.vec_id = en.cand) s
       QUALIFY row_number() OVER (PARTITION BY qid
-        ORDER BY cosine DESC, cand ASC) <= 8),
-    ${hopCtes(3, 8)},
+        ORDER BY cosine DESC, cand ASC) <= 12),
+    ${hopCtes(3, 12)},
     exact AS (
       SELECT qid, cand FROM (
         SELECT qs.qid, c.vec_id AS cand,

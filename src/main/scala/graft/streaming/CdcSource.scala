@@ -88,6 +88,48 @@ final case class BinaryPayloadCdcSource(payloads: Dataset[Array[Byte]])
       "payload")
 }
 
+/** The WHOLE connector record of the reference's Kinesis binding — not
+  * just the payload wire shape ([[BinaryPayloadCdcSource]]) but the
+  * record frame an actual connector (spark-sql-kinesis, a Kafka source)
+  * hands over: transport metadata as COLUMNS
+  * (`approximate_arrival_timestamp`, `partition_key`, `shard_id`,
+  * `sequence_number` — ref scripts/setup_redshift.sh:91-94 reads these
+  * from the stream itself) beside the opaque `kinesis_data` binary blob,
+  * whose JSON carries ONLY the DynamoDB stream fields (:95-103 parses
+  * exactly those out of the blob). The metadata columns pass through
+  * verbatim into the envelope; the blob is UTF-8-decoded (one codegen'd
+  * cast ≈ `from_varbyte(kinesis_data,'utf-8')`) and parsed with the same
+  * three-shape corrupt normalization as [[PayloadCdcSource.parse]]. A
+  * poison blob quarantines with its raw text; its metadata columns stay
+  * populated (the connector synthesized them — they are never poison),
+  * so the quarantine row is still attributable to a shard + sequence.
+  *
+  * `records` may be a MemoryStream frame (tests), a rate-source mapping,
+  * or a real connector's output — the downstream merge never knows.
+  */
+final case class KinesisRecordCdcSource(records: DataFrame) extends CdcSource {
+  def load(spark: SparkSession): DataFrame = {
+    val corrupt = CdcSource.CorruptCol
+    val payloadWithCorrupt = CdcSchemas.streamPayload.add(corrupt, StringType)
+    val parsed = records.select(
+      col("approximate_arrival_timestamp"), col("partition_key"),
+      col("shard_id"), col("sequence_number"),
+      col("kinesis_data").cast(StringType).as("_raw"))
+      .select(col("*"),
+        from_json(col("_raw"), payloadWithCorrupt,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> corrupt)).as("e"))
+    val pCols = CdcSchemas.streamPayload.fieldNames.toSeq.map(f => col(s"e.$f"))
+    val allPayloadNull = pCols.map(_.isNull).reduce(_ && _)
+    parsed.select(
+      Seq(col("approximate_arrival_timestamp"), col("partition_key"),
+        col("shard_id"), col("sequence_number")) ++ pCols :+
+        coalesce(col(s"e.$corrupt"),
+          when(col("e").isNull || allPayloadNull, col("_raw")))
+          .as(corrupt): _*)
+  }
+}
+
 object PayloadCdcSource {
   /** Parse a payload-string column into the envelope-plus-corrupt contract.
     * `from_json` in PERMISSIVE mode signals malformed input in one of

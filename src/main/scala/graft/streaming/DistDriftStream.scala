@@ -24,9 +24,12 @@ import org.apache.spark.sql.streaming.Trigger
   *     holding batch=* rows is refused up front;
   *   - EVERY ROW COUNTS: rows whose length the reader could not fill
   *     are counted per batch (n_unfillable) instead of silently
-  *     vanishing from the ECDF; batches with NO fillable rows commit an
-  *     EMPTY batch dir — the commit mark still lands, no bogus
-  *     zero-sample KS row is published.
+  *     vanishing from the ECDF; a batch with NO fillable rows still
+  *     publishes ONE verdict row — n_batch = 0, NULL KS fields, and
+  *     the n_unfillable count — because that is exactly the batch
+  *     where the producer broke hardest (100% null lengths) and an
+  *     empty marker dir would drop the only evidence. No bogus
+  *     zero-sample KS statistic is published: the KS columns are NULL.
   *
   * Scale shape: the batch collapses to a per-length histogram in one
   * partial-agg'd pass; the grid is the union of the two value domains
@@ -44,9 +47,14 @@ object DistDriftStream {
     docs.groupBy(col("n_chars").as("len")).agg(count(lit(1)).as("c_ref"))
 
   /** KS verdict row(s) for ONE batch against the frozen reference —
-    * q239's exact-integer protocol (no divide anywhere); empty batches
-    * yield an EMPTY frame (the stream commits a marker dir instead).
-    * Shared by the stream and by parity tests. */
+    * q239's exact-integer protocol (no divide anywhere). The exact
+    * shape holds while n_batch · n_ref < 2^61 (the `ks_num * 4`
+    * comparison), i.e. to ~1.5e9 rows PER SIDE — far past any
+    * micro-batch; a reference frozen from a full 100 TB corpus should
+    * be downsampled (or the rational computed in DECIMAL(38,0)) past
+    * that bound. A batch with no fillable rows yields an EMPTY frame
+    * here — [[run]] substitutes the n_batch = 0 sentinel row so
+    * n_unfillable still lands. Shared by the stream and parity tests. */
   private[graft] def ksFrame(spark: SparkSession, batch: DataFrame,
       refHist: DataFrame, batchId: Long, nUnfillable: Long): DataFrame = {
     val hb = batch.groupBy(col("n_chars").as("len"))
@@ -85,9 +93,20 @@ object DistDriftStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     MonitorSink.start(stream, sinkDir, "verdict rows", trigger) {
       (batch, batchId) =>
-        val unfillable = col("n_chars").isNull
-        val nBad = batch.filter(unfillable).count()
-        ksFrame(spark, batch.filter(!unfillable), refHist, batchId, nBad)
-          .coalesce(1)
+        // one job for both counts: count(col) skips nulls, count(*) doesn't
+        val c = batch.agg(count(lit(1)).as("n_all"),
+          count(col("n_chars")).as("n_fill")).collect()(0)
+        val nBad = c.getLong(0) - c.getLong(1)
+        if (c.getLong(1) == 0L)
+          // nothing fillable: the n_batch = 0 sentinel (NULL KS fields)
+          // carries n_unfillable — an empty marker would drop it
+          spark.range(1).select(lit(batchId).as("batch_id"),
+            lit(0L).as("n_batch"), lit(null).cast("long").as("n_ref"),
+            lit(null).cast("long").as("ks_num"),
+            lit(null).cast("int").as("drifted"),
+            lit(nBad).as("n_unfillable"))
+        else
+          ksFrame(spark, batch.filter(col("n_chars").isNotNull), refHist,
+            batchId, nBad).coalesce(1)
     }
 }

@@ -47,7 +47,8 @@ class DistDriftStreamSpec extends SparkSpec {
       .unionByName(spark.sql(
         "SELECT CAST(99 AS LONG) doc_id, CAST(NULL AS LONG) n_chars")),
       s"$inDir/b1.parquet")
-    // b2: nothing fillable — commits an EMPTY marker, no bogus KS row
+    // b2: nothing fillable — publishes the n_batch=0 sentinel row (NULL
+    // KS fields) so n_unfillable=1 still lands; no bogus KS statistic
     writeBatchFile(docsDf(Seq.empty)
       .unionByName(spark.sql(
         "SELECT CAST(98 AS LONG) doc_id, CAST(NULL AS LONG) n_chars")),
@@ -59,16 +60,19 @@ class DistDriftStreamSpec extends SparkSpec {
       ref, sink).awaitTermination()
     start()
 
-    def rows(): Set[(Long, Long, Long, Int, Long)] =
+    def rows(): Set[(Long, Option[Long], Option[Long], Option[Int], Long)] =
       spark.read.parquet(s"$sink/batch=*").collect().map { r =>
-        (r.getAs[Long]("n_batch"), r.getAs[Long]("n_ref"),
-          r.getAs[Long]("ks_num"), r.getAs[Int]("drifted"),
+        def opt[T](n: String): Option[T] =
+          if (r.isNullAt(r.fieldIndex(n))) None else Some(r.getAs[T](n))
+        (r.getAs[Long]("n_batch"), opt[Long]("n_ref"),
+          opt[Long]("ks_num"), opt[Int]("drifted"),
           r.getAs[Long]("n_unfillable"))
       }.toSet
     val v = rows()
     assert(v == Set(
-      (5L, 5L, 0L, 0, 0L),
-      (5L, 5L, 25L, 1, 1L)), s"verdict rows: $v")
+      (5L, Some(5L), Some(0L), Some(0), 0L),
+      (5L, Some(5L), Some(25L), Some(1), 1L),
+      (0L, None, None, None, 1L)), s"verdict rows: $v")
     val batchDirs = new java.io.File(sink).listFiles()
       .map(_.getName).filter(_.startsWith("batch=")).toSet
     assert(batchDirs == Set("batch=0", "batch=1", "batch=2"),

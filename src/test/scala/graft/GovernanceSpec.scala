@@ -59,7 +59,7 @@ class GovernanceSpec extends SparkSpec {
     // geometric at α = 1/2 (ε = ln 2)
     def refNoise(source: String, lang: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"q238|$source|$lang".getBytes("UTF-8"))
+      val hex = md.digest(s"q238||$source|$lang".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(15)
       val h = java.lang.Long.parseLong(hex, 16)
       val bit30 = 1L << 30
@@ -85,5 +85,20 @@ class GovernanceSpec extends SparkSpec {
       assert(math.abs(rel - truth(k)) <= 30L ||
         (rel == 0L && truth(k) <= 30L), s"cell $k noise out of bounds")
     }
+  }
+
+  test("q238: a secret salt re-seeds the noise (the actual-DP configuration)") {
+    def rel(salt: String): Map[(String, String), Long] =
+      graft.queries.GovernanceQueries.q238DpRelease(spark, dir, salt)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pub = rel("")
+    val sec = rel("keep-this-out-of-the-release")
+    // same cells published either way (the mechanism never suppresses)…
+    assert(pub.keySet == sec.keySet)
+    // …but the noise stream is different, so a reader who only knows
+    // the cell labels can no longer reconstruct it — at least one cell
+    // must move (all-coincide has probability ~(1/2)^cells)
+    assert(pub != sec, "secret salt must change at least one cell's noise")
   }
 }

@@ -31,7 +31,8 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
-  test("quality gate: the walk captures >= 0.8 of the exact top-3 cosine mass") {
+  test("quality gate: the walk captures >= 0.95 of the exact top-3 cosine " +
+    "mass and >= 0.95 set-recall@3 at the gate SF") {
     import graft.operators.VectorOps
     val emb = graft.tables.Tables.embeddings(spark, dir)
     val queries = emb.filter(pmod(col("vec_id"), lit(16)) === 0)
@@ -42,14 +43,29 @@ class GraphAnnSpec extends SparkSpec {
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id").asc)))
       .filter(col("r") <= 3)
-      .select(col("query_id"), col("cosine"), col("r").as("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("r").as("rank"))
     val exactMass = mass(exact)
-    val gotMass = mass(VectorQueries.q242GraphAnnSearch(spark, dir))
+    val walk = VectorQueries.q242GraphAnnSearch(spark, dir)
+    val gotMass = mass(walk)
     assert(gotMass.keySet == exactMass.keySet, "every query must answer")
     val ratios = gotMass.map { case (q, g) => g / exactMass(q) }
     val mean = ratios.sum / ratios.size
-    assert(mean >= 0.8, f"mean cosine-mass ratio $mean%.3f < 0.8")
+    // round-15 floor (multi-probe entries + coverage/symmetry graph +
+    // beam 12): measured 1.00 mass / 1.00 set-recall at sf0.01, 0.97 /
+    // 0.73 at sf0.1 — gate at 0.95 with headroom for the deterministic
+    // gate SF (re-measure via AnnRecallProbe `graph` on any change)
+    assert(mean >= 0.95, f"mean cosine-mass ratio $mean%.3f < 0.95")
     ratios.foreach(r => assert(r <= 1.0 + 1e-9, s"walk cannot beat exact: $r"))
+    val exSets = exact.collect().groupBy(_.getAs[Long]("query_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val gotSets = walk.filter(col("rank") <= 3).collect()
+      .groupBy(_.getAs[Long]("query_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = exSets.map { case (q, s) =>
+      (gotSets.getOrElse(q, Set.empty[Long]) & s).size.toDouble / s.size }
+    val recMean = recalls.sum / recalls.size
+    assert(recMean >= 0.95, f"mean set-recall@3 $recMean%.3f < 0.95")
   }
 
   test("result hygiene: no self-matches, contiguous ranks, corpus members only") {

@@ -106,6 +106,45 @@ class PipelineSpec extends SparkSpec {
       .getTimestamp(0) == loadTime)
   }
 
+  test("COPY micro-option parity: ACCEPTINVCHARS/TRIMBLANKS/TRUNCATECOLUMNS " +
+    "(initial_load_from_export.sh:168)") {
+    // a member whose name carries (a) an invalid-UTF-8 decode artifact
+    // (U+FFFD — what Spark's reader leaves where Redshift's
+    // ACCEPTINVCHARS ' ' would put a space) and (b) trailing blanks
+    // (what TRIMBLANKS strips at load)
+    val dir = tmpDir("export-copyopts")
+    // explicit UTF-8: the shared writeLines uses the platform charset,
+    // which mangles U+FFFD to '?' under a POSIX-locale JVM
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "data.json"),
+      """{"Item":{"pk":{"S":"M_ABC123"},"sk":{"S":"bad�name   "}}}"""
+        .getBytes("UTF-8"))
+    val loadTime = new Timestamp(t0)
+    val dump = InitialLoad.readExport(spark, dir)
+    // default path: data arrives verbatim — no silent rewriting
+    val raw = InitialLoad.members(dump, loadTime)
+      .select("memberName").as[String].first()
+    assert(raw == "bad�name   ", s"default path rewrote: '$raw'")
+    // reference parity path: U+FFFD → ' ' and trailing blanks stripped
+    val fixed = InitialLoad.members(dump, loadTime,
+      graft.load.CopyOptions.reference)
+      .select("memberName").as[String].first()
+    assert(fixed == "bad name", s"parity path: '$fixed'")
+    // TRUNCATECOLUMNS knob (no-op in the reference config — the COPY
+    // target is the width-less SUPER dump column; see CopyOptions doc):
+    // with an explicit VARCHAR(6) width the value caps at 6 chars
+    val capped = InitialLoad.members(dump, loadTime,
+      graft.load.CopyOptions(acceptInvChars = Some(" "), trimBlanks = true,
+        truncateColumns = Some(6)))
+      .select("memberName").as[String].first()
+    assert(capped == "bad na", s"truncate path: '$capped'")
+    // routing happens on the REWRITTEN pk (COPY options apply at load,
+    // before any SQL sees the rows), and ids survive unchanged here
+    assert(InitialLoad.members(dump, loadTime,
+      graft.load.CopyOptions.reference)
+      .select("memberId").as[String].first() == "ABC123")
+  }
+
   test("initial load reads gzipped export files transparently (S2 COPY gzip)") {
     val gen = new CdcGen.Gen(8)
     val items = Seq(gen.member(), gen.quest())
@@ -496,6 +535,69 @@ class PipelineSpec extends SparkSpec {
     assert(quarantined.count() == 1, "the poison bytes are quarantined")
     assert(quarantined.select($"raw_line").as[String].head() == poison,
       "quarantine keeps the DECODED raw text for triage")
+  }
+
+  test("CdcSource seam: the full Kinesis connector record (metadata columns " +
+    "+ opaque blob) drives the merge; envelope parity vs Extraction.extract") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{CdcStream, KinesisRecordCdcSource}
+
+    val gen = new CdcGen.Gen(41)
+    val exportDir = tmpDir("krexport")
+    val ckptDir = tmpDir("krckpt")
+    val storeRoot = tmpDir("krstore")
+    val quarantineDir = tmpDir("krquarantine") + "/q"
+    val m0 = gen.member(); val q0 = gen.quest()
+    val mq0 = gen.memberQuest(m0.pk.stripPrefix("M_"), q0.pk.stripPrefix("Q_"))
+    writeLines(exportDir, "data.json", Seq(m0, q0, mq0).map(gen.exportLine))
+
+    var clock = t0
+    val pipeline = new Pipeline(spark, storeRoot, () => new Timestamp(clock))
+    pipeline.initialLoad(exportDir)
+
+    // records carry the connector's metadata AS COLUMNS and ONLY the
+    // DynamoDB stream fields inside the blob (setup_redshift.sh:91-104)
+    val m1 = gen.member()
+    val r1 = gen.kinesisRecord("INSERT", m1, t0 + 10000, t0 + 10120)
+    val poison = CdcGen.KinesisRecord(
+      "this is {{{ not json".getBytes("UTF-8"),
+      new Timestamp(t0 + 10500), "M_poisonpk", "shardId-000000000007", "99")
+    val r2 = gen.kinesisRecord("INSERT", gen.member(), t0 + 11000)
+    val ms = MemoryStream[CdcGen.KinesisRecord](spark)
+    ms.addData(r1, poison, r2)
+    clock = t0 + 60000
+    val stream = new CdcStream(spark, pipeline.store, () => new Timestamp(clock))
+    val src = KinesisRecordCdcSource(ms.toDF())
+    val q = stream.start(src, ckptDir, Trigger.AvailableNow(),
+      Some(quarantineDir))
+    q.awaitTermination()
+
+    assert(pipeline.member.count() == 3,
+      "both clean connector records must merge through the seam")
+    val quarantined = spark.read.parquet(quarantineDir)
+    assert(quarantined.count() == 1, "exactly the poison blob is quarantined")
+    assert(quarantined.select($"raw_line").as[String].head() ==
+      "this is {{{ not json")
+
+    // envelope parity: Extraction.extract over this source's envelopes
+    // must reproduce the reference MV's columns — the metadata straight
+    // from the RECORD (not the payload), the typed fields from the blob
+    val batch = Seq(r1).toDF()
+    val mv = graft.ingest.Extraction.extract(
+      KinesisRecordCdcSource(batch).load(spark)
+        .filter(col(graft.streaming.CdcSource.CorruptCol).isNull)
+        .drop(graft.streaming.CdcSource.CorruptCol))
+    val row = mv.first()
+    assert(row.getAs[Timestamp]("approximatearrivaltimestamp") ==
+      new Timestamp(t0 + 10120))
+    assert(row.getAs[String]("partitionkey") == m1.pk)
+    assert(row.getAs[String]("shardid") == "shardId-000000000000")
+    assert(row.getAs[String]("eventName") == "INSERT")
+    assert(row.getAs[String]("pk") == m1.pk && row.getAs[String]("sk") == m1.sk)
+    assert(row.getAs[String]("tableName") == "activity-tracking")
+    assert(mv.columns.toSeq == graft.model.CdcSchemas.extractColumns,
+      "MV column list must match setup_redshift.sh:89-104 order")
   }
 
   test("quarantine replay: a corrected poison line merges; unfixable lines stay") {
