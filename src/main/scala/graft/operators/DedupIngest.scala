@@ -77,15 +77,19 @@ object DedupIngest {
     * the index has never written resolves to a schema-less empty frame —
     * guarded to mean "no hits". */
   private def probeHits(store: BucketedTableStore, name: String,
-      probes: DataFrame): DataFrame = {
-    val touched = probes.select(store.bucketCol("fp").as("_b")).distinct()
-      .collect().map(_.getLong(0).toInt).toSet
-    store.readBuckets(name, Some(touched)) match {
+      probes: DataFrame): DataFrame =
+    // No touched-bucket pre-collect (round 15): with 16 store buckets,
+    // any batch beyond a few dozen fingerprints hashes into every
+    // bucket, so the former distinct-collect was one Spark action per
+    // batch that pruned nothing — the left_semi join IS the residual
+    // filter either way. Bucket pruning re-earns its action only for
+    // near-empty batches (a non-goal) or point probes ([[
+    // graft.sync.BucketedTableStore.lookup]] serves those).
+    store.readBuckets(name, None) match {
       case Some(idx) if idx.columns.contains("fp") =>
         probes.join(idx.select(col("fp")), Seq("fp"), "left_semi")
       case _ => probes.limit(0)
     }
-  }
 
   /** Admit/reject decisions for ONE batch against the index AS OF now —
     * pure read, no index mutation. `fps` must be [[fingerprints]] of
@@ -108,8 +112,11 @@ object DedupIngest {
       .groupBy(col("doc_id")).agg(
         max(when(substring(col("fp"), 1, 2) === "e:", 1).otherwise(0)).as("e"),
         max(when(substring(col("fp"), 1, 2) === "b:", 1).otherwise(0)).as("nd"))
+    // batch ids from the CACHED fingerprint frame (every doc carries at
+    // least its exact-hash fp, so the id sets are identical) — the batch
+    // source is not persisted at this layer and would re-scan parquet
     Materialize.thenRelease(
-      batch.select(col("doc_id"))
+      fps.select(col("doc_id")).distinct()
         .join(flags, Seq("doc_id"), "left")
         .select(col("doc_id"), lit(batchId).cast("int").as("batch_id"),
           coalesce(col("e"), lit(0)).as("exact_dup"),

@@ -93,31 +93,56 @@ object MediaDedupIngest {
     val hits = admPersisted match {
       case Some(adm) =>
         // per-cell cap BEFORE the candidate join (hot logo cells),
-        // lowest doc_ids deterministic; then ids-only dedupe, hashes
-        // joined back once per side for the exact Hamming verify
+        // lowest doc_ids deterministic
         val capped = adm
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("bb")).orderBy(col("doc_id").asc)))
           .filter(col("rn") <= MaxCell)
-          .select(col("bb"), col("doc_id").as("a_id"))
-        val pairIds = bb.select(col("doc_id"), col("bb"))
-          .join(capped, Seq("bb"))
-          .select(col("doc_id"), col("a_id")).distinct()
-        val batchH = bb.select(col("doc_id"), col("b0"), col("b1"),
-          col("b2"), col("b3")).dropDuplicates("doc_id")
-        val admH = adm.select(col("doc_id").as("a_id"), col("b0").as("a0"),
-          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-          .dropDuplicates("a_id")
-        pairIds.join(batchH, Seq("doc_id")).join(admH, Seq("a_id"))
-          .withColumn("hamming",
-            (bit_count(col("b0").bitwiseXOR(col("a0")))
-              + bit_count(col("b1").bitwiseXOR(col("a1")))
-              + bit_count(col("b2").bitwiseXOR(col("a2")))
-              + bit_count(col("b3").bitwiseXOR(col("a3")))).cast("int"))
-          .groupBy(col("doc_id"))
-          .agg(max((col("hamming") <= maxHamming).cast("int")).as("nd"))
+        val hammingOf = (a: String, b: String, ax: String, bx: String,
+            ay: String, by: String, az: String, bz: String) =>
+          (bit_count(col(a).bitwiseXOR(col(b)))
+            + bit_count(col(ax).bitwiseXOR(col(bx)))
+            + bit_count(col(ay).bitwiseXOR(col(by)))
+            + bit_count(col(az).bitwiseXOR(col(bz)))).cast("int")
+        if (probeCells.size.toLong * MaxCell <= (1L << 18)) {
+          // the capped nominee side is ≤ |probeCells| × MaxCell rows —
+          // a bound the DRIVER already knows (probeCells is collected)
+          // — so broadcast it hashes-and-all and the pair join, both
+          // hash join-backs, and the ids-only dedup drop out of the
+          // plan (q160's round-15 shape; duplicate pairs from shared
+          // bands re-verify, max() is dup-blind, decisions identical)
+          val cappedH = capped.select(col("bb"), col("doc_id").as("a_id"),
+            col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+            col("b3").as("a3"))
+          bb.join(broadcast(cappedH), Seq("bb"))
+            .withColumn("hamming", hammingOf("b0", "a0", "b1", "a1",
+              "b2", "a2", "b3", "a3"))
+            .groupBy(col("doc_id"))
+            .agg(max((col("hamming") <= maxHamming).cast("int")).as("nd"))
+        } else {
+          // past the broadcast bound: ids-only dedupe through the
+          // shuffle, hashes joined back once per side
+          val pairIds = bb.select(col("doc_id"), col("bb"))
+            .join(capped.select(col("bb"), col("doc_id").as("a_id")),
+              Seq("bb"))
+            .select(col("doc_id"), col("a_id")).distinct()
+          val batchH = bb.select(col("doc_id"), col("b0"), col("b1"),
+            col("b2"), col("b3")).dropDuplicates("doc_id")
+          val admH = adm.select(col("doc_id").as("a_id"), col("b0").as("a0"),
+            col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+            .dropDuplicates("a_id")
+          pairIds.join(batchH, Seq("doc_id")).join(admH, Seq("a_id"))
+            .withColumn("hamming", hammingOf("b0", "a0", "b1", "a1",
+              "b2", "a2", "b3", "a3"))
+            .groupBy(col("doc_id"))
+            .agg(max((col("hamming") <= maxHamming).cast("int")).as("nd"))
+        }
       case None => bb.select(col("doc_id")).limit(0).withColumn("nd", lit(0))
     }
+    // ids from the BATCH source, deliberately NOT from the band rows:
+    // an unhashable payload (< 64 bytes — no pHash, no band rows) still
+    // gets its decision row (admitted; nothing proves it a dup), the
+    // EVERY ROW COUNTS contract MediaDedupIngestSpec pins with doc 102
     try Materialize.thenRelease(
       batch.select(col("doc_id"))
         .join(hits, Seq("doc_id"), "left")

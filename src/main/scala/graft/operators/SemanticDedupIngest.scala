@@ -89,10 +89,29 @@ object SemanticDedupIngest {
     * [[DedupIngest.decide]]. Returns (vec_id, batch_id, near_dup,
     * admitted). */
   def decide(store: BucketedTableStore, batch: DataFrame, bb: DataFrame,
-      batchId: Long, tau: Double): DataFrame = {
+      batchId: Long, tau: Double): DataFrame =
+    decide(store, batch, bb, batchId, tau, bands = 16, dimsPerBand = 4)
+
+  def decide(store: BucketedTableStore, batch: DataFrame, bb: DataFrame,
+      batchId: Long, tau: Double, bands: Int, dimsPerBand: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val probeBuckets = bb.select(col("bb")).distinct()
-      .collect().map(_.getString(0)).toSeq // ≤ bands × 2^dimsPerBand strings
+    // The probe set is the ENUMERATED cell domain (bands × 2^dims
+    // strings, 256 at the default) — a driver-side constant, NO Spark
+    // action. The former collect of the batch's observed cells was an
+    // extra job per batch that bought nothing: any SRP batch beyond a
+    // few hundred rows observes every cell (sign-pattern cells are
+    // dense by construction), so the bloom probe admitted every store
+    // bucket anyway. Correctness is unchanged either way — rows of
+    // cells the batch never touches simply never join, and the per-cell
+    // cap stays exact because readWhereIn returns every index row of
+    // each probed bb. The SPARSE-key doors (content fingerprints,
+    // minhash bands, span hashes — huge domains, batch-sized probe
+    // sets) keep their collect: there the bloom pruning is real.
+    val probeBuckets = for {
+      b <- 0 until bands
+      p <- 0 until (1 << dimsPerBand)
+    } yield s"$b:" + (dimsPerBand - 1 to 0 by -1)
+      .map(i => if (((p >> i) & 1) == 1) '1' else '0').mkString
     // the retrieved admitted slice feeds the pair join AND the vector
     // join-back — persisted for the scope of the materialization below
     val admPersisted = store.readWhereIn("sv", "bb", probeBuckets)
@@ -109,32 +128,64 @@ object SemanticDedupIngest {
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("bb")).orderBy(col("vec_id").asc)))
           .filter(col("rn") <= MaxCell)
-          .select(col("bb"), col("vec_id").as("a_id"))
-        // candidate-pair dedupe carries ONLY ids through its shuffle: a
-        // vector sharing several band buckets with the same admitted
-        // neighbor must score once, but deduping rows that carry the
-        // 64-long quantized vectors would shuffle the payloads
-        // (~0.5 KiB/side) per collision — ids first, vectors joined
-        // back once per side after the distinct
-        val pairIds = bb.select(col("vec_id"), col("bb"))
-          .join(capped, Seq("bb"))
-          .select(col("vec_id"), col("a_id")).distinct()
-        val batchVecs = bb.select(col("vec_id"), col("q"), col("n2"))
-          .dropDuplicates("vec_id")
-        val admVecs = adm.select(col("vec_id").as("a_id"),
-          col("q").as("a_q"), col("n2").as("a_n2")).dropDuplicates("a_id")
-        pairIds.join(batchVecs, Seq("vec_id")).join(admVecs, Seq("a_id"))
-          .withColumn("cosine", VectorOps.cosineFromParts(
-            VectorOps.qdot(col("q"), col("a_q")), col("n2"), col("a_n2")))
-          .groupBy(col("vec_id"))
-          .agg(max((col("cosine") >= tau).cast("int")).as("nd"))
-      case None => bb.select(col("vec_id")).limit(0).withColumn("nd", lit(0))
+        if (bands.toLong * (1L << dimsPerBand) * MaxCell <= (1L << 16)) {
+          // The capped nominee side is ≤ cells × MaxCell rows BY
+          // CONSTRUCTION (16 384 at the 16×4 default, ~8 MB with the
+          // quantized vectors aboard) — broadcast it, vectors and all.
+          // The pair join, both vector join-backs, and the ids-only
+          // pair dedup then disappear from the plan (5 exchanges → 1):
+          // duplicate (vec, neighbor) pairs from shared bands score
+          // more than once, but max() is dup-blind, the recompute is
+          // bounded by bands per pair, and decisions are bit-identical.
+          // LEFT join: a vector whose cells nominate nothing keeps its
+          // rows (null neighbor → cosine null → flag 0), so the no-hit
+          // ids ride THIS aggregation and the former distinct +
+          // join-back pair below is skipped entirely.
+          val cappedVecs = capped.select(col("bb"),
+            col("vec_id").as("a_id"), col("q").as("a_q"),
+            col("n2").as("a_n2"))
+          bb.join(broadcast(cappedVecs), Seq("bb"), "left_outer")
+            .withColumn("cosine", VectorOps.cosineFromParts(
+              VectorOps.qdot(col("q"), col("a_q")), col("n2"), col("a_n2")))
+            .groupBy(col("vec_id"))
+            .agg(max(coalesce((col("cosine") >= tau).cast("int"), lit(0)))
+              .as("nd"))
+        } else {
+          // wide-banding scale path (cells × MaxCell past the broadcast
+          // bound): candidate-pair dedupe carries ONLY ids through its
+          // shuffle — a vector sharing several band buckets with the
+          // same admitted neighbor must score once, and deduping rows
+          // that carry the 64-long quantized vectors would shuffle the
+          // payloads (~0.5 KiB/side) per collision — ids first, vectors
+          // joined back once per side after the distinct
+          val pairIds = bb.select(col("vec_id"), col("bb"))
+            .join(capped.select(col("bb"), col("vec_id").as("a_id")),
+              Seq("bb"))
+            .select(col("vec_id"), col("a_id")).distinct()
+          val batchVecs = bb.select(col("vec_id"), col("q"), col("n2"))
+            .dropDuplicates("vec_id")
+          val admVecs = adm.select(col("vec_id").as("a_id"),
+            col("q").as("a_q"), col("n2").as("a_n2")).dropDuplicates("a_id")
+          // pair-bearing vecs only — join the full id set back in (ids
+          // from the CACHED probe frame, not the batch source: the
+          // source is not persisted at this layer and would re-scan)
+          val scored = pairIds.join(batchVecs, Seq("vec_id"))
+            .join(admVecs, Seq("a_id"))
+            .withColumn("cosine", VectorOps.cosineFromParts(
+              VectorOps.qdot(col("q"), col("a_q")), col("n2"), col("a_n2")))
+            .groupBy(col("vec_id"))
+            .agg(max((col("cosine") >= tau).cast("int")).as("nd"))
+          bb.select(col("vec_id")).distinct()
+            .join(scored, Seq("vec_id"), "left")
+            .select(col("vec_id"), coalesce(col("nd"), lit(0)).as("nd"))
+        }
+      case None => bb.select(col("vec_id")).distinct().withColumn("nd", lit(0))
     }
+    // every branch above yields ONE row per batch vec (no-hit ids
+    // included), so the verdict projection needs no further join
     try Materialize.thenRelease(
-      batch.select(col("vec_id")).distinct()
-        .join(hits, Seq("vec_id"), "left")
-        .select(col("vec_id"), lit(batchId).cast("int").as("batch_id"),
-          coalesce(col("nd"), lit(0)).as("near_dup"))
+      hits.select(col("vec_id"), lit(batchId).cast("int").as("batch_id"),
+          col("nd").as("near_dup"))
         .withColumn("admitted", (col("near_dup") === 0).cast("int")))
     finally admPersisted.foreach(_.unpersist(blocking = false))
   }
@@ -168,7 +219,8 @@ object SemanticDedupIngest {
       SemanticDedupIngest.seedIndex(store, corpus, ts, bands, dimsPerBand)
     def decide(spark: SparkSession, store: BucketedTableStore,
         batch: DataFrame, probe: DataFrame, batchId: Long) =
-      SemanticDedupIngest.decide(store, batch, probe, batchId, tau)
+      SemanticDedupIngest.decide(store, batch, probe, batchId, tau,
+        bands, dimsPerBand)
     def applyAdmissions(store: BucketedTableStore, probe: DataFrame,
         decisions: DataFrame, ts: Timestamp) =
       SemanticDedupIngest.applyAdmissions(store, probe, decisions, ts)

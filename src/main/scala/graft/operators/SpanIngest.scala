@@ -56,18 +56,17 @@ object SpanIngest {
     store.writeAll("gfp", gramFps(corpus, n)
       .withColumn("syncTimestamp", lit(ts)), "fp")
 
-  /** Fps of `probes` present in the index, reading only the buckets the
-    * probes hash into. A probe touching only never-written buckets
-    * resolves to "no hits". */
-  private def indexedFps(store: BucketedTableStore, probes: DataFrame): DataFrame = {
-    val touched = probes.select(store.bucketCol("fp").as("_b")).distinct()
-      .collect().map(_.getLong(0).toInt).toSet
-    store.readBuckets("gfp", Some(touched)) match {
+  /** Fps of `probes` present in the index. No touched-bucket
+    * pre-collect ([[DedupIngest]]'s round-15 rationale): a realistic
+    * batch's gram fingerprints hash into all 16 store buckets, so the
+    * former distinct-collect was one action per batch that pruned
+    * nothing; the left_semi join is the residual filter either way. */
+  private def indexedFps(store: BucketedTableStore, probes: DataFrame): DataFrame =
+    store.readBuckets("gfp", None) match {
       case Some(idx) if idx.columns.contains("fp") =>
         probes.join(idx.select(col("fp")), Seq("fp"), "left_semi")
       case _ => probes.limit(0)
     }
-  }
 
   /** Span stats + admission for ONE batch against the index AS OF now —
     * pure read, no index mutation. `occ` must be the batch's positioned

@@ -765,7 +765,7 @@ object VectorQueries {
   // admit/reject decision hash-checks.
   def q160SemanticDedupIngest(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val emb = Tables.embeddings(spark, dir).repartition(col("vec_id"))
+    val emb = Tables.embeddings(spark, dir)
     val corpus = emb.filter(pmod(col("vec_id"), lit(4)) <= 1)
     val batches = Seq(2, 3).map(r =>
       emb.filter(pmod(col("vec_id"), lit(4)) === r))

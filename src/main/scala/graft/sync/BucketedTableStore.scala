@@ -276,18 +276,38 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       (Map[Int, Map[String, (String, String)]], Map[Int, Map[String, BloomSide]]) = {
     if (statSpecs.isEmpty && bloomSpecs.isEmpty) return (Map.empty, Map.empty)
     val raw = preStaged.getOrElse(spark.read.parquet(staging.toString))
-    val rows = if (excludeDel) raw.filter(!col("_del")) else raw
-    val schema = rows.schema
+    val (stats, blooms, _) = stagedSummary(raw, statSpecs, bloomSpecs, excludeDel)
+    (stats, blooms)
+  }
+
+  /** ONE aggregation pass over a staged frame: per-bucket live row
+    * counts PLUS the sidecar contributions (zone-map min/max, packed
+    * blooms). `excludeDel` applies per-expression (`when(!_del, …)` —
+    * min/max and [[graft.functions.BloomPackValueAgg]] all skip nulls,
+    * so the guarded aggregates equal the old filtered ones exactly),
+    * while the counts stay UNFILTERED so an all-tombstone bucket still
+    * registers as touched. [[mergeDelta]] fuses its former
+    * touched-distinct and sidecar passes through this — the ingest
+    * doors pay that per batch, so one saved action per commit is the
+    * door-overhead lever, not a micro-optimization. */
+  private def stagedSummary(raw: DataFrame,
+      statSpecs: Seq[(String, String)], bloomSpecs: Seq[(String, Int, Int)],
+      excludeDel: Boolean):
+      (Map[Int, Map[String, (String, String)]],
+        Map[Int, Map[String, BloomSide]], Map[Int, Long]) = {
+    val schema = raw.schema
+    def guard(e: org.apache.spark.sql.Column) =
+      if (excludeDel) when(!col("_del"), e) else e
     val statAggs = statSpecs.flatMap { case (c, _) =>
-      val e = StatKind.expr(c, schema(c).dataType)
+      val e = guard(StatKind.expr(c, schema(c).dataType))
       Seq(min(e).cast("string").as(s"mn_$c"), max(e).cast("string").as(s"mx_$c"))
     }
     val bloomAggs = bloomSpecs.map { case (c, m, k) =>
       val pack = udaf(new graft.functions.BloomPackValueAgg(m, k))
-      pack(col(c).cast("string")).as(s"bl_$c")
+      pack(guard(col(c).cast("string"))).as(s"bl_$c")
     }
-    val aggs = statAggs ++ bloomAggs
-    val collected = rows.groupBy(col("_bucket"))
+    val aggs = statAggs ++ bloomAggs :+ count(lit(1)).as("_n")
+    val collected = raw.groupBy(col("_bucket"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val stats =
       if (statSpecs.isEmpty) Map.empty[Int, Map[String, (String, String)]]
@@ -308,7 +328,10 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
             r.getAs[Array[Byte]](bOff + i)))
         }.toMap
       }.toMap
-    (stats, blooms)
+    val counts = collected.map { r =>
+      r.getLong(0).toInt -> r.getLong(r.length - 1)
+    }.toMap
+    (stats, blooms, counts)
   }
 
   private def readStats(name: String, v: Int):
@@ -849,8 +872,13 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     // bucket is written by exactly one task as one file
     val withBucket = df.withColumn("_bucket", route)
       .repartition(col("_bucket"))
+    // persisted for this call's scope: the write below materializes it,
+    // then the sidecar pass aggregates the CACHED rows instead of
+    // re-reading the staging dir it just wrote (one scan per table
+    // creation saved — the ingest doors pay this at every seed)
     val sorted = sortBy.fold(withBucket)(c =>
-      withBucket.sortWithinPartitions(col("_bucket"), col(c)))
+        withBucket.sortWithinPartitions(col("_bucket"), col(c)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sorted.withColumn("_bp", col("_bucket"))
       .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
     // An EMPTY frame stages no _bp dirs at all (dynamic-partition writes
@@ -872,7 +900,9 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     // ~13k distinct values per bucket)
     val bSpecs = bloomCols.map(c => (c, bloomBits, bloomHashes))
     val (newStats, newBloom) =
-      sidecarsFromStaging(staging, specs, bSpecs, excludeDel = false)
+      try sidecarsFromStaging(staging, specs, bSpecs, excludeDel = false,
+        preStaged = Some(sorted))
+      finally sorted.unpersist(blocking = false)
     if (specs.nonEmpty) {
       Files.write(statsColsFile(name),
         specs.map { case (c, k) => s"${StatKind.enc(c)}\t$k" }
@@ -1045,8 +1075,24 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       .withColumn("_seq", lit(next.toLong))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val touched = staged.select(col("_bucket")).distinct()
-        .collect().map(_.getLong(0).toInt).toSet
+      // ONE pass over the cached staged frame yields the touched-bucket
+      // set (unfiltered counts) AND the sidecar widenings (del-guarded)
+      // — the former touched-distinct and sidecar actions fused; a
+      // delta commit can only WIDEN a bucket's zone map (tombstoned
+      // values stay inside the bounds until compaction retightens them)
+      // and OR-widen its blooms (base ∪ delta membership, tombstones
+      // keep their bits — false positives only — until compaction
+      // rebuilds exactly)
+      val specs = statsSpecs(name)
+      val bSpecs = bloomSpecs(name)
+      val prevStats =
+        if (specs.isEmpty) None else carriedStats(name, base.get)
+      val prevBloom =
+        if (bSpecs.isEmpty) None else carriedBloom(name, base.get)
+      val (addStats, addBloom, counts) = stagedSummary(staged,
+        if (prevStats.isDefined) specs else Nil,
+        if (prevBloom.isDefined) bSpecs else Nil, excludeDel = true)
+      val touched = counts.keySet
       if (touched.nonEmpty) {
         val staging = tableDir(name).resolve(s"_dstaging$next")
         val routed = staged.repartition(col("_bucket")) // one file per bucket
@@ -1054,25 +1100,6 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
             routed.sortWithinPartitions(col("_bucket"), col(c)))
           .withColumn("_bp", col("_bucket"))
           .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
-        // a delta commit can only WIDEN a bucket's zone map (tombstoned
-        // values stay inside the bounds until compaction retightens them)
-        // and OR-widen its blooms (base ∪ delta membership, tombstones
-        // keep their bits — false positives only — until compaction
-        // rebuilds exactly); both widenings read the just-written staging
-        // ONCE via the fused sidecar pass
-        val specs = statsSpecs(name)
-        val bSpecs = bloomSpecs(name)
-        val prevStats =
-          if (specs.isEmpty) None else carriedStats(name, base.get)
-        val prevBloom =
-          if (bSpecs.isEmpty) None else carriedBloom(name, base.get)
-        // the staged frame is persisted for this commit's scope — feed
-        // the sidecar pass directly instead of re-reading the staging
-        // dir (one scan per delta commit saved; the doors pay per batch)
-        val (addStats, addBloom) = sidecarsFromStaging(staging,
-          if (prevStats.isDefined) specs else Nil,
-          if (prevBloom.isDefined) bSpecs else Nil, excludeDel = true,
-          preStaged = Some(staged))
         val newStats = prevStats.map(prev => widenStats(specs, prev, addStats))
         val newBloom = prevBloom.map(prev => orBloom(prev, addBloom))
         def stale(): Nothing = {
