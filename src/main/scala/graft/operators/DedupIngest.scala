@@ -71,26 +71,6 @@ object DedupIngest {
         bandFingerprints(docs, shingleN, numHashes, rowsPerBand)
           .select(col("doc_id"), concat(lit("b:"), col("bb")).as("fp")))
 
-  /** Rows of `probes` whose `fp` is present in the index, reading only
-    * the store buckets the probes hash into. The collected set is bucket
-    * IDS (≤ nBuckets ints), never data. A probe touching only buckets
-    * the index has never written resolves to a schema-less empty frame —
-    * guarded to mean "no hits". */
-  private def probeHits(store: BucketedTableStore, name: String,
-      probes: DataFrame): DataFrame =
-    // No touched-bucket pre-collect (round 15): with 16 store buckets,
-    // any batch beyond a few dozen fingerprints hashes into every
-    // bucket, so the former distinct-collect was one Spark action per
-    // batch that pruned nothing — the left_semi join IS the residual
-    // filter either way. Bucket pruning re-earns its action only for
-    // near-empty batches (a non-goal) or point probes ([[
-    // graft.sync.BucketedTableStore.lookup]] serves those).
-    store.readBuckets(name, None) match {
-      case Some(idx) if idx.columns.contains("fp") =>
-        probes.join(idx.select(col("fp")), Seq("fp"), "left_semi")
-      case _ => probes.limit(0)
-    }
-
   /** Admit/reject decisions for ONE batch against the index AS OF now —
     * pure read, no index mutation. `fps` must be [[fingerprints]] of
     * `batch` (passed in so the caller can persist it across this and
@@ -107,8 +87,27 @@ object DedupIngest {
     * frame valid no matter what happens to the store afterwards
     * (DedupIngestSpec pins the vacuum race). */
   def decide(store: BucketedTableStore, batch: DataFrame, fps: DataFrame,
+      batchId: Long): DataFrame =
+    // no touched-bucket pre-collect (round 15): any batch beyond a few
+    // dozen fingerprints hashes into every one of the 16 store buckets,
+    // so the former distinct-collect was one Spark action per batch
+    // that pruned nothing — decideAgainst's left_semi IS the filter;
+    // point probes keep [[BucketedTableStore.lookup]]'s routing
+    decideAgainst(
+      store.readBuckets("fp", None).filter(_.columns.contains("fp")),
+      fps, batchId)
+
+  /** [[decide]] against an EXPLICIT index frame — the verdict logic
+    * shared by the single-table store path and the generational layout
+    * ([[graft.sync.GenerationalStore]], q244), so the two retention
+    * strategies can never drift on what a duplicate IS. */
+  def decideAgainst(idx: Option[DataFrame], fps: DataFrame,
       batchId: Long): DataFrame = {
-    val flags = probeHits(store, "fp", fps)
+    val hits = idx match {
+      case Some(i) => fps.join(i.select(col("fp")), Seq("fp"), "left_semi")
+      case None => fps.limit(0)
+    }
+    val flags = hits
       .groupBy(col("doc_id")).agg(
         max(when(substring(col("fp"), 1, 2) === "e:", 1).otherwise(0)).as("e"),
         max(when(substring(col("fp"), 1, 2) === "b:", 1).otherwise(0)).as("nd"))

@@ -829,6 +829,124 @@ object TextQueries {
   // exact + band fingerprints; batch-1 admissions are stamped past the
   // cutoff and survive — an admitted doc's fingerprints are new by
   // definition, so seed and admission stamps never mix).
+  // q244 — GENERATIONAL dedup retention: the q229 protocol re-run on
+  // the O(1)-retirement layout ([[graft.sync.GenerationalStore]] — one
+  // bucketed table per commit window, retire = drop whole generations
+  // as metadata; the layout the IngestDoor scaladoc prices against the
+  // single-table tombstone sweep). The window/cutoff here are chosen so
+  // the generational horizon and q229's row-precise horizon retire the
+  // SAME content (seed gone, batch-1 admissions kept): the query is the
+  // hash-checked EQUIVALENCE gate between the two retention layouts —
+  // identical admit/reject decisions from a structurally different
+  // store. The layouts' real divergence (window-coarse vs row-exact
+  // cutoffs: a mid-generation cutoff retires NOTHING here where the
+  // row-precise verb sweeps) is pinned by GenerationalStoreSpec, where
+  // it belongs — it is a precision contract, not a decision change.
+  // n_gens_retired rides the result; the oracle replays the
+  // floor(ts/window) generation arithmetic as literal SQL.
+  // Scale shape: decisions are the same capped probe joins as
+  // q150/q229 (decideAgainst is SHARED code); the probe read surface is
+  // a union over live generations (horizon/window of them, each
+  // bucket-pruned); retirement is directory metadata — the index scan
+  // and tombstone rewrite of IngestDoor.retireBefore never happen.
+  def q244GenerationalRetention(spark: SparkSession, dir: String): DataFrame = {
+    import java.sql.Timestamp
+    import org.apache.spark.storage.StorageLevel
+    import graft.operators.DedupIngest
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) <= 1)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(4)) === 2)
+    val b2 = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+    val root = Files.createTempDirectory("graft-genret").toString
+    val t0 = 1660000000000L
+    try {
+      // window 60 s: seed (t0) and b1 (t0+60 s) land in DIFFERENT
+      // generations; cutoff t0+70 s lies past the seed generation's end
+      // ((t0 div 60000 + 1)·60000 = t0+20 s) but inside b1's — so
+      // exactly the seed generation drops, matching q229's horizon
+      val gens = new graft.sync.GenerationalStore(spark, root,
+        windowMs = 60000L)
+      def fps(d: org.apache.spark.sql.DataFrame) =
+        DedupIngest.fingerprints(d, shingleN = 3, numHashes = 8,
+          rowsPerBand = 2)
+      gens.append("fp", fps(corpus).select(col("fp")).distinct(), "fp",
+        new Timestamp(t0))
+      val p1 = fps(b1).persist(StorageLevel.MEMORY_AND_DISK)
+      val d1 = DedupIngest.decideAgainst(gens.readAll("fp"), p1, 1L)
+      gens.append("fp",
+        p1.join(d1.filter(col("admitted") === 1).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .select(col("fp")).distinct(),
+        "fp", new Timestamp(t0 + 60000))
+      p1.unpersist()
+      val retired = gens.retireBefore(new Timestamp(t0 + 70000))
+      val p2 = fps(b2).persist(StorageLevel.MEMORY_AND_DISK)
+      val d2 = DedupIngest.decideAgainst(gens.readAll("fp"), p2, 2L)
+      // complete the protocol: b2's admissions land in their generation
+      // (consumed by nothing here, but the door contract is seed →
+      // decide → apply per batch, and the append must not perturb d2)
+      gens.append("fp",
+        p2.join(d2.filter(col("admitted") === 1).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .select(col("fp")).distinct(),
+        "fp", new Timestamp(t0 + 120000))
+      p2.unpersist()
+      d1.unionByName(d2)
+        .withColumn("n_gens_retired", lit(retired.size.toLong))
+        .orderBy(col("doc_id").asc)
+    } finally graft.sync.TableStore.deleteRecursively(Paths.get(root))
+  }
+  val q244Oracle: String = {
+    val mins = (0 until 8).map(s => s"MIN(md5(shingle || '|$s')) AS mh$s").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || mh${2 * b + 1} AS bucket FROM mh")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3)),
+    mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    bands AS ($bandRows),
+    bb AS (SELECT doc_id, CAST(band AS VARCHAR) || ':' || bucket AS bb FROM bands),
+    hs AS (SELECT doc_id, md5(text) AS h FROM documents),
+    ceh AS (SELECT DISTINCT h FROM hs WHERE doc_id % 4 <= 1),
+    cbb AS (SELECT DISTINCT bb FROM bb WHERE doc_id % 4 <= 1),
+    b1 AS (
+      SELECT d.doc_id, 1 AS batch_id,
+        CASE WHEN d.h IN (SELECT h FROM ceh) THEN 1 ELSE 0 END AS exact_dup,
+        CASE WHEN EXISTS (SELECT 1 FROM bb x WHERE x.doc_id = d.doc_id
+                          AND x.bb IN (SELECT bb FROM cbb))
+             THEN 1 ELSE 0 END AS near_dup
+      FROM hs d WHERE d.doc_id % 4 = 2),
+    b1adm AS (SELECT doc_id FROM b1 WHERE exact_dup = 0 AND near_dup = 0),
+    eh1 AS (SELECT h FROM hs WHERE doc_id IN (SELECT doc_id FROM b1adm)),
+    bb1 AS (SELECT bb FROM bb WHERE doc_id IN (SELECT doc_id FROM b1adm)),
+    b2 AS (
+      SELECT d.doc_id, 2 AS batch_id,
+        CASE WHEN d.h IN (SELECT h FROM eh1) THEN 1 ELSE 0 END AS exact_dup,
+        CASE WHEN EXISTS (SELECT 1 FROM bb x WHERE x.doc_id = d.doc_id
+                          AND x.bb IN (SELECT bb FROM bb1))
+             THEN 1 ELSE 0 END AS near_dup
+      FROM hs d WHERE d.doc_id % 4 = 3),
+    -- the generational arithmetic replayed literally: a generation
+    -- drops iff (floor(commit/window)+1)*window <= cutoff; commits at
+    -- t0 and t0+60000, window 60000, cutoff t0+70000
+    nret AS (SELECT
+      (CASE WHEN (1660000000000 // 60000 + 1) * 60000
+                 <= 1660000070000 THEN 1 ELSE 0 END)
+      + (CASE WHEN (1660000060000 // 60000 + 1) * 60000
+                 <= 1660000070000 THEN 1 ELSE 0 END) AS n_gens_retired),
+    allb AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT doc_id, batch_id, exact_dup, near_dup,
+      CASE WHEN exact_dup = 0 AND near_dup = 0 THEN 1 ELSE 0 END AS admitted,
+      CAST(n_gens_retired AS BIGINT) AS n_gens_retired
+    FROM allb CROSS JOIN nret ORDER BY doc_id ASC"""
+  }
+
   def q229DedupRetention(spark: SparkSession, dir: String): DataFrame = {
     import java.sql.Timestamp
     import org.apache.spark.storage.StorageLevel
@@ -1760,6 +1878,7 @@ object TextQueries {
     "q155_quality_model" -> (q155QualityModel _),
     "q150_dedup_on_ingest" -> (q150DedupOnIngest _),
     "q229_dedup_retention" -> (q229DedupRetention _),
+    "q244_generational_retention" -> (q244GenerationalRetention _),
     "q148_setsim_join" -> (q148SetsimJoin _),
     "q125_regex_tokens" -> (q125RegexTokens _),
     "q93_dedup_clusters" -> (q93DedupClusters _),
@@ -1798,6 +1917,7 @@ object TextQueries {
     "q155_quality_model" -> q155Oracle,
     "q150_dedup_on_ingest" -> q150Oracle,
     "q229_dedup_retention" -> q229Oracle,
+    "q244_generational_retention" -> q244Oracle,
     "q148_setsim_join" -> q148Oracle,
     "q125_regex_tokens" -> q125Oracle,
     "q93_dedup_clusters" -> q93Oracle,

@@ -31,8 +31,9 @@ import graft.sync.BucketedTableStore
   *     carries its doc's surviving count n_h.
   *   - gate: batch docs → distinct shingles; shingles with WITHIN-BATCH
   *     df > 64 leave (the batch-side cap — both join fan-outs bounded);
-  *     probe the index reading ONLY the touched buckets; per (batch doc,
-  *     holdout doc) intersection i; leak ⟺ 3·i ≥ n_h + n_t — exactly
+  *     probe the index (the equi-join on sh is the filter — see
+  *     [[indexed]] for why bucket pre-pruning paid an action for
+  *     nothing); per (batch doc, holdout doc) intersection i; leak ⟺ 3·i ≥ n_h + n_t — exactly
   *     Jaccard ≥ 1/2 over the capped sets, no doubles anywhere.
   *   The caps deliberately differ from q207's POOLED df-64: a stream
   *   cannot know future batches' dfs, so each side caps against what it
@@ -50,7 +51,7 @@ import graft.sync.BucketedTableStore
   * Scale shape: freeze is one holdout pass (shingle agg + broadcast hot
   * anti + count join) into the bucketed store; per batch one shingle
   * explode, one batch-bounded hot-set broadcast anti, one equi-join of
-  * the bucket-pruned index scan against the batch shingles — broadcast
+  * the index scan against the batch shingles — broadcast
   * ONLY while the measured probe row count stays under
   * [[MaxBroadcastShingleRows]] (a micro-batch always does; a
   * corpus-proportional replay batch like q225's half-train split takes
@@ -113,14 +114,15 @@ object LeakageGateStream {
     store.readBuckets(IndexTable, None).map(_.count()).getOrElse(0L)
   }
 
-  /** Index rows in the buckets the probe shingles hash into. The only
-    * driver materialization is the touched-bucket id set — bounded by
-    * the store's bucket count (ints), never shingles. */
-  private def indexed(spark: SparkSession, store: BucketedTableStore,
-      probes: DataFrame): DataFrame = {
-    val touched = probes.select(store.bucketCol("sh").as("_b")).distinct()
-      .collect().map(_.getLong(0).toInt).toSet
-    store.readBuckets(IndexTable, Some(touched)) match {
+  /** Index rows for the probe join. No touched-bucket pre-collect
+    * (round 15, the ingest doors' rationale): a batch's shingle hashes
+    * land in all 16 store buckets long before the batch is big enough
+    * to matter, so the former distinct-collect was one Spark action per
+    * batch that pruned nothing — the equi-join against the probe
+    * shingles is the real filter either way. */
+  private def indexed(spark: SparkSession, store: BucketedTableStore)
+      : DataFrame = {
+    store.readBuckets(IndexTable, None) match {
       case Some(idx) if idx.columns.contains("sh") =>
         idx.select(col("sh"), col("holdout_id"), col("n_h"))
       case _ =>
@@ -158,7 +160,7 @@ object LeakageGateStream {
     val sh = cappedShingles(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val idx = indexed(spark, store, sh.select(col("sh")).distinct())
+    val idx = indexed(spark, store)
     // size-gated hint: count the PERSISTED probe frame (materialized
     // here anyway) and broadcast only under the documented bound — a
     // corpus-proportional batch must never become a driver broadcast
