@@ -107,7 +107,12 @@ object ScaleProbe {
     "q240_bootstrap_ci",
     // augmentation: a pure map — sf1 cost must track the corpus scan
     // (per-row cost is the row's own token count, nothing accumulates)
-    "q243_augmentation")
+    "q243_augmentation",
+    // round-15 addition: generational retention — decisions are the
+    // q150/q229 capped probe joins (shared code), the probe surface a
+    // 2–3-generation union, retirement directory metadata; the gate
+    // watches that the decade behaves like q229's
+    "q244_generational_retention")
 
   private def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
     .filter(_.getType == MemoryType.HEAP)
