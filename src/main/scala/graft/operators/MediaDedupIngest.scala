@@ -81,7 +81,10 @@ object MediaDedupIngest {
     * be [[bandRows]] of `batch` (passed in so the caller can persist it
     * across this and [[applyAdmissions]]). */
   def decide(store: BucketedTableStore, batch: DataFrame, bb: DataFrame,
-      batchId: Long, maxHamming: Int = 10): DataFrame = {
+      batchId: Long, maxHamming: Int = 10,
+      // injectable for the same reason as SemanticDedupIngest.decide's:
+      // the spec forces the ids-only branch and pins decision equality
+      maxBroadcastNominees: Long = 1L << 18): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // bounded driver set: distinct band-cell STRINGS of the batch
     // (≤ 4·|batch|, ≤ 4·65536 ever) — never index rows
@@ -104,7 +107,7 @@ object MediaDedupIngest {
             + bit_count(col(ax).bitwiseXOR(col(bx)))
             + bit_count(col(ay).bitwiseXOR(col(by)))
             + bit_count(col(az).bitwiseXOR(col(bz)))).cast("int")
-        if (probeCells.size.toLong * MaxCell <= (1L << 18)) {
+        if (probeCells.size.toLong * MaxCell <= maxBroadcastNominees) {
           // the capped nominee side is ≤ |probeCells| × MaxCell rows —
           // a bound the DRIVER already knows (probeCells is collected)
           // — so broadcast it hashes-and-all and the pair join, both

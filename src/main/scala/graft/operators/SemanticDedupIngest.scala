@@ -93,7 +93,11 @@ object SemanticDedupIngest {
     decide(store, batch, bb, batchId, tau, bands = 16, dimsPerBand = 4)
 
   def decide(store: BucketedTableStore, batch: DataFrame, bb: DataFrame,
-      batchId: Long, tau: Double, bands: Int, dimsPerBand: Int): DataFrame = {
+      batchId: Long, tau: Double, bands: Int, dimsPerBand: Int,
+      // injectable so the spec can force the wide-banding (ids-only)
+      // branch on the SAME data the broadcast branch sees and pin their
+      // decisions equal — the else-branch must never be dead code
+      maxBroadcastNominees: Long = 1L << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The probe set is the ENUMERATED cell domain (bands × 2^dims
     // strings, 256 at the default) — a driver-side constant, NO Spark
@@ -128,7 +132,8 @@ object SemanticDedupIngest {
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("bb")).orderBy(col("vec_id").asc)))
           .filter(col("rn") <= MaxCell)
-        if (bands.toLong * (1L << dimsPerBand) * MaxCell <= (1L << 16)) {
+        if (bands.toLong * (1L << dimsPerBand) * MaxCell
+            <= maxBroadcastNominees) {
           // The capped nominee side is ≤ cells × MaxCell rows BY
           // CONSTRUCTION (16 384 at the 16×4 default, ~8 MB with the
           // quantized vectors aboard) — broadcast it, vectors and all.
