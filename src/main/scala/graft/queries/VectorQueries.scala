@@ -1408,12 +1408,22 @@ object VectorQueries {
       // keeps the best BEAM (capping nominations by id INSTEAD of
       // scoring them strands the walk just like fixed entries do —
       // measured recall 0.08)
-      val rawBands = bandsOf(e, "vec_id")
-      val corpusBands = rawBands
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("band"), col("bucket"))
-            .orderBy(col("vec_id").asc)))
-        .filter(col("rn") <= 64).drop("rn")
+      // Capped cells and the graph (below) are CORPUS-RESIDENT INDEX
+      // STATE — built once, amortized over every query (the q237
+      // postings-memo argument; a deployment persists both). Memoized
+      // localCheckpoints keyed by dataset version + session: repeat
+      // calls pay the walk and the eval leg, never the index build;
+      // build cost lands in ann_build via AnnIndexCache.buildSeconds.
+      val annSess = Integer.toHexString(System.identityHashCode(spark))
+      val annVer = graft.operators.AnnIndexCache.datasetVersion(dir)
+      val corpusBands = graft.operators.AnnIndexCache.memoKeyed(
+        s"gann:$dir:cells:", s"v=$annVer:sess=$annSess")(
+        bandsOf(e, "vec_id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("band"), col("bucket"))
+              .orderBy(col("vec_id").asc)))
+          .filter(col("rn") <= 64).drop("rn")
+          .localCheckpoint(true))
       // MULTI-PROBE entry routing (round 15): each query probes its own
       // SRP cell AND the 4 cells at Hamming distance 1 per band — the
       // classic LSH multi-probe read trick, applied only at the DOOR
@@ -1455,33 +1465,39 @@ object VectorQueries {
       // LINEARLY (H × 64, never H²), and now every node owns its top-4
       // outgoing edges by construction — no islands, standard kNN
       // digraph.
-      val candPairs = rawBands.as("a")
-        .join(corpusBands.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
-        .distinct()
-      val knn = VectorOps.topKByQuery(
-        candPairs
-          .join(e.select(col("vec_id").as("query_id"), col("q").as("qa"),
-            col("n2").as("na")), Seq("query_id"))
-          .join(e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
-            col("n2").as("nb")), Seq("neighbor_id"))
-          .withColumn("cosine", VectorOps.cosineFromParts(
-            VectorOps.qdot(col("qa"), col("qb")), col("na"), col("nb")))
-          .select(col("query_id"), col("neighbor_id"), col("cosine")), Degree)
       // SYMMETRIZE (NSW practice): every node's top-4 edges run both
       // ways, so owning outgoing edges ⇒ being REACHABLE through them —
       // without the reverse leg a node outside its cells' capped
       // nominee set is never a dst and the walk can't find it (the
       // actual island mechanism; a popular node's reverse fan-out is
-      // bounded by its nominations, never quadratic)
-      val edges = knn
-        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-        .unionByName(knn
-          .select(col("neighbor_id").as("src"), col("query_id").as("dst")))
-        .distinct()
-        .localCheckpoint()
+      // bounded by its nominations, never quadratic). Memoized like the
+      // cells above: the uncapped probe side (rawBands) exists only
+      // inside the build, so memo hits never re-band the corpus.
+      val edges = graft.operators.AnnIndexCache.memoKeyed(
+        s"gann:$dir:edges:", s"v=$annVer:deg=$Degree:sess=$annSess") {
+        val rawBands = bandsOf(e, "vec_id")
+        val candPairs = rawBands.as("a")
+          .join(corpusBands.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+          .distinct()
+        val knn = VectorOps.topKByQuery(
+          candPairs
+            .join(e.select(col("vec_id").as("query_id"), col("q").as("qa"),
+              col("n2").as("na")), Seq("query_id"))
+            .join(e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+              col("n2").as("nb")), Seq("neighbor_id"))
+            .withColumn("cosine", VectorOps.cosineFromParts(
+              VectorOps.qdot(col("qa"), col("qb")), col("na"), col("nb")))
+            .select(col("query_id"), col("neighbor_id"), col("cosine")), Degree)
+        knn
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+          .unionByName(knn
+            .select(col("neighbor_id").as("src"), col("query_id").as("dst")))
+          .distinct()
+          .localCheckpoint()
+      }
       def scoreTopBeam(frontier: DataFrame): DataFrame = frontier
         .join(qset, Seq("qid"))
         .join(cvec, Seq("cand"))
