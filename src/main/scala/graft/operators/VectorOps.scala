@@ -241,8 +241,21 @@ object VectorOps {
       indexKey: Option[String] = None): DataFrame = {
     val corpusVec = toCorpusVec(corpus)
     val model = coarseQuantizer(corpusVec, nlist, seed, indexKey)
-    val assigned = assignCells(model, corpusVec)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // postings memoized as index state when a dataset key exists — the
+    // same amortization as ivfTopKAppend's (an IVF's postings are built
+    // once with its centroids; re-assigning the corpus per query call
+    // mis-prices the probe). Session-scoped; build cost → ann_build.
+    val assigned = indexKey match {
+      case Some(key) =>
+        val sess = Integer.toHexString(System.identityHashCode(spark))
+        AnnIndexCache.memoKeyed(s"ivfpost:$key:full:",
+          s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist" +
+            s":seed=$seed:sess=$sess")(
+          assignCells(model, corpusVec).localCheckpoint(true))
+      case None =>
+        assignCells(model, corpusVec)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     ivfProbe(spark, queries, model, assigned, k, nprobe)
   }
 
