@@ -394,7 +394,10 @@ class OperatorSpec extends SparkSpec {
       .filter(k => k.split(':').lift(1).contains(dir)).toSet
     probe()
     val k1 = keysFor
-    assert(builds == 1, "first probe trains and records a build")
+    // round 15: a probe records TWO index builds — the coarse-quantizer
+    // model ("ivf:") and the memoized postings ("ivfpost:"), each its
+    // own eviction family
+    assert(builds == 2, s"first probe trains model + postings: $k1")
     probe()
     assert(keysFor == k1, "unchanged dataset: memo hit, no retrain")
 
@@ -403,9 +406,9 @@ class OperatorSpec extends SparkSpec {
     probe()
     val k2 = keysFor
     assert(k2 != k1, "in-place rewrite changes datasetVersion → retrain")
-    assert(builds == 1,
-      "the superseded model's entry is EVICTED, not leaked: one live " +
-        "build key per dataset (and no duplicate ann_build ledger rows)")
+    assert(builds == 2,
+      "the superseded entries are EVICTED, not leaked: one live build " +
+        "key per dataset per family (no duplicate ann_build ledger rows)")
   }
 
   test("AnnIndexStore disk tier: indexes persist across JVM-memo clears, results identical") {
