@@ -56,16 +56,22 @@ object DoorProfile {
     }
 
     which match {
-      case "q160" =>
+      case "q160" | "q150" =>
         // two ROUNDS: round 1 absorbs JVM/codegen warmup, round 2 is
         // what a warm bench pass pays — read round 2
         (1 to 2).foreach { round =>
-          val emb = graft.tables.Tables.embeddings(spark, dir)
-          val corpus = emb.filter(pmod(col("vec_id"), lit(4)) <= 1)
+          val (door, src, idc) =
+            if (which == "q150")
+              (graft.operators.DedupIngest.door(),
+                graft.tables.Tables.documents(spark, dir)
+                  .repartition(col("doc_id")), "doc_id")
+            else
+              (graft.operators.SemanticDedupIngest.door(),
+                graft.tables.Tables.embeddings(spark, dir), "vec_id")
+          val corpus = src.filter(pmod(col(idc), lit(4)) <= 1)
           val batches = Seq(2, 3).map(r =>
-            emb.filter(pmod(col("vec_id"), lit(4)) === r))
+            src.filter(pmod(col(idc), lit(4)) === r))
           val root = Files.createTempDirectory("graft-doorprof").toString
-          val door = graft.operators.SemanticDedupIngest.door()
           val store = new graft.sync.BucketedTableStore(spark, root, 16,
             deltaMerges = true, autoCompactAfter = 4)
           try {

@@ -103,23 +103,27 @@ object DedupIngest {
     * strategies can never drift on what a duplicate IS. */
   def decideAgainst(idx: Option[DataFrame], fps: DataFrame,
       batchId: Long): DataFrame = {
-    val hits = idx match {
-      case Some(i) => fps.join(i.select(col("fp")), Seq("fp"), "left_semi")
-      case None => fps.limit(0)
+    // ONE fp-keyed left join marks each batch fingerprint as indexed or
+    // not, then ONE doc_id aggregation folds the marks into the verdict
+    // flags — every doc carries at least its exact-hash fp, so the
+    // aggregation's key set IS the batch's id set (the former shape paid
+    // two more shuffles here: a left_semi for the hits plus a
+    // distinct + re-join to recover the no-hit docs). A duplicated index
+    // key (the generational layout's multi-generation admissions) only
+    // duplicates a mark; max() is multiplicity-blind.
+    val marked = idx match {
+      case Some(i) =>
+        fps.join(i.select(col("fp"), lit(1).as("_hit")), Seq("fp"), "left")
+      case None => fps.withColumn("_hit", lit(null).cast("int"))
     }
-    val flags = hits
-      .groupBy(col("doc_id")).agg(
-        max(when(substring(col("fp"), 1, 2) === "e:", 1).otherwise(0)).as("e"),
-        max(when(substring(col("fp"), 1, 2) === "b:", 1).otherwise(0)).as("nd"))
-    // batch ids from the CACHED fingerprint frame (every doc carries at
-    // least its exact-hash fp, so the id sets are identical) — the batch
-    // source is not persisted at this layer and would re-scan parquet
     Materialize.thenRelease(
-      fps.select(col("doc_id")).distinct()
-        .join(flags, Seq("doc_id"), "left")
+      marked.groupBy(col("doc_id")).agg(
+          max(when(col("_hit").isNotNull &&
+            substring(col("fp"), 1, 2) === "e:", 1).otherwise(0)).as("e"),
+          max(when(col("_hit").isNotNull &&
+            substring(col("fp"), 1, 2) === "b:", 1).otherwise(0)).as("nd"))
         .select(col("doc_id"), lit(batchId).cast("int").as("batch_id"),
-          coalesce(col("e"), lit(0)).as("exact_dup"),
-          coalesce(col("nd"), lit(0)).as("near_dup"))
+          col("e").as("exact_dup"), col("nd").as("near_dup"))
         .withColumn("admitted",
           (col("exact_dup") === 0 && col("near_dup") === 0).cast("int")))
   }

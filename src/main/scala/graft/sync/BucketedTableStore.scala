@@ -181,6 +181,38 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     tableDir(name).resolve(s"_BLOOM.$v")
   private def manifestFile(name: String, v: Int): Path =
     tableDir(name).resolve(s"_MANIFEST.$v")
+  private def schemaFile(name: String): Path = tableDir(name).resolve("_SCHEMA")
+  private def deltaSchemaFile(name: String): Path =
+    tableDir(name).resolve("_DSCHEMA")
+
+  // ---- persisted file schemas -----------------------------------------
+  //
+  // A table's parquet schema is FIXED at writeAll (merges stage the same
+  // target schema; deltas add only the bookkeeping columns), yet every
+  // spark.read.parquet without an explicit schema pays a footer-sampling
+  // inference JOB first. At door scale (the q150/q160/q229 ingest family:
+  // tiny batches, many commits) those inference jobs are a real fraction
+  // of the per-batch fixed cost — each decide re-reads the index, so each
+  // batch pays up to three of them (clean base + dirty base + deltas).
+  // Persisting the schema once per layout (base at writeAll, delta at the
+  // first mergeDelta) and handing it to the reader removes them all.
+  // Stored asNullable: parquet readers bind by name, and a lit()-derived
+  // non-null field must not make the read schema stricter than the files.
+  // A missing file (pre-upgrade table, crash before write) degrades to
+  // inference, never to an error.
+
+  private def writeSchemaFile(f: Path, s: org.apache.spark.sql.types.StructType): Unit =
+    Files.write(f,
+      org.apache.spark.sql.types.StructType(
+        s.fields.map(_.copy(nullable = true))).json.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+
+  private def readSchemaFile(f: Path): Option[org.apache.spark.sql.types.StructType] =
+    if (!Files.exists(f)) None
+    else scala.util.Try(
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
 
   // ---- bucket routing ------------------------------------------------
   //
@@ -730,10 +762,14 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     // single-writer protocol serializes merges), so pinning it here too
     // costs nothing. Same freeze-or-fail contract DedupIngest gives its
     // in-flight probe decisions.
-    def pread(paths: Seq[String]) =
-      spark.read.option("ignoreMissingFiles", "false").parquet(paths: _*)
+    def pread(paths: Seq[String],
+        schema: Option[org.apache.spark.sql.types.StructType]) = {
+      val r = spark.read.option("ignoreMissingFiles", "false")
+      schema.fold(r)(r.schema).parquet(paths: _*)
+    }
+    val baseSchema = readSchemaFile(schemaFile(name))
     val clean =
-      if (cleanPaths.nonEmpty) Some(pread(cleanPaths)) else None
+      if (cleanPaths.nonEmpty) Some(pread(cleanPaths, baseSchema)) else None
     val resolved = if (dirty.nonEmpty) {
       val key = storedKey(name)
       val basePaths = dirty.collect {
@@ -742,10 +778,10 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       val deltaPaths = dirty.flatMap { case (b, s) =>
         s.deltas.map(d => deltaPath(name, b, d).toString)
       }.toSeq
-      val deltas = pread(deltaPaths)
+      val deltas = pread(deltaPaths, readSchemaFile(deltaSchemaFile(name)))
       val layered =
         if (basePaths.isEmpty) deltas
-        else deltas.unionByName(pread(basePaths)
+        else deltas.unionByName(pread(basePaths, baseSchema)
           .withColumn("_seq", lit(-1L)).withColumn("_del", lit(false)))
       // key → bucket is functional, so partitioning by key never mixes
       // buckets; ties are impossible (one row per key per commit)
@@ -936,6 +972,9 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     cleanupDir(staging)
     Files.write(keyFile(name), key.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    // base-file schema = df + _bucket (what partitionBy left in the files);
+    // readers hand it to spark.read and skip footer inference
+    writeSchemaFile(schemaFile(name), sorted.schema)
     commitManifest(name, entries.toMap, base)
   }
 
@@ -1067,13 +1106,29 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     val sk = storedKey(name)
     require(sk == key, s"$name is keyed by '$sk', not '$key'")
     val next = base.get + 1
-    val staged = stage
+    // sidecar work only when the table HAS sidecars: a sidecar-less table
+    // (the ingest doors' fingerprint indexes) pays exactly ONE action per
+    // delta commit — the staged write — and recovers the touched-bucket
+    // set from the staged _bp= directories (a driver-side listing, zero
+    // jobs); the former always-on summary pass was a second shuffle-agg
+    // action per commit that such tables paid for nothing
+    val specs = statsSpecs(name)
+    val bSpecs = bloomSpecs(name)
+    val prevStats =
+      if (specs.isEmpty) None else carriedStats(name, base.get)
+    val prevBloom =
+      if (bSpecs.isEmpty) None else carriedBloom(name, base.get)
+    val needSummary = prevStats.isDefined || prevBloom.isDefined
+    val staged0 = stage
       .withColumn("_bucket", routingCol(name, key, stage))
       .withColumn("_del", col("eventName") === "REMOVE")
       .drop("eventName")
       .withColumn("syncTimestamp", lit(syncTime))
       .withColumn("_seq", lit(next.toLong))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted only when two actions will consume it (summary + write)
+    val staged = if (needSummary)
+      staged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else staged0
     try {
       // ONE pass over the cached staged frame yields the touched-bucket
       // set (unfiltered counts) AND the sidecar widenings (del-guarded)
@@ -1083,23 +1138,27 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       // and OR-widen its blooms (base ∪ delta membership, tombstones
       // keep their bits — false positives only — until compaction
       // rebuilds exactly)
-      val specs = statsSpecs(name)
-      val bSpecs = bloomSpecs(name)
-      val prevStats =
-        if (specs.isEmpty) None else carriedStats(name, base.get)
-      val prevBloom =
-        if (bSpecs.isEmpty) None else carriedBloom(name, base.get)
-      val (addStats, addBloom, counts) = stagedSummary(staged,
-        if (prevStats.isDefined) specs else Nil,
-        if (prevBloom.isDefined) bSpecs else Nil, excludeDel = true)
-      val touched = counts.keySet
-      if (touched.nonEmpty) {
+      val (addStats, addBloom, counts) =
+        if (needSummary) stagedSummary(staged,
+          if (prevStats.isDefined) specs else Nil,
+          if (prevBloom.isDefined) bSpecs else Nil, excludeDel = true)
+        else (Map.empty[Int, Map[String, (String, String)]],
+          Map.empty[Int, Map[String, BloomSide]], Map.empty[Int, Long])
+      if (!needSummary || counts.nonEmpty) {
         val staging = tableDir(name).resolve(s"_dstaging$next")
         val routed = staged.repartition(col("_bucket")) // one file per bucket
         sortBy.fold(routed)(c =>
             routed.sortWithinPartitions(col("_bucket"), col(c)))
           .withColumn("_bp", col("_bucket"))
           .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
+        // no-summary path: the write above just materialized the routing,
+        // so the staged directories ARE the touched set
+        val touched =
+          if (needSummary) counts.keySet
+          else (0 until nBuckets).filter(b =>
+            Files.exists(staging.resolve(s"_bp=$b"))).toSet
+        if (touched.isEmpty) { cleanupDir(staging); return }
+        writeSchemaFile(deltaSchemaFile(name), staged.schema)
         val newStats = prevStats.map(prev => widenStats(specs, prev, addStats))
         val newBloom = prevBloom.map(prev => orBloom(prev, addBloom))
         def stale(): Nothing = {
