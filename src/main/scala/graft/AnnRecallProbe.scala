@@ -71,6 +71,39 @@ object AnnRecallProbe {
         f"walk=${secs}%.1f s")
       spark.stop(); return
     }
+    if (mode == "nlist") {
+      // nlist sizing sweep behind VectorOps.sizedNlist: recall and probe
+      // wall across the cell-count grid, with nprobe at the toy default,
+      // at the √nlist companion rule, and at a constant scanned fraction.
+      // A wider query panel than the 5-query gate (every 16th vector) so
+      // min/mean are meaningful; the quantizer memoizes per (nlist,seed)
+      // so each row pays one train + one probe.
+      val qs = emb.filter(pmod(col("vec_id"), lit(16)) === 0)
+      val exactW = VectorOps.bruteForceTopK(qs, emb, k = 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exactW.count()
+      val n = emb.count()
+      println(s"[nlist-sweep] dir=$dir corpus=$n sizedNlist=" +
+        s"${VectorOps.sizedNlist(n)} sizedNprobe=" +
+        s"${VectorOps.sizedNprobe(VectorOps.sizedNlist(n))}")
+      for {
+        nlist <- Seq(16, 64, 128, 256)
+        nprobe <- Seq(8, VectorOps.sizedNprobe(nlist), nlist / 2).distinct
+          .filter(p => p >= 1 && p <= nlist)
+      } {
+        val t0 = System.nanoTime()
+        val approx = VectorOps.ivfTopK(spark, qs, emb, k = 10,
+          nlist = nlist, nprobe = nprobe, indexKey = Some(dir))
+        val rec = VectorOps.recallAgainst(approx, exactW)
+          .orderBy(col("query_id")).collect().map(_.getDouble(1))
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[nlist-sweep] nlist=$nlist%4d nprobe=$nprobe%3d " +
+          f"frac=${nprobe.toDouble / nlist}%.3f min=${rec.min}%.2f " +
+          f"mean=${rec.sum / rec.length}%.3f  ${secs}%5.1f s")
+      }
+      exactW.unpersist()
+      spark.stop(); return
+    }
     if (mode == "sweep-pq") {
       for {
         m <- Seq(8, 16)

@@ -51,6 +51,18 @@ object AnnIndexCache {
     }
   }
 
+  /** Session marker for memo keys holding SparkContext-bound state
+    * (localCheckpoint RDDs): applicationId + context start time. Those
+    * two identify the CONTEXT the blocks live in, which is exactly the
+    * lifetime that matters — a checkpointed RDD must never be served
+    * into a different context. The former
+    * `System.identityHashCode(spark)` marker was not unique: a session
+    * created after the old one is stopped and GC'd can collide, making
+    * the memo serve an RDD bound to a dead context (a runtime failure
+    * instead of a rebuild). */
+  def sessionMarker(spark: org.apache.spark.sql.SparkSession): String =
+    s"${spark.sparkContext.applicationId}@${spark.sparkContext.startTime.toHexString}"
+
   /** Memoized build: on miss, runs `build`, records its wall-time, caches
     * the result. Thread-safe; concurrent first calls may both build (last
     * write wins — builds are deterministic, so the results are equal). */

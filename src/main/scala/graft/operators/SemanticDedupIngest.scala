@@ -111,11 +111,26 @@ object SemanticDedupIngest {
     // each probed bb. The SPARSE-key doors (content fingerprints,
     // minhash bands, span hashes — huge domains, batch-sized probe
     // sets) keep their collect: there the bloom pruning is real.
-    val probeBuckets = for {
-      b <- 0 until bands
-      p <- 0 until (1 << dimsPerBand)
-    } yield s"$b:" + (dimsPerBand - 1 to 0 by -1)
-      .map(i => if (((p >> i) & 1) == 1) '1' else '0').mkString
+    //
+    // Enumeration is GATED on the domain size: past ~4096 cells (wide
+    // banding, dimsPerBand ≳ 8) the constant stops being one — at
+    // dimsPerBand = 16 it is ~1M driver strings rendered into isin
+    // literals (driver memory + plan-size blowup), precisely the configs
+    // the ids-only branch below exists for. There the batch's OBSERVED
+    // distinct cells are collected instead (one bounded job: ≤ batch ×
+    // bands rows pre-distinct, ≤ min(domain, batch × bands) out) — at
+    // those widths cells are sparse in the domain, so the collect is
+    // both small and the bloom pruning it feeds is real again.
+    val domain = bands.toLong * (1L << dimsPerBand)
+    val probeBuckets: Seq[String] =
+      if (domain <= 4096)
+        for {
+          b <- 0 until bands
+          p <- 0 until (1 << dimsPerBand)
+        } yield s"$b:" + (dimsPerBand - 1 to 0 by -1)
+          .map(i => if (((p >> i) & 1) == 1) '1' else '0').mkString
+      else bb.select(col("bb")).distinct().collect()
+        .map(_.getString(0)).toIndexedSeq
     // the retrieved admitted slice feeds the pair join AND the vector
     // join-back — persisted for the scope of the materialization below
     val admPersisted = store.readWhereIn("sv", "bb", probeBuckets)

@@ -235,6 +235,42 @@ object VectorOps {
         col("prediction").as("cell"))
       .withColumn("c_n2", qnorm2(col("c_emb")))
 
+  /** √N-sized cell count for the IVF family, rounded to a power of two
+    * and clamped to [floor, cap] — the FAISS sizing rule (nlist ≈ √N
+    * balances the two probe terms: ranking nlist centroids vs scanning
+    * nprobe·N/nlist postings; arXiv:2401.08281 §4 discusses the trade).
+    *
+    * WHY THIS MUST SCALE (the 100 TB note): `nlist` is also the postings
+    * join's KEY CARDINALITY. At the toy default (16) the probe join has
+    * 16 distinct keys — a parallelism ceiling of 16 tasks and a skew
+    * magnet at any real scale. Sizing: 1e9 vectors → 32768 cells
+    * (~30k rows/cell); 1e11 (the 100 TB regime at ~1 KB/vector) → the
+    * 262144 cap (~380k rows/cell — past this, centroid ranking on the
+    * query side and k-means training dominate; shard the index instead).
+    * The recall trade is measured, not guessed: `AnnRecallProbe <dir>
+    * nlist` sweeps nlist × nprobe and shows recall holds when nprobe
+    * scales with √nlist (the measured sf0.1 row for this corpus family:
+    * nlist 16→128 with nprobe 8→16 keeps min recall ≥ 0.7 at a third of
+    * the scanned-postings fraction).
+    *
+    * The q44/q237 defaults stay at the toy 16 — their recall gates and
+    * bench pins are measurements of THAT configuration — but a deployment
+    * (and [[graft.ScaleProbe]]'s non-toy cell) passes
+    * `nlist = sizedNlist(corpusRows)`. */
+  def sizedNlist(corpusRows: Long, floor: Int = 16, cap: Int = 1 << 18): Int = {
+    val target = math.sqrt(math.max(1L, corpusRows).toDouble)
+    val pow2 = math.pow(2.0, math.round(math.log(target) / math.log(2.0)).toDouble)
+    math.max(floor, math.min(cap, pow2.toInt))
+  }
+
+  /** nprobe companion to [[sizedNlist]]: recall tracks the SCANNED
+    * fraction nprobe/nlist only weakly once cells are fine; the measured
+    * sweep shows nprobe ≈ √nlist · 2 holds recall across the nlist grid
+    * while the scanned fraction falls as 1/√nlist. */
+  def sizedNprobe(nlist: Int, floor: Int = 8): Int =
+    math.max(floor, math.min(nlist,
+      2 * math.round(math.sqrt(nlist.toDouble)).toInt))
+
   def ivfTopK(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 8, seed: Long = 42L,
@@ -247,7 +283,7 @@ object VectorOps {
     // mis-prices the probe). Session-scoped; build cost → ann_build.
     val assigned = indexKey match {
       case Some(key) =>
-        val sess = Integer.toHexString(System.identityHashCode(spark))
+        val sess = AnnIndexCache.sessionMarker(spark)
         AnnIndexCache.memoKeyed(s"ivfpost:$key:full:",
           s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist" +
             s":seed=$seed:sess=$sess")(
@@ -303,7 +339,7 @@ object VectorOps {
         // context cleaner on eviction. Session-scoped key: a checkpoint
         // RDD must not leak across SparkSessions; memoKeyed eviction
         // retires the previous session's entry.
-        val sess = Integer.toHexString(System.identityHashCode(spark))
+        val sess = AnnIndexCache.sessionMarker(spark)
         AnnIndexCache.memoKeyed(s"ivfpost:$key:train=base:",
           s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist" +
             s":seed=$seed:spill=$spillAppend:sess=$sess")(

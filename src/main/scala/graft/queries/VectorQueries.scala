@@ -1303,10 +1303,12 @@ object VectorQueries {
   // q44's): plain append sf0.001/0.01/0.1 = 0.8/0.8/0.6; WITH spill
   // 0.9/0.8/0.7 — the sf0.1 drift price fully recovered to full-corpus
   // IVF's floor, at |append| extra posting rows. Gate: tight 0.75 at
-  // the sf0.01 correctness gate, 0.7 floor elsewhere (zero headroom on
-  // the measured min, safe for the same layout-determinism reason as
-  // q44's 0.7-at-0.7 gates; re-measure on any Spark/JVM upgrade per
-  // the recallBound scaladoc).
+  // the sf0.01 correctness gate, 0.65 floor elsewhere — a 0.05 margin
+  // under the measured sf0.1 minimum (0.7 with spillAppend = 2), so a
+  // layout/partitioning drift (Spark/JVM upgrade, cpu-count-sensitive
+  // plan change) degrades the gate gracefully instead of flaking at
+  // exactly the threshold; re-measure on any upgrade per the
+  // recallBound scaladoc.
   def q237AnnIndexAppend(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val base = emb.filter(pmod(col("vec_id"), lit(4)) =!= 3)
@@ -1317,7 +1319,7 @@ object VectorQueries {
       VectorOps.ivfTopKAppend(spark, q, base, appendBatch, k = 10,
         indexKey = Some(dir), spillAppend = 2), exact)
       .select(col("query_id"),
-        (col("recall") >= recallBound(dir, 0.75, 0.7)).cast("int")
+        (col("recall") >= recallBound(dir, 0.75, 0.65)).cast("int")
           .as("recall_ok"))
       .orderBy(col("query_id").asc)
   }
@@ -1414,7 +1416,7 @@ object VectorQueries {
       // localCheckpoints keyed by dataset version + session: repeat
       // calls pay the walk and the eval leg, never the index build;
       // build cost lands in ann_build via AnnIndexCache.buildSeconds.
-      val annSess = Integer.toHexString(System.identityHashCode(spark))
+      val annSess = graft.operators.AnnIndexCache.sessionMarker(spark)
       val annVer = graft.operators.AnnIndexCache.datasetVersion(dir)
       val corpusBands = graft.operators.AnnIndexCache.memoKeyed(
         s"gann:$dir:cells:", s"v=$annVer:sess=$annSess")(

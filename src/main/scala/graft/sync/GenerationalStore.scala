@@ -71,11 +71,27 @@ final class GenerationalStore(spark: SparkSession, root: String,
     * creates its table ([[BucketedTableStore.writeAll]]); later commits
     * in the same window delta-merge (INSERT upserts, idempotent under
     * re-application — the same replay posture as the single-table
-    * doors). */
+    * doors).
+    *
+    * Writer contract: SINGLE WRITER per store, like every other store
+    * verb here (the doors' sequential protocol enforces it by
+    * construction). The one seam that differs from [[BucketedTableStore
+    * .mergeDelta]] is a brand-new generation's FIRST commit: two racing
+    * writers would both see the generation empty and both take the
+    * writeAll path. The store's manifest CAS still refuses the loser
+    * (writeAll commits conditionally on the manifest it read), and this
+    * verb then RETRIES the loser's rows through applyMerge against the
+    * winner's table — so even under a protocol violation the append is
+    * upserted, never silently lost. */
   def append(table: String, df: DataFrame, key: String, ts: Timestamp): Unit = {
     val st = storeOf(genOf(ts))
     if (st.read(table).isEmpty)
-      st.writeAll(table, df.withColumn("syncTimestamp", lit(ts)), key)
+      try st.writeAll(table, df.withColumn("syncTimestamp", lit(ts)), key)
+      catch {
+        case _: java.util.ConcurrentModificationException =>
+          st.applyMerge(table,
+            df.withColumn("eventName", lit("INSERT")), key, ts)
+      }
     else
       st.applyMerge(table,
         df.withColumn("eventName", lit("INSERT")), key, ts)
