@@ -232,6 +232,41 @@ object ScaleProbe {
         java.nio.file.Paths.get(root))
     }
 
+    // √N-sized IVF cells (VectorOps.sizedNlist — 32 cells at sf0.1's 2k
+    // vectors, 128 at sf1's 20k) at nprobe = nlist/2, the measured
+    // constant-fraction setting where recall IMPROVES with nlist. These
+    // are the non-toy-nlist gates: each cell ASSERTS mean recall@10 over
+    // the wide query panel before returning, so a sizing regression
+    // fails the probe loudly instead of shipping a fast wrong index.
+    // Floors sit under the sweep's measured means (sf0.1: 0.92 at
+    // nlist 64-class sizing; sf1: 0.93 full / unmeasured append) with
+    // explicit margin; the append cell reuses q237's base/append split.
+    def ivfSized(dir: String, append: Boolean, floor: Double): DataFrame = {
+      import graft.operators.VectorOps
+      val emb = graft.tables.Tables.embeddings(spark, dir)
+      val nlist = VectorOps.sizedNlist(emb.count())
+      val nprobe = math.max(1, nlist / 2)
+      val qs = emb.filter(pmod(col("vec_id"), lit(16)) === 0)
+      val exact = VectorOps.bruteForceTopK(qs, emb, k = 10)
+      val approx =
+        if (append) VectorOps.ivfTopKAppend(spark, qs,
+          emb.filter(pmod(col("vec_id"), lit(4)) =!= 3),
+          emb.filter(pmod(col("vec_id"), lit(4)) === 3), k = 10,
+          nlist = nlist, nprobe = nprobe, indexKey = Some(dir),
+          spillAppend = 2)
+        else VectorOps.ivfTopK(spark, qs, emb, k = 10,
+          nlist = nlist, nprobe = nprobe, indexKey = Some(dir))
+      val rec = VectorOps.recallAgainst(approx, exact)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mean = rec.agg(avg(col("recall"))).first().getDouble(0)
+      val tag = if (append) "append" else "full"
+      println(f"[scale] ivf-sized($tag) $dir nlist=$nlist nprobe=$nprobe " +
+        f"mean-recall=$mean%.3f (floor $floor)")
+      require(mean >= floor,
+        f"sized-nlist IVF ($tag) mean recall $mean%.3f < $floor floor at $dir")
+      rec
+    }
+
     val cells: Seq[(String, String, () => DataFrame)] =
       (for {
         (label, dir) <- Seq("sf0.1" -> src, "sf1" -> sf1)
@@ -248,7 +283,15 @@ object ScaleProbe {
           ("sf0.1", "q242_graph_walk", () =>
             SparkEntry.queries("q242_graph_ann_search")(spark, src)),
           ("sf1", "q242_scaled_panel", () => graft.queries.VectorQueries
-            .q242GraphAnnSearch(spark, sf1, hops = 3, queryMod = 160)))
+            .q242GraphAnnSearch(spark, sf1, hops = 3, queryMod = 160)),
+          ("sf0.1", "q44_sized_nlist", () => ivfSized(src, append = false,
+            floor = 0.85)),
+          ("sf1", "q44_sized_nlist", () => ivfSized(sf1, append = false,
+            floor = 0.85)),
+          ("sf0.1", "q237_sized_nlist", () => ivfSized(src, append = true,
+            floor = 0.70)),
+          ("sf1", "q237_sized_nlist", () => ivfSized(sf1, append = true,
+            floor = 0.70)))
 
     val results = cells.map { case (label, name, fn) =>
       val runs = (1 to 2).map { _ =>

@@ -34,12 +34,27 @@ object MultimodalOps {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("media"))
 
+  /** Decoder seam: anything that maps (kind, payload bytes) →
+    * (width, height, frames, contentHash). Implementations must be
+    * Serializable (instances ship to executors inside the mapPartitions
+    * closure) and cheap to construct — heavyweight native handles belong
+    * in a lazy per-partition field, not the constructor. Two impls ship:
+    * [[StubCodec]] (deterministic md5-derived fake — the ORACLE codec:
+    * cross-engine-checkable, so q46's driver gate stays meaningful) and
+    * [[HeaderCodec]] (a pure-JVM real parser for JPEG/PNG headers —
+    * the path a user with actual image bytes starts from; full pixel
+    * decodes slot in the same way, the container just ships no codec
+    * libraries to bind). */
+  trait MediaCodec extends Serializable {
+    def decode(kind: String, media: Array[Byte]): (Int, Int, Int, Long)
+  }
+
   /** ======= STUB CODEC =======
     * Stands in for an image/audio decoder. Deterministic pure function of
     * the payload bytes so tests and driver checks are stable. A real
     * implementation would decode dimensions/duration and produce pixel or
     * PCM feature tensors here. */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     /** Returns (width, height, frames, contentHash) — the hash doubles as
       * the checksum so callers don't rescan the payload. The hash is the
       * first 60 bits of md5 (not fnv) so the whole decode is expressible
@@ -56,16 +71,75 @@ object MultimodalOps {
     }
   }
 
+  /** ======= REAL-HEADER CODEC =======
+    * Pure-JVM parser for actual image container headers — PNG (IHDR
+    * width/height, big-endian, after the 8-byte signature) and JPEG
+    * (height/width from the first SOF0-SOF15 frame marker, skipping
+    * APPn/quantization segments by their big-endian lengths). Payloads
+    * that are neither (or truncated) fall back to the [[StubCodec]]
+    * geometry so mixed corpora decode without a partial-batch failure;
+    * the checksum stays the shared md5 kernel either way (content
+    * identity is codec-independent). Frames: 1 for stills, the stub's
+    * length-derived count for video (no container parser here). */
+  object HeaderCodec extends MediaCodec {
+    private def be16(a: Array[Byte], i: Int): Int =
+      ((a(i) & 0xff) << 8) | (a(i + 1) & 0xff)
+    private def be32(a: Array[Byte], i: Int): Int =
+      ((a(i) & 0xff) << 24) | ((a(i + 1) & 0xff) << 16) |
+        ((a(i + 2) & 0xff) << 8) | (a(i + 3) & 0xff)
+
+    /** (width, height) when `media` opens a well-formed PNG/JPEG. */
+    def imageDims(media: Array[Byte]): Option[(Int, Int)] = {
+      val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      if (media.length >= 24 && media.take(8).sameElements(png) &&
+          new String(media.slice(12, 16), "US-ASCII") == "IHDR")
+        Some((be32(media, 16), be32(media, 20)))
+      else if (media.length >= 4 &&
+          (media(0) & 0xff) == 0xff && (media(1) & 0xff) == 0xd8) {
+        // walk JPEG segments: FF <marker> <len16 incl itself> ... until a
+        // start-of-frame marker (C0-CF minus C4/C8/CC) carries the dims
+        var i = 2
+        while (i + 3 < media.length) {
+          if ((media(i) & 0xff) != 0xff) return None // desynced: not a marker
+          val m = media(i + 1) & 0xff
+          if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+          else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
+          else {
+            val len = be16(media, i + 2)
+            if (len < 2 || i + 2 + len > media.length) return None
+            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              if (len < 7) return None
+              return Some((be16(media, i + 7), be16(media, i + 5)))
+            }
+            i += 2 + len
+          }
+        }
+        None
+      } else None
+    }
+
+    def decode(kind: String, media: Array[Byte]): (Int, Int, Int, Long) = {
+      val h = graft.functions.HashKernels.md5Top60(media)
+      imageDims(media) match {
+        case Some((w, ht)) => (w, ht, 1, h)
+        case None => StubCodec.decode(kind, media)
+      }
+    }
+  }
+
   /** Per-partition batch decode: one codec instance per partition (the
     * shape a JNI/native decoder needs — init once, stream the batch
-    * through). No shuffle; runs scan→decode→project in one stage. */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    * through). No shuffle; runs scan→decode→project in one stage.
+    * `codec` defaults to the oracle stub (q46's cross-engine gate);
+    * deployments pass [[HeaderCodec]] or their own [[MediaCodec]]. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame,
+      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("kind"), col("media")).as[MediaRow]
       .mapPartitions { rows =>
         // per-partition init would go here (codec handle, model weights)
         rows.map { r =>
-          val (w, h, f, checksum) = StubCodec.decode(r.kind, r.media)
+          val (w, h, f, checksum) = codec.decode(r.kind, r.media)
           MediaFeatures(r.doc_id, r.kind, r.media.length, w, h, f, checksum)
         }
       }

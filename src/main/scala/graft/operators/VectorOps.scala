@@ -247,26 +247,33 @@ object VectorOps {
     * (~30k rows/cell); 1e11 (the 100 TB regime at ~1 KB/vector) → the
     * 262144 cap (~380k rows/cell — past this, centroid ranking on the
     * query side and k-means training dominate; shard the index instead).
-    * The recall trade is measured, not guessed: `AnnRecallProbe <dir>
-    * nlist` sweeps nlist × nprobe and shows recall holds when nprobe
-    * scales with √nlist (the measured sf0.1 row for this corpus family:
-    * nlist 16→128 with nprobe 8→16 keeps min recall ≥ 0.7 at a third of
-    * the scanned-postings fraction).
+    * The recall trade is measured, not guessed (`AnnRecallProbe <dir>
+    * nlist` sweeps nlist × nprobe on the wide query panel): at a CONSTANT
+    * scanned fraction nprobe/nlist = 0.5, growing nlist only IMPROVES
+    * recall@10 — mean 0.82→0.92→0.96→0.99 across nlist 16/64/128/256 at
+    * sf0.1 (2k vectors), 0.82→0.91→0.93→0.96 on the derived sf1 (20k) —
+    * finer cells discard less of the true neighborhood per unprobed
+    * cell. So √N sizing costs nothing at matched cost, and any
+    * nprobe < nlist/2 is a pure cost/recall dial: the [[sizedNprobe]]
+    * line (2√nlist, scanned fraction ∝ 1/√nlist) measured mean 0.72/0.74/
+    * 0.73 (sf0.1) and 0.71/0.63/0.63 (sf1) across nlist 64/128/256.
     *
     * The q44/q237 defaults stay at the toy 16 — their recall gates and
     * bench pins are measurements of THAT configuration — but a deployment
-    * (and [[graft.ScaleProbe]]'s non-toy cell) passes
-    * `nlist = sizedNlist(corpusRows)`. */
+    * (and [[graft.ScaleProbe]]'s sized cells, which gate mean recall at
+    * nprobe = nlist/2) passes `nlist = sizedNlist(corpusRows)`. */
   def sizedNlist(corpusRows: Long, floor: Int = 16, cap: Int = 1 << 18): Int = {
     val target = math.sqrt(math.max(1L, corpusRows).toDouble)
     val pow2 = math.pow(2.0, math.round(math.log(target) / math.log(2.0)).toDouble)
     math.max(floor, math.min(cap, pow2.toInt))
   }
 
-  /** nprobe companion to [[sizedNlist]]: recall tracks the SCANNED
-    * fraction nprobe/nlist only weakly once cells are fine; the measured
-    * sweep shows nprobe ≈ √nlist · 2 holds recall across the nlist grid
-    * while the scanned fraction falls as 1/√nlist. */
+  /** nprobe companion to [[sizedNlist]]: the measured cost knee, NOT a
+    * recall guarantee — at nprobe ≈ 2√nlist the scanned fraction falls
+    * as 1/√nlist while mean recall@10 degrades slowly (0.72→0.73 across
+    * the sf0.1 grid, 0.71→0.63 at sf1; see [[sizedNlist]] for the full
+    * sweep). A deployment with a recall target raises nprobe toward
+    * nlist/2, where the sweep measured ≥ 0.91 mean everywhere. */
   def sizedNprobe(nlist: Int, floor: Int = 8): Int =
     math.max(floor, math.min(nlist,
       2 * math.round(math.sqrt(nlist.toDouble)).toInt))

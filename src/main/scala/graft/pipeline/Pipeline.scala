@@ -42,18 +42,22 @@ final class Pipeline(spark: SparkSession, storeRoot: String,
     retainStates: Option[Int] = None,
     deltaMerges: Boolean = false,
     autoCompactAfter: Int = 8,
-    maxFilesPerSync: Option[Int] = None) {
+    maxFilesPerSync: Option[Int] = None,
+    // explicit sink override — the seam a warehouse deployment plugs
+    // [[graft.sync.JdbcTableStore]] into (the reference's Redshift
+    // target); when set, nBuckets/deltaMerges are ignored
+    storeImpl: Option[SyncStore] = None) {
 
   // merge-on-read exists only on the bucketed store: silently dropping
   // the flag would hand a high-frequency-CDC config O(table) whole-table
   // rewrites per sync while the operator believes delta commits are on
   require(!deltaMerges || nBuckets.nonEmpty,
     "deltaMerges requires a bucketed store - pass nBuckets")
-  val store: SyncStore = nBuckets match {
+  val store: SyncStore = storeImpl.getOrElse(nBuckets match {
     case Some(n) =>
       new BucketedTableStore(spark, storeRoot, n, deltaMerges, autoCompactAfter)
     case None => new TableStore(spark, storeRoot)
-  }
+  })
 
   private val entityKeys: Map[String, String] =
     Merge.entities.map(e => e.name -> e.keyCol).toMap

@@ -349,6 +349,55 @@ class PipelineSpec extends SparkSpec {
     assert(mor == plain, "merge-on-read store must produce identical tables")
   }
 
+  test("JDBC sink pipeline matches the snapshot store pipeline exactly") {
+    // The reference's actual deployment target is a warehouse reached over
+    // JDBC (Redshift; ref sql/create_target_tables.sql:1-37) — run the
+    // same insert/modify/remove/stale-drop scenario as the parity test
+    // above through graft.sync.JdbcTableStore against an in-JVM Derby and
+    // require identical final tables: the store's DELETE-using + INSERT
+    // transaction must reproduce Merge.applyStage to the row.
+    def run(storeImpl: Option[graft.sync.SyncStore], tag: String)
+        : Map[String, Seq[String]] = {
+      val gen = new CdcGen.Gen(11)
+      val exportDir = tmpDir(s"jexport-$tag")
+      val cdcDir = tmpDir(s"jcdc-$tag")
+      val ckptDir = tmpDir(s"jckpt-$tag")
+      val storeRoot = tmpDir(s"jstore-$tag")
+      val m0 = gen.member(); val q0 = gen.quest()
+      val mq0 = gen.memberQuest(m0.pk.stripPrefix("M_"), q0.pk.stripPrefix("Q_"))
+      writeLines(exportDir, "data.json", Seq(m0, q0, mq0).map(gen.exportLine))
+      var clock = t0
+      val pipeline = new Pipeline(spark, storeRoot, () => new Timestamp(clock),
+        storeImpl = storeImpl)
+      pipeline.initialLoad(exportDir)
+      val m1 = gen.member()
+      val mq1 = gen.memberQuest(m1.pk.stripPrefix("M_"), q0.pk.stripPrefix("Q_"))
+      writeLines(cdcDir, "batch1.json", Seq(
+        gen.envelope("INSERT", m1, t0 + 10000),
+        gen.envelope("INSERT", mq1, t0 + 12000)))
+      clock = t0 + 60000
+      pipeline.syncAvailable(cdcDir, ckptDir)
+      val mq1Mod = mq1.copy(attrs = mq1.attrs + ("dollarsEarned" -> Right(55.55)))
+      writeLines(cdcDir, "batch2.json", Seq(
+        gen.envelope("MODIFY", mq1Mod, t0 + 70000),
+        gen.envelope("REMOVE", m0, t0 + 71000),
+        gen.envelope("INSERT", gen.member(), t0 - 5000))) // stale → dropped
+      clock = t0 + 120000
+      pipeline.syncAvailable(cdcDir, ckptDir)
+      Seq("member", "quest", "member_quest").map { t =>
+        val df = pipeline.table(t)
+        t -> df.select(df.columns.sorted.map(col).toIndexedSeq: _*)
+          .collect().map(_.mkString("|")).toSeq.sorted
+      }.toMap
+    }
+    val parquet = run(None, "parquet")
+    val jdbc = run(Some(new graft.sync.JdbcTableStore(spark,
+      s"jdbc:derby:memory:graftjdbc${System.nanoTime()};create=true",
+      "org.apache.derby.jdbc.EmbeddedDriver")), "jdbc")
+    assert(parquet("member").nonEmpty && parquet("member_quest").nonEmpty)
+    assert(jdbc == parquet, "JDBC sink must produce identical tables")
+  }
+
   test("rate-limited backfill drains a backlog in bounded micro-batches") {
     // Outage-replay scenario: a 12-file CDC backlog is waiting when the
     // sync starts. Uncapped, the file source delivers it as ONE
