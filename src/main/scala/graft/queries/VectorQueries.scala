@@ -1332,10 +1332,11 @@ object VectorQueries {
   // based ones. The corpus-resident structure is the degree-4 kNN graph
   // (built once, q152's integer-deterministic machinery); a query is
   // ROUTED IN through its own SRP band buckets PLUS, per band, the 4
-  // buckets at Hamming distance 1 (LSH multi-probe at the door —
-  // query-side only, the corpus cells are untouched) and then
+  // buckets at Hamming distance 1 AND the 6 at distance 2 (two rounds of
+  // LSH multi-probe at the door — query-side only, the corpus cells are
+  // untouched) and then
   // runs HOPS = 3 rounds of {expand frontier along graph edges} →
-  // {score candidates by exact quantized cosine} → {keep BEAM = 12 best
+  // {score candidates by exact quantized cosine} → {keep BEAM = 32 best
   // per query} — the LSH-entry + graph-refine walk (a flat NSW search;
   // fixed global entries strand queries in a band-clustered graph's
   // islands, measured recall 0.05 — routing by the query's cells is
@@ -1359,15 +1360,17 @@ object VectorQueries {
   // gate recall flags instead of replaying results).
   // Measured quality at sf0.1 (125 queries × 2000 vectors, a smooth
   // cosine continuum with p99 ≈ 0.29 vs top-3 ≈ 0.37 — near-tie-dense):
-  // set-recall@3 mean 0.73, cosine-MASS ratio vs exact top-3 0.97 mean
-  // / 0.93 p10; sf0.001/sf0.01 both 1.00/1.00 (AnnRecallProbe `graph`
-  // mode; GraphAnnSpec gates it). Round-15 decomposition of the climb
-  // from 0.53: +0.00 from a second transposed SRP entry view (dropped),
-  // +0.07 from Hamming-1 multi-probe entries, +0.08 from the
-  // coverage+symmetry graph build, +0.04 from beam 8→12; hops 3→4
-  // measured +0.00. Earlier non-levers still hold: NN-descent edges,
-  // degree 8, recall@10 framing — ±0.03. Hop gains are PROVABLY
-  // monotone (each frontier contains the previous beam).
+  // set-recall@3 mean 0.86 / min 0.33, cosine-MASS ratio vs exact top-3
+  // 0.99 mean / 0.95 p10; sf0.001/sf0.01 both 1.00/1.00 (AnnRecallProbe
+  // `graph` mode; GraphAnnSpec gates it). Round-16 decomposition of the
+  // climb from 0.73: +0.02 beam 12→16, +0.02 Hamming-2 entry probes
+  // (the second nomination round), +0.05 beam 24→32 cumulative with the
+  // probes, +0.05 degree 4→6 — the degree lever REOPENS at wide beams
+  // (r15 measured degree ±0.03 at beam 12: a narrow beam couldn't
+  // absorb the wider frontier). Round-15 levers still hold underneath:
+  // +0.07 Hamming-1 probes, +0.08 coverage+symmetry build, +0.04 beam
+  // 8→12; hops 3→4 measured +0.00 then and stays a non-lever. Hop gains
+  // are PROVABLY monotone (each frontier contains the previous beam).
   def q242GraphAnnSearch(spark: SparkSession, dir: String): DataFrame =
     q242GraphAnnSearch(spark, dir, hops = 3)
 
@@ -1380,7 +1383,7 @@ object VectorQueries {
     * growing quadratically with the corpus. */
   private[graft] def q242GraphAnnSearch(spark: SparkSession, dir: String,
       hops: Int, queryMod: Int = 16): DataFrame = {
-    val Beam = 12; val Hops = hops; val Degree = 4
+    val Beam = 32; val Hops = hops; val Degree = 6
     val emb = Tables.embeddings(spark, dir)
     val e = emb.repartition(col("vec_id"))
       .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("q"))
@@ -1439,13 +1442,19 @@ object VectorQueries {
       val qe = e.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
         .select(col("vec_id").as("qid"), col("q"))
       val qBands = bandsOf(qe, "qid")
-      val flip = (j: Int) => concat(
-        substring(col("bucket"), 1, j - 1),
-        when(substring(col("bucket"), j, 1) === "1", lit("0"))
-          .otherwise(lit("1")),
-        substring(col("bucket"), j + 1, 4 - j))
+      // flip the bit set J ⊆ positions: Hamming-1 probes are the four
+      // singletons, Hamming-2 the six pairs (round 16 — the second
+      // entry-nomination round; gains measured in GraphAnnSpec/probe)
+      val flipSet = (js: Set[Int]) => concat((1 to 4).map { j =>
+        if (js(j))
+          when(substring(col("bucket"), j, 1) === "1", lit("0"))
+            .otherwise(lit("1"))
+        else substring(col("bucket"), j, 1)
+      }: _*)
+      val h1 = (1 to 4).map(j => flipSet(Set(j)))
+      val h2 = (for { a <- 1 to 4; b <- (a + 1) to 4 } yield flipSet(Set(a, b)))
       val qProbes = qBands.select(col("qid"), col("band"),
-        explode(array(col("bucket") +: (1 to 4).map(flip): _*)).as("bucket"))
+        explode(array((col("bucket") +: h1) ++ h2: _*)).as("bucket"))
       val entries = qProbes
         .join(corpusBands, Seq("band", "bucket"))
         .select(col("qid"), col("vec_id").as("cand"))
@@ -1590,7 +1599,7 @@ object VectorQueries {
         SELECT query_id, neighbor_id, row_number() OVER
           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
           AS rank
-        FROM gscored) r WHERE rank <= 4),
+        FROM gscored) r WHERE rank <= 6),
     edges AS (
       SELECT query_id AS src, neighbor_id AS dst FROM gknn
       UNION
@@ -1606,6 +1615,19 @@ object VectorQueries {
                    THEN '0' ELSE '1' END) ||
              substr(b.bucket, j.j + 1, 4 - j.j) AS bucket
       FROM bands b CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j) j
+      WHERE b.vec_id % 16 = 0
+      UNION
+      SELECT b.vec_id, b.band,
+             array_to_string(list_transform(generate_series(1, 4),
+               i -> CASE WHEN i = p.j1 OR i = p.j2
+                    THEN (CASE WHEN substr(b.bucket, i, 1) = '1'
+                          THEN '0' ELSE '1' END)
+                    ELSE substr(b.bucket, i, 1) END), '') AS bucket
+      FROM bands b CROSS JOIN (
+        SELECT a.j AS j1, c.j AS j2
+        FROM (SELECT unnest(generate_series(1, 4)) AS j) a,
+             (SELECT unnest(generate_series(1, 4)) AS j) c
+        WHERE a.j < c.j) p
       WHERE b.vec_id % 16 = 0),
     entries AS (
       SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS cand
@@ -1621,8 +1643,8 @@ object VectorQueries {
         FROM entries en JOIN qset qs ON qs.qid = en.qid
           JOIN n c ON c.vec_id = en.cand) s
       QUALIFY row_number() OVER (PARTITION BY qid
-        ORDER BY cosine DESC, cand ASC) <= 12),
-    ${hopCtes(3, 12)},
+        ORDER BY cosine DESC, cand ASC) <= 32),
+    ${hopCtes(3, 32)},
     exact AS (
       SELECT qid, cand FROM (
         SELECT qs.qid, c.vec_id AS cand,
