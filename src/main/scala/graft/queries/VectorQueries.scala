@@ -1560,6 +1560,172 @@ object VectorQueries {
         .localCheckpoint()
     } finally { e.unpersist(blocking = false); () }
   }
+
+  // -------------------------------------------------------------------
+  // q245 — INCREMENTAL graph-ANN maintenance: q242's kNN graph rebuilt
+  // NOTHING when a batch arrives. The corpus splits base (vec_id%4≠3) /
+  // append (%4=3, q237's add-after-train split); the base graph — its
+  // capped cells and its symmetrized top-Degree edges — is built once
+  // and FROZEN (generation 0 of the index state), and the append batch
+  // rides in exactly the way a vertex joins an NSW graph:
+  //   1. LSH-ROUTED NOMINATION: each appended vector probes the frozen
+  //      base cells AND the append batch's own capped cells through its
+  //      UNCAPPED band rows (the q160-door join shape — hot cells cost
+  //      |append|·cap, never |append|²), so candidates come from both
+  //      the standing corpus and the batch itself;
+  //   2. exact quantized re-rank → the appended node's top-Degree OUT
+  //      edges;
+  //   3. LOCAL SYMMETRIZATION: those edges run both ways (the reverse
+  //      legs are what make the new node REACHABLE from the old graph —
+  //      the q242 island lesson applied incrementally). Base nodes'
+  //      own edge lists are never recomputed, re-scored, or rewritten.
+  // The edge state is GENERATIONAL: base edges and the append delta are
+  // separate memoized artifacts (separate memo families, the in-memory
+  // image of one GenerationalStore table per batch window — retiring a
+  // batch would drop its delta as metadata); the serving walk reads
+  // their union. Walk, entries (H1+H2 multi-probe), beam, and eval are
+  // q242's verbatim, over the union graph and the union cell map.
+  // Fully deterministic like q242 (integer dots, id tiebreaks), so the
+  // ENTIRE append protocol — frozen build, nominations, re-rank,
+  // symmetrization, walk — hash-checks against the DuckDB oracle.
+  // Measured (AnnRecallProbe-equivalent eval rides the result): the
+  // GraphAnnSpec gate requires the append-maintained graph's recall to
+  // hold the full-rebuild floor.
+  def q245GraphAnnAppend(spark: SparkSession, dir: String): DataFrame = {
+    val Beam = 32; val Hops = 3; val Degree = 6
+    val emb = Tables.embeddings(spark, dir)
+    val e = emb.repartition(col("vec_id"))
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("q"))
+      .withColumn("n2", VectorOps.qnorm2(col("q")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def bandsOf(df: DataFrame): DataFrame = {
+        val bandStructs = (0 until 16).map { b =>
+          val bits = concat((1 to 4).map(i =>
+            when(element_at(col("q"), b * 4 + i) > 0, lit("1"))
+              .otherwise(lit("0"))): _*)
+          struct(lit(b).as("band"), bits.as("bucket"))
+        }
+        df.select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+          .select(col("vec_id"), col("bb.band").as("band"),
+            col("bb.bucket").as("bucket"))
+      }
+      def capCells(bandRows: DataFrame): DataFrame = bandRows
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("band"), col("bucket"))
+            .orderBy(col("vec_id").asc)))
+        .filter(col("rn") <= 64).drop("rn")
+      def topEdges(cand: DataFrame): DataFrame = {
+        val knn = VectorOps.topKByQuery(
+          cand
+            .join(e.select(col("vec_id").as("query_id"), col("q").as("qa"),
+              col("n2").as("na")), Seq("query_id"))
+            .join(e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+              col("n2").as("nb")), Seq("neighbor_id"))
+            .withColumn("cosine", VectorOps.cosineFromParts(
+              VectorOps.qdot(col("qa"), col("qb")), col("na"), col("nb")))
+            .select(col("query_id"), col("neighbor_id"), col("cosine")), Degree)
+        knn.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+          .unionByName(knn
+            .select(col("neighbor_id").as("src"), col("query_id").as("dst")))
+          .distinct()
+      }
+      val isApp = pmod(col("vec_id"), lit(4)) === 3
+      val annSess = graft.operators.AnnIndexCache.sessionMarker(spark)
+      val annVer = graft.operators.AnnIndexCache.datasetVersion(dir)
+      // generation 0: the frozen base graph (cells + edges)
+      val baseCells = graft.operators.AnnIndexCache.memoKeyed(
+        s"gannb:$dir:cells:", s"v=$annVer:sess=$annSess")(
+        capCells(bandsOf(e.filter(!isApp))).localCheckpoint(true))
+      val baseEdges = graft.operators.AnnIndexCache.memoKeyed(
+        s"gannb:$dir:edges:", s"v=$annVer:deg=$Degree:sess=$annSess")(
+        topEdges(bandsOf(e.filter(!isApp)).as("a")
+          .join(baseCells.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("query_id"),
+            col("b.vec_id").as("neighbor_id"))
+          .distinct()).localCheckpoint(true))
+      // generation 1: the append batch's cells + edge delta — built
+      // against the FROZEN generation 0, never mutating it
+      val appCells = graft.operators.AnnIndexCache.memoKeyed(
+        s"ganna:$dir:cells:", s"v=$annVer:sess=$annSess")(
+        capCells(bandsOf(e.filter(isApp))).localCheckpoint(true))
+      val appEdges = graft.operators.AnnIndexCache.memoKeyed(
+        s"ganna:$dir:edges:", s"v=$annVer:deg=$Degree:sess=$annSess")(
+        topEdges(bandsOf(e.filter(isApp)).as("a")
+          .join(baseCells.unionByName(appCells).as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("query_id"),
+            col("b.vec_id").as("neighbor_id"))
+          .distinct()).localCheckpoint(true))
+      val edges = baseEdges.unionByName(appEdges).distinct()
+      val cellsAll = baseCells.unionByName(appCells)
+      // ---- the q242 walk, verbatim, over the union graph ----
+      val qset = e.filter(pmod(col("vec_id"), lit(16)) === 0)
+        .select(col("vec_id").as("qid"), col("q").as("qv"), col("n2").as("qn"))
+      val qe = e.filter(pmod(col("vec_id"), lit(16)) === 0)
+        .select(col("vec_id").as("qid"), col("q"))
+      val qBands = bandsOf(qe.withColumnRenamed("qid", "vec_id"))
+        .withColumnRenamed("vec_id", "qid")
+      val flipSet = (js: Set[Int]) => concat((1 to 4).map { j =>
+        if (js(j))
+          when(substring(col("bucket"), j, 1) === "1", lit("0"))
+            .otherwise(lit("1"))
+        else substring(col("bucket"), j, 1)
+      }: _*)
+      val h1 = (1 to 4).map(j => flipSet(Set(j)))
+      val h2 = (for { a <- 1 to 4; b <- (a + 1) to 4 } yield flipSet(Set(a, b)))
+      val qProbes = qBands.select(col("qid"), col("band"),
+        explode(array((col("bucket") +: h1) ++ h2: _*)).as("bucket"))
+      val entries = qProbes
+        .join(cellsAll, Seq("band", "bucket"))
+        .select(col("qid"), col("vec_id").as("cand"))
+        .filter(col("cand") =!= col("qid")).distinct()
+      val cvec = e.select(col("vec_id").as("cand"), col("q").as("cv"),
+        col("n2").as("cn"))
+      def scoreTopBeam(frontier: DataFrame): DataFrame = frontier
+        .join(qset, Seq("qid"))
+        .join(cvec, Seq("cand"))
+        .withColumn("cosine", VectorOps.cosineFromParts(
+          VectorOps.qdot(col("qv"), col("cv")), col("qn"), col("cn")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("cand").asc)))
+        .filter(col("rn") <= Beam)
+        .select(col("qid"), col("cand"), col("cosine"))
+      var beam = scoreTopBeam(entries).localCheckpoint()
+      for (_ <- 1 to Hops) {
+        val expanded = beam.select(col("qid"), col("cand"))
+          .join(edges, col("cand") === col("src"))
+          .select(col("qid"), col("dst").as("cand"))
+          .unionByName(beam.select(col("qid"), col("cand")))
+          .distinct()
+          .filter(col("cand") =!= col("qid"))
+        beam = scoreTopBeam(expanded).localCheckpoint()
+      }
+      val exact = qset.join(cvec.filter(lit(true)), col("cand") =!= col("qid"))
+        .withColumn("cosine", VectorOps.cosineFromParts(
+          VectorOps.qdot(col("qv"), col("cv")), col("qn"), col("cn")))
+        .withColumn("xr", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("cand").asc)))
+        .filter(col("xr") <= 3)
+        .select(col("qid"), col("cand"), lit(1).as("hit"))
+      beam
+        .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("cand").asc)))
+        .filter(col("rank") <= 3)
+        .join(exact, Seq("qid", "cand"), "left_outer")
+        .select(col("qid").as("query_id"), col("rank"),
+          col("cand").as("neighbor_id"), col("cosine"),
+          coalesce(col("hit"), lit(0)).as("hit"))
+        .orderBy(col("query_id").asc, col("rank").asc)
+        .localCheckpoint()
+    } finally { e.unpersist(blocking = false); () }
+  }
+
   private def hopCtes(hops: Int, beam: Int): String =
     (1 to hops).map { h =>
       val prev = if (h == 1) "beam0" else s"beam${h - 1}"
@@ -1664,7 +1830,112 @@ object VectorQueries {
     WHERE f.rank <= 3
     ORDER BY query_id ASC, rank ASC"""
 
+  /** q245's oracle: the full incremental protocol replayed — frozen base
+    * graph (base bands ⋈ base capped cells, top-6, symmetrized), the
+    * append batch's LSH-routed nominations against base ∪ append cells,
+    * its top-6 delta symmetrized in, then q242's walk over the union. */
+  val q245Oracle: String = s"""
+    WITH $knnGraphCtes,
+    bcapped AS (
+      SELECT vec_id, band, bucket FROM bands WHERE vec_id % 4 <> 3
+      QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) <= 64),
+    acapped AS (
+      SELECT vec_id, band, bucket FROM bands WHERE vec_id % 4 = 3
+      QUALIFY row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) <= 64),
+    cappedall AS (
+      SELECT * FROM bcapped UNION ALL SELECT * FROM acapped),
+    bcand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM bands a JOIN bcapped b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.vec_id <> b.vec_id
+      WHERE a.vec_id % 4 <> 3),
+    acand AS (
+      SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bands a JOIN cappedall c
+        ON a.band = c.band AND a.bucket = c.bucket
+       AND a.vec_id <> c.vec_id
+      WHERE a.vec_id % 4 = 3),
+    gscored2 AS (
+      SELECT query_id, neighbor_id,
+        CAST(list_sum(list_transform(generate_series(1, len(x.q)),
+          i -> x.q[i]*y.q[i])) AS DOUBLE) /
+        sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) AS cosine
+      FROM (SELECT * FROM bcand UNION ALL SELECT * FROM acand) u
+        JOIN n x ON x.vec_id = query_id
+        JOIN n y ON y.vec_id = neighbor_id),
+    gknn2 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+          AS rank
+        FROM gscored2) r WHERE rank <= 6),
+    edges AS (
+      SELECT query_id AS src, neighbor_id AS dst FROM gknn2
+      UNION
+      SELECT neighbor_id AS src, query_id AS dst FROM gknn2),
+    qset AS (SELECT vec_id AS qid, q AS qv, n2 AS qn
+             FROM n WHERE vec_id % 16 = 0),
+    qprobes AS (
+      SELECT vec_id, band, bucket FROM bands WHERE vec_id % 16 = 0
+      UNION
+      SELECT b.vec_id, b.band,
+             substr(b.bucket, 1, j.j - 1) ||
+             (CASE WHEN substr(b.bucket, j.j, 1) = '1'
+                   THEN '0' ELSE '1' END) ||
+             substr(b.bucket, j.j + 1, 4 - j.j) AS bucket
+      FROM bands b CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j) j
+      WHERE b.vec_id % 16 = 0
+      UNION
+      SELECT b.vec_id, b.band,
+             array_to_string(list_transform(generate_series(1, 4),
+               i -> CASE WHEN i = p.j1 OR i = p.j2
+                    THEN (CASE WHEN substr(b.bucket, i, 1) = '1'
+                          THEN '0' ELSE '1' END)
+                    ELSE substr(b.bucket, i, 1) END), '') AS bucket
+      FROM bands b CROSS JOIN (
+        SELECT a.j AS j1, c.j AS j2
+        FROM (SELECT unnest(generate_series(1, 4)) AS j) a,
+             (SELECT unnest(generate_series(1, 4)) AS j) c
+        WHERE a.j < c.j) p
+      WHERE b.vec_id % 16 = 0),
+    entries AS (
+      SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS cand
+      FROM qprobes qb JOIN cappedall cb
+        ON cb.band = qb.band AND cb.bucket = qb.bucket
+      WHERE cb.vec_id <> qb.vec_id),
+    beam0 AS (
+      SELECT qid, cand, cosine FROM (
+        SELECT en.qid, en.cand,
+          CAST(list_sum(list_transform(generate_series(1, len(qs.qv)),
+            j -> qs.qv[j] * c.q[j])) AS DOUBLE)
+            / sqrt(CAST(qs.qn AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cosine
+        FROM entries en JOIN qset qs ON qs.qid = en.qid
+          JOIN n c ON c.vec_id = en.cand) s
+      QUALIFY row_number() OVER (PARTITION BY qid
+        ORDER BY cosine DESC, cand ASC) <= 32),
+    ${hopCtes(3, 32)},
+    exact AS (
+      SELECT qid, cand FROM (
+        SELECT qs.qid, c.vec_id AS cand,
+          CAST(list_sum(list_transform(generate_series(1, len(qs.qv)),
+            j -> qs.qv[j] * c.q[j])) AS DOUBLE)
+            / sqrt(CAST(qs.qn AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cosine
+        FROM qset qs CROSS JOIN n c WHERE c.vec_id <> qs.qid) s
+      QUALIFY row_number() OVER (PARTITION BY qid
+        ORDER BY cosine DESC, cand ASC) <= 3),
+    fin AS (
+      SELECT qid, cand, cosine, row_number() OVER (PARTITION BY qid
+        ORDER BY cosine DESC, cand ASC) AS rank
+      FROM beam3)
+    SELECT f.qid AS query_id, f.rank, f.cand AS neighbor_id, f.cosine,
+           CAST(x.cand IS NOT NULL AS INT) AS hit
+    FROM fin f LEFT JOIN exact x ON x.qid = f.qid AND x.cand = f.cand
+    WHERE f.rank <= 3
+    ORDER BY query_id ASC, rank ASC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_graph_ann_append" -> (q245GraphAnnAppend _),
     "q242_graph_ann_search" -> (q242GraphAnnSearch _),
     "q237_ann_index_append" -> (q237AnnIndexAppend _),
     "q232_bitext_margin" -> (q232BitextMargin _),
@@ -1690,6 +1961,7 @@ object VectorQueries {
     "q202_jl_prefilter_rerank" -> (q202JlPrefilterRerank _))
 
   val oracles: Map[String, String] = Map(
+    "q245_graph_ann_append" -> q245Oracle,
     "q242_graph_ann_search" -> q242Oracle,
     "q237_ann_index_append" -> q237Oracle,
     "q232_bitext_margin" -> q232Oracle,
