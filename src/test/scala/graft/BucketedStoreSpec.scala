@@ -44,6 +44,32 @@ class BucketedStoreSpec extends SparkSpec {
       ("m2", "bob2", t1), ("m7", "grace", t1))) // upserted stamped t1
   }
 
+  test("schema sidecars: reads serve the persisted schema, and a missing " +
+    "or corrupt one degrades to inference, never to an error") {
+    val root = tmpDir("bstore-schema")
+    val store = new BucketedTableStore(spark, root, nBuckets = 4,
+      deltaMerges = true, autoCompactAfter = 8)
+    store.writeAll("member", target(), "memberId")
+    val stage = Seq(("m2", "bob2", t1, "MODIFY"))
+      .toDF("memberId", "memberName", "approximateUpdateTimestamp", "eventName")
+    store.applyMerge("member", stage, "memberId", t1)
+    def state() = store.read("member").get
+      .select($"memberId", $"memberName").as[(String, String)]
+      .collect().toSet
+    val expected = state()
+    assert(expected.contains(("m2", "bob2")))
+    // both sidecars exist after a writeAll + delta commit
+    val sf = java.nio.file.Paths.get(root, "member", "_SCHEMA")
+    val df = java.nio.file.Paths.get(root, "member", "_DSCHEMA")
+    assert(java.nio.file.Files.exists(sf) && java.nio.file.Files.exists(df))
+    // corrupt one, delete the other: reads must still produce the same
+    // table (inference fallback), not fail on the sidecar
+    java.nio.file.Files.write(sf, "{not json".getBytes)
+    java.nio.file.Files.delete(df)
+    assert(state() == expected,
+      "reads must degrade to schema inference when sidecars are lost")
+  }
+
   test("merge leaves untouched buckets at their old version") {
     val root = tmpDir("bstore2")
     val store = new BucketedTableStore(spark, root, nBuckets = 8)
