@@ -241,12 +241,17 @@ object ScaleProbe {
     // Floors sit under the sweep's measured means (sf0.1: 0.92 at
     // nlist 64-class sizing; sf1: 0.93 full / unmeasured append) with
     // explicit margin; the append cell reuses q237's base/append split.
-    def ivfSized(dir: String, append: Boolean, floor: Double): DataFrame = {
+    def ivfSized(dir: String, append: Boolean, floor: Double,
+        queryMod: Int = 16): DataFrame = {
       import graft.operators.VectorOps
       val emb = graft.tables.Tables.embeddings(spark, dir)
       val nlist = VectorOps.sizedNlist(emb.count())
       val nprobe = math.max(1, nlist / 2)
-      val qs = emb.filter(pmod(col("vec_id"), lit(16)) === 0)
+      // queryMod scales with the corpus (q242's scaled-panel lesson): the
+      // brute-force EVAL leg is queries × corpus and would otherwise grow
+      // quadratically across the decade — the serving path is what the
+      // duration gate measures, the panel is a fixed-size recall artifact
+      val qs = emb.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       val exact = VectorOps.bruteForceTopK(qs, emb, k = 10)
       val approx =
         if (append) VectorOps.ivfTopKAppend(spark, qs,
@@ -287,11 +292,11 @@ object ScaleProbe {
           ("sf0.1", "q44_sized_nlist", () => ivfSized(src, append = false,
             floor = 0.85)),
           ("sf1", "q44_sized_nlist", () => ivfSized(sf1, append = false,
-            floor = 0.85)),
+            floor = 0.85, queryMod = 160)),
           ("sf0.1", "q237_sized_nlist", () => ivfSized(src, append = true,
             floor = 0.70)),
           ("sf1", "q237_sized_nlist", () => ivfSized(sf1, append = true,
-            floor = 0.70)))
+            floor = 0.70, queryMod = 160)))
 
     val results = cells.map { case (label, name, fn) =>
       val runs = (1 to 2).map { _ =>
