@@ -101,6 +101,10 @@ object MultimodalOps {
         var i = 2
         while (i + 3 < media.length) {
           if ((media(i) & 0xff) != 0xff) return None // desynced: not a marker
+          // runs of 0xFF are legal fill/padding before the marker byte
+          // (ITU T.81 B.1.1.2) — skip them so the padding byte is not
+          // misread as a marker with a garbage length field
+          while (i + 3 < media.length && (media(i + 1) & 0xff) == 0xff) i += 1
           val m = media(i + 1) & 0xff
           if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
           else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF

@@ -50,8 +50,10 @@ final class Pipeline(spark: SparkSession, storeRoot: String,
 
   // merge-on-read exists only on the bucketed store: silently dropping
   // the flag would hand a high-frequency-CDC config O(table) whole-table
-  // rewrites per sync while the operator believes delta commits are on
-  require(!deltaMerges || nBuckets.nonEmpty,
+  // rewrites per sync while the operator believes delta commits are on.
+  // With an explicit storeImpl the flags are documented as ignored, so
+  // the guard must not fire on them.
+  require(storeImpl.isDefined || !deltaMerges || nBuckets.nonEmpty,
     "deltaMerges requires a bucketed store - pass nBuckets")
   val store: SyncStore = storeImpl.getOrElse(nBuckets match {
     case Some(n) =>

@@ -184,6 +184,14 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
   private def schemaFile(name: String): Path = tableDir(name).resolve("_SCHEMA")
   private def deltaSchemaFile(name: String): Path =
     tableDir(name).resolve("_DSCHEMA")
+  // manifest version each schema sidecar was written AT — a time-travel
+  // read older than the stamp must not trust the sidecar (a later
+  // writeAll may have changed the table schema; binding old files to the
+  // new schema silently nulls renamed/missing columns)
+  private def schemaVersionFile(name: String): Path =
+    tableDir(name).resolve("_SCHEMA_V")
+  private def deltaSchemaVersionFile(name: String): Path =
+    tableDir(name).resolve("_DSCHEMA_V")
 
   // ---- persisted file schemas -----------------------------------------
   //
@@ -213,6 +221,30 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       org.apache.spark.sql.types.DataType.fromJson(
         new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8))
         .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+
+  private def writeVersionStamp(f: Path, v: Int): Unit =
+    Files.write(f, v.toString.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+
+  /** The schema sidecar at `f`, but only when valid for a read AS OF
+    * manifest `asOf` (None = live read, always valid). Historical reads
+    * trust the sidecar only when the stamp proves it was written at or
+    * before that manifest — older manifests fall back to footer
+    * inference, which returns the historical files' TRUE schema. A
+    * missing stamp (pre-upgrade table) keeps the sidecar for live reads
+    * and degrades historical ones to inference — conservative, never
+    * wrong. */
+  private def schemaAsOf(f: Path, vf: Path, asOf: Option[Int])
+      : Option[org.apache.spark.sql.types.StructType] =
+    asOf match {
+      case None => readSchemaFile(f)
+      case Some(v) =>
+        val stamp =
+          if (Files.exists(vf))
+            scala.util.Try(new String(Files.readAllBytes(vf)).trim.toInt).toOption
+          else None
+        if (stamp.exists(_ <= v)) readSchemaFile(f) else None
+    }
 
   // ---- bucket routing ------------------------------------------------
   //
@@ -485,8 +517,9 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       val admitted = zoneAdmitted(name, manifestVersion, states.keySet,
         colName, lo, hi)
       val base =
-        if (admitted.isEmpty) resolve(name, states).limit(0)
-        else resolve(name, states.view.filterKeys(admitted).toMap)
+        if (admitted.isEmpty) resolve(name, states, Some(manifestVersion)).limit(0)
+        else resolve(name, states.view.filterKeys(admitted).toMap,
+          Some(manifestVersion))
       Some(base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi)))
     }
   }
@@ -676,8 +709,9 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       val admitted = bloomAdmitted(name, manifestVersion, states.keySet,
         colName, values)
       val base =
-        if (admitted.isEmpty) resolve(name, states).limit(0)
-        else resolve(name, states.view.filterKeys(admitted).toMap)
+        if (admitted.isEmpty) resolve(name, states, Some(manifestVersion)).limit(0)
+        else resolve(name, states.view.filterKeys(admitted).toMap,
+          Some(manifestVersion))
       Some(base.filter(col(colName).cast("string").isin(values: _*)))
     }
   }
@@ -731,7 +765,8 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
   def readAtManifest(name: String, manifestVersion: Int): Option[DataFrame] = {
     val f = manifestFile(name, manifestVersion)
     if (!Files.exists(f)) None
-    else Some(resolve(name, parseStates(name, manifestVersion)))
+    else Some(resolve(name, parseStates(name, manifestVersion),
+      asOf = Some(manifestVersion)))
   }
 
   /** Read the live snapshot, optionally restricted to a bucket subset —
@@ -748,7 +783,8 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     * wins, tombstones drop. The shuffle is sized by the DIRTY buckets
     * only — with compaction keeping chains short, resolution cost stays a
     * small fraction of the table no matter how large the table is. */
-  private def resolve(name: String, wanted: Map[Int, BucketState]): DataFrame = {
+  private def resolve(name: String, wanted: Map[Int, BucketState],
+      asOf: Option[Int] = None): DataFrame = {
     val cleanPaths = wanted.collect {
       case (b, s) if s.isClean && s.base >= 0 => bucketPath(name, b, s.base).toString
     }.toSeq
@@ -767,7 +803,7 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       val r = spark.read.option("ignoreMissingFiles", "false")
       schema.fold(r)(r.schema).parquet(paths: _*)
     }
-    val baseSchema = readSchemaFile(schemaFile(name))
+    val baseSchema = schemaAsOf(schemaFile(name), schemaVersionFile(name), asOf)
     val clean =
       if (cleanPaths.nonEmpty) Some(pread(cleanPaths, baseSchema)) else None
     val resolved = if (dirty.nonEmpty) {
@@ -778,7 +814,8 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       val deltaPaths = dirty.flatMap { case (b, s) =>
         s.deltas.map(d => deltaPath(name, b, d).toString)
       }.toSeq
-      val deltas = pread(deltaPaths, readSchemaFile(deltaSchemaFile(name)))
+      val deltas = pread(deltaPaths,
+        schemaAsOf(deltaSchemaFile(name), deltaSchemaVersionFile(name), asOf))
       val layered =
         if (basePaths.isEmpty) deltas
         else deltas.unionByName(pread(basePaths, baseSchema)
@@ -973,8 +1010,11 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     Files.write(keyFile(name), key.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     // base-file schema = df + _bucket (what partitionBy left in the files);
-    // readers hand it to spark.read and skip footer inference
+    // readers hand it to spark.read and skip footer inference. Stamped
+    // with the manifest this write publishes so time-travel reads OLDER
+    // than this write fall back to inference (schemaAsOf contract).
     writeSchemaFile(schemaFile(name), sorted.schema)
+    writeVersionStamp(schemaVersionFile(name), base.getOrElse(-1) + 1)
     commitManifest(name, entries.toMap, base)
   }
 
@@ -1158,7 +1198,19 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
           else (0 until nBuckets).filter(b =>
             Files.exists(staging.resolve(s"_bp=$b"))).toSet
         if (touched.isEmpty) { cleanupDir(staging); return }
-        writeSchemaFile(deltaSchemaFile(name), staged.schema)
+        // stamp only when the sidecar content actually changes (first
+        // write, or a schema change after a writeAll) — an unchanged
+        // schema stays valid for every older manifest it already covered
+        val dsf = deltaSchemaFile(name)
+        val prevDs = if (Files.exists(dsf))
+          Some(new String(Files.readAllBytes(dsf),
+            java.nio.charset.StandardCharsets.UTF_8)) else None
+        writeSchemaFile(dsf, staged.schema)
+        val newDs = new String(Files.readAllBytes(dsf),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (!prevDs.contains(newDs) ||
+            !Files.exists(deltaSchemaVersionFile(name)))
+          writeVersionStamp(deltaSchemaVersionFile(name), base.getOrElse(-1) + 1)
         val newStats = prevStats.map(prev => widenStats(specs, prev, addStats))
         val newBloom = prevBloom.map(prev => orBloom(prev, addBloom))
         def stale(): Nothing = {

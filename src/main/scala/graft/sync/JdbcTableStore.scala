@@ -48,6 +48,16 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * passed UNQUOTED (the engine folds them, consistently on both the
   * Spark write and this class's SQL); column names are QUOTED
   * everywhere, preserving the exact case parquet-side readers see.
+  *
+  * Dialects: the one statement that differs across the deployment
+  * targets is the publish rename — PostgreSQL/Redshift (the reference's
+  * actual target, ref sql/create_target_tables.sql) spell it
+  * `ALTER TABLE x RENAME TO y`, Derby (the in-JVM test engine) spells it
+  * `RENAME TABLE x TO y`. [[JdbcTableStore.renameSql]] keys the form off
+  * the JDBC URL scheme, defaulting to the ANSI-adjacent ALTER form for
+  * unknown engines. Executed coverage is Derby-only (no PG engine ships
+  * offline); the PG-dialect statements are pinned string-for-string by
+  * JdbcDialectSpec against the reference's procedure text.
   */
 final class JdbcTableStore(spark: org.apache.spark.sql.SparkSession,
     url: String, driver: String, maxVarchar: Int = 4096,
@@ -71,10 +81,18 @@ final class JdbcTableStore(spark: org.apache.spark.sql.SparkSession,
   private def tableExists(c: Connection, name: String): Boolean = {
     // unquoted identifiers are stored case-folded; probe both folds so
     // the check works against upper-folding (Derby) and lower-folding
-    // engines alike
+    // engines alike. getTables takes a LIKE pattern, so `_` in the name
+    // (member_quest!) is a single-char wildcard — and Derby's
+    // getSearchStringEscape is EMPTY, so escaping is not portably
+    // available. Instead, post-filter the (possibly wildcard-widened)
+    // result set by exact TABLE_NAME equality: a similarly-shaped table
+    // (memberXquest) can no longer false-positive.
     val md = c.getMetaData
     def has(n: String) =
-      scala.util.Using.resource(md.getTables(null, null, n, null))(_.next())
+      scala.util.Using.resource(md.getTables(null, null, n, null)) { rs =>
+        Iterator.continually(rs).takeWhile(_.next())
+          .exists(_.getString("TABLE_NAME") == n)
+      }
     has(name.toUpperCase) || has(name.toLowerCase) || has(name)
   }
 
@@ -112,7 +130,7 @@ final class JdbcTableStore(spark: org.apache.spark.sql.SparkSession,
       val st = c.createStatement()
       try {
         if (tableExists(c, name)) st.executeUpdate(s"DROP TABLE $name")
-        st.executeUpdate(s"RENAME TABLE $stageName TO $name")
+        st.executeUpdate(JdbcTableStore.renameSql(url, stageName, name))
         c.commit()
       } catch { case e: Throwable => c.rollback(); throw e }
       finally st.close()
@@ -167,4 +185,19 @@ final class JdbcTableStore(spark: org.apache.spark.sql.SparkSession,
   /** No version history on a JDBC target — the live state is the only
     * state (Redshift semantics); nothing to sweep. */
   def retain(name: String, keep: Int): Unit = ()
+}
+
+object JdbcTableStore {
+  /** Dialect-keyed publish rename. Derby is the odd one out
+    * (`RENAME TABLE x TO y`); PostgreSQL, Redshift, and most ANSI-ish
+    * engines take `ALTER TABLE x RENAME TO y`, so that is also the
+    * unknown-scheme default (fail loud on a truly alien engine rather
+    * than silently Derby-ify). Package-visible for dialect pin tests. */
+  def renameSql(url: String, from: String, to: String): String = {
+    val scheme = url.stripPrefix("jdbc:").takeWhile(_ != ':').toLowerCase
+    scheme match {
+      case "derby" => s"RENAME TABLE $from TO $to"
+      case _       => s"ALTER TABLE $from RENAME TO $to"
+    }
+  }
 }

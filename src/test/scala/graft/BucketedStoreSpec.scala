@@ -122,6 +122,31 @@ class BucketedStoreSpec extends SparkSpec {
     assert(now("m2" -> "bob2") && !now("m2" -> "bob"))
   }
 
+  test("time travel after a schema-changing writeAll returns the files' true schema") {
+    // The schema sidecar reflects the LIVE layout; a historical read
+    // older than the sidecar's stamp must fall back to inference, or
+    // renamed/dropped columns come back as silent nulls bound to the new
+    // schema. Scenario: v0 has memberName; a later writeAll renames it
+    // to displayName; readAtManifest(0) must still surface memberName
+    // with its real values.
+    val root = tmpDir("bstore-schemav")
+    val store = new BucketedTableStore(spark, root, nBuckets = 4)
+    store.writeAll("member", target(), "memberId")
+    val v0 = store.manifest("member"); assert(v0.nonEmpty)
+    val renamed = target().withColumnRenamed("memberName", "displayName")
+    store.writeAll("member", renamed, "memberId")
+
+    val live = store.read("member").get
+    assert(live.columns.contains("displayName") &&
+      !live.columns.contains("memberName"))
+    val historical = store.readAtManifest("member", 0).get
+    assert(historical.columns.contains("memberName"),
+      "historical read must carry the old schema, not the live sidecar's")
+    val names = historical.select($"memberName").as[String].collect().toSet
+    assert(names.contains("alice") && !names.contains(null),
+      "old column values must survive, not degrade to nulls")
+  }
+
   test("merge inserts into a bucket that never had a manifest entry") {
     val root = tmpDir("bstore6")
     val store = new BucketedTableStore(spark, root, nBuckets = 2)

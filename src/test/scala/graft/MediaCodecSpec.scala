@@ -40,6 +40,20 @@ class MediaCodecSpec extends SparkSpec {
       .contains((3, 5)))
   }
 
+  test("HeaderCodec skips 0xFF fill bytes before JPEG markers (T.81 B.1.1.2)") {
+    // legal padding: runs of 0xFF may precede any marker byte; the walk
+    // must not treat the padding byte as a marker with a garbage length
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    val fill = Array.fill[Byte](5)(0xff.toByte)
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(6) ++
+      Array.fill[Byte](4)(0x20)
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++
+      Array[Byte](8) ++ be16(240) ++ be16(320) ++ Array[Byte](1, 1, 0x11, 0)
+    val padded = Array[Byte](0xff.toByte, 0xd8.toByte) ++ fill ++ app0 ++
+      fill ++ sof0 ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+    assert(HeaderCodec.imageDims(padded).contains((320, 240)))
+  }
+
   test("HeaderCodec falls back to the stub on non-image payloads") {
     val junk = "just some text".getBytes("UTF-8")
     assert(HeaderCodec.imageDims(junk).isEmpty)
