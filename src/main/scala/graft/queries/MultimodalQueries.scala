@@ -340,8 +340,14 @@ object MultimodalQueries {
   // 64-per-cell phash bands — never all-pairs); the agreement join is
   // flagged-pairs ⇄ flagged-pairs, output-bounded.
   def q226CrossmodalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    // both channels consume the same corpus slice: persist it once so the
+    // parquet scan + filter is paid once, not per channel (the r16
+    // verdict's shared-subplan note — at 100 TB the doubled scan is the
+    // dominant avoidable cost here; Materialize releases the blocks
+    // before the caller sees the bounded pair matrix)
     val docs = Tables.documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val textPairs = graft.operators.TextOps
       .ngramJaccardPairs(docs, n = 3, minIntersect = 2, maxDf = 64)
       .filter(col("jaccard") >= 0.5)
@@ -349,13 +355,14 @@ object MultimodalQueries {
     val mediaPairs = MultimodalOps.phashNearDups(spark,
         MultimodalOps.asMediaTable(docs), maxHamming = 10)
       .select(col("doc_a"), col("doc_b"), lit(1).as("media_dup"))
-    textPairs.join(mediaPairs, Seq("doc_a", "doc_b"), "full_outer")
+    val out = textPairs.join(mediaPairs, Seq("doc_a", "doc_b"), "full_outer")
       .select(col("doc_a"), col("doc_b"),
         coalesce(col("text_dup"), lit(0)).as("text_dup"),
         coalesce(col("media_dup"), lit(0)).as("media_dup"))
       .withColumn("agree",
         (col("text_dup") === 1 && col("media_dup") === 1).cast("int"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
+    graft.operators.Materialize.thenRelease(out, docs)
   }
   val q226Oracle: String = """
     WITH toks AS (

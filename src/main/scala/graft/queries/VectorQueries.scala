@@ -47,6 +47,46 @@ object VectorQueries {
     SELECT query_id, neighbor_id, cosine, rank FROM ranked
     WHERE rank <= 10 ORDER BY query_id ASC, rank ASC"""
 
+  // q246 — auto-routed ANN serving: the unified AnnIndex selector
+  // (operators/AnnIndex.scala) picks the tier from the corpus row count
+  // (FAISS-guideline policy: <2^14 exact scan, ≤2^20 IVF-Flat at √n
+  // cells, above that IVF-PQ) and the query runs through whatever it
+  // picked — the "one interface over seven tiers" the r16 verdict asked
+  // for. At every driver-gate scale the corpus is under the brute bound,
+  // so the routed answer is EXACT and the oracle replays both the
+  // neighbor lists and the policy's tier decision (the CASE mirrors
+  // tierFor verbatim; larger corpora would swap to the recall-bound
+  // protocol the other ANN gates use). AnnIndexSpec pins the policy's
+  // decade table and the tier↔VectorOps wiring.
+  def q246AnnAuto(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = graft.operators.AnnIndex.select(spark, dir, emb)
+    idx.topK(emb.filter(col("vec_id") < 5), k = 10)
+      .withColumn("tier", lit(idx.tier))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+  val q246Oracle: String = s"""
+    WITH q AS (SELECT vec_id AS query_id, ${oQuant("embedding")} AS qa
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, ${oQuant("embedding")} AS qb
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        CAST($oDot AS DOUBLE) /
+        sqrt(CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i]*qa[i])) AS DOUBLE) *
+             CAST(list_sum(list_transform(generate_series(1, len(qb)), i -> qb[i]*qb[i])) AS DOUBLE))
+          AS cosine
+      FROM q, c WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank,
+      CASE WHEN (SELECT COUNT(*) FROM embeddings) < 16384 THEN 'brute'
+           WHEN (SELECT COUNT(*) FROM embeddings) <= 1048576 THEN 'ivf'
+           ELSE 'ivfpq' END AS tier
+    FROM ranked WHERE rank <= 10 ORDER BY query_id ASC, rank ASC"""
+
   // q41 — embedding near-dup pairs above cosine 0.3, blocked by
   // (label, sign-LSH band bucket) with a 64-member bucket cap (threshold
   // tuned to yield rows on the synthetic clustered embeddings). The sign
@@ -1952,6 +1992,7 @@ object VectorQueries {
     "q129_ann_pq" -> (q129AnnPq _),
     "q170_ann_ivfpq" -> (q170AnnIvfPq _),
     "q40_ann_bruteforce" -> (q40AnnBruteforce _),
+    "q246_ann_auto" -> (q246AnnAuto _),
     "q41_cosine_dedup" -> (q41CosineDedup _),
     "q42_ann_lsh" -> (q42AnnLsh _),
     "q43_knn_label_vote" -> (q43KnnLabelVote _),
@@ -1975,6 +2016,7 @@ object VectorQueries {
     "q90_label_centroids" -> q90Oracle,
     "q91_nearest_centroid" -> q91Oracle,
     "q40_ann_bruteforce" -> q40Oracle,
+    "q246_ann_auto" -> q246Oracle,
     "q41_cosine_dedup" -> q41Oracle,
     "q42_ann_lsh" -> q42Oracle,
     "q44_ann_ivf" -> q44Oracle,

@@ -114,6 +114,31 @@ object LeakageGateStream {
     store.readBuckets(IndexTable, None).map(_.count()).getOrElse(0L)
   }
 
+  /** Memoized frozen index for a DATASET directory: freeze once per
+    * (dataset version, session) into a version-derived scratch root and
+    * reuse the store across calls — the deployment shape (the holdout
+    * is frozen by design; rebuilding it per query call mispriced q225
+    * as freeze+gate when a live pipeline pays gate only). Build
+    * wall-time is recorded by the memo and surfaces in the bench's
+    * ann_build section, the same amortized-index accounting as the ANN
+    * tiers. A dataset rewrite changes the version marker → new memo key
+    * + new root; stale sibling roots are swept before the rebuild. */
+  def frozenStore(spark: SparkSession, dir: String, corpus: DataFrame)
+      : BucketedTableStore = {
+    val ver = graft.operators.AnnIndexCache.datasetVersion(dir)
+    val sess = graft.operators.AnnIndexCache.sessionMarker(spark)
+    graft.operators.AnnIndexCache.memoKeyed(s"leakfreeze:$dir:",
+      s"v=$ver:sess=$sess") {
+      val parent = java.nio.file.Paths.get(
+        s"/tmp/graft-leakgate-${math.abs(dir.hashCode).toHexString}")
+      graft.sync.TableStore.deleteRecursively(parent) // stale versions
+      val root = parent.resolve(s"v${math.abs((ver + sess).hashCode).toHexString}")
+      val store = new BucketedTableStore(spark, root.toString, 16)
+      freeze(spark, corpus, store, new Timestamp(1660000000000L))
+      store
+    }
+  }
+
   /** Index rows for the probe join. No touched-bucket pre-collect
     * (round 15, the ingest doors' rationale): a batch's shingle hashes
     * land in all 16 store buckets long before the batch is big enough

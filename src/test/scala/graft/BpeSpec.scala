@@ -91,15 +91,70 @@ class BpeSpec extends SparkSpec {
     var lazyMerges: Seq[(String, String)] = Nil
     var eagerMerges: Seq[(String, String)] = Nil
     val lazyJobs = countJobs {
-      lazyMerges = BpeOps.train(spark, corpus, nMerges = 5, ckptEvery = 4).merges
+      lazyMerges = BpeOps.trainDistributed(spark, corpus,
+        nMerges = 5, ckptEvery = 4).merges
     }
     val eagerJobs = countJobs {
-      eagerMerges = BpeOps.train(spark, corpus, nMerges = 5, ckptEvery = 1).merges
+      eagerMerges = BpeOps.trainDistributed(spark, corpus,
+        nMerges = 5, ckptEvery = 1).merges
     }
     info(s"jobs: lazy-checkpoint $lazyJobs, eager-per-round $eagerJobs")
     assert(lazyMerges === eagerMerges, "checkpoint cadence must not change training")
     assert(lazyJobs <= eagerJobs - 3,
       s"lazy cadence must drop ~1 job per non-checkpoint round ($lazyJobs vs $eagerJobs)")
+  }
+
+  test("property: driver-local merges ≡ distributed merges on random corpora") {
+    // the localized tier (vocab fits the driver bound) must be sequence-
+    // identical to the distributed loop — same argmax, same tiebreak —
+    // on corpora it did not hand-trace: random words over a small
+    // alphabet force heavy pair collisions and ties
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4217)
+    (1 to 5).foreach { trial =>
+      val vocab = (0 until (5 + rnd.nextInt(20))).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (Seq.fill(len)("abc".charAt(rnd.nextInt(3))).mkString,
+          1L + rnd.nextInt(9))
+      }.distinct
+      val wf = vocab.toDF("word", "freq")
+      val n = 1 + rnd.nextInt(12)
+      val local = BpeOps.trainLocal(vocab.toArray, n).merges
+      val dist = BpeOps.trainDistributed(spark, wf, n).merges
+      assert(local === dist,
+        s"trial $trial (n=$n, vocab=${vocab.size}): local $local vs dist $dist")
+    }
+  }
+
+  test("a 1024-merge schedule runs without 1024 Spark jobs (localized tier)") {
+    // the r16 verdict's scale ask: after the one corpus aggregation the
+    // word table is vocabulary-sized; past jobs-per-round pricing, a
+    // production merge schedule must not be a driver-sequenced job loop
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = (0 until 800).map { i =>
+      (s"${('a' + rnd.nextInt(26)).toChar}${('a' + rnd.nextInt(26)).toChar}" +
+        s"${('a' + rnd.nextInt(26)).toChar}w$i", 1L + rnd.nextInt(50))
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(counter)
+    val model =
+      try {
+        val m = BpeOps.train(spark, vocab.toDF("word", "freq"), nMerges = 1024)
+        Thread.sleep(300) // listener bus drain
+        m
+      } finally spark.sparkContext.removeSparkListener(counter)
+    assert(model.merges.nonEmpty)
+    info(s"1024-merge train scheduled ${jobs.get()} Spark jobs")
+    assert(jobs.get() <= 8,
+      s"localized training must cost O(1) jobs, saw ${jobs.get()}")
   }
 
   test("train stops early when no pairs remain") {

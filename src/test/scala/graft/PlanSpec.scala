@@ -72,10 +72,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q168: BM25 stats broadcast and top-k plans as TakeOrderedAndProject") {
+    // the SERVED plan reads the memoized posting-stats checkpoint (r17:
+    // the stats are index state, amortized like the ANN postings), so
+    // the broadcast pin moves to the BUILD plan — the one that runs on
+    // a memo miss — while the served plan keeps the top-k shape pin
     val s = planString("q168_bm25_topk")
     assert(s.contains("TakeOrderedAndProject"),
       "top-20 must be TakeOrderedAndProject, not a global sort")
-    assert(s.contains("BroadcastExchange") || s.contains("BroadcastHashJoin"),
+    val build = graft.queries.TextQueries
+      .bm25ScoresBuild(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    assert(build.contains("BroadcastExchange") || build.contains("BroadcastHashJoin"),
       "the df table and corpus stats must broadcast onto the tf rows")
   }
 
