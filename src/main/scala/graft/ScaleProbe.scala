@@ -203,8 +203,12 @@ object ScaleProbe {
         s"embeddings=${rows(d, "embeddings")}")
     }
     // banding per decade (knnGraph's scale knob): keep per-cell occupancy
-    // near the 64 cap — sf1's 20k vectors → 10×6 bands (64 cells/band);
-    // sf10's 200k → 8×12 (4096 cells/band, at the domain-enumeration cap)
+    // near the 64 cap, under the hard plane budget bands×dims ≤ dim (the
+    // banding slices embedding coordinates; dim = 64 here) — sf1's 20k
+    // vectors → 10×6 (64 cells/band, enumerated-domain branch); sf10's
+    // 200k → 5×12 (4096 cells/band, domain 20480 > 4096 → exercises the
+    // ids-only OBSERVED-cells branch, which is exactly the branch wide
+    // banding exists for)
     def q160At(dir: String, bands: Int, dims: Int): DataFrame = {
       val emb = graft.tables.Tables.embeddings(spark, dir)
         .repartition(col("vec_id"))
@@ -223,7 +227,7 @@ object ScaleProbe {
       ("sf10", "q150_dedup_on_ingest",
         () => SparkEntry.queries("q150_dedup_on_ingest")(spark, sf10)),
       ("sf1", "q160_scaled_banding", () => q160At(sf1, 10, 6)),
-      ("sf10", "q160_scaled_banding", () => q160At(sf10, 8, 12)),
+      ("sf10", "q160_scaled_banding", () => q160At(sf10, 5, 12)),
       ("sf1", "q229_dedup_retention",
         () => SparkEntry.queries("q229_dedup_retention")(spark, sf1)),
       ("sf10", "q229_dedup_retention",
