@@ -31,10 +31,28 @@ object BpeOps {
   /** End-of-word marker keeping merges from crossing word boundaries. */
   val EndOfWord = "</w>"
 
+  /** Canonical symbol form: the engine's string encoding round-trip.
+    * Identity on well-formed BMP text; ill-formed UTF-16 (the lone
+    * surrogates a per-char split makes of any supplementary character)
+    * degrades to '?' — IMMEDIATELY, at the split, on both training
+    * tiers and in encode. Without this the distributed loop is
+    * self-inconsistent on such symbols: the argmax collects ENCODED
+    * strings while the lazy rewrite closures compare PRE-encode raw
+    * symbols, so a recorded merge silently never applies until a
+    * checkpoint materializes the encoding (observed: five no-op
+    * (?,?) merges in a row). Canonical-at-split makes every layer see
+    * one symbol alphabet. */
+  def canonSym(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s).toString
+
+  private def splitSyms(w: String): Seq[String] =
+    w.map(c => canonSym(c.toString)) :+ EndOfWord
+
   final case class BpeModel(merges: Seq[(String, String)]) {
-    /** Apply the learned merges, in order, to one word. */
+    /** Apply the learned merges, in order, to one word (same canonical
+      * symbol split as training — see [[BpeOps.canonSym]]). */
     def encodeWord(word: String): Seq[String] = {
-      var syms: Seq[String] = word.map(_.toString) :+ EndOfWord
+      var syms: Seq[String] = BpeOps.splitSyms(word)
       merges.foreach { case (a, b) => syms = BpeOps.mergePair(syms, a, b) }
       syms
     }
@@ -94,18 +112,16 @@ object BpeOps {
     } else trainDistributed(spark, wordFreq, nMerges, ckptEvery)
   }
 
-  /** UTF-8 byte order (≡ code-point order ≡ Spark UTF8String order) —
-    * NOT String.compareTo, whose UTF-16 code-unit order sorts
-    * supplementary characters below U+E000..U+FFFF. */
-  private[graft] def utf8Compare(x: String, y: String): Int = {
-    var i = 0; var j = 0
-    while (i < x.length && j < y.length) {
-      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
-      if (cx != cy) return java.lang.Integer.compare(cx, cy)
-      i += Character.charCount(cx); j += Character.charCount(cy)
-    }
-    java.lang.Integer.compare(x.length - i, y.length - j)
-  }
+  /** Spark's own string order — UTF8String's unsigned byte comparison,
+    * NOT String.compareTo (UTF-16 code-unit order sorts supplementary
+    * characters below U+E000..U+FFFF, and lone surrogates — which BPE's
+    * per-char symbol split produces from any supplementary character —
+    * encode engine-specifically). Delegating to the engine's comparator
+    * makes the local argmax tiebreak equal to `orderBy` by
+    * construction, encoding corners included. */
+  private[graft] def utf8Compare(x: String, y: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
 
   /** Driver-local merge loop with incremental pair-count maintenance:
     * per round, only the words CONTAINING the merged pair are rewritten
@@ -116,8 +132,10 @@ object BpeOps {
   private[graft] def trainLocal(vocab: Array[(String, Long)],
       nMerges: Int): BpeModel = {
     import scala.collection.mutable
+    // the shared canonical split ([[canonSym]]) keeps the symbol
+    // alphabet identical to the distributed tier's
     val words: Array[mutable.ArrayBuffer[String]] =
-      vocab.map(w => mutable.ArrayBuffer(w._1.map(_.toString): _*) += EndOfWord)
+      vocab.map(w => mutable.ArrayBuffer(splitSyms(w._1): _*))
     val freqs: Array[Long] = vocab.map(_._2)
     val counts = mutable.HashMap.empty[(String, String), Long]
     val occurs = mutable.HashMap.empty[(String, String), mutable.BitSet]
@@ -180,7 +198,7 @@ object BpeOps {
     var ds: Dataset[(Seq[String], Long)] = wordFreq
       .select(col("word").cast("string"), col("freq").cast("long"))
       .as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString) :+ EndOfWord, f) }
+      .map { case (w, f) => (BpeOps.splitSyms(w), f) }
     val merges = Seq.newBuilder[(String, String)]
     var lastCkpt: Dataset[(Seq[String], Long)] = null
     var sinceCkpt = 0
@@ -235,7 +253,7 @@ object BpeOps {
       .as[(Long, String)]
       .map { case (id, text) =>
         val toks = text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
-          var syms: Seq[String] = w.map(_.toString) :+ EndOfWord
+          var syms: Seq[String] = splitSyms(w)
           merges.foreach { case (a, b) => syms = mergePair(syms, a, b) }
           syms
         }.toSeq

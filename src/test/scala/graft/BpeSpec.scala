@@ -127,6 +127,35 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("utf8Compare orders supplementary characters like Spark, not UTF-16") {
+    // U+10000 (surrogate pair 𐀀) sorts ABOVE U+FFFD by code
+    // point / UTF-8 bytes (Spark's UTF8String order) but BELOW it under
+    // String.compareTo's UTF-16 code-unit order — the exact divergence
+    // the local trainer's tiebreak must not inherit
+    val supp = new String(Character.toChars(0x10000))
+    val bmp = "\uFFFD"
+    assert(BpeOps.utf8Compare(supp, bmp) > 0, "code-point order required")
+    assert(supp.compareTo(bmp) < 0, "UTF-16 order differs (sanity)")
+    assert(BpeOps.utf8Compare("a", "b") < 0 && BpeOps.utf8Compare("b", "a") > 0)
+    assert(BpeOps.utf8Compare("ab", "ab") == 0)
+    assert(BpeOps.utf8Compare("a", "ab") < 0, "prefix sorts first")
+  }
+
+  test("property: local ≡ distributed merges with supplementary-plane symbols") {
+    // force ties between a supplementary char and high-BMP chars: a
+    // UTF-16-ordered local argmax would pick a different merge sequence
+    val s = spark
+    import s.implicits._
+    val supp = new String(Character.toChars(0x10000))
+    val bmp = "\uFFFD"
+    val vocab = Seq(
+      (s"$supp${bmp}a", 3L), (s"$bmp${supp}a", 3L),
+      (s"a$supp", 2L), (s"a$bmp", 2L), ("aa", 1L))
+    val local = BpeOps.trainLocal(vocab.toArray, 6).merges
+    val dist = BpeOps.trainDistributed(spark, vocab.toDF("word", "freq"), 6).merges
+    assert(local === dist, s"local $local vs dist $dist")
+  }
+
   test("a 1024-merge schedule runs without 1024 Spark jobs (localized tier)") {
     // the r16 verdict's scale ask: after the one corpus aggregation the
     // word table is vocabulary-sized; past jobs-per-round pricing, a
