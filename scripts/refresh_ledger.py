@@ -30,7 +30,10 @@ def main() -> None:
             i += 1
     out, *reads = rest
     datas = [json.load(open(p)) for p in reads]
-    names = sorted({k for d in datas for k in d["queries"]})
+    # pins are authoritative (5-run MiniBench medians) — include their
+    # names even when absent/-1 in every read, so a typo'd or
+    # failed-in-reads pin cannot silently vanish from the ledger
+    names = sorted({k for d in datas for k in d["queries"]} | set(pins))
     merged = {}
     for q in names:
         vals = [d["queries"][q] for d in datas
@@ -39,6 +42,13 @@ def main() -> None:
             merged[q] = pins[q]
         elif vals:
             merged[q] = min(vals)
+    missing = [q for q in pins if q not in merged]
+    assert not missing, f"pins failed to apply: {missing}"
+    unknown = [q for q in pins
+               if not any(q in d["queries"] for d in datas)]
+    if unknown:
+        print(f"WARNING: pinned queries absent from every read "
+              f"(typo?): {unknown}", file=sys.stderr)
     total = sum(merged.values())
     doc = {
         "metric": "total",

@@ -26,10 +26,12 @@ import org.apache.spark.sql.DataFrame
 private[graft] object Materialize {
 
   /** Eagerly materialize `result`, then unpersist every frame in
-    * `intermediates`. Returns the lineage-free materialized frame. */
-  def thenRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
-    intermediates.foreach(_.unpersist())
-    out
-  }
+    * `intermediates`. Returns the lineage-free materialized frame.
+    * The release runs even when materialization throws — a failed
+    * checkpoint job must not leave the intermediates pinned in storage
+    * memory for the rest of the session. */
+  def thenRelease(result: DataFrame, intermediates: DataFrame*): DataFrame =
+    try result.localCheckpoint(true)
+    finally intermediates.foreach(f =>
+      try f.unpersist() catch { case _: Throwable => () })
 }

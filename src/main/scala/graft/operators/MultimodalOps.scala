@@ -105,6 +105,12 @@ object MultimodalOps {
           // (ITU T.81 B.1.1.2) — skip them so the padding byte is not
           // misread as a marker with a garbage length field
           while (i + 3 < media.length && (media(i + 1) & 0xff) == 0xff) i += 1
+          // the skip may exit on its bounds check (fill bytes pending or
+          // a marker hard against the end) — the outer loop's i+3 bound
+          // no longer holds, so any length-field read here would run past
+          // the array: a padding-then-truncated payload falls back to the
+          // stub instead
+          if (i + 3 >= media.length) return None
           val m = media(i + 1) & 0xff
           if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
           else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF

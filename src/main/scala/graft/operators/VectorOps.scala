@@ -204,11 +204,16 @@ object VectorOps {
         // within each family via the v= marker in the rest.
         // "full" names the untagged family explicitly — a bare "ivf:key:"
         // prefix would still be a string-prefix of the tagged one and
-        // evict across families
+        // evict across families. nlist ALSO lives in the prefix (r17):
+        // the fixed-nlist gate queries (q44: 16) and the sized-nlist
+        // paths (AnnIndex.select, ScaleProbe's √n cells) are BOTH
+        // standing indexes on the same dataset — with nlist only in the
+        // rest they'd evict each other on every alternation once a
+        // corpus clears the brute bound, retraining inside timed runs.
         val tagSeg = if (keyTag.isEmpty) "full" else keyTag.stripPrefix(":")
-        val prefix = s"ivf:$key:$tagSeg:"
+        val prefix = s"ivf:$key:$tagSeg:nlist=$nlist:"
         val rest =
-          s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist:seed=$seed"
+          s"v=${AnnIndexCache.datasetVersion(key)}:seed=$seed"
         AnnIndexCache.memoKeyed(prefix, rest)(
           AnnIndexStore.orBuildKMeans(corpusVec.sparkSession, prefix + rest)(
             train()))
@@ -291,8 +296,10 @@ object VectorOps {
     val assigned = indexKey match {
       case Some(key) =>
         val sess = AnnIndexCache.sessionMarker(spark)
-        AnnIndexCache.memoKeyed(s"ivfpost:$key:full:",
-          s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist" +
+        // nlist in the PREFIX for the same two-standing-indexes reason
+        // as the quantizer memo above
+        AnnIndexCache.memoKeyed(s"ivfpost:$key:full:nlist=$nlist:",
+          s"v=${AnnIndexCache.datasetVersion(key)}" +
             s":seed=$seed:sess=$sess")(
           assignCells(model, corpusVec).localCheckpoint(true))
       case None =>
@@ -347,8 +354,8 @@ object VectorOps {
         // RDD must not leak across SparkSessions; memoKeyed eviction
         // retires the previous session's entry.
         val sess = AnnIndexCache.sessionMarker(spark)
-        AnnIndexCache.memoKeyed(s"ivfpost:$key:train=base:",
-          s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist" +
+        AnnIndexCache.memoKeyed(s"ivfpost:$key:train=base:nlist=$nlist:",
+          s"v=${AnnIndexCache.datasetVersion(key)}" +
             s":seed=$seed:spill=$spillAppend:sess=$sess")(
           buildPostings().localCheckpoint(true))
       case None =>

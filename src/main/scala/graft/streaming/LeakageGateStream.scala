@@ -121,18 +121,21 @@ object LeakageGateStream {
     * as freeze+gate when a live pipeline pays gate only). Build
     * wall-time is recorded by the memo and surfaces in the bench's
     * ann_build section, the same amortized-index accounting as the ANN
-    * tiers. A dataset rewrite changes the version marker → new memo key
-    * + new root; stale sibling roots are swept before the rebuild. */
+    * tiers. Each build freezes into a FRESH private temp directory
+    * (createTempDirectory — never a shared or predictable path: a
+    * hash-derived shared parent would let one session's rebuild sweep
+    * files another live session is still scanning, and hash collisions
+    * across dataset dirs could cross-wipe stores). A dataset rewrite
+    * changes the version marker → new memo key → new private root; a
+    * superseded root is /tmp debris (one per dataset-version per
+    * session), never a torn live store. */
   def frozenStore(spark: SparkSession, dir: String, corpus: DataFrame)
       : BucketedTableStore = {
     val ver = graft.operators.AnnIndexCache.datasetVersion(dir)
     val sess = graft.operators.AnnIndexCache.sessionMarker(spark)
     graft.operators.AnnIndexCache.memoKeyed(s"leakfreeze:$dir:",
       s"v=$ver:sess=$sess") {
-      val parent = java.nio.file.Paths.get(
-        s"/tmp/graft-leakgate-${math.abs(dir.hashCode).toHexString}")
-      graft.sync.TableStore.deleteRecursively(parent) // stale versions
-      val root = parent.resolve(s"v${math.abs((ver + sess).hashCode).toHexString}")
+      val root = java.nio.file.Files.createTempDirectory("graft-leakgate")
       val store = new BucketedTableStore(spark, root.toString, 16)
       freeze(spark, corpus, store, new Timestamp(1660000000000L))
       store

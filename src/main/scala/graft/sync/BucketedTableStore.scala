@@ -209,11 +209,19 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
   // A missing file (pre-upgrade table, crash before write) degrades to
   // inference, never to an error.
 
-  private def writeSchemaFile(f: Path, s: org.apache.spark.sql.types.StructType): Unit =
-    Files.write(f,
-      org.apache.spark.sql.types.StructType(
-        s.fields.map(_.copy(nullable = true))).json.getBytes,
+  private def schemaJson(s: org.apache.spark.sql.types.StructType): String =
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(_.copy(nullable = true))).json
+
+  // temp-file + atomic move: a torn sidecar write must never be read as
+  // a (wrong) schema — readers see the old content or the new, whole
+  private def writeSchemaFile(f: Path, s: org.apache.spark.sql.types.StructType): Unit = {
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+    Files.write(tmp, schemaJson(s).getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   private def readSchemaFile(f: Path): Option[org.apache.spark.sql.types.StructType] =
     if (!Files.exists(f)) None
@@ -770,10 +778,16 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
   }
 
   /** Read the live snapshot, optionally restricted to a bucket subset —
-    * the merge's way of scanning only what it will rewrite. */
+    * the merge's way of scanning only what it will rewrite. Live reads
+    * carry the live manifest version into the schema check too: a crash
+    * between a writeAll's sidecar write and its manifest commit leaves a
+    * NEWER-stamped sidecar next to the still-live OLD table, which must
+    * read via inference, not the not-yet-published schema. */
   def readBuckets(name: String, buckets: Option[Set[Int]]): Option[DataFrame] =
-    bucketStates(name).map { m =>
-      resolve(name, buckets.fold(m)(bs => m.view.filterKeys(bs).toMap))
+    currentManifestVersion(name).map { v =>
+      val m = parseStates(name, v)
+      resolve(name, buckets.fold(m)(bs => m.view.filterKeys(bs).toMap),
+        asOf = Some(v))
     }
 
   /** Materialize the table state a bucket-state map describes. Clean
@@ -1011,10 +1025,14 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     // base-file schema = df + _bucket (what partitionBy left in the files);
     // readers hand it to spark.read and skip footer inference. Stamped
-    // with the manifest this write publishes so time-travel reads OLDER
-    // than this write fall back to inference (schemaAsOf contract).
-    writeSchemaFile(schemaFile(name), sorted.schema)
+    // with the manifest this write publishes so reads OLDER than this
+    // write fall back to inference (schemaAsOf contract). STAMP FIRST:
+    // a crash between the two writes then leaves a too-NEW stamp over
+    // the old sidecar — every read at a live/historical version below
+    // it degrades to inference (safe) instead of binding old files to a
+    // new schema (the silent-null bug this versioning exists to close).
     writeVersionStamp(schemaVersionFile(name), base.getOrElse(-1) + 1)
+    writeSchemaFile(schemaFile(name), sorted.schema)
     commitManifest(name, entries.toMap, base)
   }
 
@@ -1198,19 +1216,22 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
           else (0 until nBuckets).filter(b =>
             Files.exists(staging.resolve(s"_bp=$b"))).toSet
         if (touched.isEmpty) { cleanupDir(staging); return }
-        // stamp only when the sidecar content actually changes (first
-        // write, or a schema change after a writeAll) — an unchanged
-        // schema stays valid for every older manifest it already covered
+        // stamp + rewrite only when the sidecar content actually changes
+        // (first write, or a schema change after a writeAll) — an
+        // unchanged schema stays valid for every older manifest it
+        // already covered. STAMP FIRST (same crash-ordering argument as
+        // writeAll): a too-new stamp degrades reads to inference; the
+        // reverse order could validate a NEW sidecar with an OLD stamp.
         val dsf = deltaSchemaFile(name)
+        val newDs = schemaJson(staged.schema)
         val prevDs = if (Files.exists(dsf))
           Some(new String(Files.readAllBytes(dsf),
             java.nio.charset.StandardCharsets.UTF_8)) else None
-        writeSchemaFile(dsf, staged.schema)
-        val newDs = new String(Files.readAllBytes(dsf),
-          java.nio.charset.StandardCharsets.UTF_8)
         if (!prevDs.contains(newDs) ||
-            !Files.exists(deltaSchemaVersionFile(name)))
+            !Files.exists(deltaSchemaVersionFile(name))) {
           writeVersionStamp(deltaSchemaVersionFile(name), base.getOrElse(-1) + 1)
+          writeSchemaFile(dsf, staged.schema)
+        }
         val newStats = prevStats.map(prev => widenStats(specs, prev, addStats))
         val newBloom = prevBloom.map(prev => orBloom(prev, addBloom))
         def stale(): Nothing = {

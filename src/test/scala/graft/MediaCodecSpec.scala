@@ -52,6 +52,15 @@ class MediaCodecSpec extends SparkSpec {
     val padded = Array[Byte](0xff.toByte, 0xd8.toByte) ++ fill ++ app0 ++
       fill ++ sof0 ++ Array[Byte](0xff.toByte, 0xd9.toByte)
     assert(HeaderCodec.imageDims(padded).contains((320, 240)))
+    // padding-then-truncated payload: the skip loop exits on its bounds
+    // check — must fall back (None), never read a length past the array
+    val truncated = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array.fill[Byte](4)(0xff.toByte)
+    assert(HeaderCodec.imageDims(truncated).isEmpty)
+    // marker hard against the end with no room for its length field
+    val clipped = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xff.toByte, 0xe0.toByte, 0x00.toByte)
+    assert(HeaderCodec.imageDims(clipped).isEmpty)
   }
 
   test("HeaderCodec falls back to the stub on non-image payloads") {
