@@ -410,7 +410,7 @@ object ScaleProbe {
           ("sf1", "q246_selector_ivf", () => {
             import graft.operators.{AnnIndex, VectorOps}
             val emb = graft.tables.Tables.embeddings(spark, sf1)
-            val idx = AnnIndex.select(spark, sf1, emb)
+            val idx = AnnIndex.select(spark, sf1)
             require(idx.tier == "ivf",
               s"selector must leave brute past 2^14 rows, picked ${idx.tier}")
             val qs = emb.filter(pmod(col("vec_id"), lit(160)) === 0)

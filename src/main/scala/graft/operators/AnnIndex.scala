@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   * deliberately not in the auto policy: SRP serves the no-training-pass
   * streaming context, flat PQ the memory-bound-but-small corpus), and
   * the graph/append tiers keep their own maintenance-protocol entry
-  * points — a selector cannot know an index already exists.
+  * points. Since round 18 the selector IS index-aware for the IVF
+  * family: [[AnnIndex.select]] consults the persisted
+  * [[AnnIndexStore]] registry and routes to a standing version-matched
+  * quantizer before falling back to the stats policy (q247 gates both
+  * paths).
   *
   * Every tier returns the same shape: (query_id, neighbor_id, cosine,
   * rank), rank 1-based by (cosine desc, neighbor_id asc) per query.
@@ -95,24 +99,74 @@ object AnnIndex {
     else if (n <= IvfFlatMax) "ivf"
     else "ivfpq"
 
-  /** Stats-driven selection for a dataset directory's embedding corpus.
+  /** Full-corpus IVF quantizers persisted for (dataset dir, current
+    * version) in the configured [[AnnIndexStore]] — the nlists whose
+    * standing index a selector can route to without any build. Empty
+    * when the store is off. */
+  def registeredIvfNlists(dir: String, ver: String): Seq[Int] =
+    AnnIndexStore.listKeys().flatMap { k =>
+      val pfx = s"ivf:$dir:full:nlist="
+      if (k.startsWith(pfx) && k.contains(s":v=$ver:"))
+        k.stripPrefix(pfx).takeWhile(_ != ':').toIntOption
+      else None
+    }.distinct.sorted
+
+  /** Stats-and-registry-driven selection for a dataset directory's
+    * embedding corpus (loaded internally — taking the dir alone is what
+    * keeps the memoized row count honest: a caller-supplied frame could
+    * be a filtered derivative whose count would silently poison, or be
+    * poisoned by, the per-dataset memo).
+    *
     * The row count is memoized per dataset version (one count job per
-    * dataset per session, like every other index stat); `indexKey`
-    * flows into the chosen tier so its trained artifacts ride the
-    * existing memo families. */
-  def select(spark: SparkSession, dir: String, corpus: DataFrame)
-      : AnnIndex = {
+    * dataset per session — and persisted through the disk store, since
+    * at 100 TB the count behind a tier decision is itself a full scan
+    * worth amortizing). The dataset dir flows into the chosen tier as
+    * its index key, so trained artifacts ride the existing memo/disk
+    * families.
+    *
+    * REGISTRY AWARENESS (`registryAware = true`): when the configured
+    * [[AnnIndexStore]] already holds a full-corpus IVF quantizer for
+    * this dataset AT THE CURRENT VERSION, the selector routes to it
+    * instead of re-deciding from stats alone — an index a nightly build
+    * already paid for beats the one the policy would build, and a
+    * version mismatch falls back to the stats policy (stale indexes are
+    * never served). Two routing cases:
+    *   - stats tier is brute (small corpus): a registered index serves
+    *     with nprobe = nlist — every cell probed, exact re-rank, so the
+    *     answer stays EXACT while the serve runs through the standing
+    *     index's postings;
+    *   - stats tier is ivf/ivfpq: the registered nlist closest to the
+    *     √n policy size replaces it (the persisted quantizer needs no
+    *     training pass; a policy-sized one would).
+    * Pass `registryAware = false` to gate the pure stats policy (q246
+    * does — its oracle replays tierFor in SQL, which no SQL replay of
+    * registry state could). The graph tiers keep their own maintenance
+    * protocols (q242/q245) and are not routed here. */
+  def select(spark: SparkSession, dir: String,
+      registryAware: Boolean = true): AnnIndex = {
     val ver = AnnIndexCache.datasetVersion(dir)
+    val corpus = graft.tables.Tables.embeddings(spark, dir)
+    AnnIndexCache.evictStaleVersions(s"annstats:$dir:", ver)
     val n = AnnIndexCache.memoKeyed(s"annstats:$dir:", s"v=$ver")(
-      corpus.count())
+      AnnIndexStore.orBuildLong(s"annstats:$dir:v=$ver")(corpus.count()))
     val key = Some(dir)
+    val statsNlist = VectorOps.sizedNlist(n)
+    val registered =
+      if (registryAware) registeredIvfNlists(dir, ver) else Seq.empty
+    // closest registered nlist to the policy size; ties → the smaller
+    val regNlist = registered
+      .minByOption(r => (math.abs(r.toLong - statsNlist), r))
     tierFor(n) match {
-      case "brute" => Brute(spark, corpus)
+      case "brute" =>
+        regNlist match {
+          case Some(nl) => Ivf(spark, corpus, nl, nprobe = nl, key)
+          case None => Brute(spark, corpus)
+        }
       case "ivf" =>
-        val nlist = VectorOps.sizedNlist(n)
+        val nlist = regNlist.getOrElse(statsNlist)
         Ivf(spark, corpus, nlist, VectorOps.sizedNprobe(nlist), key)
       case _ =>
-        val nlist = VectorOps.sizedNlist(n)
+        val nlist = regNlist.getOrElse(statsNlist)
         IvfPq(spark, corpus, nlist, VectorOps.sizedNprobe(nlist),
           indexKey = key)
     }

@@ -98,6 +98,26 @@ object AnnIndexCache {
     memo(key)(build)
   }
 
+  /** Dataset-wide stale-version sweep (r17 advice): [[memoKeyed]]'s
+    * per-prefix eviction can't see STALE SIBLING FAMILIES — the nlist /
+    * keyTag variant segments live in the prefix (so variants coexist,
+    * the r14 mutual-eviction fix), which means a dataset rewrite that
+    * changes sizedNlist(n) strands the old-nlist family: its centroids
+    * and corpus-sized checkpointed postings stay pinned for the JVM
+    * lifetime and its stale buildSeconds rows emit duplicate ann_build
+    * keys. Call this with the dataset-level prefix (e.g. `"ivf:$dir:"`)
+    * and the CURRENT version marker before memoizing: every entry under
+    * the prefix not carrying `v=$ver` (as a `:`-delimited segment) is
+    * evicted, across all variant families at once. */
+  def evictStaleVersions(datasetPrefix: String, ver: String): Unit = {
+    val mid = s":v=$ver:"
+    val end = s":v=$ver"
+    def stale(k: String): Boolean =
+      k.startsWith(datasetPrefix) && !k.contains(mid) && !k.endsWith(end)
+    cache.keys.filter(stale).foreach(cache.remove)
+    buildSec.keys.filter(stale).foreach(buildSec.remove)
+  }
+
   /** Build wall-times recorded so far, keyed as passed to [[memo]]. */
   def buildSeconds: Map[String, Double] = buildSec.toMap
 

@@ -84,6 +84,119 @@ object AnnIndexStore {
       }
   }
 
+  /** DataFrame leg (IVF postings, graph cells/edges, BM25 posting
+    * stats): persisted as parquet under the entry dir. The disk key must
+    * be SESSION-FREE (callers strip the `sess=` segment their in-JVM
+    * memo key carries for localCheckpoint lifetime) — a parquet-backed
+    * frame is context-free by nature, which is the whole point of the
+    * cross-JVM tier. On a hit the returned frame is a lazy scan of the
+    * store's parquet — small index state, re-read per use, no pinned
+    * blocks; on a miss the caller's (typically localCheckpointed) build
+    * result is written out and returned as-is. */
+  def orBuildParquet(spark: SparkSession, key: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    root match {
+      case None => build
+      case Some(r) =>
+        val dir = entry(r, key)
+        val data = new File(dir, "data.parquet")
+        if (keyed(dir, key) && data.exists)
+          try { val df = spark.read.parquet(data.getPath); loads += 1; df }
+          catch { case _: Throwable => build }
+        else {
+          val df = build
+          try {
+            dir.mkdirs()
+            df.write.mode("overwrite").parquet(data.getPath)
+            writeKey(dir, key)
+          } catch { case _: Throwable => () }
+          df
+        }
+    }
+
+  /** Scalar leg (corpus row counts and other O(1) index stats — at
+    * 100 TB the count behind a selector decision is a full scan worth
+    * amortizing across JVMs like any other index artifact). */
+  def orBuildLong(key: String)(build: => Long): Long = root match {
+    case None => build
+    case Some(r) =>
+      val dir = entry(r, key)
+      val f = new File(dir, "value.txt")
+      if (keyed(dir, key) && f.isFile)
+        try {
+          val v = new String(Files.readAllBytes(f.toPath),
+            StandardCharsets.UTF_8).trim.toLong
+          loads += 1
+          v
+        } catch { case _: Throwable => build }
+      else {
+        val v = build
+        try {
+          dir.mkdirs()
+          Files.write(f.toPath, v.toString.getBytes(StandardCharsets.UTF_8))
+          writeKey(dir, key)
+        } catch { case _: Throwable => () }
+        v
+      }
+  }
+
+  /** Directory-tree leg (the leakage gate's frozen BucketedTableStore —
+    * index state that is a whole file tree, not one frame). `build` is
+    * handed the persistent tree path to populate; on a hit the existing
+    * tree is returned untouched. Returns None when the store is off —
+    * the caller falls back to its private temp-dir build. The KEY marker
+    * is written LAST, so a crash mid-build leaves an unmarked tree that
+    * the next JVM clears and rebuilds rather than serves torn. */
+  def orBuildTree(key: String)(build: String => Unit): Option[String] =
+    root match {
+      case None => None
+      case Some(r) =>
+        val dir = entry(r, key)
+        val tree = new File(dir, "tree")
+        if (keyed(dir, key) && tree.isDirectory) { loads += 1; Some(tree.getPath) }
+        else
+          try {
+            if (tree.exists()) deleteRecursively(tree)
+            dir.mkdirs()
+            build(tree.getPath)
+            writeKey(dir, key)
+            Some(tree.getPath)
+          } catch { case _: Throwable => None }
+    }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  /** True iff a persisted entry exists for `key` (verbatim KEY match)
+    * holding at least one artifact — the registry probe the index-aware
+    * selector uses to route to standing indexes without rebuilding. */
+  def has(key: String): Boolean = root.exists { r =>
+    val dir = entry(r, key)
+    keyed(dir, key) && Option(dir.listFiles()).exists(_.exists(f =>
+      f.getName != "KEY"))
+  }
+
+  /** Every persisted entry's verbatim KEY — the registry view the
+    * index-aware selector scans ([[graft.operators.AnnIndex.select]]).
+    * Empty when the store is off. Cost is one directory listing plus one
+    * tiny file read per entry — a store holds index ARTIFACTS (one per
+    * dataset × index family), never per-row state, so the scan stays
+    * O(indexes) at any corpus size. */
+  def listKeys(): Seq[String] = root match {
+    case None => Seq.empty
+    case Some(r) =>
+      Option(new File(r).listFiles()).getOrElse(Array.empty).toSeq
+        .filter(_.isDirectory).flatMap { d =>
+          val m = new File(d, "KEY")
+          if (!m.isFile) None
+          else try Some(new String(Files.readAllBytes(m.toPath),
+            StandardCharsets.UTF_8))
+          catch { case _: java.io.IOException => None }
+        }
+  }
+
   /** Codebook leg (PQ / IVF-PQ residual books): Java serialization of
     * the (dim, books) pair — doubles round-trip bit-exactly. */
   def orBuildCodebooks(key: String)(

@@ -32,10 +32,12 @@ object BpeOps {
   val EndOfWord = "</w>"
 
   /** Canonical symbol form: the engine's string encoding round-trip.
-    * Identity on well-formed BMP text; ill-formed UTF-16 (the lone
-    * surrogates a per-char split makes of any supplementary character)
-    * degrades to '?' — IMMEDIATELY, at the split, on both training
-    * tiers and in encode. Without this the distributed loop is
+    * Identity on all well-formed text — the symbol split below is by
+    * CODE POINT, so supplementary characters (emoji, CJK ext-B) stay
+    * intact as single symbols and are untouched here. Only genuinely
+    * ill-formed UTF-16 in the input (a lone surrogate in the source
+    * text itself) degrades to '?' — IMMEDIATELY, at the split, on both
+    * training tiers and in encode. Without that the distributed loop is
     * self-inconsistent on such symbols: the argmax collects ENCODED
     * strings while the lazy rewrite closures compare PRE-encode raw
     * symbols, so a recorded merge silently never applies until a
@@ -45,8 +47,22 @@ object BpeOps {
   def canonSym(s: String): String =
     org.apache.spark.unsafe.types.UTF8String.fromString(s).toString
 
-  private def splitSyms(w: String): Seq[String] =
-    w.map(c => canonSym(c.toString)) :+ EndOfWord
+  /** Split a word into code-point symbols (+ the end marker). Splitting
+    * by code point — not by UTF-16 char — keeps astral characters whole:
+    * two distinct emoji are distinct symbols, never the shared '??' a
+    * per-char split would collapse them to, so training can't conflate
+    * unrelated text and encode() is lossless on well-formed input. */
+  private def splitSyms(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += canonSym(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
+    out += EndOfWord
+    out.result()
+  }
 
   final case class BpeModel(merges: Seq[(String, String)]) {
     /** Apply the learned merges, in order, to one word (same canonical
@@ -138,7 +154,12 @@ object BpeOps {
       vocab.map(w => mutable.ArrayBuffer(splitSyms(w._1): _*))
     val freqs: Array[Long] = vocab.map(_._2)
     val counts = mutable.HashMap.empty[(String, String), Long]
-    val occurs = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // occurrence sets are sparse HashSets, NOT BitSets: a BitSet is dense
+    // up to the pair's max word index, so at a 4M-row vocabulary a pair
+    // occurring only in a late word would cost ~500KB — across millions
+    // of distinct pairs that blows up the driver at exactly the scale
+    // this tier advertises. HashSet cost is O(#occurrences) instead.
+    val occurs = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
     def pairsOf(s: mutable.ArrayBuffer[String]): Iterator[(String, String)] =
       if (s.length < 2) Iterator.empty
       else (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
@@ -146,7 +167,7 @@ object BpeOps {
       val f = freqs(wi)
       pairsOf(words(wi)).foreach { p =>
         counts(p) = counts.getOrElse(p, 0L) + f
-        occurs.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        occurs.getOrElseUpdate(p, mutable.HashSet.empty[Int]) += wi
       }
     }
     def pairLt(a: (String, String), b: (String, String)): Boolean = {
@@ -168,7 +189,10 @@ object BpeOps {
         val pair = best._1
         merges += pair
         // rewrite ONLY the words holding the pair; maintain deltas
-        occurs.get(pair).map(_.toSeq).getOrElse(Seq.empty).foreach { wi =>
+        // (sorted snapshot: HashSet iteration order is arbitrary; the
+        // deltas are commutative Long arithmetic so the result doesn't
+        // depend on order, but a fixed order keeps traces reproducible)
+        occurs.get(pair).map(_.toArray.sorted.toSeq).getOrElse(Seq.empty).foreach { wi =>
           val w = words(wi); val f = freqs(wi)
           pairsOf(w).foreach { p =>
             val nv = counts(p) - f
@@ -181,7 +205,7 @@ object BpeOps {
           w.clear(); w ++= merged
           pairsOf(w).foreach { p =>
             counts(p) = counts.getOrElse(p, 0L) + f
-            occurs.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+            occurs.getOrElseUpdate(p, mutable.HashSet.empty[Int]) += wi
           }
         }
       }

@@ -212,8 +212,12 @@ object VectorOps {
         // corpus clears the brute bound, retraining inside timed runs.
         val tagSeg = if (keyTag.isEmpty) "full" else keyTag.stripPrefix(":")
         val prefix = s"ivf:$key:$tagSeg:nlist=$nlist:"
-        val rest =
-          s"v=${AnnIndexCache.datasetVersion(key)}:seed=$seed"
+        val ver = AnnIndexCache.datasetVersion(key)
+        val rest = s"v=$ver:seed=$seed"
+        // dataset-wide sweep BEFORE memoizing: a rewrite that changes
+        // sizedNlist(n) would otherwise strand the old-nlist family —
+        // its prefix differs, so memoKeyed's own eviction never sees it
+        AnnIndexCache.evictStaleVersions(s"ivf:$key:", ver)
         AnnIndexCache.memoKeyed(prefix, rest)(
           AnnIndexStore.orBuildKMeans(corpusVec.sparkSession, prefix + rest)(
             train()))
@@ -296,12 +300,18 @@ object VectorOps {
     val assigned = indexKey match {
       case Some(key) =>
         val sess = AnnIndexCache.sessionMarker(spark)
+        val ver = AnnIndexCache.datasetVersion(key)
         // nlist in the PREFIX for the same two-standing-indexes reason
-        // as the quantizer memo above
-        AnnIndexCache.memoKeyed(s"ivfpost:$key:full:nlist=$nlist:",
-          s"v=${AnnIndexCache.datasetVersion(key)}" +
-            s":seed=$seed:sess=$sess")(
-          assignCells(model, corpusVec).localCheckpoint(true))
+        // as the quantizer memo above. The disk key drops the sess=
+        // segment: the in-JVM memo holds a context-bound checkpoint, but
+        // the persisted parquet is context-free and serves every JVM.
+        val prefix = s"ivfpost:$key:full:nlist=$nlist:"
+        val diskKey = prefix + s"v=$ver:seed=$seed"
+        AnnIndexCache.evictStaleVersions(s"ivfpost:$key:", ver)
+        AnnIndexCache.memoKeyed(prefix,
+          s"v=$ver:seed=$seed:sess=$sess")(
+          AnnIndexStore.orBuildParquet(spark, diskKey)(
+            assignCells(model, corpusVec).localCheckpoint(true)))
       case None =>
         assignCells(model, corpusVec)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -354,10 +364,14 @@ object VectorOps {
         // RDD must not leak across SparkSessions; memoKeyed eviction
         // retires the previous session's entry.
         val sess = AnnIndexCache.sessionMarker(spark)
-        AnnIndexCache.memoKeyed(s"ivfpost:$key:train=base:nlist=$nlist:",
-          s"v=${AnnIndexCache.datasetVersion(key)}" +
-            s":seed=$seed:spill=$spillAppend:sess=$sess")(
-          buildPostings().localCheckpoint(true))
+        val ver = AnnIndexCache.datasetVersion(key)
+        val prefix = s"ivfpost:$key:train=base:nlist=$nlist:"
+        val diskKey = prefix + s"v=$ver:seed=$seed:spill=$spillAppend"
+        AnnIndexCache.evictStaleVersions(s"ivfpost:$key:", ver)
+        AnnIndexCache.memoKeyed(prefix,
+          s"v=$ver:seed=$seed:spill=$spillAppend:sess=$sess")(
+          AnnIndexStore.orBuildParquet(spark, diskKey)(
+            buildPostings().localCheckpoint(true)))
       case None =>
         buildPostings()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -585,8 +599,9 @@ object VectorOps {
       case Some(key) =>
         // same staleness guard + eviction as ivfTopK; disk tier optional
         val prefix = s"pq:$key:"
-        val rest = s"v=${AnnIndexCache.datasetVersion(key)}:m=$m:kCodes=$kCodes" +
-          s":seed=$seed"
+        val ver = AnnIndexCache.datasetVersion(key)
+        val rest = s"v=$ver:m=$m:kCodes=$kCodes:seed=$seed"
+        AnnIndexCache.evictStaleVersions(prefix, ver)
         AnnIndexCache.memoKeyed(prefix, rest)(
           AnnIndexStore.orBuildCodebooks(prefix + rest)(train()))
       case None => train()
@@ -696,8 +711,9 @@ object VectorOps {
     val (dim, codebooks) = indexKey match {
       case Some(key) =>
         val prefix = s"ivfpq:$key:"
-        val rest = s"v=${AnnIndexCache.datasetVersion(key)}:nlist=$nlist:m=$m" +
-          s":kCodes=$kCodes:seed=$seed"
+        val ver = AnnIndexCache.datasetVersion(key)
+        val rest = s"v=$ver:nlist=$nlist:m=$m:kCodes=$kCodes:seed=$seed"
+        AnnIndexCache.evictStaleVersions(prefix, ver)
         AnnIndexCache.memoKeyed(prefix, rest)(
           AnnIndexStore.orBuildCodebooks(prefix + rest)(train()))
       case None => train()

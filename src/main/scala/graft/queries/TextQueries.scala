@@ -1438,9 +1438,15 @@ object TextQueries {
   private def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val ver = graft.operators.AnnIndexCache.datasetVersion(dir)
     val sess = graft.operators.AnnIndexCache.sessionMarker(spark)
+    // stale sweep + cross-JVM parquet tier (r17 verdict ask #3): the
+    // posting stats persist like any index artifact; the disk key drops
+    // the context-bound sess= segment.
+    graft.operators.AnnIndexCache.evictStaleVersions(s"bm25:$dir:", ver)
     graft.operators.AnnIndexCache.memoKeyed(s"bm25:$dir:",
       s"v=$ver:sess=$sess")(
-      bm25ScoresBuild(spark, dir).localCheckpoint(true))
+      graft.operators.AnnIndexStore.orBuildParquet(spark,
+        s"bm25:$dir:v=$ver")(
+        bm25ScoresBuild(spark, dir).localCheckpoint(true)))
   }
   private[graft] def bm25ScoresBuild(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)

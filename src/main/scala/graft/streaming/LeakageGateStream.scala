@@ -133,12 +133,27 @@ object LeakageGateStream {
       : BucketedTableStore = {
     val ver = graft.operators.AnnIndexCache.datasetVersion(dir)
     val sess = graft.operators.AnnIndexCache.sessionMarker(spark)
+    graft.operators.AnnIndexCache.evictStaleVersions(s"leakfreeze:$dir:", ver)
     graft.operators.AnnIndexCache.memoKeyed(s"leakfreeze:$dir:",
       s"v=$ver:sess=$sess") {
-      val root = java.nio.file.Files.createTempDirectory("graft-leakgate")
-      val store = new BucketedTableStore(spark, root.toString, 16)
-      freeze(spark, corpus, store, new Timestamp(1660000000000L))
-      store
+      // cross-JVM tree tier (r17 verdict ask #3): when AnnIndexStore is
+      // configured, the frozen store lives under its versioned entry —
+      // a fresh JVM reuses it instead of re-freezing; the KEY-written-
+      // last protocol keeps torn builds from ever loading. Store off (or
+      // build failure) falls back to the r17 private-temp-dir shape.
+      graft.operators.AnnIndexStore.orBuildTree(s"leakfreeze:$dir:v=$ver") {
+        path =>
+          freeze(spark, corpus, new BucketedTableStore(spark, path, 16),
+            new Timestamp(1660000000000L))
+          ()
+      } match {
+        case Some(path) => new BucketedTableStore(spark, path, 16)
+        case None =>
+          val root = java.nio.file.Files.createTempDirectory("graft-leakgate")
+          val store = new BucketedTableStore(spark, root.toString, 16)
+          freeze(spark, corpus, store, new Timestamp(1660000000000L))
+          store
+      }
     }
   }
 

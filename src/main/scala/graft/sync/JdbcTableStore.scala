@@ -57,7 +57,11 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * the JDBC URL scheme, defaulting to the ANSI-adjacent ALTER form for
   * unknown engines. Executed coverage is Derby-only (no PG engine ships
   * offline); the PG-dialect statements are pinned string-for-string by
-  * JdbcDialectSpec against the reference's procedure text.
+  * JdbcDialectSpec against PostgreSQL/Redshift DOCUMENTED syntax (the
+  * reference's own sql/ procedures use DROP TABLE IF EXISTS + CREATE
+  * rather than a rename, so these pins are this library's chosen publish
+  * protocol expressed in the target dialect — not transcribed reference
+  * text).
   */
 final class JdbcTableStore(spark: org.apache.spark.sql.SparkSession,
     url: String, driver: String, maxVarchar: Int = 4096,

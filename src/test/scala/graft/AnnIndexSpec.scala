@@ -66,7 +66,7 @@ class AnnIndexSpec extends SparkSpec {
   test("select routes the test corpus to brute and answers exactly") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.tables.Tables.embeddings(spark, dir)
-    val idx = AnnIndex.select(spark, dir, emb)
+    val idx = AnnIndex.select(spark, dir)
     assert(idx.tier == "brute",
       "500-vector corpus sits under BruteMax — policy must pick brute")
     val routed = idx.topK(emb.filter(col("vec_id") < 3), 5)
@@ -77,6 +77,57 @@ class AnnIndexSpec extends SparkSpec {
       .select($"query_id", $"neighbor_id", $"rank")
       .as[(Long, Long, Int)].collect().toSet
     assert(routed == direct)
+  }
+
+  test("select is registry-aware: persisted version-matched IVF routes; stale falls back") {
+    import graft.operators.{AnnIndexCache, AnnIndexStore, VectorOps}
+    val dataDir = tmpDir("annregdata")
+    def writeCorpus(n: Int): Unit = {
+      val rnd = new scala.util.Random(11)
+      (0 until n).map { i =>
+        (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1), i % 3)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(dataDir + "/embeddings.parquet")
+    }
+    writeCorpus(64)
+    def emb = graft.tables.Tables.embeddings(spark, dataDir)
+    val storeRoot = tmpDir("annregroot")
+    val prev = AnnIndexStore.rootOverride
+    def dropMemos(): Unit = Seq("annstats", "ivf", "ivfpost")
+      .foreach(p => AnnIndexCache.invalidate(s"$p:$dataDir:"))
+    AnnIndexStore.rootOverride = Some(storeRoot)
+    try {
+      dropMemos()
+      // registry MISS: empty store → pure stats policy
+      assert(AnnIndex.select(spark, dataDir).tier == "brute")
+      // the nightly build persists a standing nlist-4 index
+      VectorOps.ivfTopK(spark, emb.filter(col("vec_id") < 2), emb, k = 3,
+        nlist = 4, nprobe = 4, indexKey = Some(dataDir)).count()
+      // registry HIT: same version → route to the registered quantizer,
+      // served exact (nprobe = nlist under the brute-size upgrade rule)
+      val hit = AnnIndex.select(spark, dataDir)
+      hit match {
+        case ivf: AnnIndex.Ivf =>
+          assert(ivf.nlist == 4 && ivf.nprobe == 4,
+            s"registered nlist must route with nprobe = nlist, got ${ivf.nlist}/${ivf.nprobe}")
+        case other => fail(s"registry hit must route to ivf, got ${other.tier}")
+      }
+      val routed = hit.topK(emb.filter(col("vec_id") < 2), 3)
+        .select($"query_id", $"neighbor_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val exact = VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 2), emb, 3)
+        .select($"query_id", $"neighbor_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(routed == exact, "all-cells probe + exact re-rank must stay exact")
+      // VERSION MISMATCH: rewrite the dataset → the registered entry is
+      // stale and must NOT be served; stats policy resumes
+      writeCorpus(65)
+      assert(AnnIndex.select(spark, dataDir).tier == "brute",
+        "a stale registry entry (old v= marker) must fall back to stats")
+    } finally {
+      AnnIndexStore.rootOverride = prev
+      dropMemos()
+    }
   }
 
   test("selector sizing hands IVF tiers the √n policy constants") {

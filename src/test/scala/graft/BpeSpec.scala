@@ -156,6 +156,29 @@ class BpeSpec extends SparkSpec {
     assert(local === dist, s"local $local vs dist $dist")
   }
 
+  test("code-point split keeps distinct astral characters distinct (no '?' collapse)") {
+    // r17 advice: a per-char split turns every supplementary character
+    // into two lone surrogates → '??', conflating unrelated text. The
+    // code-point split must keep two DIFFERENT emoji as two different
+    // symbols, train without any '?' symbol, and encode losslessly.
+    val s = spark
+    import s.implicits._
+    val a = new String(Character.toChars(0x1F600)) // 😀
+    val b = new String(Character.toChars(0x1F680)) // 🚀
+    assert(a != b)
+    val vocab = Seq((a + a, 5L), (b + b, 4L))
+    val local = BpeOps.trainLocal(vocab.toArray, 10)
+    assert(local.merges.forall { case (l, r) =>
+      !l.contains("?") && !r.contains("?") },
+      s"no symbol may degrade to '?': ${local.merges}")
+    assert(local.encodeWord(a + a) == Seq(a + a + BpeOps.EndOfWord),
+      "well-formed astral text encodes losslessly")
+    assert(local.encodeWord(a + a) != local.encodeWord(b + b),
+      "distinct emoji words must not conflate")
+    val dist = BpeOps.trainDistributed(spark, vocab.toDF("word", "freq"), 10)
+    assert(local.merges === dist.merges, "tiers agree on astral symbols")
+  }
+
   test("a 1024-merge schedule runs without 1024 Spark jobs (localized tier)") {
     // the r16 verdict's scale ask: after the one corpus aggregation the
     // word table is vocabulary-sized; past jobs-per-round pricing, a

@@ -458,6 +458,55 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("AnnIndexStore parquet/long/tree legs: postings persist, scalars and trees roundtrip") {
+    import graft.operators.{AnnIndexCache, AnnIndexStore}
+    val dataDir = tmpDir("annpostdata")
+    (0L until 40L).map(i =>
+        (i, Array.tabulate(8)(j => ((i % 4) * 3 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dataDir + "/embeddings.parquet")
+    def corpus = spark.read.parquet(dataDir + "/embeddings.parquet")
+    def probe() = VectorOps.ivfTopK(spark, corpus.filter($"vec_id" < 2),
+      corpus, k = 3, nlist = 4, nprobe = 4, indexKey = Some(dataDir))
+      .collect().map(_.toString).sorted.toSeq
+    val storeRoot = tmpDir("annpostroot")
+    val prev = AnnIndexStore.rootOverride
+    AnnIndexStore.rootOverride = Some(storeRoot)
+    def dropMemos(): Unit = Seq("ivf", "ivfpost")
+      .foreach(p => AnnIndexCache.invalidate(s"$p:$dataDir:"))
+    try {
+      dropMemos()
+      val r1 = probe()
+      // "new JVM": the postings parquet leg must serve alongside kmeans
+      dropMemos()
+      val loads0 = AnnIndexStore.diskLoads
+      val r2 = probe()
+      assert(AnnIndexStore.diskLoads >= loads0 + 2,
+        "kmeans AND postings legs must both load from disk")
+      assert(r1 == r2, "disk-loaded postings must reproduce results exactly")
+      // scalar leg
+      var builds = 0
+      def count() = AnnIndexStore.orBuildLong("stats:test:v=1")({ builds += 1; 42L })
+      assert(count() == 42L && count() == 42L)
+      assert(builds == 1, "second orBuildLong call must load, not rebuild")
+      // tree leg: build writes a file tree; a second call reuses it
+      var treeBuilds = 0
+      def tree() = AnnIndexStore.orBuildTree("tree:test:v=1") { path =>
+        treeBuilds += 1
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, "part-0"), "payload".getBytes)
+      }
+      val t1 = tree(); val t2 = tree()
+      assert(t1.isDefined && t1 == t2 && treeBuilds == 1,
+        "tree leg must build once and serve the same path after")
+      assert(new java.io.File(t1.get, "part-0").isFile)
+    } finally {
+      AnnIndexStore.rootOverride = prev
+      dropMemos()
+    }
+  }
+
   test("multimodal decode stub is deterministic and kind-aware") {
     val docs = Seq((0L, "hello world"), (2L, "a video payload " * 20))
       .toDF("doc_id", "text").withColumn("n_chars", length($"text"))
