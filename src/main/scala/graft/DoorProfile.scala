@@ -56,7 +56,7 @@ object DoorProfile {
     }
 
     which match {
-      case "q160" | "q150" =>
+      case "q160" | "q150" | "q165" =>
         // two ROUNDS: round 1 absorbs JVM/codegen warmup, round 2 is
         // what a warm bench pass pays — read round 2
         (1 to 2).foreach { round =>
@@ -65,6 +65,10 @@ object DoorProfile {
               (graft.operators.DedupIngest.door(),
                 graft.tables.Tables.documents(spark, dir)
                   .repartition(col("doc_id")), "doc_id")
+            else if (which == "q165")
+              // same no-wrapper-repartition shape as q165SpanIngest
+              (graft.operators.SpanIngest.door(8),
+                graft.tables.Tables.documents(spark, dir), "doc_id")
             else
               (graft.operators.SemanticDedupIngest.door(),
                 graft.tables.Tables.embeddings(spark, dir), "vec_id")

@@ -56,30 +56,36 @@ object SpanIngest {
     store.writeAll("gfp", gramFps(corpus, n)
       .withColumn("syncTimestamp", lit(ts)), "fp")
 
-  /** Fps of `probes` present in the index. No touched-bucket
-    * pre-collect ([[DedupIngest]]'s round-15 rationale): a realistic
-    * batch's gram fingerprints hash into all 16 store buckets, so the
-    * former distinct-collect was one action per batch that pruned
-    * nothing; the left_semi join is the residual filter either way. */
-  private def indexedFps(store: BucketedTableStore, probes: DataFrame): DataFrame =
-    store.readBuckets("gfp", None) match {
-      case Some(idx) if idx.columns.contains("fp") =>
-        probes.join(idx.select(col("fp")), Seq("fp"), "left_semi")
-      case _ => probes.limit(0)
-    }
-
   /** Span stats + admission for ONE batch against the index AS OF now —
     * pure read, no index mutation. `occ` must be the batch's positioned
     * gram occurrences (passed in so the caller persists it across this
     * and the index update). Returns one MATERIALIZED row per batch doc:
-    * (doc_id, batch_id, n_spans, dup_tokens, total_tokens, admitted). */
+    * (doc_id, batch_id, n_spans, dup_tokens, total_tokens, admitted).
+    *
+    * The duplicate-fp set is ONE aggregation plus a membership flag
+    * (r18, the q165 constant diet): `nd` — the within-batch distinct-doc
+    * fan-out — and the standing-index hit are decided on the same
+    * fp-partitioned frame, with the index joined LEFT (readBuckets
+    * resolves newest-per-key, so the join cannot fan out). The r17 shape
+    * scanned and shuffled the occurrence frame separately for the
+    * distinct probe fps, the nd aggregate, and the dup join, then
+    * union-distinct'd two fp sets on top — at toy SFs the door is
+    * job-floor-bound and those were its two most expendable shuffles; at
+    * 100 TB they are two full passes over the batch's gram occurrences
+    * that the fused plan never takes. No touched-bucket pre-collect
+    * ([[DedupIngest]]'s round-15 rationale): gram fps hash into all
+    * store buckets, so bucket pruning buys nothing here. */
   def decide(store: BucketedTableStore, batch: DataFrame, occ: DataFrame,
       n: Int, batchId: Long): DataFrame = {
-    val hitFps = indexedFps(store, occ.select(col("fp")).distinct())
-    val batchDupFps = occ.groupBy(col("fp"))
+    val fpStats = occ.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("fp"))
-    val dupFps = hitFps.union(batchDupFps).distinct()
+    val dupFps = (store.readBuckets("gfp", None) match {
+      case Some(idx) if idx.columns.contains("fp") =>
+        fpStats.join(idx.select(col("fp"), lit(1).as("idx_hit")),
+            Seq("fp"), "left")
+          .filter(col("nd") >= 2 || col("idx_hit").isNotNull)
+      case _ => fpStats.filter(col("nd") >= 2)
+    }).select(col("fp"))
     val perDoc = TextOps.spanRollup(
       TextOps.mergeSpans(TextOps.toHits(occ.join(dupFps, Seq("fp")), n)))
     Materialize.thenRelease(
