@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Best-effort PG-grammar engine for the dialect spec: DuckDB's JDBC jar
+// (its SQL grammar is PostgreSQL-compatible — the same engine the
+// correctness oracle uses) is picked up from the local cache when
+// present; no dependency RESOLUTION happens (zero-egress safe), and when
+// the jar is absent the PG-execution cases skip and Derby coverage
+// stands alone.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").get.take(1).map(Attributed.blank)
+}
 // The bench driver parses the LAST stdout line of `sbt runMain` as JSON.
 // Two separate sbt behaviors used to break that parse:
 //   1. the trailing "[success] Total time: ..." banner printed AFTER the

@@ -55,17 +55,25 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * `ALTER TABLE x RENAME TO y`, Derby (the in-JVM test engine) spells it
   * `RENAME TABLE x TO y`. [[JdbcTableStore.renameSql]] keys the form off
   * the JDBC URL scheme, defaulting to the ANSI-adjacent ALTER form for
-  * unknown engines. Executed coverage is Derby-only (no PG engine ships
-  * offline); the PG-dialect statements are pinned string-for-string by
-  * JdbcDialectSpec against PostgreSQL/Redshift DOCUMENTED syntax (the
-  * reference's own sql/ procedures use DROP TABLE IF EXISTS + CREATE
-  * rather than a rename, so these pins are this library's chosen publish
-  * protocol expressed in the target dialect — not transcribed reference
-  * text).
+  * unknown engines. Executed coverage (r18): Derby executes its own
+  * rename form, and the PG-form statements — the ALTER publish rename
+  * and the DELETE-by-stage-keys + INSERT..SELECT upsert — EXECUTE
+  * against DuckDB's PostgreSQL-compatible grammar when its cached JDBC
+  * jar is present (JdbcDialectSpec's PG-grammar cases; a live
+  * PostgreSQL/Redshift remains string-pinned only). The pins assert
+  * PostgreSQL/Redshift DOCUMENTED syntax: the reference's own sql/
+  * procedures use DROP TABLE IF EXISTS + CREATE rather than a rename,
+  * so the pinned statements are this library's chosen publish protocol
+  * expressed in the target dialect — not transcribed reference text.
   */
 final class JdbcTableStore(spark: org.apache.spark.sql.SparkSession,
     url: String, driver: String, maxVarchar: Int = 4096,
-    connProps: Map[String, String] = Map.empty) extends SyncStore {
+    connProps: Map[String, String] = Map.empty,
+    // Spark-writer-only options (numPartitions, batchsize, …): applied to
+    // the stage upload but NEVER forwarded to DriverManager — engines
+    // like DuckDB reject unknown connection properties outright, and the
+    // split mirrors Spark's own JDBCOptions layering
+    writeOptions: Map[String, String] = Map.empty) extends SyncStore {
 
   private def props: Properties = {
     val p = new Properties()
@@ -113,7 +121,7 @@ final class JdbcTableStore(spark: org.apache.spark.sql.SparkSession,
     val w = df.write.format("jdbc")
       .option("url", url).option("driver", driver)
       .option("dbtable", name)
-    connProps.foreach { case (k, v) => w.option(k, v) }
+    (connProps ++ writeOptions).foreach { case (k, v) => w.option(k, v) }
     varcharTypes(df.schema).fold(w)(t =>
         w.option("createTableColumnTypes", t))
       .mode(SaveMode.Overwrite).save()
