@@ -253,6 +253,44 @@ class PipelineSpec extends SparkSpec {
     runner.shutdown()
   }
 
+  test("statement runner async shape: submit returns immediately, poll observes the transition") {
+    // the reference protocol (test_sync_time.sh:9-34) is submit → poll
+    // describe-statement until FINISHED → get-statement-result; this
+    // case drives exactly that shape, including the illegal early fetch
+    val runner = new graft.analytics.StatementRunner
+    try {
+      StatementGate.open = false
+      // the gate lives on a static holder: executors reach it via the
+      // module field (same JVM in local mode), so the UDF closure stays
+      // serializable
+      val slow = org.apache.spark.sql.functions.udf { (n: Long) =>
+        val deadline = System.currentTimeMillis() + 30000
+        while (!StatementGate.open && System.currentTimeMillis() < deadline)
+          Thread.sleep(10)
+        n
+      }
+      val id = runner.executeStatement(
+        spark.range(4).toDF("n").select(slow($"n").as("n")))
+      // submit is non-blocking: the statement is observable as Submitted
+      // while its plan is still held at the gate
+      assert(runner.describeStatement(id) == runner.Submitted)
+      val early = intercept[IllegalStateException](runner.getStatementResult(id))
+      assert(early.getMessage.contains("not finished"))
+      StatementGate.open = true
+      // poll loop, the client's shape: describe until the status flips
+      val deadline = System.currentTimeMillis() + 30000
+      while (runner.describeStatement(id) == runner.Submitted &&
+          System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(runner.describeStatement(id) == runner.Finished)
+      assert(runner.getStatementResult(id).map(_.getLong(0)).sorted ==
+        Seq(0L, 1L, 2L, 3L))
+      // unknown ids fail loudly on both verbs
+      assert(runner.describeStatement("stmt-nope")
+        .isInstanceOf[runner.Failed])
+      intercept[IllegalStateException](runner.getStatementResult("stmt-nope"))
+    } finally runner.shutdown()
+  }
+
   test("checkpoint recovery: a restarted stream never reprocesses drained files") {
     val gen = new CdcGen.Gen(11)
     val exportDir = tmpDir("ckpt-export")
@@ -826,4 +864,11 @@ class PipelineSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("dollarsEarned") == 55.0)
     assert(rows(1).getAs[Double]("dollarsEarned") == 20.0)
   }
+}
+
+/** Static gate for the statement-runner async-shape case: executors
+  * reach it through the module field (local mode, one JVM), keeping the
+  * slow-UDF closure serializable. */
+object StatementGate {
+  @volatile var open: Boolean = false
 }
