@@ -221,10 +221,15 @@ object Bench {
     // the round-17 memoized index families: the BM25 posting stats
     // (q168/q169 share them) and the leakage gate's frozen holdout
     // shingle store (q225).
+    // ... and since round 18 the ingest doors' seeded master stores
+    // (IngestDoor.seededWorkingCopy) — the seed leg is index build,
+    // amortized exactly like the ANN artifacts above.
     Seq("q44_ann_ivf", "q129_ann_pq", "q170_ann_ivfpq",
         "q237_ann_index_append", "q242_graph_ann_search",
         "q245_graph_ann_append", "q168_bm25_topk",
-        "q225_leakage_gate_ingest").foreach { n =>
+        "q225_leakage_gate_ingest", "q150_dedup_on_ingest",
+        "q160_semantic_dedup_ingest", "q165_span_ingest",
+        "q227_media_dedup_ingest").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }

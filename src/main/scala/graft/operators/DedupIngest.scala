@@ -195,4 +195,14 @@ object DedupIngest {
       t0: Long = 1660000000000L): DataFrame =
     door(shingleN, numHashes, rowsPerBand)
       .ingestAll(spark, root, corpus, batches, nBuckets, t0)
+
+  /** [[run]] with the seed amortized as standing index state (see
+    * [[IngestDoor.seededWorkingCopy]]); `dirKey` is the dataset dir the
+    * seed corpus derives from. Decisions identical to [[run]]. */
+  def runAmortized(spark: SparkSession, dirKey: String, corpus: DataFrame,
+      batches: Seq[DataFrame], nBuckets: Int = 32, shingleN: Int = 3,
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      t0: Long = 1660000000000L): DataFrame =
+    door(shingleN, numHashes, rowsPerBand)
+      .ingestAllAmortized(spark, dirKey, corpus, batches, nBuckets, t0)
 }

@@ -2,6 +2,8 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.storage.StorageLevel
@@ -126,6 +128,13 @@ trait IngestDoor {
     val store = new BucketedTableStore(spark, root, nBuckets,
       deltaMerges = true, autoCompactAfter = 4)
     seedIndex(spark, store, corpus, new Timestamp(t0))
+    runBatches(spark, store, batches, t0)
+  }
+
+  /** The per-batch half of [[ingestAll]] — the steady-state work a live
+    * door pays after its index exists. */
+  final def runBatches(spark: SparkSession, store: BucketedTableStore,
+      batches: Seq[DataFrame], t0: Long): DataFrame = {
     val decisions = batches.zipWithIndex.map { case (batch, i) =>
       // probe frame feeds decide AND the admissions merge — persisted
       // for the batch's scope only
@@ -142,5 +151,67 @@ trait IngestDoor {
     // seeding an index with no batches yet is legal and returns an
     // empty (schema-correct) decisions frame, not a crash
     decisions.reduceOption(_.unionByName(_)).getOrElse(emptyDecisions(spark))
+  }
+
+  /** A fresh, private working store whose state IS the seeded index —
+    * the seed leg amortized as standing index state (r17 verdict ask #6;
+    * the same convention every other index build here follows: a
+    * deployment builds its standing dedup index from the corpus ONCE and
+    * amortizes it over every screening run, so re-seeding per run prices
+    * the door as perpetual cold start). The seeded MASTER store is built
+    * once per (door table, dataset version) — into the [[AnnIndexStore]]
+    * disk tier when configured (cross-JVM), else a session temp dir —
+    * and NEVER mutated; each call gets a fresh driver-side FILE COPY, so
+    * runs stay bit-identical to a cold [[ingestAll]] (the protocol spec
+    * pins that) and mutations (admissions, retirement) stay private to
+    * the run. Copy cost is O(index bytes) of local IO — at deployment
+    * scale the working copy is a cheap store-layer snapshot/clone; here
+    * it prices far below the seed jobs it replaces. Seed wall-time is
+    * recorded by the memo and lands in the bench's ann_build section.
+    * Callers seeding DIFFERENT corpora from one dataset dir into the
+    * same door table must pass distinct `seedTag`s. */
+  final def seededWorkingCopy(spark: SparkSession, dirKey: String,
+      corpus: DataFrame, nBuckets: Int, t0: Long = 1660000000000L,
+      seedTag: String = ""): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val ver = AnnIndexCache.datasetVersion(dirKey)
+    val pfx = s"doorseed-$indexTable:$dirKey:"
+    val rest = s"v=$ver:n=$nBuckets" + (if (seedTag.isEmpty) "" else s":tag=$seedTag")
+    AnnIndexCache.evictStaleVersions(pfx, ver)
+    def seedInto(path: String): Unit =
+      seedIndex(spark, new BucketedTableStore(spark, path, nBuckets,
+        deltaMerges = true, autoCompactAfter = 4), corpus, new Timestamp(t0))
+    val master = AnnIndexCache.memoKeyed(pfx, rest) {
+      AnnIndexStore.orBuildTree(pfx + rest) { path => seedInto(path) }
+        .getOrElse {
+          val path = Files.createTempDirectory("graft-doorseed").toString
+          seedInto(path)
+          path
+        }
+    }
+    val work = Files.createTempDirectory("graft-door").toString
+    def copy(src: Path, dst: Path): Unit = {
+      if (Files.isDirectory(src)) {
+        Files.createDirectories(dst)
+        scala.util.Using.resource(Files.list(src))(s =>
+          s.iterator().asScala.foreach(p => copy(p, dst.resolve(p.getFileName))))
+      } else Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    copy(Paths.get(master), Paths.get(work))
+    work
+  }
+
+  /** [[ingestAll]] with the seed leg amortized through
+    * [[seededWorkingCopy]]: identical decisions, steady-state cost. */
+  final def ingestAllAmortized(spark: SparkSession, dirKey: String,
+      corpus: DataFrame, batches: Seq[DataFrame], nBuckets: Int,
+      t0: Long = 1660000000000L, seedTag: String = ""): DataFrame = {
+    val work = seededWorkingCopy(spark, dirKey, corpus, nBuckets, t0, seedTag)
+    val store = new BucketedTableStore(spark, work, nBuckets,
+      deltaMerges = true, autoCompactAfter = 4)
+    try runBatches(spark, store, batches, t0)
+    finally graft.sync.TableStore.deleteRecursively(
+      java.nio.file.Paths.get(work))
   }
 }

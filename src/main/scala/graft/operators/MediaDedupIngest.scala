@@ -198,4 +198,12 @@ object MediaDedupIngest {
       batches: Seq[DataFrame], nBuckets: Int = 16, maxHamming: Int = 10,
       t0: Long = 1660000000000L): DataFrame =
     door(maxHamming).ingestAll(spark, root, corpus, batches, nBuckets, t0)
+
+  /** [[run]] with the seed amortized as standing index state (see
+    * [[IngestDoor.seededWorkingCopy]]). Decisions identical to [[run]]. */
+  def runAmortized(spark: SparkSession, dirKey: String, corpus: DataFrame,
+      batches: Seq[DataFrame], nBuckets: Int = 16, maxHamming: Int = 10,
+      t0: Long = 1660000000000L): DataFrame =
+    door(maxHamming)
+      .ingestAllAmortized(spark, dirKey, corpus, batches, nBuckets, t0)
 }

@@ -74,12 +74,25 @@ object SemanticDedupIngest {
     rows.withColumn("k",
       concat(col("bb"), lit(":"), col("vec_id").cast("string")))
 
-  /** Seed the index from the initially-accepted corpus (may be empty). */
+  /** Seed the index from the initially-accepted corpus (may be empty).
+    *
+    * The `bb` bloom sidecar is GATED on the cell-domain size, with the
+    * same 4096 threshold as [[decide]]'s probe enumeration: at the
+    * default 16×4 banding the 256 sign-pattern cells are dense (every
+    * batch observes every cell, decide probes the enumerated domain), so
+    * the sidecar admitted every bucket anyway while each seed and each
+    * delta commit paid a summary aggregation action to maintain it —
+    * pure per-batch constant, zero pruning. Wide bandings (sparse cells)
+    * keep the sidecar: there the bloom pruning is real, exactly as in
+    * the media door's sparse 64-bit hash cells. Absent sidecar, the
+    * probe's readWhereIn degrades to reading all buckets — the same
+    * buckets the dense-domain bloom admitted. */
   def seedIndex(store: BucketedTableStore, corpus: DataFrame, ts: Timestamp,
       bands: Int, dimsPerBand: Int): Unit =
     store.writeAll("sv", keyed(bandRows(corpus, bands, dimsPerBand))
         .withColumn("syncTimestamp", lit(ts)),
-      "k", bloomCols = Seq("bb"))
+      "k", bloomCols =
+        if (bands.toLong * (1L << dimsPerBand) <= 4096) Nil else Seq("bb"))
 
   /** Admit/reject decisions for ONE batch against the index AS OF now —
     * pure read. `bb` must be [[bandRows]] of the batch. Decisions are
@@ -254,4 +267,13 @@ object SemanticDedupIngest {
       t0: Long = 1660000000000L): DataFrame =
     door(bands, dimsPerBand, tau)
       .ingestAll(spark, root, corpus, batches, nBuckets, t0)
+
+  /** [[run]] with the seed amortized as standing index state (see
+    * [[IngestDoor.seededWorkingCopy]]). Decisions identical to [[run]]. */
+  def runAmortized(spark: SparkSession, dirKey: String, corpus: DataFrame,
+      batches: Seq[DataFrame], nBuckets: Int = 16, bands: Int = 16,
+      dimsPerBand: Int = 4, tau: Double = 0.45,
+      t0: Long = 1660000000000L): DataFrame =
+    door(bands, dimsPerBand, tau)
+      .ingestAllAmortized(spark, dirKey, corpus, batches, nBuckets, t0)
 }

@@ -145,4 +145,11 @@ object SpanIngest {
       batches: Seq[DataFrame], n: Int, nBuckets: Int = 16,
       t0: Long = 1660000000000L): DataFrame =
     door(n).ingestAll(spark, root, corpus, batches, nBuckets, t0)
+
+  /** [[run]] with the seed amortized as standing index state (see
+    * [[IngestDoor.seededWorkingCopy]]). Decisions identical to [[run]]. */
+  def runAmortized(spark: SparkSession, dirKey: String, corpus: DataFrame,
+      batches: Seq[DataFrame], n: Int, nBuckets: Int = 16,
+      t0: Long = 1660000000000L): DataFrame =
+    door(n).ingestAllAmortized(spark, dirKey, corpus, batches, nBuckets, t0)
 }

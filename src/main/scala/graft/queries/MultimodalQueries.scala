@@ -456,14 +456,11 @@ object MultimodalQueries {
     val corpus = media.filter(pmod(col("doc_id"), lit(4)) <= 1)
     val batches = Seq(2, 3).map(r =>
       media.filter(pmod(col("doc_id"), lit(4)) === r))
-    val root = java.nio.file.Files.createTempDirectory("graft-mediaingest")
-      .toString
-    // decisions come back lineage-free (localCheckpoint), so the store
-    // directory can be deleted before the caller consumes them
-    try graft.operators.MediaDedupIngest.run(spark, root, corpus, batches)
+    // seed leg amortized as standing index state (r17 verdict ask #6;
+    // IngestDoor.seededWorkingCopy)
+    graft.operators.MediaDedupIngest
+      .runAmortized(spark, dir, corpus, batches)
       .orderBy(col("doc_id").asc)
-    finally graft.sync.TableStore.deleteRecursively(
-      java.nio.file.Paths.get(root))
   }
   val q227Oracle: String = """
     WITH img AS (

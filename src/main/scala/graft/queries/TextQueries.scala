@@ -763,12 +763,11 @@ object TextQueries {
     val corpus = docs.filter(pmod(col("doc_id"), lit(4)) <= 1)
     val batches = Seq(2, 3).map(r =>
       docs.filter(pmod(col("doc_id"), lit(4)) === r))
-    val root = Files.createTempDirectory("graft-ingest").toString
-    // the decisions come back lineage-free (localCheckpoint), so the
-    // store directory can be deleted before the caller consumes them
-    try DedupIngest.run(spark, root, corpus, batches, nBuckets = 16)
+    // seed leg amortized as standing index state (r17 verdict ask #6;
+    // IngestDoor.seededWorkingCopy) — the bench prices the steady-state
+    // screening run, seed cost lands in ann_build
+    DedupIngest.runAmortized(spark, dir, corpus, batches, nBuckets = 16)
       .orderBy(col("doc_id").asc)
-    finally graft.sync.TableStore.deleteRecursively(Paths.get(root))
   }
   val q150Oracle: String = {
     val mins = (0 until 8).map(s => s"MIN(md5(shingle || '|$s')) AS mh$s").mkString(", ")
@@ -954,13 +953,15 @@ object TextQueries {
     val corpus = docs.filter(pmod(col("doc_id"), lit(4)) <= 1)
     val b1 = docs.filter(pmod(col("doc_id"), lit(4)) === 2)
     val b2 = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
-    val root = Files.createTempDirectory("graft-retire").toString
     val t0 = 1660000000000L
+    val door = DedupIngest.door()
+    // seed leg amortized as standing index state (r17 verdict ask #6) —
+    // the working copy is private, so the retirement below mutates this
+    // run's store only; the q150-shared seed master stays frozen
+    val root = door.seededWorkingCopy(spark, dir, corpus, nBuckets = 16, t0)
     try {
-      val door = DedupIngest.door()
       val store = new graft.sync.BucketedTableStore(spark, root, 16,
         deltaMerges = true, autoCompactAfter = 4)
-      door.seedIndex(spark, store, corpus, new Timestamp(t0))
       val p1 = door.probeFrame(spark, b1).persist(StorageLevel.MEMORY_AND_DISK)
       val d1 = door.decide(spark, store, b1, p1, 1L)
       door.applyAdmissions(store, p1, d1, new Timestamp(t0 + 60000))
@@ -1287,11 +1288,11 @@ object TextQueries {
     val corpus = docs.filter(pmod(col("doc_id"), lit(4)) <= 1)
     val batches = Seq(2, 3).map(r =>
       docs.filter(pmod(col("doc_id"), lit(4)) === r))
-    val root = Files.createTempDirectory("graft-spaningest").toString
-    try graft.operators.SpanIngest.run(spark, root, corpus, batches,
+    // seed leg amortized as standing index state (r17 verdict ask #6;
+    // IngestDoor.seededWorkingCopy)
+    graft.operators.SpanIngest.runAmortized(spark, dir, corpus, batches,
         n = dupSpanN, nBuckets = 16)
       .orderBy(col("doc_id").asc)
-    finally graft.sync.TableStore.deleteRecursively(Paths.get(root))
   }
   private def q165Chain(sfx: String, rem: Int, dupSrc: String): String = {
     val n = dupSpanN

@@ -894,13 +894,11 @@ object VectorQueries {
     val corpus = emb.filter(pmod(col("vec_id"), lit(4)) <= 1)
     val batches = Seq(2, 3).map(r =>
       emb.filter(pmod(col("vec_id"), lit(4)) === r))
-    val root = Files.createTempDirectory("graft-singest").toString
-    // decisions are lineage-free (Materialize in decide), so the store
-    // directory can be deleted before the caller consumes them
-    try graft.operators.SemanticDedupIngest
-      .run(spark, root, corpus, batches, nBuckets = 16)
+    // seed leg amortized as standing index state (r17 verdict ask #6;
+    // IngestDoor.seededWorkingCopy)
+    graft.operators.SemanticDedupIngest
+      .runAmortized(spark, dir, corpus, batches, nBuckets = 16)
       .orderBy(col("vec_id").asc)
-    finally graft.sync.TableStore.deleteRecursively(Paths.get(root))
   }
   val q160Oracle: String = s"""
     WITH e AS (SELECT vec_id, ${oQuant("embedding")} AS q FROM embeddings),

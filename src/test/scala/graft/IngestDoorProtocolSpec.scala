@@ -80,6 +80,26 @@ class IngestDoorProtocolSpec extends SparkSpec {
       assert(out == expected, s"${f.name}: $out")
     }
 
+    test(s"${f.name}: amortized seed — decisions identical to cold ingestAll, master frozen") {
+      val corpus = f.mk(Seq(0L -> 0))
+      val batches = Seq(
+        f.mk(Seq(10L -> 0, 11L -> 1)),
+        f.mk(Seq(20L -> 1, 21L -> 2)))
+      val cold = flags(f.door.ingestAll(spark,
+        tmpDir(s"door-${f.name}-colda"), corpus, batches, 4), f.door.idCol)
+      val dirKey = tmpDir(s"door-${f.name}-amort")
+      val a1 = flags(f.door.ingestAllAmortized(spark, dirKey, corpus,
+        batches, 4), f.door.idCol)
+      // the second call reuses the memoized master: had run 1's
+      // admissions leaked into it, batch 1 would now see 11/20/21 as
+      // indexed and flip its decisions — frozen-master proof, not just
+      // repeatability
+      val a2 = flags(f.door.ingestAllAmortized(spark, dirKey, corpus,
+        batches, 4), f.door.idCol)
+      assert(a1 == cold, s"${f.name}: amortized $a1 != cold $cold")
+      assert(a2 == cold, s"${f.name}: repeat run $a2 != cold $cold")
+    }
+
     test(s"${f.name}: rejected rows leave no trace in the index") {
       val root = tmpDir(s"door-${f.name}-trace")
       val store = new BucketedTableStore(spark, root, 4,
