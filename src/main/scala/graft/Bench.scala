@@ -57,16 +57,12 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1100").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Cross-JVM index store (r17 verdict ask #3): default the disk tier
-    // on for bench runs so a fresh JVM loads persisted index state
-    // (quantizers, codebooks, postings, graph cells/edges, BM25 stats,
-    // the frozen leakage store) instead of re-paying ann_build. Keys
-    // embed the dataset version marker, so a data rewrite structurally
-    // misses — stale entries are debris, never served. SPARK_GRAFT_ANN_DIR
-    // still overrides.
-    if (sys.env.get("SPARK_GRAFT_ANN_DIR").isEmpty)
-      graft.operators.AnnIndexStore.rootOverride =
-        Some(new java.io.File("scratch/annstore").getAbsolutePath)
+    // Cross-JVM index store (AnnIndexStore) stays OFF unless the operator
+    // opts in via SPARK_GRAFT_ANN_DIR: a bench invocation must compute
+    // every index from the parquet inputs. The amortization the store
+    // provides for deployments is still exercised (AnnIndexStoreSpec);
+    // within THIS process the untimed prebuild below plays that role and
+    // its cost is reported separately as "ann_build".
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

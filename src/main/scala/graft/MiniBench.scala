@@ -11,11 +11,8 @@ object MiniBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_MB_RUNS", "2").toInt
-    // same cross-JVM index store default as Bench, so MiniBench pins
-    // measure the identical amortization protocol
-    if (sys.env.get("SPARK_GRAFT_ANN_DIR").isEmpty)
-      graft.operators.AnnIndexStore.rootOverride =
-        Some(new java.io.File("scratch/annstore").getAbsolutePath)
+    // like Bench, the cross-JVM index store stays OFF unless
+    // SPARK_GRAFT_ANN_DIR opts in — pins must compute from parquet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
