@@ -57,23 +57,27 @@ object GraphOps {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
     // Convergence witness: per-node labels only ever DECREASE (min of own
     // and offered), so Σ label strictly decreases until the fixpoint and
-    // "Σ unchanged" ⟺ "no node changed". Tracking the sum replaces the
-    // per-iteration join-and-compare (a full extra shuffle per round)
-    // with one tiny global aggregate over the already-checkpointed
-    // labels — one shuffle-join fewer per iteration.
+    // "Σ unchanged" ⟺ "no node changed". The sum RIDES the checkpoint's
+    // own materialization job via Dataset.observe (CollectMetrics) — the
+    // former shape paid a separate tiny aggregate action per round, i.e.
+    // one extra scheduler round-trip per iteration on top of the one
+    // shuffle the algorithm fundamentally needs (guide §1.2: remove
+    // passes before tuning inside them).
     // DECIMAL(38,0), not Long: an unchecked Long SUM over huge node ids can
     // wrap, and a wrapped-equal sum would falsely signal convergence.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO // empty graph: SUM is NULL
-      else r.getDecimal(0)
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, sum(col("label").cast("decimal(38,0)")).as("s"))
+        .localCheckpoint()
+      val v = obs.get.getOrElse("s", null)
+      (ck, if (v == null) java.math.BigDecimal.ZERO // empty graph: SUM is NULL
+      else v.asInstanceOf[java.math.BigDecimal])
     }
-    var prevSum = labelSum(labels)
+    var (labels, prevSum) = checkpointWithSum(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -91,10 +95,8 @@ object GraphOps {
           labels.unionByName(offered)
             .unionByName(l1.join(l2, Seq("mid")).select(col("node"), col("label")))
         }
-      val next = withVia
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
+      val (next, nextSum) = checkpointWithSum(
+        withVia.groupBy(col("node")).agg(min(col("label")).as("label")))
       labels.unpersist()
       labels = next
       done = nextSum.compareTo(prevSum) == 0

@@ -171,17 +171,6 @@ object GovernanceQueries {
       store.write("dedup_index", index(store.read("corpus").get))
       store.write("manifest", manifest(withH(store.read("corpus").get)))
 
-      def audit(name: String, touched: DataFrame, residual: DataFrame)
-          : DataFrame = {
-        val before = store.readAt(name, 0).get.count()
-        val after = store.read(name).get.count()
-        spark.range(1).select(
-          lit(name).as("artifact"),
-          lit(before).as("rows_before"),
-          lit(after).as("rows_after"),
-          lit(touched.count()).as("n_touched"),
-          lit(residual.count()).as("residual"))
-      }
       val corpusTouched = store.readAt("corpus", 0).get
         .join(forget, Seq("doc_id"), "left_semi")
       val chunksTouched = store.readAt("chunks", 0).get
@@ -201,16 +190,53 @@ object GovernanceQueries {
           col("i0") =!= col("id_checksum") ||
           col("c0") =!= col("content_checksum"))
       val forgetIds = forget
-      val report = audit("corpus", corpusTouched,
-          store.read("corpus").get.join(forgetIds, Seq("doc_id"), "left_semi"))
-        .unionByName(audit("chunks", chunksTouched,
-          store.read("chunks").get.join(forgetIds, Seq("doc_id"), "left_semi")))
-        .unionByName(audit("dedup_index", idxTouched,
-          store.read("dedup_index").get
-            .join(forgetIds, col("owner") === col("doc_id"), "left_semi")))
-        .unionByName(audit("manifest", manTouched,
-          // shard rows carry no doc ids — residual is structural zero
-          spark.range(0).select(lit(0L).as("z"))))
+      // All fifteen audit counts in ONE action: each audited frame is
+      // tagged (artifact, metric) and union-aggregated, so the scans and
+      // joins behind all of them share a single Spark job instead of one
+      // count() action apiece — the former 15-action tail was pure
+      // scheduler floor at bench scale and 15 sequential passes at any
+      // scale. The values (and the literal-report construction below)
+      // are byte-identical to the per-count original.
+      def tagged(artifact: String, metric: String, df: DataFrame) =
+        df.select(lit(artifact).as("artifact"), lit(metric).as("metric"))
+      val counted = Seq(
+          tagged("corpus", "rows_before", store.readAt("corpus", 0).get),
+          tagged("corpus", "rows_after", store.read("corpus").get),
+          tagged("corpus", "n_touched", corpusTouched),
+          tagged("corpus", "residual",
+            store.read("corpus").get.join(forgetIds, Seq("doc_id"), "left_semi")),
+          tagged("chunks", "rows_before", store.readAt("chunks", 0).get),
+          tagged("chunks", "rows_after", store.read("chunks").get),
+          tagged("chunks", "n_touched", chunksTouched),
+          tagged("chunks", "residual",
+            store.read("chunks").get.join(forgetIds, Seq("doc_id"), "left_semi")),
+          tagged("dedup_index", "rows_before", store.readAt("dedup_index", 0).get),
+          tagged("dedup_index", "rows_after", store.read("dedup_index").get),
+          tagged("dedup_index", "n_touched", idxTouched),
+          tagged("dedup_index", "residual",
+            store.read("dedup_index").get
+              .join(forgetIds, col("owner") === col("doc_id"), "left_semi")),
+          tagged("manifest", "rows_before", store.readAt("manifest", 0).get),
+          tagged("manifest", "rows_after", store.read("manifest").get),
+          tagged("manifest", "n_touched", manTouched))
+        .reduce(_.unionByName(_))
+        .groupBy(col("artifact"), col("metric")).agg(count(lit(1)).as("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        .withDefaultValue(0L) // an empty audited frame yields no group
+      def audit(name: String): DataFrame =
+        spark.range(1).select(
+          lit(name).as("artifact"),
+          lit(counted((name, "rows_before"))).as("rows_before"),
+          lit(counted((name, "rows_after"))).as("rows_after"),
+          lit(counted((name, "n_touched"))).as("n_touched"),
+          // shard rows carry no doc ids — manifest residual is structural 0
+          lit(if (name == "manifest") 0L else counted((name, "residual")))
+            .as("residual"))
+      val report = audit("corpus")
+        .unionByName(audit("chunks"))
+        .unionByName(audit("dedup_index"))
+        .unionByName(audit("manifest"))
         .orderBy(col("artifact").asc)
       val rows = report.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)

@@ -102,11 +102,15 @@ object GraphQueries {
     import graft.operators.TextOps
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
+    // The similarity graph is consumed once per round: persist it so the
+    // shingle-join pipeline behind ngramJaccardPairs runs ONCE, not once
+    // per round (guide §5 — reuse justifies the cache; released below).
     val pairs = TextOps.ngramJaccardPairs(docs, n = 3, minIntersect = 2,
         maxDf = 64)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("doc_id"), col("label").cast("long").as("seed"))
     var state = docs.select(col("doc_id"))
@@ -125,16 +129,25 @@ object GraphQueries {
           .orderBy(col("c").desc, col("nl").asc)))
         .filter(col("rn") === 1)
         .select(col("dst").as("doc_id"), col("nl").as("win"))
+      // state_r is consumed TWICE by round r+1 (the vote join and the
+      // carry-forward join), so an unbroken lineage doubles per round —
+      // state_0 and the edge pipeline would be re-evaluated 2^3 and 3
+      // times respectively in the final plan. One localCheckpoint per
+      // round (O(docs) rows) keeps every round's work single-pass; the
+      // values are untouched.
       state = state.join(winners, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("label"), col("win")).as("label"),
           coalesce(col("round"),
             when(col("label").isNull && col("win").isNotNull, r)).as("round"))
+        .localCheckpoint()
     }
-    state.select(col("doc_id"),
-        coalesce(col("label"), lit(-1L)).as("label"),
-        coalesce(col("round"), lit(-1)).as("round"))
-      .orderBy(col("doc_id").asc)
+    graft.operators.Materialize.thenRelease(
+      state.select(col("doc_id"),
+          coalesce(col("label"), lit(-1L)).as("label"),
+          coalesce(col("round"), lit(-1)).as("round"))
+        .orderBy(col("doc_id").asc),
+      edges)
   }
   val q183Oracle: String = {
     val rounds = (1 to 3).map { r =>
