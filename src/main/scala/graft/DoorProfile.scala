@@ -28,6 +28,8 @@ object DoorProfile {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -115,8 +117,16 @@ object DoorProfile {
           } finally graft.sync.TableStore.deleteRecursively(Paths.get(root))
         }
       case other =>
-        // generic path: just run the query once under the job counter
-        leg(other)(SparkEntry.queries(other)(spark, dir).count())
+        // generic path: run each named query TWICE under the job counter
+        // (round 1 absorbs JVM/codegen warmup — read round 2, which is
+        // what a warm bench pass pays); several names may be passed in
+        // one invocation to amortize the sbt/SparkSession startup
+        (Seq(other) ++ args.drop(2)).foreach { name =>
+          (1 to 2).foreach { round =>
+            leg(s"r$round $name")(SparkEntry.queries(name)(spark, dir).count())
+            spark.sharedState.cacheManager.clearCache()
+          }
+        }
     }
     println(f"[door-profile] TOTAL jobs=$jobs tasks=$taskSum")
     spark.stop()

@@ -605,8 +605,14 @@ object CurationQueries {
   def q177QualityGateIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.QualityGateStream
     val docs = Tables.documents(spark, dir)
-    val g = QualityGateStream.freeze(spark,
-      docs.filter(pmod(col("doc_id"), lit(4)) <= 1))
+    // frozen-gate artifact memoized per dataset version (train-once /
+    // gate-forever — see q224's note; distinct prefix per corpus variant)
+    val g = graft.operators.AnnIndexCache.memoKeyed(
+      s"qualgate:$dir:corpus=mod4le1:cut=1:",
+      s"v=${graft.operators.AnnIndexCache.datasetVersion(dir)}") {
+      QualityGateStream.freeze(spark,
+        docs.filter(pmod(col("doc_id"), lit(4)) <= 1))
+    }
     Seq(2, 3).map { r =>
       QualityGateStream.gate(spark, g,
           docs.filter(pmod(col("doc_id"), lit(4)) === r))

