@@ -82,14 +82,20 @@ object LeakageGateStream {
   /** Distinct df-capped shingle rows of `docs`: (doc_id, sh) with the
     * hot set (df > MaxDf over THESE docs) removed via broadcast anti —
     * the hot set is ≤ distinct-shingles/MaxDf rows by construction. */
-  private def cappedShingles(docs: DataFrame): DataFrame = {
+  /** Two consumers read the exploded shingle frame (the hot-df
+    * aggregation and the anti-join's probe side): persist it so the
+    * tokenize+shingle explode runs once per gate call, not twice. The
+    * caller materializes and releases it alongside the capped result
+    * (both frames are O(batch shingles)). */
+  private def cappedShingles(docs: DataFrame): (DataFrame, DataFrame) = {
     val raw = docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = raw.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxDf).select(col("sh"))
-    raw.join(broadcast(hot), Seq("sh"), "left_anti")
+    (raw.join(broadcast(hot), Seq("sh"), "left_anti"), raw)
   }
 
   /** One corpus pass → the frozen index table (sh, holdout_id, n_h),
@@ -104,14 +110,23 @@ object LeakageGateStream {
       store: BucketedTableStore, ts: Timestamp): Long = {
     val holdout = corpus.filter(
       graft.queries.StatsQueries.splitOf(col("doc_id")) =!= "train")
-    val sh = cappedShingles(holdout)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_h"))
-    store.writeAll(IndexTable,
-      sh.join(counts, Seq("doc_id"))
-        .select(col("sh"), col("doc_id").as("holdout_id"), col("n_h"))
-        .withColumn("syncTimestamp", lit(ts)),
-      "sh")
-    store.readBuckets(IndexTable, None).map(_.count()).getOrElse(0L)
+    val (sh0, raw) = cappedShingles(holdout)
+    // the capped frame ALSO has two consumers here (per-doc counts +
+    // the index rows) — persist it, then release both explode caches
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_h"))
+      store.writeAll(IndexTable,
+        sh.join(counts, Seq("doc_id"))
+          .select(col("sh"), col("doc_id").as("holdout_id"), col("n_h"))
+          .withColumn("syncTimestamp", lit(ts)),
+        "sh")
+      store.readBuckets(IndexTable, None).map(_.count()).getOrElse(0L)
+    } finally {
+      sh.unpersist(blocking = false)
+      raw.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Memoized frozen index for a DATASET directory: freeze once per
@@ -189,19 +204,19 @@ object LeakageGateStream {
     val quarantined = batch.filter(unfillable)
       .select(col("doc_id"), lit(0L).as("n_sh"),
         lit(0L).as("n_leaks"), lit(0).as("admit"))
-    val (out, sh) = gateFrames(spark, store, batch.filter(!unfillable))
+    val (out, sh, raw) = gateFrames(spark, store, batch.filter(!unfillable))
     graft.operators.Materialize.thenRelease(
-      out.unionByName(quarantined), sh)
+      out.unionByName(quarantined), sh, raw)
   }
 
   /** Pre-materialize verdict frame + its persisted shingle intermediate —
     * split out so PlanSpec can pin the probe-join plan (the public gate
     * returns a localCheckpoint scan, which hides it). */
   private[graft] def gateFrames(spark: SparkSession, store: BucketedTableStore,
-      batch: DataFrame): (DataFrame, DataFrame) = {
+      batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // three consumers (per-doc counts, probe set, intersection join)
-    val sh = cappedShingles(batch)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (sh0, raw) = cappedShingles(batch)
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val idx = indexed(spark, store)
     // size-gated hint: count the PERSISTED probe frame (materialized
@@ -221,7 +236,7 @@ object LeakageGateStream {
         coalesce(col("n_sh"), lit(0L)).as("n_sh"),
         coalesce(col("n_leaks"), lit(0L)).as("n_leaks"))
       .withColumn("admit", (col("n_leaks") === 0).cast("int"))
-    (out, sh)
+    (out, sh, raw)
   }
 
   /** Drive a train-destined document stream through the frozen gate.

@@ -615,11 +615,12 @@ class PlanSpec extends SparkSpec {
         new java.sql.Timestamp(1660000000000L))
       val batch = docs.filter(
         graft.queries.StatsQueries.splitOf(col("doc_id")) === "train")
-      val (out, sh) =
+      val (out, sh, raw) =
         graft.streaming.LeakageGateStream.gateFrames(spark, store, batch)
       out.collect()
       val s = out.queryExecution.executedPlan.toString
       sh.unpersist()
+      raw.unpersist()
       assert(!s.contains("CartesianProduct"),
         "batch x holdout must meet on the shingle hash, never all-pairs")
       assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange")
