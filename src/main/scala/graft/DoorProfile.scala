@@ -66,7 +66,7 @@ object DoorProfile {
             if (which == "q150")
               (graft.operators.DedupIngest.door(),
                 graft.tables.Tables.documents(spark, dir)
-                  .repartition(col("doc_id")), "doc_id")
+                  .repartition(spark.sparkContext.defaultParallelism, col("doc_id")), "doc_id")
             else if (which == "q165")
               // same no-wrapper-repartition shape as q165SpanIngest
               (graft.operators.SpanIngest.door(8),

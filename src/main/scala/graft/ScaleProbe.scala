@@ -211,7 +211,7 @@ object ScaleProbe {
     // banding exists for)
     def q160At(dir: String, bands: Int, dims: Int): DataFrame = {
       val emb = graft.tables.Tables.embeddings(spark, dir)
-        .repartition(col("vec_id"))
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       val corpus = emb.filter(pmod(col("vec_id"), lit(4)) <= 1)
       val batches = Seq(2, 3).map(r =>
         emb.filter(pmod(col("vec_id"), lit(4)) === r))
@@ -321,7 +321,7 @@ object ScaleProbe {
     // scale knob either way
     def q160Scaled(spark: SparkSession, dir: String): DataFrame = {
       val emb = graft.tables.Tables.embeddings(spark, dir)
-        .repartition(col("vec_id"))
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       val corpus = emb.filter(pmod(col("vec_id"), lit(4)) <= 1)
       val batches = Seq(2, 3).map(r =>
         emb.filter(pmod(col("vec_id"), lit(4)) === r))

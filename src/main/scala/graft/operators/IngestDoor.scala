@@ -137,8 +137,15 @@ trait IngestDoor {
       batches: Seq[DataFrame], t0: Long): DataFrame = {
     val decisions = batches.zipWithIndex.map { case (batch, i) =>
       // probe frame feeds decide AND the admissions merge — persisted
-      // for the batch's scope only
+      // for the batch's scope only. The extra keyless-by-count adaptive
+      // repartition sits BETWEEN the probe's compute (which spreads
+      // itself at engine parallelism — a pinned width AQE can't
+      // collapse) and the cache: AQE sizes the CACHED partition count to
+      // the probe's bytes, so the dozen downstream jobs over the cache
+      // stop scheduling full-width near-empty tasks at small batches
+      // while big batches keep advisory-sized partitions.
       val probe = probeFrame(spark, batch)
+        .repartition(org.apache.spark.sql.functions.col(idCol))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // decide() freezes its decisions at call time, so the index merge
       // below (and any compaction/vacuum it triggers) cannot perturb or

@@ -156,7 +156,8 @@ object JoinOps {
     // scan's byte splits
     def prep(df: DataFrame) = df
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .repartition(col("doc_id"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
     val l = prep(left)
     val r = prep(right)
     def hashedShingles(df: DataFrame, outId: String) = df

@@ -45,7 +45,8 @@ object VectorOps {
       .withColumn("q_n2", qnorm2(col("q_emb")))
     // spread the corpus by row: scoring is compute-bound and the corpus may
     // arrive as one undersized parquet split
-    val c = corpus.repartition(col("vec_id"))
+    val c = corpus.repartition(
+      corpus.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id").as("neighbor_id"),
         quantize(col("embedding")).as("c_emb"))
       .withColumn("c_n2", qnorm2(col("c_emb")))
@@ -122,7 +123,8 @@ object VectorOps {
     }
     val qb = withBuckets(queries.select(col("vec_id").as("query_id"), col("embedding")),
       "query_id", "q_")
-    val cb = withBuckets(corpus.repartition(col("vec_id"))
+    val cb = withBuckets(corpus.repartition(
+      corpus.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id", "c_")
     val scored = qb.join(cb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -229,7 +231,8 @@ object VectorOps {
     * column the quantizer consumes. */
   private def toCorpusVec(corpus: DataFrame): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    corpus.repartition(col("vec_id"))
+    corpus.repartition(
+      corpus.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("embedding"))
       .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
   }
@@ -570,7 +573,8 @@ object VectorOps {
       m: Int = 16, kCodes: Int = 32, rerank: Int = 200,
       seed: Long = 42L, indexKey: Option[String] = None): DataFrame = {
 
-    val corpusVec = corpus.repartition(col("vec_id"))
+    val corpusVec = corpus.repartition(
+      corpus.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("embedding"))
     // Index BUILD (train the sub-quantizers) — memoized per dataset when
     // indexKey is given, same amortize-once rationale as [[ivfTopK]].
@@ -683,7 +687,8 @@ object VectorOps {
       indexKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
 
-    val corpusVec = corpus.repartition(col("vec_id"))
+    val corpusVec = corpus.repartition(
+      corpus.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("embedding"))
       .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
     val model = coarseQuantizer(corpusVec, nlist, seed, indexKey)
@@ -807,7 +812,8 @@ object VectorOps {
   def cosineDedupPairs(emb: DataFrame, threshold: Double,
       bands: Int = 16, dimsPerBand: Int = 4, maxBucket: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb.repartition(col("vec_id"))
+    val e = emb.repartition(
+      emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("label"),
         quantize(col("embedding")).as("q"))
       .withColumn("n2", qnorm2(col("q")))
@@ -913,7 +919,8 @@ object VectorOps {
     * carries ≤ k·tasks rows per node, never the full candidate set. */
   def knnGraph(emb: DataFrame, k: Int, bands: Int = 16, dimsPerBand: Int = 4,
       maxBucket: Int = 64): DataFrame = {
-    val e = emb.repartition(col("vec_id"))
+    val e = emb.repartition(
+      emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("n2", qnorm2(col("q")))
     val bandStructs = (0 until bands).map { b =>

@@ -258,7 +258,7 @@ object CurationQueries {
   // → per-doc hit count: the corpus is never shuffled, which is the
   // whole point at 100 TB (a benchmark is KBs; a shuffle would move TBs).
   def q127ContaminationScreen(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val docs = Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     // explode(sequence)+element_at keeps shingling inside whole-stage
     // codegen (the array-HOF spelling is CodegenFallback in Spark 4 and
     // an order of magnitude slower). The corpus side is NOT pre-
@@ -840,7 +840,7 @@ object CurationQueries {
   def q194EntropyScreen(spark: SparkSession, dir: String): DataFrame = {
     val chars = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 1)
-      .repartition(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")))).as("i"))
       .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))

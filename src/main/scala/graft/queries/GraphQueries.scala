@@ -212,9 +212,9 @@ object GraphQueries {
   // suffices here because LSH banding already caps per-bucket degrees.
   def q215TriangleCensus(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextOps
-    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    // bands from the memoized standing LSH index (q93's note)
     val pairs = TextOps.lshCandidatePairs(
-      TextOps.lshBands(TextOps.minhashSignatures(docs, n = 3, numHashes = 8), 8, 2))
+      TextOps.lshBandIndex(spark, dir, n = 3, numHashes = 8, rowsPerBand = 2))
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wedges = pairs.as("x")

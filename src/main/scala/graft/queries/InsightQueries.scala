@@ -37,9 +37,10 @@ object InsightQueries {
   // scale fix and the better recall.
   def q104EditDistance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir).repartition($"doc_id")
-    val cand = TextOps.cappedLshCandidates(docs, n = 3, numHashes = 8,
-      rowsPerBand = 2, maxBucket = 32)
+    // bands from the memoized standing LSH index (see q93's note)
+    val cand = TextOps.cappedPairsFromBands(
+      TextOps.lshBandIndex(spark, dir, n = 3, numHashes = 8, rowsPerBand = 2),
+      maxBucket = 32)
     val d = Tables.documents(spark, dir)
       .select($"doc_id", substring($"text", 1, 40).as("prefix"))
     val pairs = cand

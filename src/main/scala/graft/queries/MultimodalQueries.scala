@@ -451,7 +451,7 @@ object MultimodalQueries {
   // snapshot semantics, index growth — in SQL.
   def q227MediaDedupIngest(spark: SparkSession, dir: String): DataFrame = {
     val media = MultimodalOps.asMediaTable(
-      Tables.documents(spark, dir).repartition(col("doc_id")))
+      Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
       .filter(col("kind") === "image")
     val corpus = media.filter(pmod(col("doc_id"), lit(4)) <= 1)
     val batches = Seq(2, 3).map(r =>

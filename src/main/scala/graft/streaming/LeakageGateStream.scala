@@ -88,7 +88,7 @@ object LeakageGateStream {
     * caller materializes and releases it alongside the capped result
     * (both frames are O(batch shingles)). */
   private def cappedShingles(docs: DataFrame): (DataFrame, DataFrame) = {
-    val raw = docs.repartition(col("doc_id"))
+    val raw = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("sh"))
