@@ -855,8 +855,27 @@ object TextQueries {
     val corpus = docs.filter(pmod(col("doc_id"), lit(4)) <= 1)
     val b1 = docs.filter(pmod(col("doc_id"), lit(4)) === 2)
     val b2 = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
-    val root = Files.createTempDirectory("graft-genret").toString
     val t0 = 1660000000000L
+    def fps(d: org.apache.spark.sql.DataFrame) =
+      DedupIngest.fingerprints(d, shingleN = 3, numHashes = 8,
+        rowsPerBand = 2)
+    // The seeded generation-0 store is standing index state (the same
+    // amortization as IngestDoor.seededWorkingCopy): built once per
+    // (dataset version, session) from parquet, file-copied per run so
+    // the appends/retirement below stay private — decisions identical
+    // to seeding in place (the copy is bit-identical).
+    val master = graft.operators.AnnIndexCache.memoKeyed(
+      s"genseed:$dir:w=60000:", s"v=${
+        graft.operators.AnnIndexCache.datasetVersion(dir)}:sess=${
+        graft.operators.AnnIndexCache.sessionMarker(spark)}") {
+      val m = Files.createTempDirectory("graft-genret-master").toString
+      new graft.sync.GenerationalStore(spark, m, windowMs = 60000L)
+        .append("fp", fps(corpus).select(col("fp")).distinct(), "fp",
+          new Timestamp(t0))
+      m
+    }
+    val root = Files.createTempDirectory("graft-genret").toString
+    graft.sync.TableStore.copyRecursively(Paths.get(master), Paths.get(root))
     try {
       // window 60 s: seed (t0) and b1 (t0+60 s) land in DIFFERENT
       // generations; cutoff t0+70 s lies past the seed generation's end
@@ -864,11 +883,6 @@ object TextQueries {
       // exactly the seed generation drops, matching q229's horizon
       val gens = new graft.sync.GenerationalStore(spark, root,
         windowMs = 60000L)
-      def fps(d: org.apache.spark.sql.DataFrame) =
-        DedupIngest.fingerprints(d, shingleN = 3, numHashes = 8,
-          rowsPerBand = 2)
-      gens.append("fp", fps(corpus).select(col("fp")).distinct(), "fp",
-        new Timestamp(t0))
       val p1 = fps(b1).persist(StorageLevel.MEMORY_AND_DISK)
       val d1 = DedupIngest.decideAgainst(gens.readAll("fp"), p1, 1L)
       gens.append("fp",

@@ -155,4 +155,21 @@ object TableStore {
       }
     }
   }
+
+  /** Recursive file-tree copy (driver-side) — the working-copy leg of
+    * the amortized-seed protocol (a frozen MASTER store is built once,
+    * each run mutates a private copy; see IngestDoor.seededWorkingCopy). */
+  private[graft] def copyRecursively(src: Path, dst: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      scala.util.Using.resource(Files.list(src))(s =>
+        s.iterator().asScala.foreach(p =>
+          copyRecursively(p, dst.resolve(p.getFileName))))
+    } else {
+      Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
 }

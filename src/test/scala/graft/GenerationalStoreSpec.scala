@@ -113,4 +113,17 @@ class GenerationalStoreSpec extends SparkSpec {
     assert(g.retireBefore(ts(130000)).isEmpty)
     assert(g.readAll("fp").get.count() == 1L)
   }
+
+  test("q244's amortized seed: repeat calls are identical — the private " +
+    "working copy's retirement never mutates the memoized master") {
+    // two invocations in one session: the second hits the genseed memo,
+    // so any leak of run 1's retirement/appends into the master would
+    // change run 2's decisions
+    val dir = "/root/testdata/sf0.001"
+    val fn = graft.SparkEntry.queries("q244_generational_retention")
+    val r1 = fn(spark, dir).collect().map(_.toString).sorted.toSeq
+    val r2 = fn(spark, dir).collect().map(_.toString).sorted.toSeq
+    assert(r1.nonEmpty && r1 == r2,
+      "memo-hit run must reproduce the cold run bit-for-bit")
+  }
 }
