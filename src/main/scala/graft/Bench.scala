@@ -113,10 +113,12 @@ object Bench {
         case (k, v) =>
           val segs = k.split(':').toSeq
           if (segs.drop(1).headOption.contains(sfDir)) {
-            // v= (dataset version) and s= (session marker) are run-local
-            // identity, not index parameters — keep them out of the key
+            // v= (dataset version) and s=/sess= (session markers — both
+            // spellings exist among callers) are run-local identity, not
+            // index parameters — keep them out of the key
             val params = segs.drop(2)
-              .filterNot(s => s.startsWith("v=") || s.startsWith("s="))
+              .filterNot(s => s.startsWith("v=") || s.startsWith("s=") ||
+                s.startsWith("sess="))
               .mkString(":")
             Some((segs.head, params, v))
           } else None
@@ -126,6 +128,12 @@ object Bench {
         (if (perType(tpe) > 1 && params.nonEmpty) s"$tpe:$params" else tpe) -> v
       }.sortBy(_._1)
     }
+    // timed total + the untimed prebuild's ann_build seconds — the
+    // headline COMPARISON metric since round 19 (BENCHMARKS.md "The
+    // headline metric"): the memoized-index convention moves build work
+    // off the per-query clock, so the only number that cannot be improved
+    // by shifting work between the two buckets is their sum.
+    def withBuild(total: Double): Double = total + annBuild.map(_._2).sum
     def compactLine(phase: String): String = {
       val results = named.map { case (n, _) => n -> timings.getOrElse(n, -1.0) }
       val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
@@ -133,7 +141,35 @@ object Bench {
       val builds = annBuild.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"ann_build":$builds,"sf":"$sfDir","protocol":"$phase","load":[${fmt(loadAtStart)},${fmt(loadAvg)}]}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","with_build":${fmt(withBuild(total))},"queries":$qs,"ann_build":$builds,"sf":"$sfDir","protocol":"$phase","load":[${fmt(loadAtStart)},${fmt(loadAvg)}]}"""
+    }
+    // Per-query timings in tail-survivable form (r18 verdict ask #2: the
+    // compact line outgrew the driver's ~2000-char tail window at 238
+    // queries and arrived decapitated — PERF_r18 had no per-query data).
+    // The same dict is re-emitted as ≤~850-char JSON lines, sorted
+    // CHEAPEST-FIRST so the LAST chunk (the one a tail capture keeps,
+    // just above the short line) holds the most expensive queries. Each
+    // line is self-describing and parses alone; a 2000-char tail always
+    // yields the short line plus ≥ the top-~60 queries' timings.
+    def chunkLines(phase: String): Seq[String] = {
+      val entries = named.map { case (n, _) => n -> timings.getOrElse(n, -1.0) }
+        .sortBy(_._2)
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      val chunks = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      var len = 0
+      entries.foreach { e =>
+        if (len + e.length > 820) {
+          chunks += scala.collection.mutable.ArrayBuffer.empty[String]
+          len = 0
+        }
+        chunks.last += e
+        len += e.length + 1
+      }
+      val n = chunks.size
+      chunks.zipWithIndex.map { case (c, i) =>
+        s"""{"metric":"bench_chunk","part":${i + 1},"of":$n,"protocol":"$phase","queries":${c.mkString("{", ",", "}")}}"""
+      }.toSeq
     }
     // The compact line outgrew the driver's ~2000-char tail window at 176
     // queries (2,176 chars in round 9 → arrived decapitated, parsed:null).
@@ -145,7 +181,7 @@ object Bench {
       val measured = named.count { case (n, _) => timings.getOrElse(n, -1.0) >= 0 }
       val total = named.map { case (n, _) => timings.getOrElse(n, -1.0) }
         .filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_n":$measured,"sf":"$sfDir","protocol":"$phase","detail":"bench_full.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","with_build":${fmt(withBuild(total))},"queries_n":$measured,"sf":"$sfDir","protocol":"$phase","detail":"bench_full.json"}"""
     }
     def writeFull(phase: String): Unit = {
       val results = named.map { case (n, _) => n -> timings.getOrElse(n, -1.0) }
@@ -177,6 +213,7 @@ object Bench {
       }
     def emit(phase: String): Unit = if (!shuttingDown) {
       println(compactLine(phase))
+      chunkLines(phase).foreach(println)
       println(shortLine(phase))
       System.out.flush()
       writeFull(phase)
@@ -192,6 +229,7 @@ object Bench {
         shuttingDown = true
         try Thread.sleep(300) catch { case _: InterruptedException => () }
         println(compactLine("killed"))
+        chunkLines("killed").foreach(println)
         println(shortLine("killed"))
         System.out.flush()
         try writeFull("killed") catch { case _: Throwable => () }
@@ -234,6 +272,14 @@ object Bench {
     // ... and since round 18 the ingest doors' seeded master stores
     // (IngestDoor.seededWorkingCopy) — the seed leg is index build,
     // amortized exactly like the ANN artifacts above.
+    //
+    // FROZEN as of round 19 (r18 verdict ask #1, option b): this list and
+    // the memo-family set it reflects are the timing convention's fixed
+    // contents — no further queries may be added and no further query
+    // work may move into ann_build. The un-gameable comparison metric is
+    // timed_total + ann_build ("with_build" in every emitted line and
+    // artifact; BENCHMARKS.md "The headline metric" defines it): work
+    // shifted between the two buckets no longer changes the headline.
     Seq("q44_ann_ivf", "q129_ann_pq", "q170_ann_ivfpq",
         "q237_ann_index_append", "q242_graph_ann_search",
         "q245_graph_ann_append", "q168_bm25_topk",
@@ -376,9 +422,11 @@ object Bench {
     // captured tail), then the stdout JSON line as the very last output.
     if (!shuttingDown) {
       System.err.println(compactLine("final"))
+      chunkLines("final").foreach(System.err.println)
       System.err.println(shortLine("final"))
       System.err.flush()
       println(compactLine("final"))
+      chunkLines("final").foreach(println)
       println(shortLine("final"))
       System.out.flush()
     }

@@ -137,13 +137,15 @@ trait IngestDoor {
       batches: Seq[DataFrame], t0: Long): DataFrame = {
     val decisions = batches.zipWithIndex.map { case (batch, i) =>
       // probe frame feeds decide AND the admissions merge — persisted
-      // for the batch's scope only. The extra keyless-by-count adaptive
-      // repartition sits BETWEEN the probe's compute (which spreads
-      // itself at engine parallelism — a pinned width AQE can't
-      // collapse) and the cache: AQE sizes the CACHED partition count to
-      // the probe's bytes, so the dozen downstream jobs over the cache
-      // stop scheduling full-width near-empty tasks at small batches
-      // while big batches keep advisory-sized partitions.
+      // for the batch's scope only. The extra UNPINNED keyed repartition
+      // (hash on idCol, no explicit width) sits BETWEEN the probe's
+      // compute (which spreads itself at engine parallelism — a pinned
+      // width AQE can't collapse) and the cache: because its width is
+      // not user-specified, the cached-plan AQE flag may re-size it, so
+      // the CACHED partition count tracks the probe's bytes — the dozen
+      // downstream jobs over the cache stop scheduling full-width
+      // near-empty tasks at small batches while big batches keep
+      // advisory-sized partitions.
       val probe = probeFrame(spark, batch)
         .repartition(org.apache.spark.sql.functions.col(idCol))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -192,6 +194,10 @@ trait IngestDoor {
       AnnIndexStore.orBuildTree(pfx + rest) { path => seedInto(path) }
         .getOrElse {
           val path = Files.createTempDirectory("graft-doorseed").toString
+          // same session-exit cleanup as the q244 master: a memoized
+          // master dir evicted (dataset turnover) or left at exit must
+          // not orphan its bytes on a long-lived host (r18 advice)
+          graft.sync.TableStore.deleteOnExit(path)
           seedInto(path)
           path
         }

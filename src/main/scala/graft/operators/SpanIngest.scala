@@ -79,6 +79,15 @@ object SpanIngest {
       n: Int, batchId: Long): DataFrame = {
     val fpStats = occ.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"))
+    // NOTE (r19, measured and kept as-is): a broadcast-probe variant —
+    // index left_semi broadcast(batch fps), hits broadcast back for the
+    // flag — removes the index exchange this left join pays per batch
+    // (the guide-§3.2 shape a 100 TB index wants), but measured 4.04 →
+    // 4.76 s (and 6.28 s with fpStats persisted) on 5-run medians at
+    // sf0.1: two driver-blocking broadcast builds per batch cost more
+    // than shuffling the toy-sized index. OPTIMIZATION_r19.md carries
+    // the full A/B; the deployment-scale flip stays documented here
+    // rather than shipped against the measurement.
     val dupFps = (store.readBuckets("gfp", None) match {
       case Some(idx) if idx.columns.contains("fp") =>
         fpStats.join(idx.select(col("fp"), lit(1).as("idx_hit")),

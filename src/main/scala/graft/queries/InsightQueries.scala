@@ -497,7 +497,12 @@ object InsightQueries {
   // read must be indistinguishable from the full scan.
   def q151StorePrune(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // three consumers scan orders (the range-layout quantiles, the
+    // writeAll staging, the CDC stage derivation) — persist it for the
+    // query's scope so the table is read once, not three times (guide
+    // §5; at 100 TB these are full-table passes)
     val orders = Tables.orders(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val root = Files.createTempDirectory("graft_zm").toString
     val store = new graft.sync.BucketedTableStore(spark, root, nBuckets = 16)
     try {
@@ -528,7 +533,10 @@ object InsightQueries {
       // (5) — safe only because the group-by output is O(priorities).
       val rows = out.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    } finally TableStore.deleteRecursively(java.nio.file.Paths.get(root))
+    } finally {
+      orders.unpersist(blocking = false)
+      TableStore.deleteRecursively(java.nio.file.Paths.get(root))
+    }
   }
   val q151Oracle: String = """
     WITH merged AS (
@@ -562,8 +570,13 @@ object InsightQueries {
   // the full scan.
   def q154BloomLookup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // three consumers scan the fingerprinted corpus (the writeAll
+    // staging, the REMOVE stage, the driver-side probe resolution) —
+    // persist it so the corpus is read (and md5-fingerprinted) once,
+    // not three times (guide §5)
     val docs = Tables.documents(spark, dir)
       .withColumn("fp", md5($"text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val root = Files.createTempDirectory("graft_bloom").toString
     val store = new graft.sync.BucketedTableStore(spark, root, nBuckets = 16)
     try {
@@ -589,7 +602,10 @@ object InsightQueries {
       // unbounded result must keep its lineage instead.
       val rows = out.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    } finally TableStore.deleteRecursively(java.nio.file.Paths.get(root))
+    } finally {
+      docs.unpersist(blocking = false)
+      TableStore.deleteRecursively(java.nio.file.Paths.get(root))
+    }
   }
   val q154Oracle: String = """
     SELECT doc_id, lang, source, n_chars, md5(text) AS fp

@@ -869,6 +869,10 @@ object TextQueries {
         graft.operators.AnnIndexCache.datasetVersion(dir)}:sess=${
         graft.operators.AnnIndexCache.sessionMarker(spark)}") {
       val m = Files.createTempDirectory("graft-genret-master").toString
+      // session-exit cleanup: the master outlives this call (it is the
+      // memoized standing seed) but must not outlive the JVM (r18 advice
+      // — eviction/exit orphaned the directory on a long-lived host)
+      graft.sync.TableStore.deleteOnExit(m)
       new graft.sync.GenerationalStore(spark, m, windowMs = 60000L)
         .append("fp", fps(corpus).select(col("fp")).distinct(), "fp",
           new Timestamp(t0))

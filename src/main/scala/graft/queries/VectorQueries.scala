@@ -783,14 +783,22 @@ object VectorQueries {
   // the oracle replays bands, cap, symmetric expansion, and ranking
   // verbatim — the full graph hash-checks, not just a recall bound.
   // Nodes whose bands collide with nothing drop out on both engines.
+  // Derives the graph IN PLACE, deliberately not through the
+  // knnGraphIndexed memo (r18 verdict ask #1: q152's declared result IS
+  // the graph, so a memo hit left its timed path measuring nothing —
+  // the 0.06 s pin). q156 still composes on the memoized index (its
+  // declared result is the cluster assignment; the graph is its input
+  // state). Values are identical either way: the graph is
+  // integer-deterministic by construction.
   def q152KnnGraph(spark: SparkSession, dir: String): DataFrame =
-    knnGraphIndexed(spark, dir, k = 3, bands = 16, dimsPerBand = 4)
+    VectorOps.knnGraph(Tables.embeddings(spark, dir), k = 3, bands = 16,
+        dimsPerBand = 4)
       .orderBy(col("query_id").asc, col("rank").asc)
 
   /** Memoized corpus kNN graph per (dataset version, params, session) —
-    * the standing graph index q152 serves and q156's dedup composes on
-    * (the same amortized-index convention as the gann cells/edges; build
-    * cost lands in ann_build). Values identical to deriving in place:
+    * the standing graph index q156's dedup composes on (the same
+    * amortized-index convention as the gann cells/edges; build cost
+    * lands in ann_build). Values identical to deriving in place:
     * the graph is integer-deterministic by construction. */
   private def knnGraphIndexed(spark: SparkSession, dir: String, k: Int,
       bands: Int, dimsPerBand: Int): DataFrame = {
@@ -1357,9 +1365,15 @@ object VectorQueries {
       .orderBy(col("margin").desc, col("vec_b").asc)
     val rb = Window.partitionBy(col("vec_b"))
       .orderBy(col("margin").desc, col("vec_a").asc)
+    // rank_b FIRST (r19, guide §2.4): margined's last join keys on
+    // vec_b, so the vec_b-partitioned window rides that exchange and
+    // only rank_a pays a new one — the former order re-exchanged the
+    // full candidate frame by vec_a and then AGAIN by vec_b. The two
+    // ranks are independent per-row marks; computing them in either
+    // order is value-identical.
     margined
-      .withColumn("rank_a", row_number().over(ra))
       .withColumn("rank_b", row_number().over(rb))
+      .withColumn("rank_a", row_number().over(ra))
       .filter(col("rank_a") === 1 && col("rank_b") === 1 &&
         col("margin") > 1.0)
       .select(col("vec_a"), col("vec_b"), col("cosine"), col("margin"))

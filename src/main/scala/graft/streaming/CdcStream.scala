@@ -43,23 +43,45 @@ final class CdcStream(spark: SparkSession, store: SyncStore,
     * reference the three CALLs are sequential (test_sync_time.sh:97-106),
     * an ordering nothing depends on (disjoint tables).
     */
-  def syncAll(extracted: DataFrame): Unit = {
+  /** Returns the number of entity merges applied (0 = no initialized
+    * non-empty target yet, nothing ran an action over `extracted`). */
+  def syncAll(extracted: DataFrame): Int = {
     val cached = extracted.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val syncTime = now()
+      // ONE job reads every entity's watermark — a tagged union of the
+      // targets, projection-pruned to the timestamp column, aggregated
+      // per entity — where the former shape paid one driver-sequenced
+      // max() action PER entity per micro-batch (guide §1.2: remove
+      // passes; at 100 TB these are three sequential store-snapshot
+      // scans collapsed into one shared pass, the q235 trick). The
+      // VALUE is unchanged: max(approximateUpdateTimestamp) per target,
+      // null (empty target, no initial load) still aborts that entity's
+      // merge (ref :13-16).
+      val targets = Merge.entities.flatMap(c => store.read(c.name).map(c -> _))
+      val wms: Map[String, Timestamp] =
+        if (targets.isEmpty) Map.empty
+        else targets.map { case (c, df) =>
+            df.select(lit(c.name).as("_entity"),
+              col("approximateUpdateTimestamp").as("_ts"))
+          }.reduce(_ unionByName _)
+          .groupBy(col("_entity"))
+          .agg(org.apache.spark.sql.functions.max(col("_ts")).as("_wm"))
+          .collect()
+          .flatMap(r => Option(r.getTimestamp(1)).map(r.getString(0) -> _))
+          .toMap
       import scala.collection.parallel.CollectionConverters._
-      Merge.entities.par.foreach { conf =>
-        store.read(conf.name).foreach { target =>
-          // guard: empty target = no initial load yet → abort (ref :13-16)
-          Merge.watermark(target).foreach { wm =>
-            val stage = Merge.stageChanges(cached, conf, wm)
-            // SORTKEY mapping: snapshots are written time-sorted within
-            // files so lag/time-range queries prune parquet row groups
-            store.applyMerge(conf.name, stage, conf.keyCol, syncTime,
-              sortBy = Some("approximateUpdateTimestamp"))
-          }
-        }
+      // Disjoint targets → the three merges still run from parallel
+      // threads (scheduler interleaves the independent job DAGs).
+      val merged = targets.filter(t => wms.contains(t._1.name))
+      merged.par.foreach { case (conf, _) =>
+        val stage = Merge.stageChanges(cached, conf, wms(conf.name))
+        // SORTKEY mapping: snapshots are written time-sorted within
+        // files so lag/time-range queries prune parquet row groups
+        store.applyMerge(conf.name, stage, conf.keyCol, syncTime,
+          sortBy = Some("approximateUpdateTimestamp"))
       }
+      merged.size
     } finally cached.unpersist()
   }
 
@@ -122,7 +144,14 @@ final class CdcStream(spark: SparkSession, store: SyncStore,
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // one materialization feeds both the quarantine split and the
         // merges (a corrupt-column-only projection against the raw file
-        // scan is also disallowed — the persisted frame sidesteps that)
+        // scan is also disallowed — the persisted frame sidesteps that).
+        // NOTE (r19): riding the corrupt-row count on the merges' first
+        // action via Dataset.observe was tried and reverted — the batch
+        // AND the extracted projection are both persisted, so the
+        // CollectMetrics node lands inside a cached child plan, which no
+        // top-level executed plan carries: the metric is never surfaced
+        // and Observation.get blocks forever. The explicit isEmpty probe
+        // doubles as the cache materializer, so it is not a wasted pass.
         val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try {
           quarantineDir.foreach { dir =>
@@ -134,7 +163,8 @@ final class CdcStream(spark: SparkSession, store: SyncStore,
           }
           syncAll(Extraction.extract(
             cached.filter(col(corrupt).isNull).drop(corrupt)))
-        } finally cached.unpersist()
+          ()
+        } finally { cached.unpersist(); () }
       }
       .start()
   }

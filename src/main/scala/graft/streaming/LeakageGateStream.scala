@@ -79,13 +79,14 @@ object LeakageGateStream {
   val MaxBroadcastShingleRows = 1L << 20
   private val IndexTable = "hsh"
 
-  /** Distinct df-capped shingle rows of `docs`: (doc_id, sh) with the
-    * hot set (df > MaxDf over THESE docs) removed via broadcast anti —
-    * the hot set is ≤ distinct-shingles/MaxDf rows by construction. */
-  /** Two consumers read the exploded shingle frame (the hot-df
-    * aggregation and the anti-join's probe side): persist it so the
+  /** Returns (capped, raw): `capped` is the distinct df-capped shingle
+    * rows of `docs` — (doc_id, sh) with the hot set (df > MaxDf over
+    * THESE docs) removed via broadcast anti, the hot set being ≤
+    * distinct-shingles/MaxDf rows by construction; `raw` is the
+    * PERSISTED exploded shingle frame both consumers read (the hot-df
+    * aggregation and the anti-join's probe side), persisted so the
     * tokenize+shingle explode runs once per gate call, not twice. The
-    * caller materializes and releases it alongside the capped result
+    * caller materializes and releases `raw` alongside the capped result
     * (both frames are O(batch shingles)). */
   private def cappedShingles(docs: DataFrame): (DataFrame, DataFrame) = {
     val raw = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))

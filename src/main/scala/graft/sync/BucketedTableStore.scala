@@ -1183,6 +1183,15 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
       .drop("eventName")
       .withColumn("syncTimestamp", lit(syncTime))
       .withColumn("_seq", lit(next.toLong))
+      // routed BEFORE the persist (r19): the summary's groupBy(_bucket)
+      // and the staged write both need _bucket clustering, and a cached
+      // frame keeps its partitioning — one shared exchange instead of a
+      // shuffle per consumer (guide §2.4 "two operations keyed the same
+      // way share one exchange"; every door's delta commit pays this per
+      // batch). Unpinned width: the cached-plan AQE flag may size it to
+      // the batch's bytes, and the dynamic-partition write still emits
+      // one file per bucket dir regardless of task count.
+      .repartition(col("_bucket"))
     // persisted only when two actions will consume it (summary + write)
     val staged = if (needSummary)
       staged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1204,9 +1213,10 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
           Map.empty[Int, Map[String, BloomSide]], Map.empty[Int, Long])
       if (!needSummary || counts.nonEmpty) {
         val staging = tableDir(name).resolve(s"_dstaging$next")
-        val routed = staged.repartition(col("_bucket")) // one file per bucket
-        sortBy.fold(routed)(c =>
-            routed.sortWithinPartitions(col("_bucket"), col(c)))
+        // staged is already routed by _bucket (shared with the summary's
+        // grouping — see the repartition at staging time above)
+        sortBy.fold(staged)(c =>
+            staged.sortWithinPartitions(col("_bucket"), col(c)))
           .withColumn("_bp", col("_bucket"))
           .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
         // no-summary path: the write above just materialized the routing,
@@ -1282,32 +1292,45 @@ final class BucketedTableStore(spark: SparkSession, root: String, nBuckets: Int,
     else {
       val next = base.get + 1
       val staging = tableDir(name).resolve(s"_cstaging$next")
-      val resolved = resolve(name, targets).repartition(col("_bucket"))
-      sortBy.fold(resolved)(c =>
-          resolved.sortWithinPartitions(col("_bucket"), col(c)))
-        .withColumn("_bp", col("_bucket"))
-        .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
-      // a chain may resolve to nothing (every row deleted) — the bucket
-      // still compacts to an empty-but-valid base snapshot
-      val schema = resolve(name, Map(targets.head)).schema
-      targets.keys.foreach { b =>
-        val src = staging.resolve(s"_bp=$b")
-        if (!Files.exists(src))
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            schema).write.mode("overwrite").parquet(src.toString)
-      }
-      // compaction is where widened zone maps retighten and delta-widened
-      // blooms shed their tombstoned bits: the staged bytes are the exact
-      // resolved state of every compacted bucket — one fused read-back
-      val specs = statsSpecs(name)
-      val bSpecs = bloomSpecs(name)
-      val prevStats =
-        if (specs.isEmpty) None else carriedStats(name, base.get)
-      val prevBloom =
-        if (bSpecs.isEmpty) None else carriedBloom(name, base.get)
-      val (addStats, addBloom) = sidecarsFromStaging(staging,
-        if (prevStats.isDefined) specs else Nil,
-        if (prevBloom.isDefined) bSpecs else Nil, excludeDel = false)
+      // persisted for this call's scope (writeAll's pattern, r19): the
+      // staging write materializes it, then the sidecar pass aggregates
+      // the CACHED rows instead of re-reading (and re-inferring the
+      // schema of) the staging dir it just wrote — one fewer
+      // resolve+scan per compaction, which q151/q154 and every
+      // auto-compacting door commit pay per sweep
+      val resolved0 = resolve(name, targets).repartition(col("_bucket"))
+      val resolved = sortBy.fold(resolved0)(c =>
+          resolved0.sortWithinPartitions(col("_bucket"), col(c)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (addStats, addBloom, specs, bSpecs, prevStats, prevBloom) =
+        try {
+          resolved.withColumn("_bp", col("_bucket"))
+            .write.mode("overwrite").partitionBy("_bp").parquet(staging.toString)
+          // a chain may resolve to nothing (every row deleted) — the bucket
+          // still compacts to an empty-but-valid base snapshot. The schema
+          // comes off the already-built plan, not a fresh resolve.
+          targets.keys.foreach { b =>
+            val src = staging.resolve(s"_bp=$b")
+            if (!Files.exists(src))
+              spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                resolved.schema).write.mode("overwrite").parquet(src.toString)
+          }
+          // compaction is where widened zone maps retighten and
+          // delta-widened blooms shed their tombstoned bits: the staged
+          // rows are the exact resolved state of every compacted bucket —
+          // one fused pass over the persisted frame for both sidecar kinds
+          val specs0 = statsSpecs(name)
+          val bSpecs0 = bloomSpecs(name)
+          val prevStats0 =
+            if (specs0.isEmpty) None else carriedStats(name, base.get)
+          val prevBloom0 =
+            if (bSpecs0.isEmpty) None else carriedBloom(name, base.get)
+          val (s, b) = sidecarsFromStaging(staging,
+            if (prevStats0.isDefined) specs0 else Nil,
+            if (prevBloom0.isDefined) bSpecs0 else Nil, excludeDel = false,
+            preStaged = Some(resolved))
+          (s, b, specs0, bSpecs0, prevStats0, prevBloom0)
+        } finally resolved.unpersist(blocking = false)
       val newStats = prevStats.map(prev => (prev -- targets.keys) ++ addStats)
       val newBloom = prevBloom.map(prev => (prev -- targets.keys) ++ addBloom)
       def stale(): Nothing = {

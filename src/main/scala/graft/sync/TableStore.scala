@@ -30,6 +30,45 @@ final class TableStore(spark: SparkSession, root: String) extends SyncStore {
 
   private def tableDir(name: String): Path = Paths.get(root, name)
   private def currentFile(name: String): Path = tableDir(name).resolve("_CURRENT")
+  // Per-VERSION schema sidecar (same rationale as BucketedTableStore's
+  // _SCHEMA: a snapshot's parquet schema is fixed when it is written, yet
+  // every schema-less spark.read.parquet pays a footer-inference job
+  // first — the CDC pipeline reads each target at least twice per
+  // micro-batch, so at q23's 2-batch × 3-entity protocol those jobs are a
+  // real slice of the per-batch fixed cost). One sidecar per version —
+  // snapshots may legitimately change schema across versions (evolving
+  // merges), so a shared sidecar would bind old files to a new schema.
+  // Missing sidecar (pre-upgrade table) degrades to inference, never an
+  // error. Stored asNullable like the bucketed store's: parquet readers
+  // bind by name and a lit()-derived non-null field must not make the
+  // read stricter than the files.
+  private def schemaFile(name: String, v: Int): Path =
+    tableDir(name).resolve(s"_SCHEMA.$v")
+  private def writeSchemaFile(name: String, v: Int,
+      s: org.apache.spark.sql.types.StructType): Unit = {
+    val json = org.apache.spark.sql.types.StructType(
+      s.fields.map(_.copy(nullable = true))).json
+    val f = schemaFile(name, v)
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+    Files.write(tmp, json.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+  private def readSchemaFile(name: String, v: Int):
+      Option[org.apache.spark.sql.types.StructType] = {
+    val f = schemaFile(name, v)
+    if (!Files.exists(f)) None
+    else scala.util.Try(
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+  }
+  private def readVersion(name: String, v: Int): DataFrame = {
+    val r = spark.read
+    readSchemaFile(name, v).fold(r)(r.schema)
+      .parquet(tableDir(name).resolve(s"v$v").toString)
+  }
 
   def currentVersion(name: String): Option[Int] = {
     val f = currentFile(name)
@@ -37,9 +76,7 @@ final class TableStore(spark: SparkSession, root: String) extends SyncStore {
   }
 
   def read(name: String): Option[DataFrame] =
-    currentVersion(name).map { v =>
-      spark.read.parquet(tableDir(name).resolve(s"v$v").toString)
-    }
+    currentVersion(name).map(readVersion(name, _))
 
   /** Time travel: read a retained historical snapshot. Versions survive
     * until a retention sweep (none runs here), so "what did the table
@@ -47,7 +84,7 @@ final class TableStore(spark: SparkSession, root: String) extends SyncStore {
     * debugging/audit story a mutable-table sink loses. */
   def readAt(name: String, version: Int): Option[DataFrame] = {
     val dir = tableDir(name).resolve(s"v$version")
-    if (Files.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
+    if (Files.exists(dir)) Some(readVersion(name, version)) else None
   }
 
   /** Materialize `df` as the next version, then atomically flip _CURRENT.
@@ -91,6 +128,11 @@ final class TableStore(spark: SparkSession, root: String) extends SyncStore {
     try Files.move(staging, dest, StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       stale(currentVersion(name)) }
+    // sidecar BEFORE the pointer move: a crash in between leaves an
+    // unreferenced v-dir plus its sidecar (garbage, never read); the
+    // reverse order could publish a version whose reads pay inference
+    // until the next write — safe either way, this order never degrades
+    writeSchemaFile(name, next, toWrite.schema)
     val tmp = tableDir(name).resolve(s"_CURRENT.tmp$next")
     Files.write(tmp, next.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -111,7 +153,11 @@ final class TableStore(spark: SparkSession, root: String) extends SyncStore {
       val floor = cur - keepVersions + 1
       (0 until floor).filter { v =>
         val dir = tableDir(name).resolve(s"v$v")
-        if (Files.exists(dir)) { deleteRecursively(dir); true } else false
+        if (Files.exists(dir)) {
+          deleteRecursively(dir)
+          Files.deleteIfExists(schemaFile(name, v)) // ages out with its version
+          true
+        } else false
       }
     }
   }
@@ -134,8 +180,7 @@ final class TableStore(spark: SparkSession, root: String) extends SyncStore {
     // capture the base ONCE: the merged result derives from this
     // snapshot, so the publish must be conditional on it still being live
     val base = currentVersion(name)
-    val target = base.map(v =>
-        spark.read.parquet(tableDir(name).resolve(s"v$v").toString))
+    val target = base.map(readVersion(name, _))
       .getOrElse(
         throw new IllegalStateException(s"$name not initialized — init first"))
     writeIfBase(name, Merge.applyStage(target, stage, key, syncTime),
@@ -154,6 +199,32 @@ object TableStore {
         s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       }
     }
+  }
+
+  /** Register a memoized master store's temp directory for deletion at
+    * JVM exit: the memo layer (AnnIndexCache) evicts ENTRIES on dataset-
+    * version turnover but cannot see that a value is a directory path,
+    * so an evicted/replaced master — and every master at session exit —
+    * would otherwise orphan its bytes on a long-lived host (r18 advice).
+    * Per-RUN working copies don't need this (their callers delete them
+    * in `finally`); this covers the per-SESSION masters. Idempotent per
+    * path; deletion order doesn't matter (dirs are independent). */
+  private val exitCleanup = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var hookInstalled = false
+  private[graft] def deleteOnExit(path: String): Unit = {
+    if (!hookInstalled) synchronized {
+      if (!hookInstalled) {
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          import scala.jdk.CollectionConverters._
+          exitCleanup.asScala.foreach { p =>
+            try deleteRecursively(Paths.get(p)) catch { case _: Throwable => () }
+          }
+        }))
+        hookInstalled = true
+      }
+    }
+    exitCleanup.add(path)
+    ()
   }
 
   /** Recursive file-tree copy (driver-side) — the working-copy leg of
