@@ -1673,8 +1673,12 @@ object VectorQueries {
           .distinct()
           .localCheckpoint()
       })
+      // qset is the FIXED query panel (bounded by queryMod's design —
+      // the eval-panel contract), so it broadcasts: one exchange per hop
+      // removed from the walk (guide §3.1); the corpus-sized cvec side
+      // keeps its shuffle join.
       def scoreTopBeam(frontier: DataFrame): DataFrame = frontier
-        .join(qset, Seq("qid"))
+        .join(broadcast(qset), Seq("qid"))
         .join(cvec, Seq("cand"))
         .withColumn("cosine", VectorOps.cosineFromParts(
           VectorOps.qdot(col("qv"), col("cv")), col("qn"), col("cn")))
@@ -1863,8 +1867,12 @@ object VectorQueries {
         .filter(col("cand") =!= col("qid")).distinct()
       val cvec = e.select(col("vec_id").as("cand"), col("q").as("cv"),
         col("n2").as("cn"))
+      // qset is the FIXED query panel (bounded by queryMod's design —
+      // the eval-panel contract), so it broadcasts: one exchange per hop
+      // removed from the walk (guide §3.1); the corpus-sized cvec side
+      // keeps its shuffle join.
       def scoreTopBeam(frontier: DataFrame): DataFrame = frontier
-        .join(qset, Seq("qid"))
+        .join(broadcast(qset), Seq("qid"))
         .join(cvec, Seq("cand"))
         .withColumn("cosine", VectorOps.cosineFromParts(
           VectorOps.qdot(col("qv"), col("cv")), col("qn"), col("cn")))
