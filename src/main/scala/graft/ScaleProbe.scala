@@ -286,6 +286,21 @@ object ScaleProbe {
       door10(spark, src); spark.stop(); return
     }
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "scratch/sf1scale")
+    if (args.headOption.contains("build")) {
+      // build-only mode (r19): materialize the derived sf1 dataset (and,
+      // with a second arg of 100, the sf10 one) and exit, so other
+      // harnesses (MiniBench at SPARK_GRAFT_SF_DIR=sf1, the c8/c32
+      // scaling table) can run against it without paying this main's
+      // full query sweep. Idempotent like the sweep's own build.
+      buildSf1(spark, src, sf1)
+      println(s"[scale] built $sf1")
+      if (args.drop(1).headOption.contains("100")) {
+        val sf10 = sys.env.getOrElse("SPARK_GRAFT_SCALE10_DIR", "scratch/sf10scale")
+        buildScaled(spark, src, sf10, copies = 100)
+        println(s"[scale] built $sf10")
+      }
+      spark.stop(); return
+    }
     buildSf1(spark, src, sf1)
 
     def rows(dir: String, t: String): Long =
